@@ -1,0 +1,312 @@
+"""Deduplication operators over the ``documents`` table ([NORTH-STAR]).
+
+Four tiers, each the idiomatic scale path:
+
+1. **Exact** — content fingerprint (md5 of normalized text) + hash groupBy.
+   One shuffle on the fingerprint; survivor = min doc_id. At 100 TB this is
+   the cheapest possible dedup and the fingerprint doubles as a stable
+   document id.
+2. **N-gram Jaccard** — word-5-shingles, explode → self-join on shingle →
+   pairwise intersection counts → Jaccard. Exactly SQL-expressible, so it
+   carries a full DuckDB oracle. Scale guard: drop ultra-frequent shingles
+   (stop-shingles) before the join — a shingle shared by f docs contributes
+   f² join rows.
+3. **MinHash + LSH** — k independent min-hashes per doc (xxhash64 with
+   per-permutation salts), banded into LSH buckets; candidate pairs =
+   bucket-join, then verified with exact Jaccard. Sub-quadratic: the only
+   pairwise work is within buckets. (Not SQL-oracled — hash functions are
+   engine-specific; verified in tests/test_dedup.py against tier 2.)
+4. **SimHash** — 64-bit bit-vote signature; near-dup = small Hamming
+   distance, banded by 16-bit chunks for sub-quadratic candidate gen.
+   (Tests-only, same reason.)
+
+An embedding-cosine near-dup variant lives in ``pipeline/similarity.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from imdb_mapreduce_spark.plans.registry import register
+from imdb_mapreduce_spark.sources.star import load_table
+
+MINHASH_PERMS = 32
+LSH_BANDS = 8  # 8 bands × 4 rows
+SHINGLE_WORDS = 5
+
+
+def normalized_text(col: str = "text") -> Column:
+    return F.lower(F.trim(F.col(col)))
+
+
+def fingerprint(col: str = "text") -> Column:
+    """Content fingerprint: md5 of normalized text (stable across engines,
+    partitionings, and runs — unlike hash/xxhash64 which are fine internally
+    but not portable to the oracle)."""
+    return F.md5(normalized_text(col))
+
+
+def word_shingles(col: str = "text", k: int = SHINGLE_WORDS) -> Column:
+    """Distinct k-word shingles. Short docs (<k words) get one shingle =
+    whole text, so every doc has ≥1 shingle (keeps Jaccard total)."""
+    return F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(size(split({col}, ' ')) - {k - 1}, 1)),"
+            f" i -> array_join(slice(split({col}, ' '), i, {k}), ' '))"
+        )
+    )
+
+
+def exploded_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) pairs + per-doc shingle count."""
+    with_sh = docs.select(
+        "doc_id", word_shingles().alias("shingles")
+    ).select(
+        "doc_id",
+        F.size("shingles").alias("n_shingles"),
+        F.explode("shingles").alias("sh"),
+    )
+    return with_sh
+
+
+# ---------------------------------------------------------------------------
+# Tier 1 — exact
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact_groups",
+    oracle="""
+    SELECT md5(lower(trim(text))) AS fp,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS keep_id
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("dedup", "north-star"),
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup groups: fingerprint → count + survivor id."""
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.groupBy(fingerprint().alias("fp")).agg(
+        F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_id")
+    )
+
+
+@register(
+    "dedup_exact_survivors",
+    oracle="""
+    SELECT MIN(doc_id) AS doc_id
+    FROM documents
+    GROUP BY md5(lower(trim(text)))
+    """,
+    tags=("dedup", "north-star"),
+)
+def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduplicated corpus: one surviving doc_id per fingerprint."""
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.groupBy(fingerprint().alias("fp")).agg(
+        F.min("doc_id").alias("doc_id")
+    ).select("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Tier 2 — n-gram Jaccard (full oracle)
+# ---------------------------------------------------------------------------
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id,
+             len(list_distinct(list_transform(
+                 generate_series(1, greatest(len(string_split(text, ' ')) - {SHINGLE_WORDS - 1}, 1)),
+                 i -> array_to_string((string_split(text, ' '))[i:i+{SHINGLE_WORDS - 1}], ' ')))) AS n_shingles,
+             unnest(list_distinct(list_transform(
+                 generate_series(1, greatest(len(string_split(text, ' ')) - {SHINGLE_WORDS - 1}, 1)),
+                 i -> array_to_string((string_split(text, ' '))[i:i+{SHINGLE_WORDS - 1}], ' ')))) AS sh
+      FROM documents)
+    SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+           COUNT(*) AS shared,
+           CAST(COUNT(*) AS DOUBLE)
+             / CAST(ANY_VALUE(a.n_shingles) + ANY_VALUE(b.n_shingles) - COUNT(*) AS DOUBLE)
+             AS jaccard
+    FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    """,
+    tags=("dedup", "north-star", "jaccard"),
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All document pairs sharing ≥1 word-5-shingle, with exact Jaccard
+    similarity. The shingle self-join shuffles on the shingle string; at
+    100 TB add a stop-shingle filter (HAVING count ≤ f_max) before the join
+    and/or go through tier 3 (MinHash) first."""
+    docs = load_table(spark, "documents", sf_dir)
+    sh = exploded_shingles(docs)
+    a = sh.alias("a")
+    b = sh.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .agg(
+            F.count("*").alias("shared"),
+            (
+                F.count("*").cast("double")
+                / (
+                    F.any_value(F.col("a.n_shingles"))
+                    + F.any_value(F.col("b.n_shingles"))
+                    - F.count("*")
+                ).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tier 3 — MinHash + LSH (tests-only oracle: engine-specific hashes)
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(docs: DataFrame, perms: int = MINHASH_PERMS) -> DataFrame:
+    """(doc_id, sig: array<bigint>) — per-permutation minimum of salted
+    xxhash64 over the doc's shingles. One explode + one groupBy: the
+    signature build is a single shuffle regardless of perms."""
+    sh = exploded_shingles(docs).select("doc_id", "sh")
+    mins = [
+        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}") for i in range(perms)
+    ]
+    agged = sh.groupBy("doc_id").agg(*mins)
+    return agged.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(perms)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = LSH_BANDS, perms: int = MINHASH_PERMS
+) -> DataFrame:
+    """Candidate pairs via banded LSH: docs agreeing on ALL rows of any band.
+
+    Bucket key = (band index, hash of the band slice); a self-join per
+    bucket. Sub-quadratic because only same-bucket docs pair up.
+    """
+    rows_per_band = perms // bands
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}),"
+                f" b -> struct(b as band, xxhash64(array_join(transform("
+                f"slice(sig, b * {rows_per_band} + 1, {rows_per_band}),"
+                f" x -> cast(x as string)), ',')) as bucket))"
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .distinct()
+    )
+
+
+@register(
+    "minhash_lsh_dups",
+    oracle=None,  # engine-specific hash functions; verified vs exact Jaccard in tests
+    tags=("dedup", "north-star", "minhash"),
+)
+def minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash/LSH candidate pairs verified with exact Jaccard ≥ 0.5.
+    The scale path for near-dedup: explode→min-agg→band→bucket-join —
+    no all-pairs stage anywhere."""
+    docs = load_table(spark, "documents", sf_dir)
+    sigs = minhash_signatures(docs)
+    cands = lsh_candidate_pairs(sigs)
+    exact = ngram_jaccard_pairs(spark, sf_dir)  # reuse tier-2 plan for verification
+    return (
+        cands.join(exact, ["doc1", "doc2"], "inner")
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc1", "doc2", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tier 4 — SimHash (tests-only)
+# ---------------------------------------------------------------------------
+
+def simhash64(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash: bigint) — 64-bit bit-vote over token hashes.
+
+    For each of 64 bit positions, the bit is 1 iff more token-hashes have a
+    1 there than a 0. Expressed entirely JVM-side: explode tokens → per-bit
+    vote aggregation via sum(sign) — one shuffle, no UDFs.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    ).select("doc_id", F.xxhash64("tok").alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agged = toks.groupBy("doc_id").agg(*votes)
+    sig = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        sig = term if sig is None else sig.bitwiseXOR(term)
+    return agged.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by Hamming ≤ k, banded on 16-bit chunks (any pair with
+    Hamming ≤ 3 must agree exactly on ≥1 of 4 chunks — pigeonhole)."""
+    chunks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), c -> struct(c as chunk,"
+                " shiftright(simhash, c * 16) & 65535 as piece))"
+            )
+        ).alias("cc"),
+    ).select("doc_id", "simhash", "cc.chunk", "cc.piece")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.piece") == F.col("b.piece"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc1"),
+            F.col("b.doc_id").alias("doc2"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+@register(
+    "simhash_near_dups",
+    oracle=None,  # engine-specific hash functions; invariants tested locally
+    tags=("dedup", "north-star", "simhash"),
+)
+def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return simhash_near_pairs(simhash64(docs), max_hamming=6)

@@ -1,0 +1,140 @@
+"""Multimodal (binary) column plumbing ([NORTH-STAR]).
+
+Treats media as opaque ``binary`` columns with typed metadata, processed by
+Arrow-batched ``mapInPandas`` — the correct Spark shape for decode /
+feature-extract / resize / frame-sample at 100 TB:
+
+- binary payloads stay columnar (Arrow) end-to-end; no row-at-a-time Python;
+- the UDF sees a *batch iterator* so per-batch setup (codec init, model
+  load) amortizes;
+- partitioning is by size (``maxPartitionBytes``), not row count, so huge
+  blobs don't skew tasks.
+
+The container has no image/audio codecs, so the real decoders are STUBS
+(clearly-marked NotImplementedError, import-gated) and the tested path uses
+a deterministic fake decode — the Spark-side plumbing (schema, batching,
+UDF signature) is real and oracle-checked: the fake decode is a pure
+function of byte length, which SQL can replicate.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from imdb_mapreduce_spark.plans.registry import register
+from imdb_mapreduce_spark.sources.star import load_table
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+MEDIA_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("format", StringType()),
+    ]
+)
+
+
+def decode_image(payload: bytes) -> "tuple[int, int]":
+    """REAL image decode — requires a codec library absent from this
+    container. Clearly-marked stub per the build contract."""
+    raise NotImplementedError(
+        "image decoding requires PIL/opencv, not available in this environment; "
+        "use fake_decode_meta for the tested plumbing path"
+    )
+
+
+def fake_decode_meta(payload: bytes) -> tuple[int, int, int, str]:
+    """Deterministic fake decode: metadata as a pure function of the bytes.
+    Keeps the full mapInPandas pipeline testable without codecs."""
+    n = len(payload)
+    return n, n % 640 + 1, n % 480 + 1, "png" if n % 2 == 0 else "jpeg"
+
+
+def _decode_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+    """mapInPandas worker: per-batch vectorized metadata extraction.
+    A real decoder would init its codec once here, before the loop."""
+    import pandas as pd
+
+    for batch in batches:
+        metas = [fake_decode_meta(p) for p in batch["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].values,
+                "n_bytes": [m[0] for m in metas],
+                "width": [m[1] for m in metas],
+                "height": [m[2] for m in metas],
+                "format": [m[3] for m in metas],
+            }
+        )
+
+
+def with_media_column(docs: DataFrame) -> DataFrame:
+    """Attach the opaque binary payload column (here: utf-8 bytes of the
+    text stand in for image bytes; in production this is the raw blob read
+    from object storage)."""
+    return docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+
+
+def media_metadata(docs: DataFrame) -> DataFrame:
+    """binary column → typed metadata via Arrow-batched mapInPandas."""
+    return with_media_column(docs).mapInPandas(_decode_batches, MEDIA_META_SCHEMA)
+
+
+@register(
+    "media_metadata_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
+           CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS height,
+           CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
+    FROM documents
+    """,
+    tags=("multimodal", "north-star", "pandas-udf"),
+)
+def media_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal plumbing end-to-end: binary column → mapInPandas
+    (Arrow batches) → typed metadata. Oracle replicates the deterministic
+    fake decode in SQL over utf-8 byte lengths — so the whole Python/Arrow
+    round-trip is value-checked, not just smoke-checked."""
+    docs = load_table(spark, "documents", sf_dir)
+    return media_metadata(docs)
+
+
+@register(
+    "media_format_rollup",
+    oracle="""
+    SELECT CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+           COUNT(*) AS n_docs,
+           SUM(CAST(octet_length(encode(text)) AS BIGINT)) AS total_bytes,
+           MAX(CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER)) AS max_width
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("multimodal", "north-star"),
+)
+def media_format_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational post-aggregation over UDF-derived metadata — mixing the
+    Arrow path with JVM aggregation in one plan (ints only: exact)."""
+    docs = load_table(spark, "documents", sf_dir)
+    meta = media_metadata(docs)
+    return meta.groupBy("format").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.max("width").alias("max_width"),
+    )

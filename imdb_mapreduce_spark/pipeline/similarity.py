@@ -1,0 +1,197 @@
+"""Similarity search over the ``embeddings`` table ([NORTH-STAR]).
+
+Baseline: brute-force cosine top-k — a broadcast-join of the (small) query
+set against the full corpus, dot products computed JVM-side with
+``zip_with``/``aggregate`` (whole-stage codegen, no Python in the hot
+path). Scale path: random-hyperplane LSH bucketing so each query only
+scores its bucket (sub-linear candidates), verified for recall in tests.
+
+Numeric parity note: dot products are computed as a SEQUENTIAL double fold
+(``aggregate`` with a double accumulator) — bit-identical to the DuckDB
+oracle's explicit ``list_reduce`` fold. DuckDB's built-in
+``list_dot_product``/``list_cosine_similarity`` accumulate in float32 and
+do NOT match (verified empirically) — the oracle avoids them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from imdb_mapreduce_spark.plans.registry import register
+from imdb_mapreduce_spark.sources.star import load_table
+
+N_QUERIES = 10  # vec_id < 10 serve as the query set
+TOP_K = 5
+
+# Sequential double fold — matches the oracle's list_reduce fold bit-exactly.
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+    " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+_SQL_DOT = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE),"
+    " list_transform(generate_series(1, len({a})),"
+    " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), (x, y) -> x + y)"
+)
+
+
+def dot(a: str, b: str) -> Column:
+    return F.expr(_DOT.format(a=a, b=b))
+
+
+def norm(a: str) -> Column:
+    return F.sqrt(F.expr(_DOT.format(a=a, b=a)))
+
+
+@register(
+    "ann_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_SQL_DOT.format(a="q.embedding", b="c.embedding")}
+               / (sqrt({_SQL_DOT.format(a="q.embedding", b="q.embedding")})
+                  * sqrt({_SQL_DOT.format(a="c.embedding", b="c.embedding")})) AS cosine
+      FROM q JOIN embeddings c ON c.vec_id <> q.vec_id)
+    SELECT query_id, neighbor_id, cosine, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM scored) t
+    WHERE rnk <= {TOP_K}
+    """,
+    tags=("similarity", "north-star", "ann"),
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: queries broadcast against the corpus, score
+    JVM-side, rank with a window. Per-query cost is one corpus scan — the
+    correct baseline and the recall oracle for the LSH variant."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot("qe", "ce") / (norm("qe") * norm("ce"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
+@register(
+    "embedding_label_dups",
+    oracle=f"""
+    SELECT a.vec_id AS vec1, b.vec_id AS vec2,
+           {_SQL_DOT.format(a="a.embedding", b="b.embedding")}
+             / (sqrt({_SQL_DOT.format(a="a.embedding", b="a.embedding")})
+                * sqrt({_SQL_DOT.format(a="b.embedding", b="b.embedding")})) AS cosine
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_SQL_DOT.format(a="a.embedding", b="b.embedding")}
+            / (sqrt({_SQL_DOT.format(a="a.embedding", b="a.embedding")})
+               * sqrt({_SQL_DOT.format(a="b.embedding", b="b.embedding")})) >= 0.2
+    """,
+    tags=("similarity", "dedup", "north-star"),
+)
+def embedding_label_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, label-blocked: only same-label pairs
+    are scored (blocking keys cut the pair space ×|labels|; at 100 TB the
+    block key would come from LSH buckets — see random_hyperplane_lsh)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    a = emb.alias("a")
+    b = emb.alias("b")
+    cos = (
+        F.expr(_DOT.format(a="a.embedding", b="b.embedding"))
+        / (
+            F.sqrt(F.expr(_DOT.format(a="a.embedding", b="a.embedding")))
+            * F.sqrt(F.expr(_DOT.format(a="b.embedding", b="b.embedding")))
+        )
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec1"),
+            F.col("b.vec_id").alias("vec2"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.2)
+    )
+
+
+def random_hyperplane_buckets(
+    emb: DataFrame, n_planes: int = 12, seed: int = 42, dim: int = 64
+) -> DataFrame:
+    """LSH bucket id per vector: sign-pattern of ``n_planes`` seeded random
+    hyperplane projections. Planes are deterministic literals (seeded
+    numpy), broadcast inside the plan — no driver-side state."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    bucket_bits = []
+    for p_i, plane in enumerate(planes):
+        arr = ", ".join(f"CAST({v!r} AS DOUBLE)" for v in plane.tolist())
+        proj = F.expr(_DOT.format(a="embedding", b=f"array({arr})"))
+        bucket_bits.append(
+            F.when(proj >= 0, F.lit(1 << p_i)).otherwise(F.lit(0))
+        )
+    bucket = bucket_bits[0]
+    for bb in bucket_bits[1:]:
+        bucket = bucket + bb
+    return emb.withColumn("bucket", bucket.cast("int"))
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=None,  # recall vs ann_cosine_topk asserted in tests/test_similarity.py
+    tags=("similarity", "north-star", "lsh"),
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: score only same-bucket candidates. Sub-linear per
+    query at the cost of recall (tested ≥0.6 vs brute force at 12 planes);
+    at 100 TB use multi-probe or several independent tables to trade
+    compute for recall."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    bucketed = random_hyperplane_buckets(emb)
+    q = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("bucket").alias("qb"),
+    )
+    c = bucketed.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.col("bucket").alias("cb"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, (F.col("qb") == F.col("cb")) & (F.col("neighbor_id") != F.col("query_id")))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot("qe", "ce") / (norm("qe") * norm("ce"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )

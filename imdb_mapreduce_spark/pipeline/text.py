@@ -1,0 +1,199 @@
+"""Text analysis over the ``documents`` table ([NORTH-STAR]): quality
+scoring, token counting, language-ID heuristic, fingerprinting.
+
+Everything is built-in-function-only (whole-stage codegen; zero Python in
+the hot path) and each query carries a full DuckDB oracle — the scalar
+surfaces of both engines agree on these constructs (verified: ascii() is
+codepoint-based in both, regexp classes are plain ASCII, list folds are
+sequential).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from imdb_mapreduce_spark.plans.registry import register
+from imdb_mapreduce_spark.sources.star import load_table
+
+# BPE-ish tokenizer: letter runs, digit runs, single punctuation marks.
+TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+# Deterministic demo marker sets for the language-ID heuristic. The corpus
+# is synthetic English-ish word soup, so real-language markers would be
+# vacuous; these exercise the mechanics (per-language evidence counts +
+# argmax with a fixed tie order) on words that actually occur.
+LANG_MARKERS = {
+    "en": ("the", "a", "of"),
+    "de": ("der", "und", "das"),
+    "fr": ("le", "la", "et"),
+    "es": ("el", "los", "que"),
+}
+
+
+def _tokens(col: str = "text") -> Column:
+    return F.split(F.col(col), " ")
+
+
+@register(
+    "doc_quality_stats",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+           length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+           length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits,
+           len(list_filter(string_split(text, ' '),
+               x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS n_stopwords,
+           CAST(len(list_filter(string_split(text, ' '),
+               x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE)
+             / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / CAST(len(string_split(text, ' ')) AS DOUBLE) AS ttr
+    FROM documents
+    """,
+    tags=("text", "north-star", "quality"),
+)
+def doc_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality features: token counts, type-token ratio, punct and
+    digit density, stopword ratio — the standard pre-training quality
+    filter inputs (length/punct/stopword heuristics), one projection."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = _tokens()
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    n_stop = F.expr(f"size(filter(split(text, ' '), x -> x IN ({stop_list})))")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        (
+            F.length("text") - F.length(F.regexp_replace("text", "[.,;:!?]", ""))
+        ).alias("n_punct"),
+        (F.length("text") - F.length(F.regexp_replace("text", "[0-9]", ""))).alias(
+            "n_digits"
+        ),
+        n_stop.alias("n_stopwords"),
+        (n_stop.cast("double") / F.size(toks).cast("double")).alias("stopword_ratio"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks).cast("double")).alias(
+            "ttr"
+        ),
+    )
+
+
+@register(
+    "token_count_bpe",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{TOKEN_RE}')) AS n_bpe_tokens,
+           n_chars,
+           CAST(n_chars AS DOUBLE)
+             / CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS DOUBLE)
+             AS chars_per_token
+    FROM documents
+    """,
+    tags=("text", "north-star", "tokens"),
+)
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex token counting (BPE-ish segmentation: letter runs / digit runs
+    / punctuation) — the cheap token-budget estimator for corpus sizing."""
+    docs = load_table(spark, "documents", sf_dir)
+    n_tok = F.size(F.regexp_extract_all("text", F.lit(TOKEN_RE), 0))
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_bpe_tokens"),
+        "n_chars",
+        (F.col("n_chars").cast("double") / n_tok.cast("double")).alias("chars_per_token"),
+    )
+
+
+def _marker_count_sql(words: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter(string_split(text, ' '), x -> x IN ({lst})))"
+
+
+def _marker_count(words: tuple[str, ...]) -> Column:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return F.expr(f"size(filter(split(text, ' '), x -> x IN ({lst})))")
+
+
+@register(
+    "lang_id_heuristic",
+    oracle=f"""
+    SELECT doc_id,
+           {_marker_count_sql(LANG_MARKERS["en"])} AS score_en,
+           {_marker_count_sql(LANG_MARKERS["de"])} AS score_de,
+           {_marker_count_sql(LANG_MARKERS["fr"])} AS score_fr,
+           {_marker_count_sql(LANG_MARKERS["es"])} AS score_es,
+           CASE
+             WHEN {_marker_count_sql(LANG_MARKERS["en"])} >= greatest(
+                    {_marker_count_sql(LANG_MARKERS["de"])},
+                    {_marker_count_sql(LANG_MARKERS["fr"])},
+                    {_marker_count_sql(LANG_MARKERS["es"])}, 1) THEN 'en'
+             WHEN {_marker_count_sql(LANG_MARKERS["de"])} >= greatest(
+                    {_marker_count_sql(LANG_MARKERS["fr"])},
+                    {_marker_count_sql(LANG_MARKERS["es"])}, 1) THEN 'de'
+             WHEN {_marker_count_sql(LANG_MARKERS["fr"])} >= greatest(
+                    {_marker_count_sql(LANG_MARKERS["es"])}, 1) THEN 'fr'
+             WHEN {_marker_count_sql(LANG_MARKERS["es"])} >= 1 THEN 'es'
+             ELSE 'unknown'
+           END AS lang_guess
+    FROM documents
+    """,
+    tags=("text", "north-star", "lang"),
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram/stopword language-ID: per-language marker-word evidence counts,
+    argmax with fixed priority order, 'unknown' when no evidence. On real
+    multilingual data the marker sets come from per-language frequency
+    tables; the plan shape (projection + CASE) is identical."""
+    docs = load_table(spark, "documents", sf_dir)
+    scores = {k: _marker_count(v) for k, v in LANG_MARKERS.items()}
+    guess = (
+        F.when(
+            scores["en"]
+            >= F.greatest(scores["de"], scores["fr"], scores["es"], F.lit(1)),
+            "en",
+        )
+        .when(scores["de"] >= F.greatest(scores["fr"], scores["es"], F.lit(1)), "de")
+        .when(scores["fr"] >= F.greatest(scores["es"], F.lit(1)), "fr")
+        .when(scores["es"] >= 1, "es")
+        .otherwise("unknown")
+    )
+    return docs.select(
+        "doc_id",
+        scores["en"].alias("score_en"),
+        scores["de"].alias("score_de"),
+        scores["fr"].alias("score_fr"),
+        scores["es"].alias("score_es"),
+        guess.alias("lang_guess"),
+    )
+
+
+@register(
+    "doc_fingerprint_rolling",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(generate_series(1, length(text)),
+                 i -> CAST(ascii(text[i]) AS BIGINT))),
+             (acc, x) -> (acc * 31 + x) % 1000000007) AS rhash,
+           md5(text) AS md5_fp
+    FROM documents
+    """,
+    tags=("text", "north-star", "fingerprint"),
+)
+def doc_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: 31-base polynomial rolling hash mod 1e9+7
+    (the classic Rabin-Karp form, as a pure sequential fold) + md5. The
+    rolling form supports incremental/windowed fingerprinting of shingles
+    at scale; md5 is the portable content id."""
+    docs = load_table(spark, "documents", sf_dir)
+    rhash = F.expr(
+        "aggregate(transform(sequence(1, length(text)),"
+        " i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)),"
+        " CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % 1000000007)"
+    )
+    return docs.select("doc_id", rhash.alias("rhash"), F.md5("text").alias("md5_fp"))

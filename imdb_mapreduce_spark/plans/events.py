@@ -1,0 +1,203 @@
+"""Event-stream analytics plans (SURVEY.md §2.10 — the surface the
+reference lacks entirely, mandated [NORTH-STAR] by the driver's ``events``
+table): time-bucketed aggregation, ranking/lag windows, gap sessionization,
+JSON extraction.
+
+These are the batch forms; ``streaming/`` runs the same logical plans as
+Structured Streaming with watermarks. Determinism rules: window orderings
+carry the unique ``event_id`` tiebreak; double sums go through exact
+DECIMAL (parity.py); durations are integer epoch-microsecond diffs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from imdb_mapreduce_spark.plans.registry import register
+from imdb_mapreduce_spark.sources.star import load_table
+
+D2 = "decimal(12,2)"
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, "events", sf_dir)
+
+
+@register(
+    "events_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("time", "agg", "window-time"),
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour rollup via date_trunc — partial agg before the
+    shuffle; group count is bounded by hours×types regardless of scale."""
+    e = _events(spark, sf_dir)
+    return e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast(D2)).cast("double").alias("total_value"),
+    )
+
+
+@register(
+    "events_10min_windows",
+    oracle="""
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("time", "agg", "window-time"),
+)
+def events_10min_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling windows via Spark's canonical ``window()`` operator (the
+    same expression Structured Streaming uses — streaming/ reuses this
+    plan). Epoch-aligned 10-minute buckets match DuckDB's time_bucket."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "n_users")
+    )
+
+
+@register(
+    "user_running_stats",
+    oracle="""
+    SELECT event_id, user_id,
+           ROW_NUMBER() OVER w AS seq,
+           LAG(value) OVER w AS prev_value,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS running_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "analytic"),
+)
+def user_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered analytics: sequence number, lag, running total.
+    One shuffle on user_id; sort within partitions. Skewed users would
+    need key-salting with windowed re-merge — documented, not needed at
+    this key cardinality."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).alias("seq"),
+        F.lag("value").over(w).alias("prev_value"),
+        F.sum(F.col("value").cast(D2)).over(wf).cast("double").alias("running_value"),
+    )
+
+
+@register(
+    "user_sessions",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '30 minutes'
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events),
+    sess AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      FROM gaps)
+    SELECT user_id, session_no, COUNT(*) AS n_events,
+           MIN(event_id) AS first_event,
+           epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
+    FROM sess
+    GROUP BY user_id, session_no
+    """,
+    tags=("window", "session"),
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) as composable window
+    ops — the batch twin of streaming session_window (streaming/ has the
+    watermark variant). Duration emitted as integer epoch-µs diff (exact in
+    both engines)."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag("ts").over(w)
+    is_new = (
+        prev_ts.isNull()
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts) > 30 * 60 * 1_000_000)
+    ).cast("int")
+    sess = e.select(
+        "user_id", "event_id", "ts", is_new.alias("is_new")
+    ).select(
+        "user_id", "event_id", "ts", F.sum("is_new").over(wf).alias("session_no")
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        F.min("event_id").alias("first_event"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
+    )
+
+
+@register(
+    "events_json_stats",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("json", "agg"),
+)
+def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction (the reference has no JSON surface at all —
+    SURVEY §2.3 'no json scalar functions'): get_json_object → typed agg.
+    At scale, prefer parsing once via from_json into a struct column in the
+    silver layer instead of re-parsing per query."""
+    e = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@register(
+    "user_event_pivot",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+           COUNT(*) FILTER (WHERE event_type = 'view') AS n_view,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS n_error
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("agg", "pivot"),
+)
+def user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-count pivot: one pass, one shuffle, fixed output width —
+    the scalable alternative to ``df.groupBy().pivot()`` whose column
+    discovery needs an extra job over 100 TB."""
+    e = _events(spark, sf_dir)
+    aggs = [
+        F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
+        for t in ("click", "view", "purchase", "signup", "error")
+    ]
+    return e.groupBy("user_id").agg(*aggs)

@@ -1,0 +1,118 @@
+"""Graph-shaped queries on the synthetic star schema (SURVEY.md §2.9).
+
+The reference's flagship k-level co-star BFS runs here against the
+order↔part bipartite relation (FIXTURES.md §B: "the orders↔customer /
+order↔part bipartite relation supports a BFS-shape query"): parts
+co-purchased in the same order play the role of actors co-starring in the
+same movie. The SAME generic operator (``operators/graph.bipartite_bfs``)
+serves the IMDb cast_edges table — see tests/test_graph.py.
+
+The level-3 BFS is fully SQL-expressible (a fixed number of expansion
+rounds unrolls into CTEs), so it gets a real DuckDB oracle — including the
+deterministic min-parent attachment rule documented in SURVEY §3.1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from imdb_mapreduce_spark.operators.graph import bipartite_bfs
+from imdb_mapreduce_spark.plans.registry import register
+from imdb_mapreduce_spark.sources.star import load_table
+
+
+def _part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite edge list (part as node, order as via), node as string to
+    match the generic BFS operator's string node domain."""
+    l = load_table(spark, "lineitem", sf_dir)
+    return l.select(
+        F.col("l_partkey").cast("string").alias("node"),
+        F.col("l_orderkey").alias("via"),
+    ).distinct()
+
+
+@register(
+    "copurchase_bfs_l3",
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT CAST(l_partkey AS VARCHAR) AS node, l_orderkey AS via
+      FROM lineitem),
+    root AS (SELECT CAST(MIN(l_partkey) AS VARCHAR) AS node FROM lineitem),
+    r1 AS (
+      SELECT e2.node AS dst
+      FROM root r
+      JOIN edges e1 ON e1.node = r.node
+      JOIN edges e2 ON e2.via = e1.via
+      WHERE e2.node <> r.node
+      GROUP BY e2.node),
+    lvl1 AS (
+      SELECT (SELECT node FROM root) AS src, dst, 1 AS level FROM r1),
+    r2 AS (
+      SELECT e2.node AS dst, MIN(f.dst) AS src
+      FROM r1 f
+      JOIN edges e1 ON e1.node = f.dst
+      JOIN edges e2 ON e2.via = e1.via
+      WHERE e2.node <> e1.node
+        AND e2.node NOT IN (SELECT dst FROM r1)
+        AND e2.node <> (SELECT node FROM root)
+      GROUP BY e2.node)
+    SELECT src, dst, level FROM lvl1
+    UNION ALL
+    SELECT src, dst, 2 AS level FROM r2
+    """,
+    tags=("graph", "G1", "G2", "J4", "J5"),
+)
+def copurchase_bfs_l3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-3 BFS (2 expansion rounds) from the minimum partkey over the
+    co-purchase graph — the reference's flagship query shape
+    (``master.erl:251-288``) with the deterministic min-parent cleanup.
+    Each round: frontier-broadcast 2-hop join + left-anti visited check;
+    rounds localCheckpoint to keep lineage flat (SURVEY §7 'what's hard')."""
+    edges = _part_edges(spark, sf_dir)
+    root = str(
+        load_table(spark, "lineitem", sf_dir).agg(F.min("l_partkey")).collect()[0][0]
+    )
+    res = bipartite_bfs(edges, "node", "via", root, level=3)
+    return res.edges.select("src", "dst", "level")
+
+
+@register(
+    "copart_pairs_topk",
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS part1, b.l_partkey AS part2, COUNT(*) AS n_shared_orders
+    FROM edges a JOIN edges b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    ORDER BY n_shared_orders DESC, part1, part2
+    LIMIT 20
+    """,
+    tags=("graph", "J5", "topk"),
+)
+def copart_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongest co-occurrence pairs (the 1-round expansion join J5 as a
+    standalone analytic). Self-join on the via key: cost is Σ basket²; at
+    100 TB, cap basket size or pre-aggregate heavy hitters first (the
+    classic a-priori pruning) — baskets here are bounded (~7 lines/order)."""
+    e = (
+        load_table(spark, "lineitem", sf_dir)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part1"), F.col("b.l_partkey").alias("part2")
+        )
+        .agg(F.count("*").alias("n_shared_orders"))
+        .orderBy(F.col("n_shared_orders").desc(), "part1", "part2")
+        .limit(20)
+    )

@@ -1,0 +1,70 @@
+"""SparkSession factory with a scale-aware default config.
+
+The reference hand-rolls its cluster: a static node roster
+(``/root/reference/src/master/constants.hrl:17-23``), per-line message
+scatter, manual snapshot replication. All of that is Spark infrastructure
+(SURVEY.md §2.11), so the only thing this module owns is *configuration* —
+chosen for correctness at local[32] test scale while keeping every knob one a
+1000-executor / 100 TB deployment would also want:
+
+- AQE on (runtime join-strategy switch, skew-join splitting, partition
+  coalescing) — replaces the reference's hand-placed "small table stays on
+  the master" choice (``dataInit.erl:79-95``) with a cost-based one;
+- explicit shuffle partition count, overridable by env, so the same code
+  scales from 32 local threads to thousands of cores;
+- Arrow enabled for the (few, clearly-marked) Pandas-UDF paths.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+DEFAULT_SHUFFLE_PARTITIONS = int(
+    os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(max(DEFAULT_CPUS, 32)))
+)
+
+
+def get_spark(
+    app_name: str = "imdb_mapreduce_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's default tuning.
+
+    On a real cluster, ``master`` comes from spark-submit and this function
+    only layers SQL conf on top; locally it defaults to ``local[N]``.
+    """
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Files at 100 TB: bigger read partitions to bound task count.
+        .config("spark.sql.files.maxPartitionBytes", "256m")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif "SPARK_MASTER" not in os.environ:
+        builder = builder.master(f"local[{DEFAULT_CPUS}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

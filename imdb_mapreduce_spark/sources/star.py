@@ -1,0 +1,60 @@
+"""Readers for the driver's synthetic star-schema parquet tables.
+
+Tables and schemas per /root/repo/TESTDATA.md + FIXTURES.md §B. Parquet is
+already the right at-rest format at 100 TB (columnar, predicate pushdown,
+vectorized reads) — so the reader is deliberately thin: no schema coercion,
+no caching policy here. Column pruning and filter pushdown happen in the
+queries themselves and reach the scan via Catalyst.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at ANY scale factor: their
+# cardinality is fixed (region=5, nation=25) or grows far slower than facts.
+BROADCAST_DIMS = ("region", "nation", "supplier")
+
+
+def default_sf_dir() -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
+    d = sf_dir or default_sf_dir()
+    if name == "events":
+        return _load_events(spark, d)
+    return spark.read.parquet(f"{d}/{name}.parquet")
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.ts is nanosecond-precision parquet, which Spark's TimestampType
+    (µs) refuses outright (PARQUET_TYPE_ILLEGAL). Read the raw int64 nanos
+    and floor-divide to µs — the same truncation DuckDB applies, so oracle
+    comparisons see identical values."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(raw.dtypes).get("ts") == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
+
+
+def load_tables(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFrame]:
+    return {t: load_table(spark, t, sf_dir) for t in TABLES}
