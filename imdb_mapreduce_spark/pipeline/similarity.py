@@ -136,26 +136,47 @@ def embedding_label_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def random_hyperplane_buckets(
-    emb: DataFrame, n_planes: int = 12, seed: int = 42, dim: int = 64
+    emb: DataFrame,
+    n_tables: int = 4,
+    planes_per_table: int = 6,
+    seed: int = 42,
+    dim: int = 64,
 ) -> DataFrame:
-    """LSH bucket id per vector: sign-pattern of ``n_planes`` seeded random
-    hyperplane projections. Planes are deterministic literals (seeded
-    numpy), broadcast inside the plan — no driver-side state."""
+    """Multi-table random-hyperplane LSH: one bucket id per (vector, table).
+
+    Each table uses ``planes_per_table`` seeded hyperplanes; a vector's
+    bucket is the sign-pattern of its projections. Multiple independent
+    tables union their candidates — the standard recall knob (P[collide in
+    ≥1 table] = 1−(1−p^r)^L). Planes are deterministic literals (seeded
+    numpy) baked into the plan — no driver-side state, trivially
+    re-derivable on any executor.
+
+    Returns one row per (vec_id, table, bucket) — |tables|× row growth,
+    which at 100 TB is the explicit storage/recall trade.
+    """
     import numpy as np
 
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim))
-    bucket_bits = []
-    for p_i, plane in enumerate(planes):
-        arr = ", ".join(f"CAST({v!r} AS DOUBLE)" for v in plane.tolist())
-        proj = F.expr(_DOT.format(a="embedding", b=f"array({arr})"))
-        bucket_bits.append(
-            F.when(proj >= 0, F.lit(1 << p_i)).otherwise(F.lit(0))
+    out = []
+    for t in range(n_tables):
+        planes = rng.standard_normal((planes_per_table, dim))
+        bucket = F.lit(0)
+        for p_i, plane in enumerate(planes):
+            arr = ", ".join(f"CAST({v!r} AS DOUBLE)" for v in plane.tolist())
+            proj = F.expr(_DOT.format(a="embedding", b=f"array({arr})"))
+            bucket = bucket + F.when(proj >= 0, F.lit(1 << p_i)).otherwise(F.lit(0))
+        out.append(
+            emb.select(
+                "vec_id",
+                "embedding",
+                F.lit(t).alias("table"),
+                bucket.cast("int").alias("bucket"),
+            )
         )
-    bucket = bucket_bits[0]
-    for bb in bucket_bits[1:]:
-        bucket = bucket + bb
-    return emb.withColumn("bucket", bucket.cast("int"))
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res
 
 
 @register(
@@ -164,25 +185,34 @@ def random_hyperplane_buckets(
     tags=("similarity", "north-star", "lsh"),
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN: score only same-bucket candidates. Sub-linear per
-    query at the cost of recall (tested ≥0.6 vs brute force at 12 planes);
-    at 100 TB use multi-probe or several independent tables to trade
-    compute for recall."""
+    """LSH-bucketed ANN: score only candidates sharing a bucket in ANY of
+    the hash tables (multi-table union = the recall knob; recall vs brute
+    force asserted in tests). Per-query cost is |union of buckets|, not
+    |corpus| — the sub-linear scale path."""
     emb = load_table(spark, "embeddings", sf_dir)
     bucketed = random_hyperplane_buckets(emb)
     q = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
+        F.col("table").alias("qt"),
         F.col("bucket").alias("qb"),
     )
     c = bucketed.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("ce"),
+        F.col("table").alias("ct"),
         F.col("bucket").alias("cb"),
     )
     scored = (
         F.broadcast(q)
-        .join(c, (F.col("qb") == F.col("cb")) & (F.col("neighbor_id") != F.col("query_id")))
+        .join(
+            c,
+            (F.col("qt") == F.col("ct"))
+            & (F.col("qb") == F.col("cb"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .select("query_id", "neighbor_id", "qe", "ce")
+        .distinct()  # candidate may collide in several tables — score once
         .select(
             "query_id",
             "neighbor_id",

@@ -1,0 +1,106 @@
+"""BFS + DOT export semantics (SURVEY.md §3.1, §2.9): two-hop levels,
+global visited set, tree output, deterministic min-parent, k−1 rounds."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from imdb_mapreduce_spark.operators.graph import bipartite_bfs, costar_bfs
+from imdb_mapreduce_spark.operators.graph_export import sanitize_id, to_dot
+
+
+def _edges(res):
+    return {(r["src"], r["dst"], r["level"]) for r in res.edges.collect()}
+
+
+def _verts(res):
+    return {r["name"] for r in res.vertices.collect()}
+
+
+def test_level1_is_root_only(cast_edges):
+    # level k = k−1 expansion rounds → level 1 = no expansion (master.erl:259,271)
+    res = costar_bfs(cast_edges, "Jane Doe", "actor", level=1)
+    assert _edges(res) == set()
+    assert _verts(res) == {"Jane Doe"}
+
+
+def test_level2_costars(cast_edges):
+    # Jane Doe's co-stars: John Q. Smith 0 (via Alpha), Bob O'Hara (via Beta)
+    res = costar_bfs(cast_edges, "Jane Doe", "actor", level=2)
+    assert _edges(res) == {
+        ("Jane Doe", "John Q. Smith 0", 1),
+        ("Jane Doe", "Bob O'Hara", 1),
+    }
+
+
+def test_level3_visited_set_global(cast_edges):
+    # Round 2 expands John Q. Smith 0 and Bob O'Hara; all their co-stars
+    # (Jane Doe, each other?) — John's co-stars = Jane (visited); Bob's =
+    # Jane (visited). No new vertices → tree stops. The intermediate-hop
+    # movies never appear as vertices.
+    res = costar_bfs(cast_edges, "Jane Doe", "actor", level=3)
+    assert _edges(res) == {
+        ("Jane Doe", "John Q. Smith 0", 1),
+        ("Jane Doe", "Bob O'Hara", 1),
+    }
+    assert _verts(res) == {"Jane Doe", "John Q. Smith 0", "Bob O'Hara"}
+
+
+def test_movie_query_direction(cast_edges):
+    # Movies sharing cast with Alpha Zero 0: Beta! (Jane), Epsilon (John)
+    res = costar_bfs(cast_edges, "Alpha Zero 0", "movie", level=2)
+    assert _edges(res) == {
+        ("Alpha Zero 0", "Beta!", 1),
+        ("Alpha Zero 0", "Epsilon", 1),
+    }
+
+
+def test_min_parent_deterministic(spark):
+    # Diamond: root R and X both reach C in round 2; C discovered once,
+    # attached to min(parent). Bipartite edges: (node, via).
+    edges = spark.createDataFrame(
+        [("R", 1), ("A", 1), ("B", 1), ("A", 2), ("C", 2), ("B", 3), ("C", 3)],
+        ["node", "via"],
+    )
+    res = bipartite_bfs(edges, "node", "via", "R", level=3)
+    got = {(r["src"], r["dst"]): r["level"] for r in res.edges.collect()}
+    # Round 1: A,B from R. Round 2: C via A (min) not via B.
+    assert got == {("R", "A"): 1, ("R", "B"): 1, ("A", "C"): 2}
+
+
+def test_input_validation(cast_edges):
+    with pytest.raises(ValueError):
+        costar_bfs(cast_edges, "", "actor", 2)
+    with pytest.raises(ValueError):
+        costar_bfs(cast_edges, "x", "robot", 2)
+    with pytest.raises(ValueError):
+        costar_bfs(cast_edges, "x", "actor", 0)
+
+
+def test_dot_export(cast_edges):
+    res = costar_bfs(cast_edges, "Jane Doe", "actor", level=2)
+    dot = to_dot(res)
+    assert dot.startswith("digraph G {")
+    assert 'Jane_Doe [label="Jane Doe"];' in dot
+    # Sanitizer keeps digit 0 (reference bug graph.erl:30 fixed):
+    assert sanitize_id("John Q. Smith 0") == "John_Q__Smith_0"
+    assert "John_Q__Smith_0" in dot
+    # surname order (last space-token, X6): "John Q. Smith 0" keys on "0",
+    # which sorts before "O'Hara" — so John's edge precedes Bob's.
+    assert dot.index("Jane_Doe -> John_Q__Smith_0") < dot.index(
+        "Jane_Doe -> Bob_O_Hara"
+    )
+
+
+def test_result_independent_of_partitioning(spark):
+    # Property (SURVEY §5.3): same result at different partition counts.
+    data = [(f"n{i%7}", i % 11) for i in range(200)]
+    for parts in (1, 5):
+        edges = spark.createDataFrame(data, ["node", "via"]).repartition(parts)
+        res = bipartite_bfs(edges, "node", "via", "n0", level=3)
+        key = sorted((r["src"], r["dst"], r["level"]) for r in res.edges.collect())
+        if parts == 1:
+            first = key
+        else:
+            assert key == first
