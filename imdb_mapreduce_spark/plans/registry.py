@@ -71,5 +71,6 @@ def all_queries() -> dict[str, Query]:
         text,
         multimodal,
     )
+    from imdb_mapreduce_spark.streaming import jobs  # noqa: F401
 
     return dict(_REGISTRY)

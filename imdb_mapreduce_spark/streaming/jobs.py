@@ -1,0 +1,137 @@
+"""Structured Streaming surface (SURVEY.md §2.10 — absent from the
+reference, mandated [NORTH-STAR]): the same logical plans as
+``plans/events.py`` executed incrementally with watermarks.
+
+Design: batch and streaming share the aggregation expressions; only the
+source (``readStream`` vs ``read``) and sink differ — the core Spark
+"unified batch/streaming" posture. At 100 TB-scale streaming:
+
+- watermarks bound state (late events beyond the horizon are dropped —
+  the explicit, documented late-data policy);
+- tumbling windows via ``window()`` are pre-shuffle partial-aggregated
+  exactly like batch;
+- ``availableNow`` triggers give reproducible batch-equivalent runs for
+  tests and backfills.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from imdb_mapreduce_spark.plans.registry import register
+
+# Streaming sources need an explicit schema (no inference mid-stream).
+# ts arrives as raw int64 nanos (see sources/star.py) and is floor-divided
+# to µs — identical semantics to the batch reader.
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over events parquet (one file = one micro-batch
+    with availableNow; in production this is a directory that keeps
+    growing, or a Kafka source with identical downstream code).
+
+    ``path`` may be a directory or a single ``.parquet`` file (file
+    streams require a directory base, so a file path becomes parent dir +
+    glob filter).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    )
+    if path.endswith(".parquet"):
+        base, fname = path.rsplit("/", 1)
+        reader = reader.option("pathGlobFilter", fname)
+        path = base
+    raw = reader.parquet(path)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """10-minute tumbling window counts with a late-data watermark — the
+    streaming twin of ``plans/events.events_10min_windows``."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "approx_users")
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Native session windows (gap-close semantics) with watermark —
+    streaming counterpart of the batch ``user_sessions`` plan."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_stream_to_memory(
+    result: DataFrame, output_mode: str = "complete", name: str | None = None
+) -> DataFrame:
+    """Execute a streaming plan with an availableNow trigger into a memory
+    sink; block until drained; return the materialized table."""
+    spark = result.sparkSession
+    name = name or f"stream_{uuid.uuid4().hex[:8]}"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
+
+
+@register(
+    "streaming_10min_counts",
+    oracle="""
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("streaming", "north-star", "window-time"),
+)
+def streaming_10min_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming pipeline end-to-end, value-checked against batch SQL:
+    file stream → watermark → tumbling window → memory sink. In complete
+    mode with availableNow the final state must equal the batch answer —
+    so the oracle is the BATCH query, proving stream/batch equivalence."""
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    result = tumbling_counts(stream).select("window_start", "n_events")
+    return run_stream_to_memory(result, "complete")
