@@ -52,21 +52,26 @@ def _two_hop(frontier: DataFrame, edges: DataFrame, node_col: str, via_col: str)
     """frontier(node) → co-entities: join out on node_col, back on via_col.
 
     For an actor frontier: actor → titles (via) → co-actors (J5,
-    ``master.erl:273-283``). The first join broadcasts the frontier (always
-    small relative to the edge table); the second is an equi-join on the via
-    key that AQE plans as broadcast or shuffle depending on hop-1 size.
+    ``master.erl:273-283``). BOTH joins broadcast the frontier-derived side
+    (frontier, then frontier×degree), so the big edge table is only ever
+    scanned — never shuffled. That is the right plan while the frontier is
+    bounded (true for level ≤ 4 queries on real-degree graphs); a frontier
+    approaching edge-table size would drop the hints and let AQE shuffle.
+
+    No ``distinct`` here: the caller's per-destination aggregation dedups,
+    one exchange instead of two.
     """
-    hop1 = F.broadcast(frontier).join(
-        edges, frontier["node"] == edges[node_col], "inner"
-    ).select(frontier["node"].alias("src"), edges[via_col].alias("via"))
-    e2 = edges.select(
-        F.col(via_col).alias("via"), F.col(node_col).alias("dst")
+    hop1 = (
+        F.broadcast(frontier)
+        .join(edges, frontier["node"] == edges[node_col], "inner")
+        .select(frontier["node"].alias("src"), edges[via_col].alias("via"))
     )
+    e2 = edges.select(F.col(via_col).alias("via"), F.col(node_col).alias("dst"))
     return (
-        hop1.join(e2, "via", "inner")
+        F.broadcast(hop1)
+        .join(e2, "via", "inner")
         .filter(F.col("src") != F.col("dst"))
         .select("src", "dst")
-        .distinct()
     )
 
 
@@ -94,21 +99,24 @@ def bipartite_bfs(
     for lvl in range(1, level):
         pairs = _two_hop(frontier, edges, node_col, via_col)
         children = (
-            pairs.join(visited, pairs["dst"] == visited["node"], "left_anti")
+            pairs.join(
+                F.broadcast(visited), pairs["dst"] == visited["node"], "left_anti"
+            )
             .groupBy("dst")
             .agg(F.min("src").alias("src"))  # deterministic parent
             .select("src", "dst")
             .withColumn("level", F.lit(lvl))
         )
         if checkpoint:
+            # One materialization per round. visited/frontier/result are all
+            # unions over already-checkpointed frames, so their lineage stays
+            # flat without checkpoints of their own (no plan doubling).
             children = children.localCheckpoint(eager=True)
         if children.isEmpty():
             break
         result_edges = result_edges.unionByName(children)
         new_nodes = children.select(F.col("dst").alias("node"))
         visited = visited.unionByName(new_nodes)
-        if checkpoint:
-            visited = visited.localCheckpoint(eager=True)
         frontier = new_nodes
 
     vertices = (

@@ -47,27 +47,35 @@ def fingerprint(col: str = "text") -> Column:
     return F.md5(normalized_text(col))
 
 
-def word_shingles(col: str = "text", k: int = SHINGLE_WORDS) -> Column:
-    """Distinct k-word shingles. Short docs (<k words) get one shingle =
-    whole text, so every doc has ≥1 shingle (keeps Jaccard total)."""
+def word_shingles(toks_col: str = "toks", k: int = SHINGLE_WORDS) -> Column:
+    """Distinct k-word shingles over a PRE-SPLIT token array column.
+
+    Tokens must be materialized as their own column first: referencing
+    ``split(text)`` inside the transform lambda would re-split the string
+    once per index — O(words²) per doc.
+
+    Short docs (<k words) get one shingle = whole text, so every doc has
+    ≥1 shingle (keeps Jaccard total).
+    """
     return F.array_distinct(
         F.expr(
-            f"transform(sequence(1, greatest(size(split({col}, ' ')) - {k - 1}, 1)),"
-            f" i -> array_join(slice(split({col}, ' '), i, {k}), ' '))"
+            f"transform(sequence(1, greatest(size({toks_col}) - {k - 1}, 1)),"
+            f" i -> array_join(slice({toks_col}, i, {k}), ' '))"
         )
     )
 
 
 def exploded_shingles(docs: DataFrame) -> DataFrame:
     """(doc_id, shingle) pairs + per-doc shingle count."""
-    with_sh = docs.select(
-        "doc_id", word_shingles().alias("shingles")
-    ).select(
-        "doc_id",
-        F.size("shingles").alias("n_shingles"),
-        F.explode("shingles").alias("sh"),
+    return (
+        docs.select("doc_id", F.split("text", " ").alias("toks"))
+        .select("doc_id", word_shingles("toks").alias("shingles"))
+        .select(
+            "doc_id",
+            F.size("shingles").alias("n_shingles"),
+            F.explode("shingles").alias("sh"),
+        )
     )
-    return with_sh
 
 
 # ---------------------------------------------------------------------------
@@ -224,16 +232,43 @@ def lsh_candidate_pairs(
 )
 def minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash/LSH candidate pairs verified with exact Jaccard ≥ 0.5.
-    The scale path for near-dedup: explode→min-agg→band→bucket-join —
-    no all-pairs stage anywhere."""
+    The scale path for near-dedup: explode→min-agg→band→bucket-join, then
+    exact verification of CANDIDATES ONLY (never the all-pairs Jaccard —
+    that is exactly the quadratic stage LSH exists to avoid)."""
     docs = load_table(spark, "documents", sf_dir)
     sigs = minhash_signatures(docs)
     cands = lsh_candidate_pairs(sigs)
-    exact = ngram_jaccard_pairs(spark, sf_dir)  # reuse tier-2 plan for verification
+    return verify_pairs_jaccard(cands, docs).filter(F.col("jaccard") >= 0.5)
+
+
+def verify_pairs_jaccard(pairs: DataFrame, docs: DataFrame) -> DataFrame:
+    """Exact Jaccard for an explicit pair list: join each side to its
+    shingle set, count shared shingles per pair. Cost is |pairs|·|shingles|
+    join rows — linear in candidates, not quadratic in docs."""
+    sh = exploded_shingles(docs)
+    counts = sh.select("doc_id", "n_shingles").distinct()
+    e1 = sh.select(F.col("doc_id").alias("doc1"), F.col("sh").alias("sh1"))
+    e2 = sh.select(F.col("doc_id").alias("doc2"), F.col("sh").alias("sh1"))
+    shared = (
+        pairs.join(e1, "doc1")
+        .join(e2, ["doc2", "sh1"])  # equi-join on (doc, shingle): hash join
+        .groupBy("doc1", "doc2")
+        .agg(F.count("*").alias("shared"))
+    )
+    n1 = counts.select(F.col("doc_id").alias("doc1"), F.col("n_shingles").alias("n1"))
+    n2 = counts.select(F.col("doc_id").alias("doc2"), F.col("n_shingles").alias("n2"))
     return (
-        cands.join(exact, ["doc1", "doc2"], "inner")
-        .filter(F.col("jaccard") >= 0.5)
-        .select("doc1", "doc2", "jaccard")
+        shared.join(n1, "doc1")
+        .join(n2, "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            "shared",
+            (
+                F.col("shared").cast("double")
+                / (F.col("n1") + F.col("n2") - F.col("shared")).cast("double")
+            ).alias("jaccard"),
+        )
     )
 
 

@@ -24,12 +24,16 @@ from imdb_mapreduce_spark.sources.star import load_table
 
 def _part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bipartite edge list (part as node, order as via), node as string to
-    match the generic BFS operator's string node domain."""
+    match the generic BFS operator's string node domain.
+
+    Deliberately NOT de-duplicated: a part rarely repeats within an order,
+    and the BFS's per-destination aggregation dedups anyway — a distinct
+    here would cost a full shuffle of the fact table for nothing."""
     l = load_table(spark, "lineitem", sf_dir)
     return l.select(
         F.col("l_partkey").cast("string").alias("node"),
         F.col("l_orderkey").alias("via"),
-    ).distinct()
+    )
 
 
 @register(
@@ -69,12 +73,15 @@ def copurchase_bfs_l3(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``master.erl:251-288``) with the deterministic min-parent cleanup.
     Each round: frontier-broadcast 2-hop join + left-anti visited check;
     rounds localCheckpoint to keep lineage flat (SURVEY §7 'what's hard')."""
-    edges = _part_edges(spark, sf_dir)
-    root = str(
-        load_table(spark, "lineitem", sf_dir).agg(F.min("l_partkey")).collect()[0][0]
-    )
-    res = bipartite_bfs(edges, "node", "via", root, level=3)
-    return res.edges.select("src", "dst", "level")
+    edges = _part_edges(spark, sf_dir).cache()
+    try:
+        root = str(edges.agg(F.min(F.col("node").cast("bigint"))).collect()[0][0])
+        res = bipartite_bfs(edges, "node", "via", root, level=3)
+        # result edges are localCheckpoint-materialized per round, so the
+        # cache can be dropped before the caller consumes the result
+        return res.edges.select("src", "dst", "level")
+    finally:
+        edges.unpersist()
 
 
 @register(
