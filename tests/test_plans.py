@@ -1,0 +1,82 @@
+"""Plan-quality assertions: not just "right answer" but "right PHYSICAL
+plan" — the properties that make these queries survive a 100× scale-up.
+
+Checks the formatted explain output for: predicate pushdown into the
+parquet scan, column pruning (ReadSchema), broadcast joins on dims, and
+whole-stage codegen coverage.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+from imdb_mapreduce_spark.plans.registry import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def explain_str(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return all_queries()
+
+
+def test_filter_pushdown_reaches_scan(spark, queries):
+    plan = explain_str(queries["pricing_summary"].spark_fn(spark, SF))
+    # The shipdate predicate must reach the parquet reader...
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # ...and unused columns must not be read (column pruning): l_orderkey,
+    # l_partkey etc. are absent from the scan schema.
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" not in read_schema
+    assert "l_extendedprice" in read_schema
+
+
+def test_dim_joins_are_broadcast(spark, queries):
+    plan = explain_str(queries["supplier_part_facts"].spark_fn(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2  # both dims broadcast
+    assert "SortMergeJoin" not in plan  # no full shuffle join anywhere
+
+
+def test_semi_anti_join_strategies(spark, queries):
+    anti = explain_str(queries["customers_without_orders"].spark_fn(spark, SF))
+    assert "LeftAnti" in anti
+    semi = explain_str(queries["active_buildings_semi"].spark_fn(spark, SF))
+    assert "LeftSemi" in semi
+
+
+def test_aggregate_is_partial_then_final(spark, queries):
+    plan = explain_str(queries["events_hourly"].spark_fn(spark, SF))
+    # partial_count before the exchange = map-side combine: the shuffle
+    # carries group states, not raw rows.
+    assert "partial_count" in plan
+
+
+def test_wholestage_codegen_covers_hot_path(spark, queries):
+    df = queries["doc_quality_stats"].spark_fn(spark, SF)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode="codegen")
+    plan = buf.getvalue()
+    assert "WholeStageCodegen" in plan
+    formatted = explain_str(df)
+    # pure built-in expression pipeline: no Python evaluation nodes
+    assert "BatchEvalPython" not in formatted
+    assert "ArrowEvalPython" not in formatted
+
+
+def test_lookup_prunes_columns(spark, queries):
+    plan = explain_str(queries["order_basket_lookup"].spark_fn(spark, SF))
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    # only the two needed columns are read from the fact table
+    assert "l_extendedprice" not in read_schema
+    assert "l_partkey" in read_schema

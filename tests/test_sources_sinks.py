@@ -1,0 +1,55 @@
+"""Sources & sinks (SURVEY.md §2.1): prejoined step0 path, TSV adjacency
+sink round-trip, parquet snapshot/restore."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+from imdb_mapreduce_spark.ingest import movie_to_cast
+from imdb_mapreduce_spark.sources.imdb import read_prejoined_csv
+from imdb_mapreduce_spark.sources.sinks import (
+    restore_parquet,
+    snapshot_parquet,
+    write_adjacency_tsv,
+)
+
+
+def test_prejoined_step0_path(spark, tmp_path):
+    # sort_data.py output shape: title \t comma-joined cast (S4)
+    f = tmp_path / "sorted_data.csv"
+    f.write_text(
+        "tconst\tnconst\n"
+        "Alpha\tJohn Smith, Jane Doe\n"
+        "Beta\tJane Doe\n"
+    )
+    df = read_prejoined_csv(spark, str(f))
+    rows = {r["title"]: r["cast"] for r in df.collect()}
+    assert rows["Alpha"] == ["John Smith", "Jane Doe"]
+    assert rows["Beta"] == ["Jane Doe"]
+
+
+def test_adjacency_tsv_sink_roundtrip(cast_edges, tmp_path, spark):
+    # K1: key \t v1, v2, ... — the reference's tab2file (server.erl:379-389)
+    adj = movie_to_cast(cast_edges)
+    out = str(tmp_path / "movies_tsv")
+    write_adjacency_tsv(adj, "title", "cast", out)
+    files = glob.glob(f"{out}/part-*")
+    assert files
+    lines = sorted(
+        line
+        for fpath in files
+        for line in open(fpath).read().splitlines()
+        if line
+    )
+    assert lines[0].startswith("Alpha Zero 0\t")
+    assert "Jane Doe, John Q. Smith 0" in lines[0]
+
+
+def test_parquet_snapshot_restore(cast_edges, tmp_path, spark):
+    # K2: ets:tab2file/file2tab → parquet write/read
+    path = str(tmp_path / "snap")
+    snapshot_parquet(cast_edges, path)
+    back = restore_parquet(spark, path)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, cast_edges.collect()))
