@@ -1,0 +1,78 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``.
+
+The escape hatch for semantics the built-in windowed aggregations can't
+express (per-key accumulators with arbitrary update logic, custom eviction,
+cross-batch counters). State is partitioned by key and owned by the state
+store — the operator scales with the key space, not the stream length.
+
+Late/ordering caveat: state updates apply in micro-batch arrival order, so
+this operator trades the watermark's event-time guarantees for generality —
+use the windowed aggs when they fit.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING, Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+USER_STATS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("max_value", DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = "n_events LONG, total_value DOUBLE, max_value DOUBLE"
+
+
+def _update_user_stats(
+    key: tuple[Any, ...],
+    batches: Iterator["pd.DataFrame"],
+    state: GroupState,
+) -> Iterator["pd.DataFrame"]:
+    """Cross-batch per-user accumulator: count / sum / max of ``value``.
+
+    Emits the updated running totals once per micro-batch in which the key
+    appears (a change-log stream of the per-user aggregate).
+    """
+    import pandas as pd
+
+    n, total, vmax = state.get if state.exists else (0, 0.0, float("-inf"))
+    for pdf in batches:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        vmax = max(vmax, float(pdf["value"].max()))
+    state.update((n, total, vmax))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [total],
+            "max_value": [vmax],
+        }
+    )
+
+
+def running_user_stats(events: DataFrame) -> DataFrame:
+    """Stateful per-user running stats over a stream (update output mode)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_user_stats,
+        outputStructType=USER_STATS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
