@@ -1,0 +1,297 @@
+"""Extended analytics plans: the operator surface a user migrating OFF the
+reference onto a real analytics engine expects (SURVEY.md §2.5/§2.10 list
+what the reference lacks — grouping sets, analytic windows, set ops,
+multi-way join graphs, fuzzy matching). All oracle-backed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from imdb_mapreduce_spark.plans.registry import register
+from imdb_mapreduce_spark.sources.star import load_table
+
+D2 = "decimal(12,2)"
+D6 = "decimal(9,6)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, name, sf_dir)
+
+
+@register(
+    "customer_order_window",
+    oracle="""
+    SELECT o_orderkey AS orderkey, o_custkey AS custkey,
+           RANK() OVER w_price AS price_rank,
+           DENSE_RANK() OVER w_price AS price_dense_rank,
+           NTILE(4) OVER w_price AS price_quartile,
+           LEAD(o_orderkey) OVER w_time AS next_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / CAST(COUNT(*)
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS moving_avg_price
+    FROM orders
+    WINDOW w_price AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey),
+           w_time  AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("window", "analytic"),
+)
+def customer_order_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full analytic-window family (rank / dense_rank / ntile / lead /
+    sliding frame) in one pass: one shuffle on custkey serves all five
+    functions (same partition key; Spark chains the sorts within the
+    exchange). Moving average in exact decimal (3-row frame sums are
+    order-fixed by the frame, but decimal keeps engines bit-identical)."""
+    o = _t(spark, sf_dir, "orders")
+    w_price = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    w_time = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_frame = w_time.rowsBetween(-2, Window.currentRow)
+    return o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_custkey").alias("custkey"),
+        F.rank().over(w_price).alias("price_rank"),
+        F.dense_rank().over(w_price).alias("price_dense_rank"),
+        F.ntile(4).over(w_price).alias("price_quartile"),
+        F.lead("o_orderkey").over(w_time).alias("next_orderkey"),
+        (
+            F.sum(F.col("o_totalprice").cast(D2)).over(w_frame).cast("double")
+            / F.count(F.lit(1)).over(w_frame).cast("double")
+        ).alias("moving_avg_price"),
+    )
+
+
+@register(
+    "events_cube",
+    oracle="""
+    SELECT event_type, user_id % 10 AS user_bucket,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY CUBE (event_type, user_id % 10)
+    """,
+    tags=("agg", "cube"),
+)
+def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets — all 4 aggregation granularities in one pass
+    (each input row expands to its grouping-set combinations before the
+    shuffle; at 100 TB prefer explicit GROUPING SETS over full CUBE when
+    only some combinations are consumed)."""
+    e = _t(spark, sf_dir, "events")
+    return e.cube(
+        "event_type", (F.col("user_id") % 10).alias("user_bucket")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast(D2)).cast("double").alias("total_value"),
+    )
+
+
+@register(
+    "parts_above_brand_avg",
+    oracle="""
+    WITH brand_avg AS (
+      SELECT p_brand,
+             CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS avg_price
+      FROM part GROUP BY p_brand)
+    SELECT p_partkey AS partkey, p_brand AS brand,
+           p_retailprice AS retailprice, avg_price
+    FROM part JOIN brand_avg USING (p_brand)
+    WHERE p_retailprice > avg_price
+    """,
+    tags=("join", "agg", "correlated"),
+)
+def parts_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape (parts pricier than their brand average)
+    decorrelated into aggregate + broadcast self-join — the plan Catalyst
+    produces for the subquery form, written explicitly."""
+    p = _t(spark, sf_dir, "part")
+    brand_avg = p.groupBy("p_brand").agg(
+        (
+            F.sum(F.col("p_retailprice").cast(D2)).cast("double")
+            / F.count("*").cast("double")
+        ).alias("avg_price")
+    )
+    return (
+        p.join(F.broadcast(brand_avg), "p_brand")
+        .filter(F.col("p_retailprice") > F.col("avg_price"))
+        .select(
+            F.col("p_partkey").alias("partkey"),
+            F.col("p_brand").alias("brand"),
+            F.col("p_retailprice").alias("retailprice"),
+            "avg_price",
+        )
+    )
+
+
+@register(
+    "fuzzy_name_match",
+    oracle="""
+    SELECT c_custkey AS custkey, c_name AS name,
+           levenshtein(lower(c_name), 'customer#000000042') AS edit_distance
+    FROM customer
+    WHERE levenshtein(lower(c_name), 'customer#000000042') <= 2
+    """,
+    tags=("text", "fuzzy", "dedup"),
+)
+def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy lookup — the entity-resolution primitive (the
+    reference merges identities by exact display name, SURVEY §7 hazard;
+    this is the operator that finds near-miss identities). At 100 TB:
+    block by name prefix/length before scoring, never all-pairs."""
+    c = _t(spark, sf_dir, "customer")
+    dist = F.levenshtein(F.lower("c_name"), F.lit("customer#000000042"))
+    return (
+        c.select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            dist.alias("edit_distance"),
+        )
+        .filter(F.col("edit_distance") <= 2)
+    )
+
+
+@register(
+    "embedding_norm_stats",
+    oracle="""
+    SELECT label,
+           COUNT(*) AS n_vectors,
+           MIN(sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(generate_series(1, len(embedding)),
+                 i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
+               (x, y) -> x + y))) AS min_norm,
+           MAX(sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(generate_series(1, len(embedding)),
+                 i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
+               (x, y) -> x + y))) AS max_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+    tags=("similarity", "agg", "north-star"),
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-column aggregation: per-label L2-norm extremes (min/max of
+    doubles — no cross-row float summation, so exact across engines)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.expr(
+            "aggregate(zip_with(embedding, embedding,"
+            " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+            " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+    )
+    return (
+        emb.select("label", norm.alias("norm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.min("norm").alias("min_norm"),
+            F.max("norm").alias("max_norm"),
+        )
+    )
+
+
+@register(
+    "orders_by_month",
+    oracle="""
+    SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS year,
+           CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS month,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    tags=("time", "agg"),
+)
+def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar rollup via year/month extraction — bounded group count at
+    any scale."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.year("o_orderdate").alias("year"), F.month("o_orderdate").alias("month")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(D2)).cast("double").alias("total_price"),
+    )
+
+
+@register(
+    "early_not_recent_buyers",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders
+    WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+    """,
+    tags=("setop",),
+)
+def early_not_recent_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct set difference) — the set-op family the reference
+    lacks entirely (SURVEY §2.7: union-distinct only)."""
+    o = _t(spark, sf_dir, "orders")
+    early = o.filter(
+        F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp")
+    ).select(F.col("o_custkey").alias("custkey"))
+    recent = o.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select(F.col("o_custkey").alias("custkey"))
+    # subtract == EXCEPT DISTINCT (exceptAll would do bag semantics —
+    # removing one right-side occurrence per match — the wrong operator).
+    return early.subtract(recent)
+
+
+@register(
+    "local_supplier_revenue",
+    oracle="""
+    SELECT n_name AS nation_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(12,6)))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+    tags=("join", "agg", "J1", "J2"),
+)
+def local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped 6-table join graph with a non-key join predicate
+    (supplier nation must equal customer nation). Join order: facts joined
+    first on their keys, all dims broadcast — the region filter prunes via
+    the broadcast side. This is the query shape where Catalyst's join
+    reordering + AQE earn their keep; the plan has exactly one shuffle
+    (orders⋈lineitem) plus the final aggregate."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = F.sum(
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (F.lit(1).cast(D6) - F.col("l_discount").cast(D6))
+    )
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(
+            F.broadcast(s),
+            (l["l_suppkey"] == s["s_suppkey"])
+            & (s["s_nationkey"] == c["c_nationkey"]),
+        )
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(rev.cast("double").alias("revenue"))
+    )

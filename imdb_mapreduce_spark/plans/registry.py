@@ -64,6 +64,7 @@ def all_queries() -> dict[str, Query]:
         relational,
         events,
         graph_queries,
+        analytics,
     )
     from imdb_mapreduce_spark.pipeline import (  # noqa: F401
         dedup,
