@@ -61,15 +61,20 @@ def _two_hop(frontier: DataFrame, edges: DataFrame, node_col: str, via_col: str)
     No ``distinct`` here: the caller's per-destination aggregation dedups,
     one exchange instead of two.
     """
+    # Fresh column names per side before joining: the frontier shares
+    # lineage with the edge table after round 1, and attribute-reference
+    # joins would be ambiguous self-joins.
+    f = frontier.select(F.col("node").alias("src"))
+    e1 = edges.select(F.col(node_col).alias("_n1"), F.col(via_col).alias("_via"))
     hop1 = (
-        F.broadcast(frontier)
-        .join(edges, frontier["node"] == edges[node_col], "inner")
-        .select(frontier["node"].alias("src"), edges[via_col].alias("via"))
+        F.broadcast(f)
+        .join(e1, F.col("src") == F.col("_n1"), "inner")
+        .select("src", "_via")
     )
-    e2 = edges.select(F.col(via_col).alias("via"), F.col(node_col).alias("dst"))
+    e2 = edges.select(F.col(via_col).alias("_v2"), F.col(node_col).alias("dst"))
     return (
         F.broadcast(hop1)
-        .join(e2, "via", "inner")
+        .join(e2, F.col("_via") == F.col("_v2"), "inner")
         .filter(F.col("src") != F.col("dst"))
         .select("src", "dst")
     )
