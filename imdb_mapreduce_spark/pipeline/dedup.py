@@ -173,6 +173,72 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+STOP_SHINGLE_MAX_FREQ = 50
+
+
+@register(
+    "ngram_jaccard_capped",
+    oracle=f"""
+    WITH sh_all AS (
+      SELECT doc_id,
+             len(list_distinct(list_transform(
+                 generate_series(1, greatest(len(string_split(text, ' ')) - {SHINGLE_WORDS - 1}, 1)),
+                 i -> array_to_string((string_split(text, ' '))[i:i+{SHINGLE_WORDS - 1}], ' ')))) AS n_shingles,
+             unnest(list_distinct(list_transform(
+                 generate_series(1, greatest(len(string_split(text, ' ')) - {SHINGLE_WORDS - 1}, 1)),
+                 i -> array_to_string((string_split(text, ' '))[i:i+{SHINGLE_WORDS - 1}], ' ')))) AS sh
+      FROM documents),
+    keep AS (
+      SELECT sh FROM sh_all GROUP BY sh HAVING COUNT(*) <= {STOP_SHINGLE_MAX_FREQ}),
+    sh AS (SELECT a.* FROM sh_all a SEMI JOIN keep k ON a.sh = k.sh)
+    SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+           COUNT(*) AS shared,
+           CAST(COUNT(*) AS DOUBLE)
+             / CAST(ANY_VALUE(a.n_shingles) + ANY_VALUE(b.n_shingles) - COUNT(*) AS DOUBLE)
+             AS jaccard_lower_bound
+    FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    """,
+    tags=("dedup", "north-star", "jaccard", "scale"),
+)
+def ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier 2 with the stop-shingle cap — THE 100 TB guard for shingle
+    joins: a shingle appearing in f docs contributes f² join rows, so
+    ultra-frequent shingles (boilerplate, headers) are dropped before the
+    self-join. The per-pair ratio keeps the ORIGINAL shingle counts in the
+    denominator, making it a Jaccard lower bound (candidates then verify
+    exactly via verify_pairs_jaccard)."""
+    docs = load_table(spark, "documents", sf_dir)
+    sh = exploded_shingles(docs)
+    keep = (
+        sh.groupBy("sh")
+        .agg(F.count("*").alias("_f"))
+        .filter(F.col("_f") <= STOP_SHINGLE_MAX_FREQ)
+        .select("sh")
+    )
+    sh = sh.join(keep, "sh", "left_semi")
+    a = sh.alias("a")
+    b = sh.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .agg(
+            F.count("*").alias("shared"),
+            (
+                F.count("*").cast("double")
+                / (
+                    F.any_value(F.col("a.n_shingles"))
+                    + F.any_value(F.col("b.n_shingles"))
+                    - F.count("*")
+                ).cast("double")
+            ).alias("jaccard_lower_bound"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Tier 3 — MinHash + LSH (tests-only oracle: engine-specific hashes)
 # ---------------------------------------------------------------------------

@@ -249,6 +249,35 @@ def early_not_recent_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "order_price_quantiles",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           COUNT(*) AS n_orders,
+           quantile_cont(o_totalprice, 0.5) AS median_price,
+           quantile_cont(o_totalprice, 0.9) AS p90_price,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("agg", "quantile"),
+)
+def order_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (both engines use linear
+    interpolation on the sorted values — verified bit-identical). Exact
+    percentile sorts per group; at 100 TB switch to approx_percentile
+    (t-digest sketch, partial-aggregable) and accept the error bound."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count("*").alias("n_orders"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("median_price"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+@register(
     "local_supplier_revenue",
     oracle="""
     SELECT n_name AS nation_name,
