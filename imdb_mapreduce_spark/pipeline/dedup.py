@@ -411,3 +411,56 @@ def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
 def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return simhash_near_pairs(simhash64(docs), max_hamming=6)
+
+
+# ---------------------------------------------------------------------------
+# Cluster building: pairs → components → keep/drop decisions
+# ---------------------------------------------------------------------------
+
+CLUSTER_JACCARD_THR = 0.1
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+                 generate_series(1, greatest(len(string_split(text, ' ')) - {SHINGLE_WORDS - 1}, 1)),
+                 i -> array_to_string((string_split(text, ' '))[i:i+{SHINGLE_WORDS - 1}], ' ')))) AS sh,
+             len(list_distinct(list_transform(
+                 generate_series(1, greatest(len(string_split(text, ' ')) - {SHINGLE_WORDS - 1}, 1)),
+                 i -> array_to_string((string_split(text, ' '))[i:i+{SHINGLE_WORDS - 1}], ' ')))) AS n_shingles
+      FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING CAST(COUNT(*) AS DOUBLE)
+               / CAST(ANY_VALUE(a.n_shingles) + ANY_VALUE(b.n_shingles) - COUNT(*) AS DOUBLE)
+             >= {CLUSTER_JACCARD_THR}),
+    edges AS (
+      SELECT doc1 AS a, doc2 AS b FROM pairs
+      UNION SELECT doc2, doc1 FROM pairs),
+    reach AS (
+      SELECT a AS n, a AS m FROM edges
+      UNION
+      SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a)
+    SELECT n AS doc_id, MIN(m) AS component FROM reach GROUP BY n
+    """,
+    tags=("dedup", "north-star", "graph", "iterative"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS → duplicate CLUSTERS: connected components (min-label
+    propagation) over the Jaccard-similarity graph. The iterative Spark
+    loop is oracle-checked against a recursive-CTE transitive closure —
+    the one genuinely iterative algorithm in the engine with an exact SQL
+    oracle. Component id = min doc_id = the canonical survivor."""
+    from imdb_mapreduce_spark.operators.components import connected_components
+
+    pairs = ngram_jaccard_pairs(spark, sf_dir).filter(
+        F.col("jaccard") >= CLUSTER_JACCARD_THR
+    )
+    return connected_components(pairs, "doc1", "doc2").select(
+        F.col("node").alias("doc_id"), "component"
+    )

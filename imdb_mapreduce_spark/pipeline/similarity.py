@@ -135,6 +135,40 @@ def embedding_label_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_embedding_profile",
+    oracle=f"""
+    SELECT d.lang,
+           COUNT(*) AS n_docs,
+           SUM(d.n_chars) AS total_chars,
+           MIN(sqrt({_SQL_DOT.format(a="e.embedding", b="e.embedding")})) AS min_norm,
+           MAX(sqrt({_SQL_DOT.format(a="e.embedding", b="e.embedding")})) AS max_norm
+    FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    GROUP BY d.lang
+    """,
+    tags=("similarity", "multimodal", "join", "north-star"),
+)
+def doc_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal join: text metadata ⋈ vector column, rolled up by
+    language — the shape of joining a document store with its embedding
+    index (key-equi join; at scale both sides partition on the doc key so
+    the join is co-located)."""
+    docs = load_table(spark, "documents", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+    nrm = F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding")))
+    return (
+        docs.join(emb, docs["doc_id"] == emb["vec_id"], "inner")
+        .select("lang", "n_chars", nrm.alias("_norm"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("_norm").alias("min_norm"),
+            F.max("_norm").alias("max_norm"),
+        )
+    )
+
+
 def random_hyperplane_buckets(
     emb: DataFrame,
     n_tables: int = 4,

@@ -1,0 +1,30 @@
+"""Connected-components operator: exact clusters on known graphs."""
+
+from __future__ import annotations
+
+from imdb_mapreduce_spark.operators.components import connected_components
+
+
+def _cc(spark, pairs):
+    df = spark.createDataFrame(pairs, ["src", "dst"])
+    return {
+        r["node"]: r["component"]
+        for r in connected_components(df, "src", "dst").collect()
+    }
+
+
+def test_two_components(spark):
+    got = _cc(spark, [(1, 2), (2, 3), (10, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_chain_diameter(spark):
+    # long chain exercises multi-round propagation
+    got = _cc(spark, [(i, i + 1) for i in range(1, 12)])
+    assert set(got.values()) == {1}
+    assert len(got) == 12
+
+
+def test_cycle_and_strings(spark):
+    got = _cc(spark, [("b", "c"), ("c", "a"), ("a", "b"), ("x", "y")])
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
