@@ -1,0 +1,77 @@
+"""Storage-layout mechanics: bucketed joins avoid shuffles; date
+partitioning prunes directories. The explain output is the assertion."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from imdb_mapreduce_spark.sources.star import load_table
+from imdb_mapreduce_spark.sources.storage import (
+    read_partitioned,
+    write_bucketed,
+    write_date_partitioned,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _explain(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark, tmp_path_factory):
+    return spark  # session catalog backed by local warehouse dir
+
+
+def test_bucketed_group_by_needs_no_exchange(spark):
+    o = load_table(spark, "orders", SF)
+    write_bucketed(o, "orders_bucketed", "o_custkey", buckets=4)
+    t = spark.table("orders_bucketed")
+    agg = t.groupBy("o_custkey").agg(F.count("*").alias("n"))
+    plan = _explain(agg)
+    assert "Exchange" not in plan  # aggregation runs on the bucket layout
+    assert agg.count() > 0
+
+
+def test_bucketed_join_is_shuffle_free_on_bucket_key(spark):
+    o = load_table(spark, "orders", SF)
+    l = load_table(spark, "lineitem", SF)
+    write_bucketed(o, "o_b", "o_orderkey", buckets=4)
+    write_bucketed(
+        l.select(F.col("l_orderkey"), "l_partkey", "l_quantity"), "l_b", "l_orderkey", 4
+    )
+    joined = (
+        spark.table("l_b")
+        .hint("merge")  # force the non-broadcast path: bucketing must carry it
+        .join(spark.table("o_b"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.sum("l_quantity").alias("q"))
+    )
+    plan = _explain(joined)
+    # co-bucketed scan on both sides: no shuffle exchange before the join
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
+    assert joined.count() > 0
+
+
+def test_date_partition_pruning(spark, tmp_path):
+    e = load_table(spark, "events", SF)
+    path = str(tmp_path / "events_by_day")
+    write_date_partitioned(e, path)
+    back = read_partitioned(spark, path)
+    one_day = back.filter(F.col("event_date") == "2024-01-03")
+    plan = _explain(one_day)
+    # the date predicate must prune partitions at planning, not post-scan
+    assert "PartitionFilters: [isnotnull(event_date" in plan
+    n = one_day.count()
+    assert 0 < n < e.count()
+    # value integrity after the partition round-trip
+    assert back.count() == e.count()
