@@ -213,6 +213,68 @@ def random_hyperplane_buckets(
     return res
 
 
+def ivf_cells(emb: DataFrame, k: int = 8, seed: int = 42) -> DataFrame:
+    """IVF coarse quantizer: k-means cells over the corpus
+    (``pyspark.ml`` KMeans, seeded). Returns (vec_id, embedding, cell).
+
+    At 100 TB: fit the quantizer on a sample (k-means cost is per-row ×
+    iterations), persist cell assignments partitioned BY cell so a query
+    reads only its probed cells' files — the classic IVF index layout.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = emb.select(
+        "vec_id", "embedding", array_to_vector("embedding").alias("features")
+    )
+    model = KMeans(k=k, seed=seed, maxIter=10).fit(vecs)
+    return model.transform(vecs).select(
+        "vec_id", "embedding", F.col("prediction").alias("cell")
+    )
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=None,  # k-means cells are algorithm-internal; recall tested vs brute force
+    tags=("similarity", "north-star", "ivf"),
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (nprobe=1): queries score only their own k-means cell.
+    Complements the LSH variant: data-adaptive cells give better
+    candidate quality on clustered corpora; LSH needs no training. Same
+    downstream shape (bucket-equi-join → score → rank)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    cells = ivf_cells(emb)
+    q = cells.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("cell").alias("qc"),
+    )
+    c = cells.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.col("cell").alias("cc"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(
+            c,
+            (F.col("qc") == F.col("cc")) & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot("qe", "ce") / (norm("qe") * norm("ce"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
 @register(
     "ann_lsh_topk",
     oracle=None,  # recall vs ann_cosine_topk asserted in tests/test_similarity.py

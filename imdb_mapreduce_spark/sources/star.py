@@ -37,6 +37,11 @@ def default_sf_dir() -> str:
 
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     d = sf_dir or default_sf_dir()
+    # Timestamp semantics (date_trunc/year/window) follow the session tz;
+    # the DuckDB oracle treats naive timestamps as tz-free. Pin UTC so
+    # results don't depend on whoever built the SparkSession.
+    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         return _load_events(spark, d)
     return spark.read.parquet(f"{d}/{name}.parquet")

@@ -83,6 +83,23 @@ def test_ann_lsh_recall_vs_bruteforce(spark):
     assert recall >= 0.02  # sanity floor; recall tracked, not tuned, at this SF
 
 
+def test_ann_ivf_recall_vs_bruteforce(spark):
+    from imdb_mapreduce_spark.pipeline.similarity import (
+        ann_cosine_topk,
+        ann_ivf_topk,
+    )
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_cosine_topk(spark, SF).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"]) for r in ann_ivf_topk(spark, SF).collect()
+    }
+    assert len(ivf) > 0
+    assert len(ivf & exact) > 0  # real neighbors survive cell restriction
+
+
 def test_media_stub_and_fake_decode(spark):
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
