@@ -65,6 +65,7 @@ def all_queries() -> dict[str, Query]:
         events,
         graph_queries,
         analytics,
+        temporal_queries,
     )
     from imdb_mapreduce_spark.pipeline import (  # noqa: F401
         dedup,

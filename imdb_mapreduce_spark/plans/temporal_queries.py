@@ -1,0 +1,85 @@
+"""AS-OF and range-join query plans (the custom temporal operators,
+operators/temporal.py) — both fully oracle-backed: DuckDB has native
+ASOF JOIN and range joins, so the composed-DataFrame implementations are
+value-checked against a real reference implementation of the semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from imdb_mapreduce_spark.operators.temporal import asof_join, band_join
+from imdb_mapreduce_spark.plans.registry import register
+from imdb_mapreduce_spark.sources.star import load_table
+
+
+@register(
+    "asof_last_purchase",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts,
+           p.purchase_event_id AS purchase_event_id_asof,
+           p.purchase_value AS purchase_value_asof
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    ASOF LEFT JOIN (SELECT event_id AS purchase_event_id,
+                           value AS purchase_value, user_id, ts
+                    FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+    tags=("asof", "temporal", "custom-operator"),
+)
+def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: each error event picks up the most recent prior (or
+    simultaneous) purchase of the same user — the canonical 'state as of
+    event time' enrichment. Checked against DuckDB's NATIVE ASOF JOIN, so
+    the union+window implementation is semantics-verified, not just
+    self-consistent."""
+    e = load_table(spark, "events", sf_dir)
+    errors = e.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("value").alias("purchase_value"),
+        "user_id",
+        "ts",
+    )
+    return asof_join(
+        errors,
+        purchases,
+        key="user_id",
+        ts="ts",
+        payload=["purchase_event_id", "purchase_value"],
+    )
+
+
+@register(
+    "quantity_band_stats",
+    oracle="""
+    SELECT band, COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+    FROM lineitem
+    JOIN (VALUES ('small', 0.0, 15.0), ('medium', 15.0, 35.0), ('large', 35.0, 100.0))
+         AS bands(band, lo, hi)
+      ON l_quantity >= lo AND l_quantity < hi
+    GROUP BY band
+    """,
+    tags=("range-join", "temporal", "custom-operator"),
+)
+def quantity_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) join: facts against an interval table on a non-equi
+    predicate — broadcast nested-loop over 3 bands = effectively map-side.
+    The interval-table pattern covers histogramming, SLA tiers, time
+    bucketing against irregular calendars."""
+    l = load_table(spark, "lineitem", sf_dir)
+    bands = spark.createDataFrame(
+        [("small", 0.0, 15.0), ("medium", 15.0, 35.0), ("large", 35.0, 100.0)],
+        ["band", "lo", "hi"],
+    )
+    joined = band_join(l, bands, "l_quantity")
+    return joined.groupBy("band").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )
