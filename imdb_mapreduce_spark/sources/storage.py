@@ -22,9 +22,17 @@ def write_bucketed(
     df: DataFrame, table: str, key: str, buckets: int = 8
 ) -> None:
     """Persist hash-bucketed + sorted by ``key`` into the session catalog
-    (overwrites)."""
+    (overwrites). Also clears any orphaned warehouse directory: the
+    default catalog is per-session in-memory, so a table dir left by a
+    previous session would collide with the fresh CREATE."""
+    import shutil
+    from urllib.parse import urlparse
+
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+    if warehouse:
+        shutil.rmtree(f"{warehouse}/{table.lower()}", ignore_errors=True)
     (
         df.write.mode("overwrite")
         .bucketBy(buckets, key)
