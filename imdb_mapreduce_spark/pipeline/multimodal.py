@@ -116,6 +116,114 @@ def media_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_metadata(docs)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("out_width", IntegerType()),
+        StructField("out_height", IntegerType()),
+        StructField("scale_num", LongType()),
+    ]
+)
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_index", IntegerType()),
+        StructField("frame_offset", LongType()),
+    ]
+)
+
+TARGET_EDGE = 224  # the usual vision-model input edge
+
+
+def fake_resize_meta(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic resize stub: fit the fake (w, h) inside TARGET_EDGE
+    preserving aspect ratio; returns (out_w, out_h, scale_numerator). A
+    real implementation decodes + resamples here — same signature."""
+    _, w, h, _ = (len(payload), len(payload) % 640 + 1, len(payload) % 480 + 1, "")
+    long_edge = max(w, h)
+    out_w = w * TARGET_EDGE // long_edge
+    out_h = h * TARGET_EDGE // long_edge
+    return out_w, out_h, long_edge
+
+
+def _resize_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+    import pandas as pd
+
+    for batch in batches:
+        metas = [fake_resize_meta(p) for p in batch["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].values,
+                "out_width": [m[0] for m in metas],
+                "out_height": [m[1] for m in metas],
+                "scale_num": [m[2] for m in metas],
+            }
+        )
+
+
+def _frame_sample_batches(
+    batches: Iterator["pd.DataFrame"],
+) -> Iterator["pd.DataFrame"]:
+    """Video frame sampling stub: K evenly spaced byte offsets per payload
+    (a real sampler seeks keyframes; the fan-out row shape — one row per
+    sampled frame — is the part the plan cares about)."""
+    import pandas as pd
+
+    K = 4
+    out = {"doc_id": [], "frame_index": [], "frame_offset": []}
+    for batch in batches:
+        for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+            n = len(payload)
+            for i in range(K):
+                out["doc_id"].append(doc_id)
+                out["frame_index"].append(i)
+                out["frame_offset"].append(i * n // K)
+        yield pd.DataFrame(out)
+        out = {"doc_id": [], "frame_index": [], "frame_offset": []}
+
+
+@register(
+    "media_resize_plan",
+    oracle=f"""
+    SELECT doc_id,
+           CAST((octet_length(encode(text)) % 640 + 1) * {TARGET_EDGE}
+                // greatest(octet_length(encode(text)) % 640 + 1,
+                            octet_length(encode(text)) % 480 + 1) AS INTEGER) AS out_width,
+           CAST((octet_length(encode(text)) % 480 + 1) * {TARGET_EDGE}
+                // greatest(octet_length(encode(text)) % 640 + 1,
+                            octet_length(encode(text)) % 480 + 1) AS INTEGER) AS out_height,
+           CAST(greatest(octet_length(encode(text)) % 640 + 1,
+                         octet_length(encode(text)) % 480 + 1) AS BIGINT) AS scale_num
+    FROM documents
+    """,
+    tags=("multimodal", "north-star", "pandas-udf"),
+)
+def media_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize planning via mapInPandas — the metadata
+    half of an image-resize stage, oracle-checked end to end."""
+    docs = load_table(spark, "documents", sf_dir)
+    return with_media_column(docs).mapInPandas(_resize_batches, RESIZED_SCHEMA)
+
+
+@register(
+    "media_frame_sample",
+    oracle="""
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS frame_index,
+           CAST(i * octet_length(encode(text)) // 4 AS BIGINT) AS frame_offset
+    FROM documents, generate_series(0, 3) AS t(i)
+    """,
+    tags=("multimodal", "north-star", "pandas-udf"),
+)
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: one input blob fans out to K frame rows inside the
+    Pandas UDF (row-expanding mapInPandas — the shape for video→frames,
+    audio→windows, doc→chunks)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return with_media_column(docs).mapInPandas(_frame_sample_batches, FRAMES_SCHEMA)
+
+
 @register(
     "media_format_rollup",
     oracle="""

@@ -17,7 +17,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from imdb_mapreduce_spark.plans import parity as P
 from imdb_mapreduce_spark.plans.registry import register
 from imdb_mapreduce_spark.sources.star import load_table
 
