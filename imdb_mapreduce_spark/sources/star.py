@@ -40,7 +40,9 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     # Timestamp semantics (date_trunc/year/window) follow the session tz;
     # the DuckDB oracle treats naive timestamps as tz-free. Pin UTC so
     # results don't depend on whoever built the SparkSession.
-    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+    # (conf.get with an explicit default validates the default in Spark 4 —
+    # pass none; the key always resolves to the JVM default otherwise)
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         return _load_events(spark, d)
