@@ -249,6 +249,85 @@ def early_not_recent_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_json_struct",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50)
+             AS n_high_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("json", "struct"),
+)
+def events_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON parsing: from_json → struct column → field access (vs
+    the per-path get_json_object in events_json_stats). At scale, parse
+    ONCE into a struct in the silver layer; every later field access is a
+    free column reference instead of a re-parse."""
+    e = _t(spark, sf_dir, "events")
+    parsed = e.withColumn("p", F.from_json("props", "k INT"))
+    return parsed.groupBy("user_id").agg(
+        F.count(F.when(F.col("p.k") > 50, 1)).alias("n_high_k"),
+        F.min("p.k").alias("min_k"),
+    )
+
+
+@register(
+    "rollup_grouping_flags",
+    oracle="""
+    SELECT r_name AS region_name, n_name AS nation_name,
+           GROUPING(r_name, n_name) AS gid,
+           COUNT(*) AS n_customers
+    FROM region
+    JOIN nation ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    tags=("agg", "rollup", "grouping"),
+)
+def rollup_grouping_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with grouping_id — the flag that distinguishes a subtotal
+    NULL from a NULL data value (essential for consumers of grouping
+    sets; both engines use the same bit encoding)."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    joined = c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]).join(
+        F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]
+    )
+    return joined.rollup(
+        F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name")
+    ).agg(
+        F.grouping_id().alias("gid"),
+        F.count("*").alias("n_customers"),
+    )
+
+
+@register(
+    "supplier_unpivot",
+    oracle="""
+    SELECT s_suppkey AS suppkey, 'acctbal' AS metric, s_acctbal AS value FROM supplier
+    UNION ALL
+    SELECT s_suppkey AS suppkey, 'nationkey' AS metric,
+           CAST(s_nationkey AS DOUBLE) AS value FROM supplier
+    """,
+    tags=("unpivot",),
+)
+def supplier_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot via stack(): one pass, no self-union scan
+    duplication (the UNION ALL oracle reads the table twice; stack reads
+    once — the difference matters when the table is 100 TB)."""
+    s = _t(spark, sf_dir, "supplier")
+    return s.select(
+        F.col("s_suppkey").alias("suppkey"),
+        F.expr(
+            "stack(2, 'acctbal', s_acctbal, 'nationkey', CAST(s_nationkey AS DOUBLE))"
+        ).alias("metric", "value"),
+    )
+
+
+@register(
     "order_price_quantiles",
     oracle="""
     SELECT o_orderpriority AS priority,
