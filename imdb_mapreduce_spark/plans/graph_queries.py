@@ -108,7 +108,7 @@ def copart_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
-    a = e.alias("a")
+    a = e.alias("a").hint("shuffle_hash")  # self-join exchange reuse
     b = e.alias("b")
     return (
         a.join(
