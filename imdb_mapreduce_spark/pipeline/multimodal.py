@@ -183,6 +183,62 @@ def _frame_sample_batches(
         out = {"doc_id": [], "frame_index": [], "frame_offset": []}
 
 
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_lower", LongType()),
+        StructField("n_upper", LongType()),
+        StructField("n_digit", LongType()),
+        StructField("n_space", LongType()),
+        StructField("byte_sum", LongType()),
+    ]
+)
+
+
+def _feature_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+    """Feature extraction over raw bytes, vectorized with numpy per Arrow
+    batch — the stand-in for an embedding/CNN feature stage: the byte
+    buffer never becomes Python objects row-by-row."""
+    import numpy as np
+    import pandas as pd
+
+    for batch in batches:
+        rows = {k: [] for k in ("doc_id", "n_lower", "n_upper", "n_digit", "n_space", "byte_sum")}
+        for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+            b = np.frombuffer(payload, dtype=np.uint8)
+            rows["doc_id"].append(doc_id)
+            rows["n_lower"].append(int(((b >= 97) & (b <= 122)).sum()))
+            rows["n_upper"].append(int(((b >= 65) & (b <= 90)).sum()))
+            rows["n_digit"].append(int(((b >= 48) & (b <= 57)).sum()))
+            rows["n_space"].append(int((b == 32).sum()))
+            rows["byte_sum"].append(int(b.sum()))
+        yield pd.DataFrame(rows)
+
+
+@register(
+    "media_feature_extract",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) - length(regexp_replace(text, '[a-z]', '', 'g')) AS BIGINT) AS n_lower,
+           CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS BIGINT) AS n_upper,
+           CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+           CAST(length(text) - length(regexp_replace(text, ' ', '', 'g')) AS BIGINT) AS n_space,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(generate_series(1, length(text)),
+               i -> CAST(ascii(text[i]) AS BIGINT))), (a, b) -> a + b) AS byte_sum
+    FROM documents
+    """,
+    tags=("multimodal", "north-star", "pandas-udf", "features"),
+)
+def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The feature-extraction stage of the multimodal pipeline: numpy
+    vectorized per Arrow batch inside mapInPandas, value-checked against a
+    pure-SQL recomputation of the same features (valid because the corpus
+    is ASCII: byte classes == char classes)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return with_media_column(docs).mapInPandas(_feature_batches, FEATURES_SCHEMA)
+
+
 @register(
     "media_resize_plan",
     oracle=f"""
