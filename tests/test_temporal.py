@@ -46,6 +46,51 @@ def test_asof_join_simultaneous_right_counts(spark):
     assert row["tag_asof"] == "x"  # ts equality: right row is already known
 
 
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Randomized cross-check against pandas merge_asof (a third
+    independent implementation of the semantics, besides DuckDB's native
+    ASOF JOIN in the oracle suite)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    base = pd.Timestamp("2024-01-01")
+    left = pd.DataFrame(
+        {
+            "event_id": np.arange(300),
+            "user_id": rng.integers(0, 10, 300).astype("int64"),
+            "ts": base + pd.to_timedelta(rng.integers(0, 10**6, 300), unit="s"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "tag": np.arange(1000, 1120),
+            "user_id": rng.integers(0, 10, 120).astype("int64"),
+            "ts": base + pd.to_timedelta(rng.integers(0, 10**6, 120), unit="s"),
+        }
+    )
+    expected = pd.merge_asof(
+        left.sort_values("ts"),
+        right.sort_values("ts"),
+        on="ts",
+        by="user_id",
+        direction="backward",
+    ).set_index("event_id")["tag"]
+
+    got_rows = asof_join(
+        spark.createDataFrame(left),
+        spark.createDataFrame(right),
+        key="user_id",
+        ts="ts",
+        payload=["tag"],
+    ).collect()
+    got = {r["event_id"]: r["tag_asof"] for r in got_rows}
+    assert len(got) == len(left)
+    for eid, want in expected.items():
+        w = None if pd.isna(want) else int(want)
+        assert got[eid] == w, f"event {eid}: got {got[eid]}, want {w}"
+
+
 def test_band_join_boundaries(spark):
     facts = spark.createDataFrame([(0.0,), (14.99,), (15.0,), (99.9,)], ["v"])
     bands = spark.createDataFrame(
