@@ -171,6 +171,60 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# md5-hex prefix thresholds: uniform over [0,1) in 1/16^k steps; string
+# comparison of hex digests is engine-portable and content-stable.
+SPLIT_TRAIN_END = "c"  # 12/16 = 75% train
+SPLIT_VAL_END = "e"    # 2/16 = 12.5% val; rest test
+
+
+@register(
+    "content_sample",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE md5(text) < '2'
+    """,
+    tags=("text", "north-star", "sampling"),
+)
+def content_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash sampling (~1/8 of the corpus: md5 hex
+    digest below '2'): stable under re-runs, engine changes, partitioning,
+    and corpus growth — the property `df.sample()` (RNG-based, engine-
+    specific) cannot give. The canonical way to cut reproducible training
+    subsets."""
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.filter(F.md5("text") < "2").select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "dataset_split_assignment",
+    oracle=f"""
+    SELECT CASE WHEN md5(text) < '{SPLIT_TRAIN_END}' THEN 'train'
+                WHEN md5(text) < '{SPLIT_VAL_END}' THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS min_doc_id
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("text", "north-star", "sampling"),
+)
+def dataset_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment by content-hash range (75/12.5/12.5):
+    membership is a pure function of content, so a document keeps its
+    split across dataset versions — no leakage when the corpus is
+    regenerated or re-partitioned."""
+    docs = load_table(spark, "documents", sf_dir)
+    split = (
+        F.when(F.md5("text") < SPLIT_TRAIN_END, "train")
+        .when(F.md5("text") < SPLIT_VAL_END, "val")
+        .otherwise("test")
+    )
+    return docs.groupBy(split.alias("split")).agg(
+        F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id")
+    )
+
+
 @register(
     "doc_fingerprint_rolling",
     oracle="""
