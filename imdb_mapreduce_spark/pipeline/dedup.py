@@ -315,27 +315,35 @@ def verify_pairs_jaccard(pairs: DataFrame, docs: DataFrame) -> DataFrame:
     shingle set, count shared shingles per pair. Cost is |pairs|·|shingles|
     join rows — linear in candidates, not quadratic in docs."""
     sh = exploded_shingles(docs)
-    counts = sh.select("doc_id", "n_shingles").distinct()
-    e1 = sh.select(F.col("doc_id").alias("doc1"), F.col("sh").alias("sh1"))
-    e2 = sh.select(F.col("doc_id").alias("doc2"), F.col("sh").alias("sh1"))
-    shared = (
+    # n_shingles rides along on the exploded rows, so the per-side counts
+    # come out of the same join via any_value — no extra scans of the
+    # (expensive) shingle derivation.
+    e1 = sh.select(
+        F.col("doc_id").alias("doc1"),
+        F.col("sh").alias("sh1"),
+        F.col("n_shingles").alias("n1"),
+    )
+    e2 = sh.select(
+        F.col("doc_id").alias("doc2"),
+        F.col("sh").alias("sh1"),
+        F.col("n_shingles").alias("n2"),
+    )
+    return (
         pairs.join(e1, "doc1")
         .join(e2, ["doc2", "sh1"])  # equi-join on (doc, shingle): hash join
         .groupBy("doc1", "doc2")
-        .agg(F.count("*").alias("shared"))
-    )
-    n1 = counts.select(F.col("doc_id").alias("doc1"), F.col("n_shingles").alias("n1"))
-    n2 = counts.select(F.col("doc_id").alias("doc2"), F.col("n_shingles").alias("n2"))
-    return (
-        shared.join(n1, "doc1")
-        .join(n2, "doc2")
+        .agg(
+            F.count("*").alias("shared"),
+            F.any_value("n1").alias("_n1"),
+            F.any_value("n2").alias("_n2"),
+        )
         .select(
             "doc1",
             "doc2",
             "shared",
             (
                 F.col("shared").cast("double")
-                / (F.col("n1") + F.col("n2") - F.col("shared")).cast("double")
+                / (F.col("_n1") + F.col("_n2") - F.col("shared")).cast("double")
             ).alias("jaccard"),
         )
     )
