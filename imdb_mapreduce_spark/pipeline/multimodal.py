@@ -285,7 +285,7 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
            COUNT(*) AS n_docs,
-           SUM(CAST(octet_length(encode(text)) AS BIGINT)) AS total_bytes,
+           CAST(SUM(CAST(octet_length(encode(text)) AS BIGINT)) AS BIGINT) AS total_bytes,
            MAX(CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER)) AS max_width
     FROM documents
     GROUP BY 1

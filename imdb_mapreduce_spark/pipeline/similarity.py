@@ -85,7 +85,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine", "rnk")
     )
@@ -140,7 +140,7 @@ def embedding_label_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT d.lang,
            COUNT(*) AS n_docs,
-           SUM(d.n_chars) AS total_chars,
+           CAST(SUM(d.n_chars) AS BIGINT) AS total_chars,
            MIN(sqrt({_SQL_DOT.format(a="e.embedding", b="e.embedding")})) AS min_norm,
            MAX(sqrt({_SQL_DOT.format(a="e.embedding", b="e.embedding")})) AS max_norm
     FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
@@ -269,7 +269,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine", "rnk")
     )
@@ -317,7 +317,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine", "rnk")
     )

@@ -66,15 +66,13 @@ def doc_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_stop = F.expr(f"size(filter(split(text, ' '), x -> x IN ({stop_list})))")
     return docs.select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
         (
             F.length("text") - F.length(F.regexp_replace("text", "[.,;:!?]", ""))
-        ).alias("n_punct"),
-        (F.length("text") - F.length(F.regexp_replace("text", "[0-9]", ""))).alias(
-            "n_digits"
-        ),
-        n_stop.alias("n_stopwords"),
+        ).cast("long").alias("n_punct"),
+        (F.length("text") - F.length(F.regexp_replace("text", "[0-9]", ""))).cast("long").alias("n_digits"),
+        n_stop.cast("long").alias("n_stopwords"),
         (n_stop.cast("double") / F.size(toks).cast("double")).alias("stopword_ratio"),
         (F.size(F.array_distinct(toks)).cast("double") / F.size(toks).cast("double")).alias(
             "ttr"
@@ -102,7 +100,7 @@ def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tok = F.size(F.regexp_extract_all("text", F.lit(TOKEN_RE), 0))
     return docs.select(
         "doc_id",
-        n_tok.alias("n_bpe_tokens"),
+        n_tok.cast("long").alias("n_bpe_tokens"),
         "n_chars",
         (F.col("n_chars").cast("double") / n_tok.cast("double")).alias("chars_per_token"),
     )
@@ -163,10 +161,10 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return docs.select(
         "doc_id",
-        scores["en"].alias("score_en"),
-        scores["de"].alias("score_de"),
-        scores["fr"].alias("score_fr"),
-        scores["es"].alias("score_es"),
+        scores["en"].cast("long").alias("score_en"),
+        scores["de"].cast("long").alias("score_de"),
+        scores["fr"].cast("long").alias("score_fr"),
+        scores["es"].cast("long").alias("score_es"),
         guess.alias("lang_guess"),
     )
 

@@ -57,9 +57,9 @@ def customer_order_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         F.col("o_orderkey").alias("orderkey"),
         F.col("o_custkey").alias("custkey"),
-        F.rank().over(w_price).alias("price_rank"),
-        F.dense_rank().over(w_price).alias("price_dense_rank"),
-        F.ntile(4).over(w_price).alias("price_quartile"),
+        F.rank().over(w_price).cast("long").alias("price_rank"),
+        F.dense_rank().over(w_price).cast("long").alias("price_dense_rank"),
+        F.ntile(4).over(w_price).cast("long").alias("price_quartile"),
         F.lead("o_orderkey").over(w_time).alias("next_orderkey"),
         (
             F.sum(F.col("o_totalprice").cast(D2)).over(w_frame).cast("double")
@@ -152,7 +152,7 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.select(
             F.col("c_custkey").alias("custkey"),
             F.col("c_name").alias("name"),
-            dist.alias("edit_distance"),
+            dist.cast("long").alias("edit_distance"),
         )
         .filter(F.col("edit_distance") <= 2)
     )

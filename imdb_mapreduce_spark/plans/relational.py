@@ -361,7 +361,7 @@ def part_expr_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.trim(F.col("p_brand")).alias("brand_trimmed"),
         F.substring("p_type", 1, 3).alias("type_prefix"),
         F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
-        F.size(F.split("p_name", " ")).alias("name_tokens"),
+        F.size(F.split("p_name", " ")).cast("long").alias("name_tokens"),
     )
 
 
@@ -393,7 +393,7 @@ def brand_top2_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_brand").alias("brand"),
             F.col("p_partkey").alias("partkey"),
             F.col("p_retailprice").alias("retailprice"),
-            F.row_number().over(w).alias("rnk"),
+            F.row_number().over(w).cast("long").alias("rnk"),
         )
         .filter(F.col("rnk") <= 2)
     )
