@@ -93,6 +93,24 @@ def test_movie_request_direction(engine):
         assert dst != some_title
 
 
+def test_bfs_level_monotonicity(engine):
+    # Level-k result is a prefix of level-(k+1): rounds accumulate
+    # (SURVEY §5.3 invariant), on the reference's real data.
+    busiest = (
+        engine.cast_edges.groupBy("actor")
+        .count()
+        .orderBy(F.col("count").desc(), "actor")
+        .first()["actor"]
+    )
+    _, e2 = engine.request(busiest, "actor", level=2)
+    _, e3 = engine.request(busiest, "actor", level=3)
+    assert set(e2) <= set(e3)
+    assert len(e3) >= len(e2)
+    # level-2 edges reappear at the same level tag
+    lvl_of = {(s, d): l for s, d, l in e3}
+    assert all(lvl_of[(s, d)] == 1 for s, d, _ in e2)
+
+
 def test_save_load_roundtrip(engine, spark, tmp_path):
     from imdb_mapreduce_spark.api import ImdbEngine
 
