@@ -28,3 +28,32 @@ def test_chain_diameter(spark):
 def test_cycle_and_strings(spark):
     got = _cc(spark, [("b", "c"), ("c", "a"), ("a", "b"), ("x", "y")])
     assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def _cc_star(spark, pairs):
+    df = spark.createDataFrame(pairs, ["src", "dst"])
+    return {
+        r["node"]: r["component"]
+        for r in connected_components(df, "src", "dst", algorithm="star").collect()
+    }
+
+
+def test_star_path_graph_beyond_label_budget(spark):
+    # Path of 61 nodes: diameter 60 >> max_iter=20, where label propagation
+    # cannot converge; alternating star needs only O(log^2 n) rounds.
+    got = _cc_star(spark, [(i, i + 1) for i in range(60)])
+    assert len(got) == 61
+    assert set(got.values()) == {0}
+
+
+def test_star_agrees_with_label_propagation(spark):
+    pairs = [(1, 2), (2, 3), (10, 11), (11, 12), (12, 10), (7, 7)]
+    assert _cc_star(spark, pairs) == _cc(spark, pairs)
+
+
+def test_label_nonconvergence_warns(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(i, i + 1) for i in range(30)], ["src", "dst"])
+    with _pytest.warns(RuntimeWarning, match="did not converge"):
+        connected_components(df, "src", "dst", max_iter=3).collect()

@@ -80,3 +80,30 @@ def test_lookup_prunes_columns(spark, queries):
     # only the two needed columns are read from the fact table
     assert "l_extendedprice" not in read_schema
     assert "l_partkey" in read_schema
+
+
+def test_cc_convergence_probe_has_no_join_or_broadcast(spark):
+    # The per-round convergence check must be a pure scalar aggregate over
+    # the checkpointed state — an earlier version broadcast the full label
+    # relation every round to diff old vs new (a 100 TB scale-killer).
+    import inspect
+
+    from imdb_mapreduce_spark.operators import components
+    from imdb_mapreduce_spark.operators.components import _checksum
+
+    src = inspect.getsource(components)
+    assert "F.broadcast" not in src
+
+    labels = spark.range(1000).selectExpr("id as node", "id as label")
+    from pyspark.sql import functions as F
+
+    probe = labels.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64("node", "label").cast("decimal(38,0)")).alias("h"),
+    )
+    plan = explain_str(probe)
+    assert "Join" not in plan
+    assert "BroadcastExchange" not in plan
+    # and the real helper returns a scalar tuple, not a relation
+    n, h = _checksum(labels, "node", "label")
+    assert n == 1000 and h is not None
