@@ -48,15 +48,24 @@ class BfsResult:
     vertices: DataFrame  # (name,)
 
 
-def _two_hop(frontier: DataFrame, edges: DataFrame, node_col: str, via_col: str) -> DataFrame:
+def _two_hop(
+    frontier: DataFrame,
+    edges: DataFrame,
+    node_col: str,
+    via_col: str,
+    broadcast_frontier: bool = True,
+    broadcast_hop1: bool = True,
+) -> DataFrame:
     """frontier(node) → co-entities: join out on node_col, back on via_col.
 
     For an actor frontier: actor → titles (via) → co-actors (J5,
-    ``master.erl:273-283``). BOTH joins broadcast the frontier-derived side
-    (frontier, then frontier×degree), so the big edge table is only ever
-    scanned — never shuffled. That is the right plan while the frontier is
-    bounded (true for level ≤ 4 queries on real-degree graphs); a frontier
-    approaching edge-table size would drop the hints and let AQE shuffle.
+    ``master.erl:273-283``). While the frontier is bounded (true for
+    level ≤ 4 queries on real-degree graphs) BOTH joins broadcast the
+    frontier-derived side (frontier, then frontier×degree), so the big
+    edge table is only ever scanned — never shuffled. The caller guards
+    each hint with a size estimate (frontier count × average degree, both
+    already materialized); above the threshold the hint is dropped and
+    AQE picks the join strategy from runtime stats.
 
     No ``distinct`` here: the caller's per-destination aggregation dedups,
     one exchange instead of two.
@@ -65,16 +74,15 @@ def _two_hop(frontier: DataFrame, edges: DataFrame, node_col: str, via_col: str)
     # lineage with the edge table after round 1, and attribute-reference
     # joins would be ambiguous self-joins.
     f = frontier.select(F.col("node").alias("src"))
+    if broadcast_frontier:
+        f = F.broadcast(f)
     e1 = edges.select(F.col(node_col).alias("_n1"), F.col(via_col).alias("_via"))
-    hop1 = (
-        F.broadcast(f)
-        .join(e1, F.col("src") == F.col("_n1"), "inner")
-        .select("src", "_via")
-    )
+    hop1 = f.join(e1, F.col("src") == F.col("_n1"), "inner").select("src", "_via")
+    if broadcast_hop1:
+        hop1 = F.broadcast(hop1)
     e2 = edges.select(F.col(via_col).alias("_v2"), F.col(node_col).alias("dst"))
     return (
-        F.broadcast(hop1)
-        .join(e2, F.col("_via") == F.col("_v2"), "inner")
+        hop1.join(e2, F.col("_via") == F.col("_v2"), "inner")
         .filter(F.col("src") != F.col("dst"))
         .select("src", "dst")
     )
@@ -87,26 +95,56 @@ def bipartite_bfs(
     root: str,
     level: int = 2,
     checkpoint: bool = True,
+    max_broadcast_rows: int = 1_000_000,
 ) -> BfsResult:
     """Generic k-level same-type expansion over any bipartite edge table
     (G1+G2, J4, J5, A4). ``node_col`` is the queried entity type, ``via_col``
     the intermediate hop. Works for movie↔actor, order↔part, user↔document —
-    any two-column relation."""
+    any two-column relation.
+
+    Broadcast guard: each round knows the frontier's exact row count (the
+    checkpoint materializes it) and estimates the first hop as
+    frontier × average degree (degree stats computed once, lazily, the
+    first time a frontier outgrows the trivial case). A side is broadcast
+    only while its estimate stays under ``max_broadcast_rows``; past that
+    the hint is dropped and AQE chooses from runtime sizes, so the
+    operator is safe at any level, not just the GUI's 1..4.
+    """
     spark = edges.sparkSession
 
     frontier = spark.createDataFrame([(root,)], ["node"])
+    frontier_rows = 1
     visited = frontier
+    visited_rows = 1
+    avg_degree: float | None = None  # lazy: count jobs only when needed
     result_edges = spark.createDataFrame(
         [], "src string, dst string, level int"
     )
 
     # level k = k-1 expansion rounds (master.erl:259,271).
     for lvl in range(1, level):
-        pairs = _two_hop(frontier, edges, node_col, via_col)
+        if avg_degree is None and frontier_rows > 1:
+            # One job, no shuffle of the edge table: count + HLL sketch
+            # both fold map-side; only sketches cross the wire.
+            stats = edges.agg(
+                F.count(F.lit(1)).alias("n_edges"),
+                F.approx_count_distinct(node_col).alias("n_nodes"),
+            ).collect()[0]
+            avg_degree = stats["n_edges"] / max(1, stats["n_nodes"])
+        hop1_estimate = frontier_rows * (avg_degree if avg_degree else 1.0)
+        pairs = _two_hop(
+            frontier,
+            edges,
+            node_col,
+            via_col,
+            broadcast_frontier=frontier_rows <= max_broadcast_rows,
+            broadcast_hop1=hop1_estimate <= max_broadcast_rows,
+        )
+        anti = visited
+        if visited_rows <= max_broadcast_rows:
+            anti = F.broadcast(anti)
         children = (
-            pairs.join(
-                F.broadcast(visited), pairs["dst"] == visited["node"], "left_anti"
-            )
+            pairs.join(anti, pairs["dst"] == anti["node"], "left_anti")
             .groupBy("dst")
             .agg(F.min("src").alias("src"))  # deterministic parent
             .select("src", "dst")
@@ -117,11 +155,13 @@ def bipartite_bfs(
             # unions over already-checkpointed frames, so their lineage stays
             # flat without checkpoints of their own (no plan doubling).
             children = children.localCheckpoint(eager=True)
-        if children.isEmpty():
+        frontier_rows = children.count()
+        if frontier_rows == 0:
             break
         result_edges = result_edges.unionByName(children)
         new_nodes = children.select(F.col("dst").alias("node"))
         visited = visited.unionByName(new_nodes)
+        visited_rows += frontier_rows
         frontier = new_nodes
 
     vertices = (
@@ -139,6 +179,7 @@ def costar_bfs(
     node_type: str = ACTOR,
     level: int = 2,
     checkpoint: bool = True,
+    max_broadcast_rows: int = 1_000_000,
 ) -> BfsResult:
     """k-level co-star / shared-cast-movie graph — the reference's flagship
     query (``master.erl:251-288``). ``cast_edges`` is the silver
@@ -154,5 +195,7 @@ def costar_bfs(
         raise ValueError("level must be in 1..10 (reference GUI offers 1..4)")
 
     node_col, via_col = ("actor", "title") if node_type == ACTOR else ("title", "actor")
-    res = bipartite_bfs(cast_edges, node_col, via_col, name, level, checkpoint)
+    res = bipartite_bfs(
+        cast_edges, node_col, via_col, name, level, checkpoint, max_broadcast_rows
+    )
     return BfsResult(root=name, node_type=node_type, edges=res.edges, vertices=res.vertices)

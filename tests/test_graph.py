@@ -104,3 +104,30 @@ def test_result_independent_of_partitioning(spark):
             first = key
         else:
             assert key == first
+
+
+def test_deep_bfs_without_broadcast_hints(spark):
+    # level >= 5 on a denser synthetic graph, forcing the guarded path:
+    # max_broadcast_rows=0 disables every broadcast hint, so the frontier,
+    # hop1, and visited joins all go through AQE shuffle planning. The
+    # result must be identical to the hinted fast path.
+    rows = []
+    # 3 "generations" chained by shared movies + some dense co-casts
+    for g in range(12):
+        for a in range(6):
+            rows.append((f"m{g}", f"a{g}_{a}"))   # clique within generation
+            rows.append((f"m{g}b", f"a{g}_{a}"))
+        rows.append((f"link{g}", f"a{g}_0"))
+        rows.append((f"link{g}", f"a{g+1}_0"))    # bridge to next generation
+    edges = spark.createDataFrame(rows, ["title", "actor"])
+
+    fast = bipartite_bfs(edges, "actor", "title", "a0_0", level=6)
+    slow = bipartite_bfs(
+        edges, "actor", "title", "a0_0", level=6, max_broadcast_rows=0
+    )
+    fast_edges = {(r["src"], r["dst"], r["level"]) for r in fast.edges.collect()}
+    slow_edges = {(r["src"], r["dst"], r["level"]) for r in slow.edges.collect()}
+    assert fast_edges == slow_edges
+    assert len(fast_edges) > 0
+    # 5 expansion rounds -> levels 1..5 all reached (bridges chain outward)
+    assert {r["level"] for r in fast.edges.collect()} == {1, 2, 3, 4, 5}
