@@ -8,9 +8,18 @@ row with key equality and right.ts <= left.ts. Implemented with the
 union + last(ignorenulls) window trick:
 
   1. tag both inputs and union them on (key, ts);
-  2. one window per key ordered by (ts, tag) carries the most recent right
-     payload forward with ``last(..., ignorenulls=True)``;
-  3. keep left rows.
+  2. one window per key ordered by (ts, tag, payload-struct) carries the
+     most recent right ROW forward as a single non-null struct with
+     ``last(..., ignorenulls=True)``;
+  3. keep left rows and unpack the struct.
+
+All payload columns travel together in ONE struct, so they always come
+from the same matched right row and genuinely-NULL payload values survive
+(carrying each column independently would let a NULL in the latest match
+fall back to an older row — DuckDB ASOF JOIN / pandas merge_asof return
+the matched row's values, NULLs included). Duplicate (key, ts) right rows
+tie-break deterministically on the payload struct itself (maximum wins),
+independent of partitioning.
 
 One shuffle on the key, no range-duplicating self-join, no per-row Python —
 the scalable shape (a sort-merge AS-OF, as native engines implement it,
@@ -40,18 +49,23 @@ def asof_join(
     """For each left row: latest ``right`` row with same ``key`` and
     right.ts <= left.ts (ties: right row wins — it is 'already known' at
     that instant). Left rows with no prior right row keep NULL payloads.
+    All payload columns come from the SAME matched right row; duplicate
+    (key, ts) right rows tie-break on the maximum payload struct.
     """
+    from pyspark.sql import types as T
+
     lcols = left.columns
+    struct_t = T.StructType([right.schema[p] for p in payload])
     l_tag = left.select(
         *lcols,
         F.lit(1).alias("_side"),
-        *[F.lit(None).cast(right.schema[p].dataType).alias(f"_r_{p}") for p in payload],
+        F.lit(None).cast(struct_t).alias("_r"),
     )
     r_tag = right.select(
         F.col(key),
         F.col(ts),
         F.lit(0).alias("_side"),
-        *[F.col(p).alias(f"_r_{p}") for p in payload],
+        F.struct(*[F.col(p) for p in payload]).alias("_r"),
     )
     # align schemas: left extra columns become NULL on the right side
     for c in lcols:
@@ -61,18 +75,16 @@ def asof_join(
 
     w = (
         Window.partitionBy(key)
-        .orderBy(ts, "_side")
+        .orderBy(F.col(ts).asc(), F.col("_side").asc(), F.col("_r").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
-        *lcols,
-        "_side",
-        *[
-            F.last(f"_r_{p}", ignorenulls=True).over(w).alias(f"{p}{suffix}")
-            for p in payload
-        ],
+        *lcols, "_side", F.last("_r", ignorenulls=True).over(w).alias("_m")
     )
-    return carried.filter(F.col("_side") == 1).drop("_side")
+    return carried.filter(F.col("_side") == 1).select(
+        *lcols,
+        *[F.col("_m").getField(p).alias(f"{p}{suffix}") for p in payload],
+    )
 
 
 def band_join(

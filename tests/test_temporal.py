@@ -101,3 +101,32 @@ def test_band_join_boundaries(spark):
     }
     # half-open [lo, hi): 15.0 belongs to 'high'
     assert got == {0.0: "low", 14.99: "low", 15.0: "high", 99.9: "high"}
+
+
+def test_asof_null_payload_from_matched_row_survives(spark):
+    # The most recent matching right row has price=NULL: true AS-OF
+    # semantics return that NULL — not an older row's non-null price.
+    left = spark.createDataFrame([("k", 10)], ["key", "ts"])
+    right = spark.createDataFrame(
+        [("k", 1, 100.0, "old"), ("k", 5, None, "new")],
+        "key string, ts int, price double, tag string",
+    )
+    out = asof_join(left, right, "key", "ts", ["price", "tag"]).collect()
+    assert len(out) == 1
+    assert out[0]["price_asof"] is None  # matched row's NULL survives
+    assert out[0]["tag_asof"] == "new"   # and columns stay from one row
+
+
+def test_asof_duplicate_ts_deterministic_tiebreak(spark):
+    # Two right rows at the same (key, ts): the maximum payload struct
+    # wins, deterministically, under any partitioning.
+    left = spark.createDataFrame([("k", 10)], ["key", "ts"])
+    right = spark.createDataFrame(
+        [("k", 5, 1.0, "a"), ("k", 5, 2.0, "b")],
+        "key string, ts int, price double, tag string",
+    )
+    for n in (1, 7):
+        out = asof_join(
+            left, right.repartition(n), "key", "ts", ["price", "tag"]
+        ).collect()
+        assert (out[0]["price_asof"], out[0]["tag_asof"]) == (2.0, "b")
