@@ -15,7 +15,7 @@ Four tiers, each the idiomatic scale path:
    per-permutation salts), banded into LSH buckets; candidate pairs =
    bucket-join, then verified with exact Jaccard. Sub-quadratic: the only
    pairwise work is within buckets. (Not SQL-oracled — hash functions are
-   engine-specific; verified in tests/test_dedup.py against tier 2.)
+   engine-specific; verified in tests/test_pipeline.py against tier 2.)
 4. **SimHash** — 64-bit bit-vote signature; near-dup = small Hamming
    distance, banded by 16-bit chunks for sub-quadratic candidate gen.
    (Tests-only, same reason.)

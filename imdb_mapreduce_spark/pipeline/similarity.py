@@ -46,6 +46,71 @@ def norm(a: str) -> Column:
     return F.sqrt(F.expr(_DOT.format(a=a, b=a)))
 
 
+# LSH defaults, tuned at sf0.01 against ann_cosine_topk (see
+# tests/test_pipeline.py): the synthetic corpus has near-orthogonal true
+# neighbors (top-5 cosine 0.26-0.49), the hard regime for sign-LSH. 12
+# tables x 5 planes measures recall 0.72 while scoring ~1/3 of the
+# corpus per query; real near-dup corpora (cosine > 0.9) reach far higher
+# recall at far lower probe cost with the same knobs.
+LSH_TABLES = 12
+LSH_PLANES = 5
+
+
+def _hyperplanes(
+    n_tables: int, planes_per_table: int, seed: int = 42, dim: int = 64
+) -> list:
+    """Seeded hyperplanes, one (planes_per_table × dim) block per table.
+
+    Deterministic literals (seeded numpy) baked into the plan — no
+    driver-side state, trivially re-derivable on any executor, and
+    re-expressible verbatim in the DuckDB oracle (same repr round-trips
+    to the same double in both engines).
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return [rng.standard_normal((planes_per_table, dim)) for _ in range(n_tables)]
+
+
+def _bucket_col(planes, col: str = "embedding") -> Column:
+    """Sign-pattern bucket id of ``col`` for one table's planes (Spark)."""
+    bucket = F.lit(0)
+    for p_i, plane in enumerate(planes):
+        arr = ", ".join(f"CAST({v!r} AS DOUBLE)" for v in plane.tolist())
+        proj = F.expr(_DOT.format(a=col, b=f"array({arr})"))
+        bucket = bucket + F.when(proj >= 0, F.lit(1 << p_i)).otherwise(F.lit(0))
+    return bucket.cast("int")
+
+
+def _sql_dot_unrolled(a: str, b: str, dim: int = 64) -> str:
+    """``_SQL_DOT`` with the fold unrolled to an explicit left-associated
+    sum — the identical addition sequence ((0+t1)+t2)+…, so bit-identical
+    results, but ~100× faster in DuckDB (no interpreted list lambdas)."""
+    terms = " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
+        for i in range(1, dim + 1)
+    )
+    return f"(CAST(0 AS DOUBLE) + {terms})"
+
+
+def _bucket_sql(planes, col: str = "embedding") -> str:
+    """The same sign-pattern bucket id in DuckDB SQL — identical plane
+    literals and the same sequential double-sum, so the sign (and hence
+    the bucket) is bit-identical to :func:`_bucket_col`."""
+    terms = []
+    for p_i, plane in enumerate(planes):
+        vals = plane.tolist()
+        proj = " + ".join(
+            f"CAST({col}[{i + 1}] AS DOUBLE) * CAST({v!r} AS DOUBLE)"
+            for i, v in enumerate(vals)
+        )
+        terms.append(
+            f"(CASE WHEN (CAST(0 AS DOUBLE) + {proj}) >= 0"
+            f" THEN {1 << p_i} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
 @register(
     "ann_cosine_topk",
     oracle=f"""
@@ -107,9 +172,12 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "dedup", "north-star"),
 )
 def embedding_label_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, label-blocked: only same-label pairs
-    are scored (blocking keys cut the pair space ×|labels|; at 100 TB the
-    block key would come from LSH buckets — see random_hyperplane_lsh)."""
+    """Embedding-cosine near-dup pairs blocked on an EXISTING partition key
+    (label) — the shape for corpora that already carry a fine-grained
+    blocking attribute (shard, source, url-host). With a low-cardinality
+    key this is all-pairs within each block (~n²/|labels|): the scale path
+    for arbitrary corpora is :func:`embedding_lsh_dups`, which blocks on
+    data-independent LSH buckets instead."""
     emb = load_table(spark, "embeddings", sf_dir)
     a = emb.alias("a")
     b = emb.alias("b")
@@ -132,6 +200,82 @@ def embedding_label_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             cos.alias("cosine"),
         )
         .filter(F.col("cosine") >= 0.2)
+    )
+
+
+DUP_COS = 0.3  # near-dup threshold; synthetic corpus is near-orthogonal
+
+
+def _lsh_dups_oracle() -> str:
+    """DuckDB replica of the bucket-blocked near-dup query: computes the
+    same 12 bucket ids per vector (identical plane literals, identical
+    fold), pairs rows colliding in ≥1 table, verifies cosine — so the
+    approximate pair set matches Spark's bit-for-bit."""
+    planes = _hyperplanes(LSH_TABLES, LSH_PLANES)
+    buckets = ",\n         ".join(
+        f"{_bucket_sql(p)} AS b{t}" for t, p in enumerate(planes)
+    )
+    # Same plan shape as the Spark side: one hash equi-join per table,
+    # distinct over candidate pairs, then ONE cosine fold per candidate.
+    # (An OR-of-buckets join condition degrades to an all-pairs nested
+    # loop; MATERIALIZED stops DuckDB inlining the 60 bucket folds into
+    # the join predicate.)
+    per_table = "\n        UNION ALL ".join(
+        f"SELECT a.vec_id AS vec1, b.vec_id AS vec2"
+        f" FROM buck a JOIN buck b ON a.b{t} = b.b{t} AND a.vec_id < b.vec_id"
+        for t in range(LSH_TABLES)
+    )
+    cos = f"{_sql_dot_unrolled('x.embedding', 'y.embedding')} / (x.nrm * y.nrm)"
+    return f"""
+    WITH buck AS MATERIALIZED (
+      SELECT vec_id, embedding,
+         sqrt({_sql_dot_unrolled("embedding", "embedding")}) AS nrm,
+         {buckets}
+      FROM embeddings),
+    cand AS (
+      SELECT DISTINCT vec1, vec2 FROM (
+        {per_table}) u)
+    SELECT vec1, vec2, cosine FROM (
+      SELECT c.vec1, c.vec2, {cos} AS cosine
+      FROM cand c
+      JOIN buck x ON x.vec_id = c.vec1
+      JOIN buck y ON y.vec_id = c.vec2) pairs
+    WHERE cosine >= {DUP_COS}
+    """
+
+
+@register(
+    "embedding_lsh_dups",
+    oracle=_lsh_dups_oracle(),
+    tags=("similarity", "dedup", "north-star", "lsh"),
+)
+def embedding_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs blocked on LSH buckets — the
+    data-independent scale path (no reliance on a pre-existing key, block
+    sizes bounded by 2^planes regardless of corpus skew). Candidates =
+    pairs sharing a bucket in ANY table (deduped), verified by exact
+    cosine; only ~1/3 of the pair space is ever scored at these knobs.
+    The oracle replicates the bucket function with the same plane
+    literals, so the approximate pair set is deterministic cross-engine.
+    """
+    emb = load_table(spark, "embeddings", sf_dir)
+    bk = random_hyperplane_buckets(emb)
+    a = bk.select(
+        F.col("vec_id").alias("vec1"), F.col("embedding").alias("e1"),
+        "table", "bucket",
+    )
+    b = bk.select(
+        F.col("vec_id").alias("vec2"), F.col("embedding").alias("e2"),
+        "table", "bucket",
+    )
+    cos = dot("e1", "e2") / (norm("e1") * norm("e2"))
+    return (
+        a.join(b.hint("shuffle_hash"), ["table", "bucket"])
+        .filter(F.col("vec1") < F.col("vec2"))
+        .select("vec1", "vec2", "e1", "e2")
+        .distinct()  # a pair may collide in several tables — score once
+        .select("vec1", "vec2", cos.alias("cosine"))
+        .filter(F.col("cosine") >= DUP_COS)
     )
 
 
@@ -171,8 +315,8 @@ def doc_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def random_hyperplane_buckets(
     emb: DataFrame,
-    n_tables: int = 4,
-    planes_per_table: int = 6,
+    n_tables: int = LSH_TABLES,
+    planes_per_table: int = LSH_PLANES,
     seed: int = 42,
     dim: int = 64,
 ) -> DataFrame:
@@ -181,32 +325,20 @@ def random_hyperplane_buckets(
     Each table uses ``planes_per_table`` seeded hyperplanes; a vector's
     bucket is the sign-pattern of its projections. Multiple independent
     tables union their candidates — the standard recall knob (P[collide in
-    ≥1 table] = 1−(1−p^r)^L). Planes are deterministic literals (seeded
-    numpy) baked into the plan — no driver-side state, trivially
-    re-derivable on any executor.
+    ≥1 table] = 1−(1−p^r)^L).
 
     Returns one row per (vec_id, table, bucket) — |tables|× row growth,
     which at 100 TB is the explicit storage/recall trade.
     """
-    import numpy as np
-
-    rng = np.random.default_rng(seed)
-    out = []
-    for t in range(n_tables):
-        planes = rng.standard_normal((planes_per_table, dim))
-        bucket = F.lit(0)
-        for p_i, plane in enumerate(planes):
-            arr = ", ".join(f"CAST({v!r} AS DOUBLE)" for v in plane.tolist())
-            proj = F.expr(_DOT.format(a="embedding", b=f"array({arr})"))
-            bucket = bucket + F.when(proj >= 0, F.lit(1 << p_i)).otherwise(F.lit(0))
-        out.append(
-            emb.select(
-                "vec_id",
-                "embedding",
-                F.lit(t).alias("table"),
-                bucket.cast("int").alias("bucket"),
-            )
+    out = [
+        emb.select(
+            "vec_id",
+            "embedding",
+            F.lit(t).alias("table"),
+            _bucket_col(planes).alias("bucket"),
         )
+        for t, planes in enumerate(_hyperplanes(n_tables, planes_per_table, seed, dim))
+    ]
     res = out[0]
     for df in out[1:]:
         res = res.unionByName(df)
@@ -277,7 +409,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_lsh_topk",
-    oracle=None,  # recall vs ann_cosine_topk asserted in tests/test_similarity.py
+    oracle=None,  # recall vs ann_cosine_topk asserted in tests/test_pipeline.py
     tags=("similarity", "north-star", "lsh"),
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -76,6 +76,7 @@ _HEAD: tuple[str, ...] = (
     "media_frame_sample",
     "media_format_rollup",
     "streaming_10min_counts",
+    "embedding_lsh_dups",  # new in r02: bucket-blocked near-dups
 )
 _TAIL: tuple[str, ...] = (
     # green hash-matched in CORRECTNESS_r01.json; in-window siblings noted
@@ -83,6 +84,7 @@ _TAIL: tuple[str, ...] = (
     "dedup_exact_survivors",  # sibling: dedup_exact_groups
     "rollup_grouping_flags",  # sibling: region_rollup
     "events_json_struct",  # sibling: events_json_stats
+    "embedding_label_dups",  # sibling: embedding_lsh_dups (the scale path)
     # rows-only (oracle=None): driver row records row count only; the real
     # correctness evidence is the pytest property suite either way
     "minhash_lsh_dups",

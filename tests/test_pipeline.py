@@ -75,12 +75,12 @@ def test_ann_lsh_recall_vs_bruteforce(spark):
     approx = {
         (r["query_id"], r["neighbor_id"]) for r in ann_lsh_topk(spark, SF).collect()
     }
-    # LSH with 12 hyperplanes on random 64-d data: modest recall expected,
-    # but every returned pair must be a true neighbor of its bucket — check
-    # overlap is nonzero and approx ⊆ plausible range.
-    assert len(approx & exact) > 0
+    # Tuned knobs (12 tables × 5 planes, similarity.LSH_TABLES/LSH_PLANES):
+    # measured recall 0.76 at sf0.001 / 0.72 at sf0.01 on this corpus's
+    # near-orthogonal neighbors (top-5 cosine 0.26-0.49), scoring ~1/3 of
+    # the corpus per query. Deterministic (seeded planes, fixed data).
     recall = len(approx & exact) / len(exact)
-    assert recall >= 0.02  # sanity floor; recall tracked, not tuned, at this SF
+    assert recall >= 0.6
 
 
 def test_ann_ivf_recall_vs_bruteforce(spark):
@@ -109,3 +109,23 @@ def test_media_stub_and_fake_decode(spark):
     assert meta[1]["n_bytes"] == 5 and meta[1]["format"] == "jpeg"
     assert meta[2]["n_bytes"] == 7
     assert meta[2]["width"] == 7 % 640 + 1
+
+
+def test_embedding_lsh_dups_agrees_with_label_blocking(spark):
+    # Bucket-blocking (the scale path) vs label-blocking (the oracle-simple
+    # demo): identical exact-cosine verification, different candidate
+    # generation. On the overlap the cosines must be bit-identical; of the
+    # same-label pairs above the shared threshold, bucket-blocking must
+    # recover a solid majority (measured 0.72 at sf0.001, deterministic).
+    from imdb_mapreduce_spark.pipeline.similarity import (
+        DUP_COS,
+        embedding_label_dups,
+        embedding_lsh_dups,
+    )
+
+    label = {(r.vec1, r.vec2): r.cosine for r in embedding_label_dups(spark, SF).collect()}
+    lsh = {(r.vec1, r.vec2): r.cosine for r in embedding_lsh_dups(spark, SF).collect()}
+    label_hi = {k for k, c in label.items() if c >= DUP_COS}
+    found = label_hi & set(lsh)
+    assert len(found) / len(label_hi) >= 0.6
+    assert all(label[k] == lsh[k] for k in found)  # same verify, bit-exact
