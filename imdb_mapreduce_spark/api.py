@@ -72,10 +72,11 @@ class ImdbEngine:
         from pyspark.sql import functions as F
 
         wide = read_prejoined_csv(spark, path)
-        edges = wide.select(
-            F.monotonically_increasing_id().alias("tconst"),
-            "title",
-            F.explode("cast").alias("actor"),
+        # id assigned BEFORE the explode: Catalyst evaluates expressions in
+        # the same select above the Generate, which would mint a distinct
+        # id per exploded (title, actor) row instead of per title
+        edges = wide.withColumn("tconst", F.monotonically_increasing_id()).select(
+            "tconst", "title", F.explode("cast").alias("actor")
         )
         return cls(edges, cache=cache)
 

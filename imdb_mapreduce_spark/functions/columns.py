@@ -20,10 +20,10 @@ def split_list(col: Column | str, sep: str = ",") -> Column:
 
 
 def strip_id_prefix(col: Column | str) -> Column:
-    """X2 — drop the 2-char ``tt``/``nm`` prefix, parse int
+    """X2 — drop the 2-char ``tt``/``nm`` prefix, parse long
     (``string:to_integer(string:sub_string(S, 3))``, server.erl:263)."""
     c = col if isinstance(col, Column) else F.col(col)
-    return F.substring(c, 3, 16).cast("int")
+    return F.substring(c, 3, 16).cast("long")
 
 
 def trimmed(col: Column | str) -> Column:

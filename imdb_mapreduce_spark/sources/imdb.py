@@ -78,12 +78,15 @@ def _tsv(spark: SparkSession, path: str, schema: StructType, header: bool) -> Da
 
 
 def _id_to_int(col: str) -> "F.Column":
-    """Strip the 2-char ``tt``/``nm`` prefix and parse the rest as int.
+    """Strip the 2-char ``tt``/``nm`` prefix and parse the rest as long
+    (a 32-bit cast would NULL 10-digit ids and silently drop the row in
+    downstream inner joins; current IMDb ids are 8 digits, but the failure
+    mode is silent data loss).
 
     Mirrors ``string:to_integer(string:sub_string(S, 3))`` at
     ``/root/reference/src/server/server.erl:263`` (scalar function X2).
     """
-    return F.substring(F.col(col), 3, 16).cast("int")
+    return F.substring(F.col(col), 3, 16).cast("long")
 
 
 def read_titles_tsv(spark: SparkSession, path: str) -> DataFrame:
@@ -128,7 +131,7 @@ def read_names_tsv(spark: SparkSession, path: str) -> DataFrame:
         F.col("deathYear").alias("death_year"),
         F.split("primaryProfession", ",").alias("professions"),
         F.transform(
-            F.split("knownForTitles", ","), lambda t: F.substring(t, 3, 16).cast("int")
+            F.split("knownForTitles", ","), lambda t: F.substring(t, 3, 16).cast("long")
         ).alias("known_for"),
     )
 

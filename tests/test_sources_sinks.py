@@ -29,6 +29,20 @@ def test_prejoined_step0_path(spark, tmp_path):
     assert rows["Alpha"] == ["John Smith", "Jane Doe"]
     assert rows["Beta"] == ["Jane Doe"]
 
+    # the synthetic tconst must identify the TITLE: one id per title even
+    # after the cast explode (id assigned below the Generate would mint a
+    # distinct id per (title, actor) row)
+    from imdb_mapreduce_spark.api import ImdbEngine
+
+    edges = ImdbEngine.from_prejoined(spark, str(f), cache=False).cast_edges
+    per_title = {
+        r["title"]: r["ids"]
+        for r in edges.groupBy("title")
+        .agg(F.countDistinct("tconst").alias("ids"))
+        .collect()
+    }
+    assert per_title == {"Alpha": 1, "Beta": 1}
+
 
 def test_adjacency_tsv_sink_roundtrip(cast_edges, tmp_path, spark):
     # K1: key \t v1, v2, ... — the reference's tab2file (server.erl:379-389)
