@@ -85,3 +85,29 @@ def write_dot(result: BfsResult, path: str) -> str:
     with open(path, "w", encoding="utf-8") as f:
         f.write(dot)
     return path
+
+
+def render_png(result: BfsResult, path: str) -> str:
+    """Render the BFS graph to PNG via the ``dot`` binary, matching the
+    reference's ``os:cmd("dot -Tpng ...")`` step
+    (``/root/reference/src/master/graphviz.erl:94-100``; the viewer launch
+    on the line after stays out of engine scope). Requires GraphViz on
+    PATH — raises ``RuntimeError`` if absent (check ``shutil.which("dot")``
+    before calling to degrade gracefully)."""
+    import shutil
+    import subprocess
+
+    if shutil.which("dot") is None:
+        raise RuntimeError(
+            "GraphViz 'dot' binary not found on PATH; install graphviz or "
+            "use write_dot() and render elsewhere"
+        )
+    proc = subprocess.run(
+        ["dot", "-Tpng", "-o", path],
+        input=to_dot(result).encode("utf-8"),
+        capture_output=True,
+        check=False,
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(f"dot -Tpng failed: {proc.stderr.decode(errors='replace')}")
+    return path

@@ -131,3 +131,19 @@ def test_deep_bfs_without_broadcast_hints(spark):
     assert len(fast_edges) > 0
     # 5 expansion rounds -> levels 1..5 all reached (bridges chain outward)
     assert {r["level"] for r in fast.edges.collect()} == {1, 2, 3, 4, 5}
+
+
+def test_png_render_gated(cast_edges, tmp_path):
+    import shutil
+
+    from imdb_mapreduce_spark.operators.graph_export import render_png
+
+    res = costar_bfs(cast_edges, "Alice Alpha", level=2)
+    out = str(tmp_path / "g.png")
+    if shutil.which("dot") is None:
+        with pytest.raises(RuntimeError, match="not found"):
+            render_png(res, out)
+    else:
+        render_png(res, out)
+        data = open(out, "rb").read()
+        assert data[:8] == b"\x89PNG\r\n\x1a\n" and len(data) > 100
