@@ -39,6 +39,7 @@ HEADLINE = (
     "dedup_exact_groups",
     "ngram_jaccard_pairs",
     "minhash_lsh_dups",
+    "embedding_lsh_dups",
     "ann_cosine_topk",
     "doc_quality_stats",
     "media_metadata_stats",
@@ -62,6 +63,7 @@ def main() -> None:
 
     qs = entrymod.queries()
     timings: dict[str, float] = {}
+    row_counts: dict[str, int] = {}
     # Warm-up: small query to JIT the read path (untimed).
     qs["priority_segment_union"](spark, sf_dir).collect()
 
@@ -74,9 +76,13 @@ def main() -> None:
             t = time.time()
             rows = fn(spark, sf_dir).collect()
             best = min(best, time.time() - t)
+            row_counts[name] = len(rows)
             del rows
         timings[name] = round(best, 3)
 
+    # "value" is the steady-state total: sum of per-query min-of-2 wall
+    # times, session startup excluded (reported separately) — directly
+    # comparable round over round per query.
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -85,7 +91,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "rows": row_counts,
                 "sf": sf,
+                "steady_total_sec": total,
                 "startup_sec": round(startup, 2),
                 "n_queries": len(timings),
             }

@@ -72,8 +72,29 @@ def _hyperplanes(
     return [rng.standard_normal((planes_per_table, dim)) for _ in range(n_tables)]
 
 
+def _dot_unrolled(a: str, b: str, dim: int = 64) -> Column:
+    """``dot`` with the fold unrolled to an explicit left-associated sum —
+    the identical addition sequence ((0+t1)+t2)+…, so bit-identical to the
+    fold and to the oracle's unrolled SQL, but plain codegen arithmetic
+    with no per-row lambda/array allocation (~4 µs/fold saved; this is
+    the hot path when scoring 10⁵⁺ candidate pairs)."""
+    acc: Column = F.lit(0.0)
+    for i in range(1, dim + 1):
+        acc = acc + (
+            F.element_at(F.col(a), i).cast("double")
+            * F.element_at(F.col(b), i).cast("double")
+        )
+    return acc
+
+
 def _bucket_col(planes, col: str = "embedding") -> Column:
-    """Sign-pattern bucket id of ``col`` for one table's planes (Spark)."""
+    """Sign-pattern bucket id of ``col`` for one table's planes (Spark).
+
+    Projections stay as ``aggregate(zip_with(...))`` folds: they run once
+    per VECTOR (not per pair), and unrolling all planes×dim terms into
+    one expression tree sends Catalyst analysis time through the roof
+    (measured: minutes for 60×64 nested Adds vs <1 s of fold runtime).
+    """
     bucket = F.lit(0)
     for p_i, plane in enumerate(planes):
         arr = ", ".join(f"CAST({v!r} AS DOUBLE)" for v in plane.tolist())
@@ -258,24 +279,31 @@ def embedding_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle replicates the bucket function with the same plane
     literals, so the approximate pair set is deterministic cross-engine.
     """
-    emb = load_table(spark, "embeddings", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir).withColumn(
+        "nrm", F.sqrt(_dot_unrolled("embedding", "embedding"))
+    )
     bk = random_hyperplane_buckets(emb)
     a = bk.select(
         F.col("vec_id").alias("vec1"), F.col("embedding").alias("e1"),
-        "table", "bucket",
+        F.col("nrm").alias("n1"), "table", "bucket",
     )
     b = bk.select(
         F.col("vec_id").alias("vec2"), F.col("embedding").alias("e2"),
-        "table", "bucket",
+        F.col("nrm").alias("n2"), "table", "bucket",
     )
-    cos = dot("e1", "e2") / (norm("e1") * norm("e2"))
+    # Norms are computed once per VECTOR (before the bucket fan-out) and
+    # carried through the join, so each candidate pair runs ONE dot fold
+    # instead of three. Score and threshold BEFORE the dedup: a pair
+    # colliding in several tables recomputes its (deterministic) cosine,
+    # but the distinct then shuffles three scalars per surviving pair
+    # instead of two 64-float arrays per candidate.
+    cos = dot("e1", "e2") / (F.col("n1") * F.col("n2"))
     return (
         a.join(b.hint("shuffle_hash"), ["table", "bucket"])
         .filter(F.col("vec1") < F.col("vec2"))
-        .select("vec1", "vec2", "e1", "e2")
-        .distinct()  # a pair may collide in several tables — score once
         .select("vec1", "vec2", cos.alias("cosine"))
         .filter(F.col("cosine") >= DUP_COS)
+        .distinct()
     )
 
 
@@ -328,21 +356,19 @@ def random_hyperplane_buckets(
     ≥1 table] = 1−(1−p^r)^L).
 
     Returns one row per (vec_id, table, bucket) — |tables|× row growth,
-    which at 100 TB is the explicit storage/recall trade.
+    which at 100 TB is the explicit storage/recall trade. All tables'
+    buckets are computed in ONE projection over a single scan and fanned
+    out with ``posexplode`` (a union of per-table branches re-scans the
+    input once per table).
     """
-    out = [
-        emb.select(
-            "vec_id",
-            "embedding",
-            F.lit(t).alias("table"),
-            _bucket_col(planes).alias("bucket"),
-        )
-        for t, planes in enumerate(_hyperplanes(n_tables, planes_per_table, seed, dim))
-    ]
-    res = out[0]
-    for df in out[1:]:
-        res = res.unionByName(df)
-    return res
+    buckets = F.array(
+        *[
+            _bucket_col(planes)
+            for planes in _hyperplanes(n_tables, planes_per_table, seed, dim)
+        ]
+    )
+    # "*" keeps caller-added columns (e.g. a precomputed norm) alongside
+    return emb.select("*", F.posexplode(buckets).alias("table", "bucket"))
 
 
 def ivf_cells(emb: DataFrame, k: int = 8, seed: int = 42) -> DataFrame:
