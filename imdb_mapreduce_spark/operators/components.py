@@ -34,6 +34,7 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 20,
     algorithm: str = "label",
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``pairs``; component
     id = minimum node label in the component. Nodes are compared with
@@ -42,12 +43,52 @@ def connected_components(
     ``algorithm="label"`` needs ~diameter rounds; ``algorithm="star"``
     needs ~log² rounds on any shape. Emits a ``RuntimeWarning`` if
     ``max_iter`` is exhausted before convergence (labels may be split).
+
+    Adaptive small-graph path: the deduplicated edge set is materialized
+    (checkpointed) before iterating anyway; if its count is at most
+    ``driver_threshold`` the components are solved with a driver-side
+    union-find instead of a multi-job iterative loop — identical output
+    (min-label components), microseconds instead of one Spark job per
+    round. Near-dup pair graphs are typically tiny relative to the corpus
+    that produced them, so this is the common case even at large scale;
+    pass ``driver_threshold=0`` to force the distributed loop.
     """
     if algorithm == "label":
-        return _label_propagation(pairs, src, dst, max_iter)
+        return _label_propagation(pairs, src, dst, max_iter, driver_threshold)
     if algorithm == "star":
-        return _alternating_star(pairs, src, dst, max_iter)
+        return _alternating_star(pairs, src, dst, max_iter, driver_threshold)
     raise ValueError(f"unknown algorithm: {algorithm!r} (use 'label' or 'star')")
+
+
+def _driver_union_find(edges: DataFrame) -> DataFrame:
+    """Exact min-label components of a SMALL collected edge list (the
+    caller has already bounded the size). Union-find with path halving;
+    component id = minimum member, matching the distributed algorithms."""
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for row in edges.collect():
+        a, b = row[0], row[1]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    roots: dict = {}
+    for n in parent:
+        r = find(n)
+        if r not in roots or n < roots[r]:
+            roots[r] = n
+    rows = [(n, roots[find(n)]) for n in parent]
+    schema = edges.schema[0].dataType
+    return edges.sparkSession.createDataFrame(
+        rows, schema=f"node {schema.simpleString()}, component {schema.simpleString()}"
+    )
 
 
 def _checksum(df: DataFrame, *cols: str) -> tuple[int, int | None]:
@@ -77,13 +118,15 @@ def _warn_nonconverged(algorithm: str, max_iter: int) -> None:
 
 
 def _label_propagation(
-    pairs: DataFrame, src: str, dst: str, max_iter: int
+    pairs: DataFrame, src: str, dst: str, max_iter: int, driver_threshold: int = 0
 ) -> DataFrame:
     fwd = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     edges = fwd.unionByName(
         fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).distinct()
     edges = edges.localCheckpoint(eager=True)
+    if edges.count() <= driver_threshold:
+        return _driver_union_find(edges)
 
     labels = (
         edges.select(F.col("a").alias("node"))
@@ -118,7 +161,7 @@ def _label_propagation(
 
 
 def _alternating_star(
-    pairs: DataFrame, src: str, dst: str, max_iter: int
+    pairs: DataFrame, src: str, dst: str, max_iter: int, driver_threshold: int = 0
 ) -> DataFrame:
     """Large-star/small-star alternation on a canonically-oriented edge set.
 
@@ -141,6 +184,14 @@ def _alternating_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if edges.count() <= driver_threshold:
+        # isolated nodes (self-loop-only inputs) are absent from the
+        # canonical edges; restore them from the node set
+        solved = _driver_union_find(edges)
+        return (
+            nodes.join(solved, "node", "left")
+            .select("node", F.coalesce("component", "node").alias("component"))
+        )
     prev_sum = _checksum(edges, "u", "v")
 
     converged = False

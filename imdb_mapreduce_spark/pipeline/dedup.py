@@ -125,15 +125,15 @@ def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ngram_jaccard_pairs",
     oracle=f"""
-    WITH sh AS (
+    WITH lists AS MATERIALIZED (
+      -- shingle list computed ONCE per doc, not once per referencing expr
       SELECT doc_id,
-             len(list_distinct(list_transform(
+             list_distinct(list_transform(
                  generate_series(1, greatest(len(string_split(text, ' ')) - {SHINGLE_WORDS - 1}, 1)),
-                 i -> array_to_string((string_split(text, ' '))[i:i+{SHINGLE_WORDS - 1}], ' ')))) AS n_shingles,
-             unnest(list_distinct(list_transform(
-                 generate_series(1, greatest(len(string_split(text, ' ')) - {SHINGLE_WORDS - 1}, 1)),
-                 i -> array_to_string((string_split(text, ' '))[i:i+{SHINGLE_WORDS - 1}], ' ')))) AS sh
-      FROM documents)
+                 i -> array_to_string((string_split(text, ' '))[i:i+{SHINGLE_WORDS - 1}], ' '))) AS shl
+      FROM documents),
+    sh AS (
+      SELECT doc_id, len(shl) AS n_shingles, unnest(shl) AS sh FROM lists)
     SELECT a.doc_id AS doc1, b.doc_id AS doc2,
            COUNT(*) AS shared,
            CAST(COUNT(*) AS DOUBLE)
@@ -182,15 +182,15 @@ STOP_SHINGLE_MAX_FREQ = 50
 @register(
     "ngram_jaccard_capped",
     oracle=f"""
-    WITH sh_all AS (
+    WITH lists AS MATERIALIZED (
+      -- shingle list computed ONCE per doc, not once per referencing expr
       SELECT doc_id,
-             len(list_distinct(list_transform(
+             list_distinct(list_transform(
                  generate_series(1, greatest(len(string_split(text, ' ')) - {SHINGLE_WORDS - 1}, 1)),
-                 i -> array_to_string((string_split(text, ' '))[i:i+{SHINGLE_WORDS - 1}], ' ')))) AS n_shingles,
-             unnest(list_distinct(list_transform(
-                 generate_series(1, greatest(len(string_split(text, ' ')) - {SHINGLE_WORDS - 1}, 1)),
-                 i -> array_to_string((string_split(text, ' '))[i:i+{SHINGLE_WORDS - 1}], ' ')))) AS sh
+                 i -> array_to_string((string_split(text, ' '))[i:i+{SHINGLE_WORDS - 1}], ' '))) AS shl
       FROM documents),
+    sh_all AS (
+      SELECT doc_id, len(shl) AS n_shingles, unnest(shl) AS sh FROM lists),
     keep AS (
       SELECT sh FROM sh_all GROUP BY sh HAVING COUNT(*) <= {STOP_SHINGLE_MAX_FREQ}),
     sh AS (SELECT a.* FROM sh_all a SEMI JOIN keep k ON a.sh = k.sh)
@@ -434,15 +434,16 @@ CLUSTER_JACCARD_THR = 0.1
 @register(
     "dedup_clusters",
     oracle=f"""
-    WITH RECURSIVE sh AS (
+    WITH RECURSIVE lists AS MATERIALIZED (
+      -- shingle list computed ONCE per doc (inlining it into both unnest
+      -- and len doubles the dominant cost)
       SELECT doc_id,
-             unnest(list_distinct(list_transform(
+             list_distinct(list_transform(
                  generate_series(1, greatest(len(string_split(text, ' ')) - {SHINGLE_WORDS - 1}, 1)),
-                 i -> array_to_string((string_split(text, ' '))[i:i+{SHINGLE_WORDS - 1}], ' ')))) AS sh,
-             len(list_distinct(list_transform(
-                 generate_series(1, greatest(len(string_split(text, ' ')) - {SHINGLE_WORDS - 1}, 1)),
-                 i -> array_to_string((string_split(text, ' '))[i:i+{SHINGLE_WORDS - 1}], ' ')))) AS n_shingles
+                 i -> array_to_string((string_split(text, ' '))[i:i+{SHINGLE_WORDS - 1}], ' '))) AS shl
       FROM documents),
+    sh AS (
+      SELECT doc_id, unnest(shl) AS sh, len(shl) AS n_shingles FROM lists),
     pairs AS (
       SELECT a.doc_id AS doc1, b.doc_id AS doc2
       FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id

@@ -5,11 +5,14 @@ from __future__ import annotations
 from imdb_mapreduce_spark.operators.components import connected_components
 
 
-def _cc(spark, pairs):
+def _cc(spark, pairs, **kw):
+    # driver_threshold=0 forces the distributed loop — these tests verify
+    # the iterative algorithms, not the small-graph union-find shortcut
+    kw.setdefault("driver_threshold", 0)
     df = spark.createDataFrame(pairs, ["src", "dst"])
     return {
         r["node"]: r["component"]
-        for r in connected_components(df, "src", "dst").collect()
+        for r in connected_components(df, "src", "dst", **kw).collect()
     }
 
 
@@ -31,11 +34,7 @@ def test_cycle_and_strings(spark):
 
 
 def _cc_star(spark, pairs):
-    df = spark.createDataFrame(pairs, ["src", "dst"])
-    return {
-        r["node"]: r["component"]
-        for r in connected_components(df, "src", "dst", algorithm="star").collect()
-    }
+    return _cc(spark, pairs, algorithm="star")
 
 
 def test_star_path_graph_beyond_label_budget(spark):
@@ -56,4 +55,19 @@ def test_label_nonconvergence_warns(spark):
 
     df = spark.createDataFrame([(i, i + 1) for i in range(30)], ["src", "dst"])
     with _pytest.warns(RuntimeWarning, match="did not converge"):
-        connected_components(df, "src", "dst", max_iter=3).collect()
+        connected_components(
+            df, "src", "dst", max_iter=3, driver_threshold=0
+        ).collect()
+
+
+def test_driver_union_find_matches_distributed(spark):
+    # the small-graph shortcut (default threshold) must produce exactly
+    # the distributed loop's min-label components, for both algorithms
+    pairs = [(1, 2), (2, 3), (10, 11), (11, 12), (12, 10), (7, 7), (5, 4)]
+    df = spark.createDataFrame(pairs, ["src", "dst"])
+    fast = {
+        r["node"]: r["component"]
+        for r in connected_components(df, "src", "dst").collect()
+    }
+    assert fast == _cc(spark, pairs)
+    assert fast == _cc_star(spark, pairs)
