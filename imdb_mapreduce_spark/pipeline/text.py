@@ -249,3 +249,149 @@ def doc_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         " CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % 1000000007)"
     )
     return docs.select("doc_id", rhash.alias("rhash"), F.md5("text").alias("md5_fp"))
+
+
+_STOP_IN = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+
+
+@register(
+    "doc_repetition_stats",
+    oracle="""
+    WITH lists AS MATERIALIZED (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    base AS (
+      SELECT doc_id,
+             len(ts) AS n_tokens,
+             greatest(len(ts) - 1, 0) AS n_bigrams,
+             len(list_distinct(list_transform(
+                 generate_series(1, greatest(len(ts) - 1, 0)),
+                 i -> ts[i] || ' ' || ts[i+1]))) AS n_distinct_bigrams,
+             len(list_filter(generate_series(1, greatest(len(ts) - 1, 0)),
+                 i -> ts[i] = ts[i+1])) AS n_adjacent_repeats
+      FROM lists),
+    tok AS (SELECT doc_id, unnest(ts) AS t FROM lists),
+    tc AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+    mx AS (SELECT doc_id, MAX(c) AS top_tok_count FROM tc GROUP BY 1)
+    SELECT b.doc_id,
+           CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           CAST(m.top_tok_count AS BIGINT) AS top_tok_count,
+           CAST(m.top_tok_count AS DOUBLE) / CAST(b.n_tokens AS DOUBLE)
+             AS top_tok_frac,
+           CAST(b.n_bigrams AS BIGINT) AS n_bigrams,
+           CAST(b.n_bigrams - b.n_distinct_bigrams AS BIGINT) AS n_dup_bigrams,
+           CAST(b.n_bigrams - b.n_distinct_bigrams AS DOUBLE)
+             / CAST(NULLIF(b.n_bigrams, 0) AS DOUBLE) AS dup_bigram_frac,
+           CAST(b.n_adjacent_repeats AS BIGINT) AS n_adjacent_repeats
+    FROM base b JOIN mx m USING (doc_id)
+    """,
+    tags=("text", "north-star", "quality", "repetition"),
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition signals per document: most-frequent-token
+    fraction, duplicate-bigram fraction, adjacent-token repeats. High
+    values mark boilerplate/spam for filtering before training.
+
+    Array-level metrics are pure projections (codegen); the top-token count
+    is explode → two partial-agg shuffles (map-side combine on both), the
+    standard scalable shape for per-doc mode computation. Bigrams come
+    from zip_with over two slices — no index arithmetic, no ANSI
+    out-of-bounds risk on short docs."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select("doc_id", _tokens().alias("ts"))
+    base = toks.select(
+        "doc_id",
+        F.size("ts").cast("long").alias("n_tokens"),
+        F.greatest(F.size("ts") - 1, F.lit(0)).cast("long").alias("n_bigrams"),
+        F.expr(
+            "size(array_distinct(zip_with("
+            " slice(ts, 1, greatest(size(ts) - 1, 0)),"
+            " slice(ts, 2, greatest(size(ts) - 1, 0)),"
+            " (x, y) -> concat(x, ' ', y))))"
+        ).cast("long").alias("n_distinct_bigrams"),
+        F.expr(
+            "size(filter(zip_with("
+            " slice(ts, 1, greatest(size(ts) - 1, 0)),"
+            " slice(ts, 2, greatest(size(ts) - 1, 0)),"
+            " (x, y) -> x = y), b -> b))"
+        ).cast("long").alias("n_adjacent_repeats"),
+    )
+    top = (
+        toks.select("doc_id", F.explode("ts").alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_tok_count"))
+    )
+    return base.join(top, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "top_tok_count",
+        (F.col("top_tok_count").cast("double") / F.col("n_tokens").cast("double"))
+        .alias("top_tok_frac"),
+        "n_bigrams",
+        (F.col("n_bigrams") - F.col("n_distinct_bigrams")).alias("n_dup_bigrams"),
+        (
+            (F.col("n_bigrams") - F.col("n_distinct_bigrams")).cast("double")
+            / F.nullif(F.col("n_bigrams"), F.lit(0)).cast("double")
+        ).alias("dup_bigram_frac"),
+        "n_adjacent_repeats",
+    )
+
+
+@register(
+    "source_quality_profile",
+    oracle=f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS avg_tokens_per_doc,
+           CAST(SUM(len(list_distinct(string_split(text, ' ')))) AS DOUBLE)
+             / CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)
+             AS distinct_token_rate,
+           CAST(SUM(len(list_filter(string_split(text, ' '),
+                x -> x IN {_STOP_IN}))) AS DOUBLE)
+             / CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) AS stopword_rate,
+           CAST(SUM(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) AS DOUBLE)
+             / CAST(SUM(n_chars) AS DOUBLE) AS punct_rate
+    FROM documents
+    GROUP BY source
+    """,
+    tags=("text", "north-star", "quality", "rollup"),
+)
+def source_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health rollup — the report a pipeline operator
+    reads before deciding which sources to keep, reweight, or drop.
+
+    Every rate is a ratio of EXACT integer sums (corpus-level rates, not
+    means of per-doc ratios): deterministic under any aggregation order,
+    hence bit-identical cross-engine — summing pre-computed doubles would
+    be order-dependent. One partial-agg shuffle on source."""
+    docs = load_table(spark, "documents", sf_dir)
+    per_doc = docs.select(
+        "source",
+        "n_chars",
+        F.size(_tokens()).cast("long").alias("n_tok"),
+        F.size(F.array_distinct(_tokens())).cast("long").alias("n_dist"),
+        F.expr(f"size(filter(split(text, ' '), x -> x IN {_STOP_IN}))")
+        .cast("long")
+        .alias("n_stop"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", r"[.,;:!?]", ""))
+        ).cast("long").alias("n_punct"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_tok").cast("double") / F.count("*").cast("double"))
+        .alias("avg_tokens_per_doc"),
+        (F.sum("n_dist").cast("double") / F.sum("n_tok").cast("double"))
+        .alias("distinct_token_rate"),
+        (F.sum("n_stop").cast("double") / F.sum("n_tok").cast("double"))
+        .alias("stopword_rate"),
+        (F.sum("n_punct").cast("double") / F.sum("n_chars").cast("double"))
+        .alias("punct_rate"),
+    )

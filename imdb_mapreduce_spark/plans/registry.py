@@ -77,6 +77,8 @@ _HEAD: tuple[str, ...] = (
     "media_format_rollup",
     "streaming_10min_counts",
     "embedding_lsh_dups",  # new in r02: bucket-blocked near-dups
+    "doc_repetition_stats",  # new in r02: Gopher-style repetition signals
+    "source_quality_profile",  # new in r02: per-source corpus health
 )
 _TAIL: tuple[str, ...] = (
     # green hash-matched in CORRECTNESS_r01.json; in-window siblings noted
@@ -85,6 +87,8 @@ _TAIL: tuple[str, ...] = (
     "rollup_grouping_flags",  # sibling: region_rollup
     "events_json_struct",  # sibling: events_json_stats
     "embedding_label_dups",  # sibling: embedding_lsh_dups (the scale path)
+    "events_10min_windows",  # sibling: events_hourly (same tumbling shape)
+    "customer_order_window",  # sibling: user_running_stats (same window family)
     # rows-only (oracle=None): driver row records row count only; the real
     # correctness evidence is the pytest property suite either way
     "minhash_lsh_dups",
