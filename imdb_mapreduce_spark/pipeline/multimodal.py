@@ -302,3 +302,57 @@ def media_format_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_bytes").alias("total_bytes"),
         F.max("width").alias("max_width"),
     )
+
+
+HISTOGRAM_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("bucket", IntegerType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def _histogram_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+    """16-bucket byte histogram (high nibble) per payload — np.bincount
+    over the raw buffer, the classic content-type/entropy feature for
+    binary columns. Long format (doc_id, bucket, n_bytes), zero buckets
+    omitted, so the output is a plain relation any SQL engine can check."""
+    import numpy as np
+    import pandas as pd
+
+    for batch in batches:
+        ids: list = []
+        buckets: list = []
+        counts: list = []
+        for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+            h = np.bincount(
+                np.frombuffer(payload, dtype=np.uint8) >> 4, minlength=16
+            )
+            nz = np.nonzero(h)[0]
+            ids.extend([doc_id] * len(nz))
+            buckets.extend(int(b) for b in nz)
+            counts.extend(int(c) for c in h[nz])
+        yield pd.DataFrame({"doc_id": ids, "bucket": buckets, "n_bytes": counts})
+
+
+@register(
+    "media_byte_histogram",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, length(text)),
+                    i -> ascii(text[i]) // 16)) AS bucket
+      FROM documents)
+    SELECT doc_id, CAST(bucket AS INT) AS bucket, COUNT(*) AS n_bytes
+    FROM chars GROUP BY doc_id, bucket
+    """,
+    tags=("multimodal", "north-star", "pandas-udf", "features"),
+)
+def media_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-distribution features over the opaque binary column: 16
+    high-nibble buckets per payload, numpy-vectorized per Arrow batch.
+    Oracle recomputes the histogram in pure SQL (valid because the corpus
+    is ASCII: byte identity == char codepoint)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return with_media_column(docs).mapInPandas(_histogram_batches, HISTOGRAM_SCHEMA)
