@@ -80,6 +80,7 @@ _HEAD: tuple[str, ...] = (
     "doc_repetition_stats",  # new in r02: Gopher-style repetition signals
     "source_quality_profile",  # new in r02: per-source corpus health
     "media_byte_histogram",  # new in r02: binary-column byte features
+    "streaming_click_attribution",  # new in r02: stream-stream interval join
 )
 _TAIL: tuple[str, ...] = (
     # green hash-matched in CORRECTNESS_r01.json; in-window siblings noted
@@ -91,6 +92,7 @@ _TAIL: tuple[str, ...] = (
     "events_10min_windows",  # sibling: events_hourly (same tumbling shape)
     "customer_order_window",  # sibling: user_running_stats (same window family)
     "orders_by_month",  # sibling: events_hourly (same date_trunc-agg shape)
+    "supplier_unpivot",  # sibling: user_event_pivot (inverse reshape op)
     # rows-only (oracle=None): driver row records row count only; the real
     # correctness evidence is the pytest property suite either way
     "minhash_lsh_dups",

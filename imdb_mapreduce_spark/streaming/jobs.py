@@ -135,3 +135,70 @@ def streaming_10min_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
     result = tumbling_counts(stream).select("window_start", "n_events")
     return run_stream_to_memory(result, "complete")
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    horizon: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each left row matches right
+    rows with the same user within [left.ts, left.ts + horizon]. Both
+    sides carry watermarks, so join state is bounded — Spark drops a
+    buffered row once the other side's watermark passes its interval end
+    (the canonical attribution-join shape; state grows with the horizon,
+    not the stream length)."""
+    v = left.select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id"),
+        F.col("ts").alias("view_ts"),
+    ).withWatermark("view_ts", "1 hour")
+    p = right.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    ).withWatermark("purchase_ts", "1 hour")
+    return v.join(
+        p,
+        F.expr(
+            f"user_id = p_user AND purchase_ts >= view_ts"
+            f" AND purchase_ts <= view_ts + interval {horizon}"
+        ),
+        "inner",
+    ).select(
+        "view_id",
+        "purchase_id",
+        "user_id",
+        "view_ts",
+        "purchase_ts",
+        (F.unix_micros("purchase_ts") - F.unix_micros("view_ts")).alias("delay_us"),
+    )
+
+
+@register(
+    "streaming_click_attribution",
+    oracle="""
+    SELECT c.event_id AS view_id, p.event_id AS purchase_id, c.user_id,
+           c.ts AS view_ts, p.ts AS purchase_ts,
+           CAST(date_diff('microsecond', c.ts, p.ts) AS BIGINT) AS delay_us
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+    tags=("streaming", "north-star", "stream-stream-join"),
+)
+def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream attribution: views joined to purchases by the same
+    user within 30 minutes, executed as a watermarked interval join over
+    two live streams in append mode. The oracle is the equivalent BATCH
+    join — with availableNow every match must be emitted by stream end,
+    proving stream/batch equivalence for the join operator too."""
+    src = f"{sf_dir}/events.parquet"
+    views = read_events_stream(spark, src).filter(F.col("event_type") == "view")
+    purchases = read_events_stream(spark, src).filter(
+        F.col("event_type") == "purchase"
+    )
+    return run_stream_to_memory(
+        interval_join_streams(views, purchases), output_mode="append"
+    )
