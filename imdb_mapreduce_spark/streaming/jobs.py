@@ -202,3 +202,26 @@ def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(
         interval_join_streams(views, purchases), output_mode="append"
     )
+
+
+def run_stream_to_parquet(
+    result: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+) -> None:
+    """Durable, restart-safe streaming sink: parquet files + a persistent
+    checkpoint. Exactly-once comes from the pair (offset log, commit log)
+    in the checkpoint — a re-run after a crash (or a second availableNow
+    run over unchanged input) replays nothing and appends nothing.
+    This is the production sink shape; the memory sink above is for
+    tests/oracles only."""
+    q = (
+        result.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

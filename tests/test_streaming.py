@@ -82,3 +82,33 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # still be open at end-of-stream in append mode. Event 1 must be out.
     assert emitted_ids_total <= 2
     assert any(r["n_events"] == 1 for r in out)
+
+
+def test_parquet_sink_exactly_once_on_rerun(spark, tmp_path):
+    # Same availableNow query run twice against the SAME checkpoint and
+    # unchanged input: the second run must replay nothing (commit log) —
+    # the restart-safety contract of the durable sink.
+    from imdb_mapreduce_spark.streaming.jobs import (
+        interval_join_streams,
+        read_events_stream,
+        run_stream_to_parquet,
+    )
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        views = read_events_stream(spark, src).filter(F.col("event_type") == "view")
+        purchases = read_events_stream(spark, src).filter(
+            F.col("event_type") == "purchase"
+        )
+        run_stream_to_parquet(interval_join_streams(views, purchases), out, ckpt)
+
+    run()
+    first = spark.read.parquet(out).count()
+    run()  # re-run: offsets already committed -> no new data
+    assert spark.read.parquet(out).count() == first
+    # and the content matches the batch join it implements
+    ev = spark.read.parquet(out)
+    assert ev.select("view_id", "purchase_id").distinct().count() == first
