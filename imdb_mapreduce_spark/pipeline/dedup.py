@@ -430,10 +430,9 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CLUSTER_JACCARD_THR = 0.1
 
-
-@register(
-    "dedup_clusters",
-    oracle=f"""
+# Shared by the dedup_clusters oracle and the corpus_keep_list oracle
+# (there it runs as a parenthesized subquery).
+CLUSTERS_SQL = f"""
     WITH RECURSIVE lists AS MATERIALIZED (
       -- shingle list computed ONCE per doc (inlining it into both unnest
       -- and len doubles the dominant cost)
@@ -459,7 +458,12 @@ CLUSTER_JACCARD_THR = 0.1
       UNION
       SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a)
     SELECT n AS doc_id, MIN(m) AS component FROM reach GROUP BY n
-    """,
+    """
+
+
+@register(
+    "dedup_clusters",
+    oracle=CLUSTERS_SQL,
     tags=("dedup", "north-star", "graph", "iterative"),
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -475,4 +479,71 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return connected_components(pairs, "doc1", "doc2").select(
         F.col("node").alias("doc_id"), "component"
+    )
+
+
+# Keep-list policy knobs (tuned to produce a meaningful keep/drop mix on
+# the synthetic corpus: token counts span 10..99, TTR spans 0.28..1.0).
+KEEP_MIN_TOKENS = 20
+KEEP_MAX_TOKENS = 95
+KEEP_MIN_TTR = 0.33
+
+
+@register(
+    "corpus_keep_list",
+    oracle=f"""
+    SELECT d.doc_id,
+           CASE
+             WHEN c.component IS NOT NULL AND c.component <> d.doc_id
+               THEN 'near_dup'
+             WHEN len(string_split(d.text, ' ')) < {KEEP_MIN_TOKENS}
+               OR len(string_split(d.text, ' ')) > {KEEP_MAX_TOKENS}
+               THEN 'length'
+             WHEN CAST(len(list_distinct(string_split(d.text, ' '))) AS DOUBLE)
+                    / CAST(len(string_split(d.text, ' ')) AS DOUBLE) < {KEEP_MIN_TTR}
+               THEN 'repetitive'
+           END AS drop_reason,
+           (CASE
+             WHEN c.component IS NOT NULL AND c.component <> d.doc_id THEN FALSE
+             WHEN len(string_split(d.text, ' ')) < {KEEP_MIN_TOKENS}
+               OR len(string_split(d.text, ' ')) > {KEEP_MAX_TOKENS} THEN FALSE
+             WHEN CAST(len(list_distinct(string_split(d.text, ' '))) AS DOUBLE)
+                    / CAST(len(string_split(d.text, ' ')) AS DOUBLE) < {KEEP_MIN_TTR}
+               THEN FALSE
+             ELSE TRUE
+           END) AS keep
+    FROM documents d
+    LEFT JOIN ({CLUSTERS_SQL}) c ON c.doc_id = d.doc_id
+    """,
+    tags=("dedup", "north-star", "pipeline", "quality"),
+)
+def corpus_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline's END PRODUCT: one keep/drop decision per document,
+    composing the near-dup clusterer (drop non-survivors) with length and
+    repetition quality gates — precedence near_dup > length > repetitive,
+    first failing rule recorded as drop_reason.
+
+    Composition shape at scale: the cluster mapping is tiny (only docs in
+    some near-dup pair) so its join side broadcasts; the quality gates are
+    pure projections on the corpus scan. One wide pass + one small join.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    clusters = dedup_clusters(spark, sf_dir)
+    non_survivor = clusters.filter(F.col("component") != F.col("doc_id")).select(
+        "doc_id", F.lit(True).alias("_dup")
+    )
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n_tok.cast("double")
+    reason = (
+        F.when(F.col("_dup"), F.lit("near_dup"))
+        .when(
+            (n_tok < KEEP_MIN_TOKENS) | (n_tok > KEEP_MAX_TOKENS), F.lit("length")
+        )
+        .when(ttr < KEEP_MIN_TTR, F.lit("repetitive"))
+    )
+    return (
+        docs.join(F.broadcast(non_survivor), "doc_id", "left")
+        .select("doc_id", reason.alias("drop_reason"))
+        .withColumn("keep", F.col("drop_reason").isNull())
     )

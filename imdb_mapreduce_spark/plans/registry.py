@@ -81,6 +81,7 @@ _HEAD: tuple[str, ...] = (
     "source_quality_profile",  # new in r02: per-source corpus health
     "media_byte_histogram",  # new in r02: binary-column byte features
     "streaming_click_attribution",  # new in r02: stream-stream interval join
+    "corpus_keep_list",  # new in r02: composed keep/drop pipeline product
 )
 _TAIL: tuple[str, ...] = (
     # green hash-matched in CORRECTNESS_r01.json; in-window siblings noted
@@ -93,6 +94,7 @@ _TAIL: tuple[str, ...] = (
     "customer_order_window",  # sibling: user_running_stats (same window family)
     "orders_by_month",  # sibling: events_hourly (same date_trunc-agg shape)
     "supplier_unpivot",  # sibling: user_event_pivot (inverse reshape op)
+    "early_not_recent_buyers",  # sibling: priority_segment_union (set-op family)
     # rows-only (oracle=None): driver row records row count only; the real
     # correctness evidence is the pytest property suite either way
     "minhash_lsh_dups",
