@@ -107,3 +107,40 @@ def test_cc_convergence_probe_has_no_join_or_broadcast(spark):
     # and the real helper returns a scalar tuple, not a relation
     n, h = _checksum(labels, "node", "label")
     assert n == 1000 and h is not None
+
+
+def test_new_pipeline_queries_stay_jvm_side(spark, queries):
+    # r2 additions: pure built-in expression pipelines — no row-at-a-time
+    # or Arrow Python evaluation anywhere (mapInPandas queries are audited
+    # separately; these four must be all-JVM)
+    for name in (
+        "source_quality_profile",
+        "doc_repetition_stats",
+        "corpus_keep_list",
+        "embedding_lsh_dups",
+    ):
+        plan = explain_str(queries[name].spark_fn(spark, SF))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "SortMergeJoin" not in plan, name  # hash/broadcast only
+
+
+def test_source_profile_aggregates_partially(spark, queries):
+    # one partial+final agg on source: the shuffle carries 20 group states,
+    # not 5k raw rows
+    plan = explain_str(queries["source_quality_profile"].spark_fn(spark, SF))
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_keep_list_broadcasts_cluster_mapping(spark, queries):
+    # the non-survivor mapping covers only docs in some near-dup pair —
+    # always small relative to the corpus, and must broadcast
+    plan = explain_str(queries["corpus_keep_list"].spark_fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_lsh_dups_uses_hash_join(spark, queries):
+    # the bucket self-join must honor the shuffle_hash hint (AQE reuses
+    # the exchange at runtime; sort-merge would add two full sorts)
+    plan = explain_str(queries["embedding_lsh_dups"].spark_fn(spark, SF))
+    assert "ShuffledHashJoin" in plan
