@@ -371,9 +371,13 @@ def random_hyperplane_buckets(
     return emb.select("*", F.posexplode(buckets).alias("table", "bucket"))
 
 
-def ivf_cells(emb: DataFrame, k: int = 8, seed: int = 42) -> DataFrame:
+def ivf_index(
+    emb: DataFrame, k: int = 8, seed: int = 42
+) -> "tuple[DataFrame, list[list[float]]]":
     """IVF coarse quantizer: k-means cells over the corpus
-    (``pyspark.ml`` KMeans, seeded). Returns (vec_id, embedding, cell).
+    (``pyspark.ml`` KMeans, seeded). Returns the (vec_id, embedding, cell)
+    assignments plus the centroids (cell i = i-th centroid), which the
+    query side needs for nprobe > 1 probing.
 
     At 100 TB: fit the quantizer on a sample (k-means cost is per-row ×
     iterations), persist cell assignments partitioned BY cell so a query
@@ -386,8 +390,39 @@ def ivf_cells(emb: DataFrame, k: int = 8, seed: int = 42) -> DataFrame:
         "vec_id", "embedding", array_to_vector("embedding").alias("features")
     )
     model = KMeans(k=k, seed=seed, maxIter=10).fit(vecs)
-    return model.transform(vecs).select(
+    assigned = model.transform(vecs).select(
         "vec_id", "embedding", F.col("prediction").alias("cell")
+    )
+    centers = [c.tolist() for c in model.clusterCenters()]
+    return assigned, centers
+
+
+def ivf_cells(emb: DataFrame, k: int = 8, seed: int = 42) -> DataFrame:
+    """Cell assignments only (see :func:`ivf_index`)."""
+    return ivf_index(emb, k, seed)[0]
+
+
+def probed_cells(
+    spark: SparkSession, queries: DataFrame, centers: "list[list[float]]", nprobe: int
+) -> DataFrame:
+    """(query_id, cell) for each query's ``nprobe`` nearest centroids —
+    the query-side fan-out of IVF probing. Centroids are a driver-side
+    list (k × dim floats, tiny) broadcast as a literal relation; ranking
+    is by exact L2 distance. Corpus side stays partitioned by cell."""
+    cdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centers)], "cell int, center array<double>"
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(qe, center, (x, y) -> (CAST(x AS DOUBLE) - y) *"
+        " (CAST(x AS DOUBLE) - y)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col("cell"))
+    return (
+        queries.crossJoin(F.broadcast(cdf))
+        .select("query_id", "cell", d2.alias("d2"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= nprobe)
+        .select("query_id", "cell")
     )
 
 
@@ -396,18 +431,27 @@ def ivf_cells(emb: DataFrame, k: int = 8, seed: int = 42) -> DataFrame:
     oracle=None,  # k-means cells are algorithm-internal; recall tested vs brute force
     tags=("similarity", "north-star", "ivf"),
 )
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (nprobe=1): queries score only their own k-means cell.
-    Complements the LSH variant: data-adaptive cells give better
-    candidate quality on clustered corpora; LSH needs no training. Same
-    downstream shape (bucket-equi-join → score → rank)."""
+def ann_ivf_topk(
+    spark: SparkSession, sf_dir: str, nprobe: int = 1
+) -> DataFrame:
+    """IVF ANN: queries score their ``nprobe`` nearest k-means cells
+    (nprobe=1 → own cell only). Complements the LSH variant:
+    data-adaptive cells give better candidate quality on clustered
+    corpora; LSH needs no training. Same downstream shape
+    (bucket-equi-join → score → rank); raising nprobe is the recall knob,
+    probing cells the query is CLOSEST to rather than hash neighbors."""
     emb = load_table(spark, "embeddings", sf_dir)
-    cells = ivf_cells(emb)
+    cells, centers = ivf_index(emb)
     q = cells.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
         F.col("cell").alias("qc"),
     )
+    if nprobe > 1:
+        probes = probed_cells(
+            spark, q.select("query_id", "qe"), centers, nprobe
+        ).withColumnRenamed("cell", "qc")
+        q = q.drop("qc").join(F.broadcast(probes), "query_id")
     c = cells.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("ce"),
@@ -419,6 +463,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             c,
             (F.col("qc") == F.col("cc")) & (F.col("neighbor_id") != F.col("query_id")),
         )
+        .select("query_id", "neighbor_id", "qe", "ce")
+        .distinct()
         .select(
             "query_id",
             "neighbor_id",

@@ -153,3 +153,27 @@ def test_ann_lsh_multiprobe_raises_recall(spark):
     }
     assert len(multi & exact) / len(exact) >= 0.9
     assert len(multi & exact) >= len(single & exact)
+
+
+def test_ann_ivf_nprobe_raises_recall(spark):
+    # probing the query's N nearest cells (exact centroid distances) is
+    # monotone in recall: measured 0.30 / 0.50 / 0.62 at sf0.01 for
+    # nprobe 1/2/3 (deterministic: seeded k-means, fixed data).
+    from imdb_mapreduce_spark.pipeline.similarity import (
+        ann_cosine_topk,
+        ann_ivf_topk,
+    )
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_cosine_topk(spark, SF).collect()
+    }
+    r1 = {
+        (r["query_id"], r["neighbor_id"]) for r in ann_ivf_topk(spark, SF).collect()
+    }
+    r3 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_ivf_topk(spark, SF, nprobe=3).collect()
+    }
+    assert len(r3 & exact) >= len(r1 & exact)
+    assert len(r3 & exact) / len(exact) >= 0.4
