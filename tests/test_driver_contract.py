@@ -26,7 +26,9 @@ import __spark_entry__ as m
 qs = m.queries()
 sf = "/root/testdata/sf0.001"
 names = ["events_hourly", "media_metadata_stats", "pricing_summary",
-         "asof_last_purchase", "streaming_10min_counts"]
+         "asof_last_purchase", "streaming_10min_counts",
+         "streaming_click_attribution", "corpus_keep_list",
+         "media_byte_histogram", "embedding_lsh_dups"]
 for name in names:
     n = qs[name](spark, sf).count()
     assert n > 0, name
