@@ -130,3 +130,62 @@ def test_asof_duplicate_ts_deterministic_tiebreak(spark):
             left, right.repartition(n), "key", "ts", ["price", "tag"]
         ).collect()
         assert (out[0]["price_asof"], out[0]["tag_asof"]) == (2.0, "b")
+
+
+def test_asof_join_matches_pandas_with_null_payloads(spark):
+    """Same cross-check with NULLABLE payload columns — the blind spot
+    that hid the carry-each-column-independently bug: merge_asof returns
+    the matched row's values, NULLs included, and both payload columns
+    must come from the same matched row."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    base = pd.Timestamp("2024-01-01")
+    left = pd.DataFrame(
+        {
+            "event_id": np.arange(200),
+            "user_id": rng.integers(0, 8, 200).astype("int64"),
+            "ts": base + pd.to_timedelta(rng.integers(0, 10**6, 200), unit="s"),
+        }
+    )
+    # distinct ts per user so merge_asof's match is unique (our duplicate
+    # tiebreak is max-struct, pandas' is last-sorted — only equivalent on
+    # unique keys; duplicates are covered by their own deterministic test)
+    rts = rng.choice(10**6, size=100, replace=False)
+    price = rng.uniform(1, 9, 100).round(2)
+    price[rng.random(100) < 0.4] = np.nan  # 40% NULL payloads
+    right = pd.DataFrame(
+        {
+            "tag": np.arange(2000, 2100),
+            "user_id": rng.integers(0, 8, 100).astype("int64"),
+            "ts": base + pd.to_timedelta(rts, unit="s"),
+            "price": price,
+        }
+    )
+    expected = (
+        pd.merge_asof(
+            left.sort_values("ts"),
+            right.sort_values("ts"),
+            on="ts",
+            by="user_id",
+            direction="backward",
+        )
+        .set_index("event_id")[["tag", "price"]]
+    )
+
+    got_rows = asof_join(
+        spark.createDataFrame(left),
+        spark.createDataFrame(right),
+        key="user_id",
+        ts="ts",
+        payload=["tag", "price"],
+    ).collect()
+    got = {r["event_id"]: (r["tag_asof"], r["price_asof"]) for r in got_rows}
+    assert len(got) == len(left)
+    for eid, row in expected.iterrows():
+        want_tag = None if pd.isna(row["tag"]) else int(row["tag"])
+        want_price = None if pd.isna(row["price"]) else float(row["price"])
+        gt, gp = got[eid]
+        assert gt == want_tag, f"event {eid}: tag {gt} != {want_tag}"
+        assert gp == want_price, f"event {eid}: price {gp} != {want_price}"
