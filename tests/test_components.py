@@ -71,3 +71,53 @@ def test_driver_union_find_matches_distributed(spark):
     }
     assert fast == _cc(spark, pairs)
     assert fast == _cc_star(spark, pairs)
+
+
+def _nx_components(pairs):
+    # pure-python reference: min-label components via repeated relaxation
+    adj: dict = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    label = {n: n for n in adj}
+    changed = True
+    while changed:
+        changed = False
+        for n in adj:
+            m = min([label[n]] + [label[v] for v in adj[n]])
+            if m < label[n]:
+                label[n] = m
+                changed = True
+    # propagate to fixpoint (label chains)
+    for n in adj:
+        while label[label[n]] != label[n]:
+            label[n] = label[label[n]]
+    return label
+
+
+def test_property_all_algorithms_agree_on_random_graphs(spark):
+    from hypothesis import given, settings, strategies as st
+
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 15), st.integers(0, 15)),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    @settings(max_examples=8, deadline=None)
+    def check(pairs):
+        want = _nx_components(pairs)
+        df = spark.createDataFrame(pairs, ["src", "dst"])
+        for kw in (
+            {},  # driver union-find shortcut
+            {"driver_threshold": 0},  # distributed label propagation
+            {"driver_threshold": 0, "algorithm": "star"},  # distributed star
+        ):
+            got = {
+                r["node"]: r["component"]
+                for r in connected_components(df, "src", "dst", **kw).collect()
+            }
+            assert got == want, kw
+
+    check()
