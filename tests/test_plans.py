@@ -144,3 +144,26 @@ def test_lsh_dups_uses_hash_join(spark, queries):
     # the exchange at runtime; sort-merge would add two full sorts)
     plan = explain_str(queries["embedding_lsh_dups"].spark_fn(spark, SF))
     assert "ShuffledHashJoin" in plan
+
+
+def test_global_plan_hygiene_sweep(spark, queries):
+    # Every registered batch query, one rule set: no row-at-a-time Python
+    # (BatchEvalPython), no unbounded CartesianProduct. Arrow MapInPandas
+    # is allowed only in the media_* pipeline (multimodal is the sanctioned
+    # Python path); BroadcastNestedLoopJoin only where a deliberately
+    # broadcast small side meets a non-equi/cross condition.
+    ALLOW_MAPINPANDAS = {
+        "media_metadata_stats", "media_feature_extract", "media_resize_plan",
+        "media_frame_sample", "media_format_rollup", "media_byte_histogram",
+    }
+    ALLOW_BNLJ = {"quantity_band_stats", "ann_cosine_topk"}
+    for name, q in queries.items():
+        if "streaming" in q.tags:
+            continue
+        plan = explain_str(q.spark_fn(spark, SF))
+        assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        if "MapInPandas" in plan:
+            assert name in ALLOW_MAPINPANDAS, name
+        if "BroadcastNestedLoopJoin" in plan:
+            assert name in ALLOW_BNLJ, name
