@@ -38,6 +38,7 @@ HEADLINE = (
     "copart_pairs_topk",
     "dedup_exact_groups",
     "ngram_jaccard_pairs",
+    "corpus_keep_list",
     "minhash_lsh_dups",
     "embedding_lsh_dups",
     "ann_cosine_topk",
