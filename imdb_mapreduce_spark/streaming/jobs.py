@@ -225,3 +225,34 @@ def run_stream_to_parquet(
         .start()
     )
     q.awaitTermination()
+
+
+def events_from_kafka_frame(kafka_df: DataFrame) -> DataFrame:
+    """Map a Kafka-shaped frame (the exact columns ``spark.readStream
+    .format("kafka")`` produces: binary key/value + topic/partition/offset/
+    timestamp) onto the typed events schema: JSON-decode the value, cast,
+    floor ns → µs. Works identically on batch and streaming inputs — wire
+    a real broker by swapping the source, no downstream change (no broker
+    exists in this environment, so tests feed a synthetic frame with the
+    same columns)."""
+    value_schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", LongType()),  # raw ns, as the file source
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    parsed = kafka_df.select(
+        F.from_json(F.col("value").cast("string"), value_schema).alias("v")
+    )
+    return parsed.select(
+        F.col("v.event_id").alias("event_id"),
+        F.timestamp_micros(F.expr("v.ts div 1000")).alias("ts"),
+        F.col("v.user_id").alias("user_id"),
+        F.col("v.event_type").alias("event_type"),
+        F.col("v.value").alias("value"),
+        F.col("v.props").alias("props"),
+    )

@@ -112,3 +112,28 @@ def test_parquet_sink_exactly_once_on_rerun(spark, tmp_path):
     # and the content matches the batch join it implements
     ev = spark.read.parquet(out)
     assert ev.select("view_id", "purchase_id").distinct().count() == first
+
+
+def test_kafka_shaped_source_roundtrip(spark):
+    # Encode real events rows into the exact frame shape the Kafka source
+    # produces (binary value + topic/partition/offset), decode through the
+    # adapter, and require bit-identical rows to the file-source reader.
+    from pyspark.sql import functions as FN
+
+    from imdb_mapreduce_spark.sources.star import load_table
+    from imdb_mapreduce_spark.streaming.jobs import events_from_kafka_frame
+
+    events = load_table(spark, "events", "/root/testdata/sf0.001").limit(200)
+    raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet").limit(200)
+    kafka_shaped = raw.select(
+        FN.lit(None).cast("binary").alias("key"),
+        FN.encode(FN.to_json(FN.struct(*raw.columns)), "utf-8").alias("value"),
+        FN.lit("events").alias("topic"),
+        FN.lit(0).alias("partition"),
+        FN.monotonically_increasing_id().alias("offset"),
+        FN.current_timestamp().alias("timestamp"),
+    )
+    decoded = events_from_kafka_frame(kafka_shaped)
+    assert decoded.schema == events.schema
+    assert decoded.subtract(events).count() == 0
+    assert events.subtract(decoded).count() == 0
