@@ -201,3 +201,84 @@ def user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         for t in ("click", "view", "purchase", "signup", "error")
     ]
     return e.groupBy("user_id").agg(*aggs)
+
+
+# Epoch seconds of 2024-01-01 UTC — the x-offset that keeps every
+# regression accumulator exactly representable (see user_value_trend).
+TREND_EPOCH = 1_704_067_200
+
+
+@register(
+    "user_value_trend",
+    oracle=f"""
+    WITH pts AS (
+      SELECT user_id,
+             date_diff('second', TIMESTAMP '2024-01-01', ts) AS x,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
+      FROM events),
+    s AS (
+      SELECT user_id,
+             COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy
+      FROM pts GROUP BY user_id)
+    SELECT user_id,
+           n AS n_events,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE) * 36.0
+             AS slope_per_hour,
+           (CAST(sy AS DOUBLE) / 100.0
+              - (CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE))
+                * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
+    FROM s
+    """,
+    tags=("agg", "regression", "north-star"),
+)
+def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user least-squares trend of value over time — drift/anomaly
+    detection as ONE distributed aggregation (no per-group sort, no
+    Python): slope = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²) over INTEGER sums.
+
+    Exactness by construction: x = whole seconds since 2024-01-01 (≤2.6e6
+    for this 30-day corpus), y = exact cents. Every accumulator stays in
+    BIGINT and the final num/den differences stay under 2^53, so the
+    double division is bit-identical cross-engine — no streaming-moment
+    (regr_slope/covar) implementation differences to chase. Bounds hold
+    through sf1 (~10⁴ rows/user); beyond that switch the two quadratic
+    accumulators to DECIMAL(38,0).
+    """
+    ev = _events(spark, sf_dir)
+    pts = ev.select(
+        "user_id",
+        # integer div, not `/`+cast: double division of large epochs can
+        # round across a second boundary before the truncation
+        F.expr("unix_micros(ts) div 1000000").alias("_us_div"),
+        F.col("value").cast(D2).alias("_v"),
+    ).select(
+        "user_id",
+        (F.col("_us_div") - F.lit(TREND_EPOCH)).alias("x"),
+        (F.col("_v") * 100).cast("long").alias("y"),
+    )
+    s = pts.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num.cast("double") / F.nullif(den, F.lit(0)).cast("double")
+    return s.select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        (slope * 36.0).alias("slope_per_hour"),
+        (
+            (
+                F.col("sy").cast("double") / 100.0
+                - slope * F.col("sx").cast("double")
+            )
+            / F.col("n").cast("double")
+        ).alias("intercept"),
+    )

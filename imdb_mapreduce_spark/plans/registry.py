@@ -82,6 +82,7 @@ _HEAD: tuple[str, ...] = (
     "media_byte_histogram",  # new in r02: binary-column byte features
     "streaming_click_attribution",  # new in r02: stream-stream interval join
     "corpus_keep_list",  # new in r02: composed keep/drop pipeline product
+    "user_value_trend",  # new in r02: exact-sum least-squares regression
 )
 _TAIL: tuple[str, ...] = (
     # green hash-matched in CORRECTNESS_r01.json; in-window siblings noted
@@ -95,6 +96,7 @@ _TAIL: tuple[str, ...] = (
     "orders_by_month",  # sibling: events_hourly (same date_trunc-agg shape)
     "supplier_unpivot",  # sibling: user_event_pivot (inverse reshape op)
     "early_not_recent_buyers",  # sibling: priority_segment_union (set-op family)
+    "brand_top2_parts",  # sibling: revenue_topk (window top-k family)
     # rows-only (oracle=None): driver row records row count only; the real
     # correctness evidence is the pytest property suite either way
     "minhash_lsh_dups",
