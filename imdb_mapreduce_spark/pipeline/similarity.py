@@ -75,9 +75,11 @@ def _hyperplanes(
 def _dot_unrolled(a: str, b: str, dim: int = 64) -> Column:
     """``dot`` with the fold unrolled to an explicit left-associated sum —
     the identical addition sequence ((0+t1)+t2)+…, so bit-identical to the
-    fold and to the oracle's unrolled SQL, but plain codegen arithmetic
-    with no per-row lambda/array allocation (~4 µs/fold saved; this is
-    the hot path when scoring 10⁵⁺ candidate pairs)."""
+    fold and to the oracle's unrolled SQL. Used for ONCE-PER-VECTOR work
+    (norms); for per-pair scoring the fold is faster (ANSI bounds checks
+    on 2×dim element_at calls outweigh the lambda overhead — measured),
+    and unrolling many planes at once blows up Catalyst analysis (see
+    :func:`_bucket_col`)."""
     acc: Column = F.lit(0.0)
     for i in range(1, dim + 1):
         acc = acc + (
@@ -551,3 +553,71 @@ def ann_lsh_topk(
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine", "rnk")
     )
+
+
+def random_hyperplane_buckets_arrow(
+    emb: DataFrame,
+    n_tables: int = LSH_TABLES,
+    planes_per_table: int = LSH_PLANES,
+    seed: int = 42,
+    dim: int = 64,
+) -> DataFrame:
+    """Arrow fast path for :func:`random_hyperplane_buckets`: ONE numpy
+    matmul per batch ((rows × dim) @ (dim × tables·planes)) instead of
+    tables × planes expression folds per row — the production choice when
+    bucket building dominates (it is per-vector work, so at 100 TB it is
+    the biggest fixed cost of the LSH index).
+
+    Trade-off, stated plainly: numpy accumulates the dot products
+    pairwise/SIMD, not left-associated, so a projection within float
+    rounding of zero can land on the other side of the hyperplane vs the
+    expression path — bucket agreement is ~1 - 1e-8 per projection, not
+    exactly 1. The oracle-checked queries therefore keep the expression
+    path; use this for throughput at scale (tests pin exact agreement on
+    this corpus).
+    """
+    import numpy as np
+
+    planes = _hyperplanes(n_tables, planes_per_table, seed, dim)
+    mat = np.concatenate(planes, axis=0).T  # (dim, n_tables*planes_per_table)
+    weights = (1 << np.arange(planes_per_table)).astype("int64")
+
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+            StructField("table", IntegerType()),
+            StructField("bucket", IntegerType()),
+        ]
+    )
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            vecs = np.stack(pdf["embedding"].to_numpy())  # (n, dim)
+            proj = vecs.astype("float64") @ mat  # (n, T*P)
+            bits = (proj >= 0).reshape(len(pdf), n_tables, planes_per_table)
+            buckets = (bits * weights).sum(axis=2).astype("int32")  # (n, T)
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), n_tables),
+                    "embedding": [
+                        e for e in pdf["embedding"] for _ in range(n_tables)
+                    ],
+                    "table": np.tile(np.arange(n_tables, dtype="int32"), n),
+                    "bucket": buckets.reshape(-1),
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(batches, out_schema)

@@ -177,3 +177,29 @@ def test_ann_ivf_nprobe_raises_recall(spark):
     }
     assert len(r3 & exact) >= len(r1 & exact)
     assert len(r3 & exact) / len(exact) >= 0.4
+
+
+def test_arrow_bucket_fast_path_matches_expression_path(spark):
+    # The numpy-matmul bucket builder must agree with the codegen
+    # expression path. Agreement is exact on this corpus (a disagreement
+    # requires a projection within float rounding of zero — probability
+    # ~1e-8 per projection); both paths are deterministic, so this is a
+    # stable equality, not a flaky threshold.
+    from pyspark.sql import functions as FN
+
+    from imdb_mapreduce_spark.pipeline.similarity import (
+        random_hyperplane_buckets,
+        random_hyperplane_buckets_arrow,
+    )
+    from imdb_mapreduce_spark.sources.star import load_table
+
+    emb = load_table(spark, "embeddings", SF)
+    expr_b = {
+        (r["vec_id"], r["table"]): r["bucket"]
+        for r in random_hyperplane_buckets(emb).collect()
+    }
+    arrow_b = {
+        (r["vec_id"], r["table"]): r["bucket"]
+        for r in random_hyperplane_buckets_arrow(emb).collect()
+    }
+    assert expr_b == arrow_b
