@@ -68,41 +68,45 @@ def register(
 # Rotate these lists each round so coverage accumulates. See COVERAGE.md
 # ("Driver correctness window") for the per-round rotation record.
 _HEAD: tuple[str, ...] = (
-    "dataset_split_assignment",
-    "doc_fingerprint_rolling",
-    "media_metadata_stats",
+    # the 15 queries whose latest driver row is from r01 (or rows-only):
+    # rotated to the head for r03 so every registered query's driver row is
+    # at most one round old (VERDICT r02 item 1)
+    "ngram_jaccard_capped",
+    "dedup_exact_survivors",
+    "rollup_grouping_flags",
+    "events_json_struct",
+    "embedding_label_dups",
+    "events_10min_windows",
+    "customer_order_window",
+    "orders_by_month",
+    "supplier_unpivot",
+    "early_not_recent_buyers",
+    "brand_top2_parts",
+    "minhash_lsh_dups",  # r03: converted to portable md5 minhash with oracle
+    "simhash_near_dups",  # rows-only (oracle=None)
+    "ann_ivf_topk",  # rows-only; r03: no-op distinct removed
+    "ann_lsh_topk",  # rows-only; r03: arrow matmul bucket path
+    # queries whose code changed in r03 → must re-earn a driver row
+    "user_value_trend",  # r03: intercept unit fix (ADVICE r02 medium)
+)
+_TAIL: tuple[str, ...] = (
+    # all green hash-matched in CORRECTNESS_r02.json with code unchanged in
+    # r03; families keep an in-window sibling where one exists
+    "media_metadata_stats",  # sibling: media_byte_histogram
     "media_feature_extract",
     "media_resize_plan",
     "media_frame_sample",
     "media_format_rollup",
+    "doc_fingerprint_rolling",  # sibling: token_count_bpe (text family)
+    "dataset_split_assignment",
+    "content_sample",
+    "doc_repetition_stats",
+    "source_quality_profile",
     "streaming_10min_counts",
-    "embedding_lsh_dups",  # new in r02: bucket-blocked near-dups
-    "doc_repetition_stats",  # new in r02: Gopher-style repetition signals
-    "source_quality_profile",  # new in r02: per-source corpus health
-    "media_byte_histogram",  # new in r02: binary-column byte features
-    "streaming_click_attribution",  # new in r02: stream-stream interval join
-    "corpus_keep_list",  # new in r02: composed keep/drop pipeline product
-    "user_value_trend",  # new in r02: exact-sum least-squares regression
-)
-_TAIL: tuple[str, ...] = (
-    # green hash-matched in CORRECTNESS_r01.json; in-window siblings noted
-    "ngram_jaccard_capped",  # sibling: ngram_jaccard_pairs
-    "dedup_exact_survivors",  # sibling: dedup_exact_groups
-    "rollup_grouping_flags",  # sibling: region_rollup
-    "events_json_struct",  # sibling: events_json_stats
-    "embedding_label_dups",  # sibling: embedding_lsh_dups (the scale path)
-    "events_10min_windows",  # sibling: events_hourly (same tumbling shape)
-    "customer_order_window",  # sibling: user_running_stats (same window family)
-    "orders_by_month",  # sibling: events_hourly (same date_trunc-agg shape)
-    "supplier_unpivot",  # sibling: user_event_pivot (inverse reshape op)
-    "early_not_recent_buyers",  # sibling: priority_segment_union (set-op family)
-    "brand_top2_parts",  # sibling: revenue_topk (window top-k family)
-    # rows-only (oracle=None): driver row records row count only; the real
-    # correctness evidence is the pytest property suite either way
-    "minhash_lsh_dups",
-    "simhash_near_dups",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
+    "streaming_click_attribution",
+    "corpus_keep_list",
+    "embedding_lsh_dups",  # sibling: ann_cosine_topk (similarity family)
+    "orders_per_customer",  # sibling: region_rollup (relational family)
 )
 
 
@@ -130,6 +134,12 @@ def all_queries() -> dict[str, Query]:
     )
     from imdb_mapreduce_spark.streaming import jobs  # noqa: F401
 
+    stale = [n for n in (*_HEAD, *_TAIL) if n not in _REGISTRY]
+    if stale:
+        raise KeyError(
+            f"stale _HEAD/_TAIL entries (renamed or removed queries): {stale}; "
+            "update plans/registry.py rotation lists"
+        )
     ordered: dict[str, Query] = {}
     for name in _HEAD:
         ordered[name] = _REGISTRY[name]
