@@ -227,10 +227,11 @@ TREND_EPOCH = 1_704_067_200
            CAST(n * sxy - sx * sy AS DOUBLE)
              / CAST(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE) * 36.0
              AS slope_per_hour,
-           (CAST(sy AS DOUBLE) / 100.0
+           (CAST(sy AS DOUBLE)
               - (CAST(n * sxy - sx * sy AS DOUBLE)
                  / CAST(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE))
-                * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
+                * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) / 100.0
+             AS intercept
     FROM s
     """,
     tags=("agg", "regression", "north-star"),
@@ -274,11 +275,15 @@ def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("n").alias("n_events"),
         (slope * 36.0).alias("slope_per_hour"),
+        # intercept stays in cents until the single final /100: slope is
+        # cents/second, so ȳ − slope·x̄ must be formed in cents on both
+        # engines before converting to value units
         (
             (
-                F.col("sy").cast("double") / 100.0
+                F.col("sy").cast("double")
                 - slope * F.col("sx").cast("double")
             )
             / F.col("n").cast("double")
+            / 100.0
         ).alias("intercept"),
     )
