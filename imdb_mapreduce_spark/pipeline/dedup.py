@@ -294,19 +294,146 @@ def lsh_candidate_pairs(
     )
 
 
+# Universal-hash permutation family for the portable minhash: h_i(x) =
+# (a_i·x + b_i) mod p over a 28-bit base hash parsed from md5. p = 2^31−1
+# (Mersenne); a_i·x ≤ 31+28 = 59 bits, so every product stays in BIGINT in
+# both engines. Constants are generated HERE and inlined into both the
+# Spark expressions and the oracle SQL — bit-identical by construction.
+MINHASH_PRIME = 2_147_483_647
+_PERM_CONSTS: list[tuple[int, int]] = [
+    ((i * 2_654_435_761 + 104_729) % MINHASH_PRIME, (i * 40_503 + 17) % MINHASH_PRIME)
+    for i in range(MINHASH_PERMS)
+]
+assert all(a != 0 for a, _ in _PERM_CONSTS)
+
+
+def minhash_signatures_md5(docs: DataFrame, perms: int = MINHASH_PERMS) -> DataFrame:
+    """(doc_id, h0..h{perms-1}) — portable minhash: ONE md5 per shingle,
+    parsed to a 28-bit int, then ``perms`` universal-hash permutations
+    ``(a_i·h + b_i) mod p`` with literal constants.
+
+    Same single-shuffle shape and integer agg state as
+    :func:`minhash_signatures`, but every step exists identically in any
+    SQL engine (md5 + integer arithmetic), so the whole LSH pipeline is
+    SQL-oracle-checkable — unlike xxhash64, which is Spark-specific. The
+    per-row cost is one md5 instead of ``perms`` hashes.
+    """
+    base = exploded_shingles(docs).select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("sh")), 1, 7), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    mins = [
+        F.min(
+            (F.lit(a).cast("long") * F.col("h") + F.lit(b)) % MINHASH_PRIME
+        ).alias(f"h{i}")
+        for i, (a, b) in enumerate(_PERM_CONSTS[:perms])
+    ]
+    return base.groupBy("doc_id").agg(*mins)
+
+
+def lsh_candidate_pairs_md5(
+    sigs: DataFrame, bands: int = LSH_BANDS, perms: int = MINHASH_PERMS
+) -> DataFrame:
+    """Banded LSH over md5 signatures: bucket = md5 of the comma-joined
+    band slice; candidates = same-(band, bucket) pairs. Identical join
+    shape to :func:`lsh_candidate_pairs`."""
+    rpb = perms // bands
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[F.col(f"h{b * rpb + j}").cast("string") for j in range(rpb)],
+                )
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    banded = sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a = banded.alias("a").hint("shuffle_hash")  # self-join exchange reuse
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .distinct()
+    )
+
+
+_PERM_VALUES_SQL = ", ".join(
+    f"({i}, {a}, {b})" for i, (a, b) in enumerate(_PERM_CONSTS)
+)
+
+
 @register(
     "minhash_lsh_dups",
-    oracle=None,  # engine-specific hash functions; verified vs exact Jaccard in tests
+    # Full relational replica of the portable-minhash pipeline: shingles →
+    # 28-bit md5-derived base hash → per-permutation min of (a·h+b) mod p
+    # → banded buckets → candidate self-join → exact-Jaccard verify.
+    # Portable because md5 and BIGINT arithmetic are bit-identical in both
+    # engines; the (i, a, b) VALUES literals below are generated from the
+    # same _PERM_CONSTS the Spark expressions use.
+    oracle=f"""
+    WITH lists AS MATERIALIZED (
+      SELECT doc_id,
+             list_distinct(list_transform(
+                 generate_series(1, greatest(len(string_split(text, ' ')) - {SHINGLE_WORDS - 1}, 1)),
+                 i -> array_to_string((string_split(text, ' '))[i:i+{SHINGLE_WORDS - 1}], ' '))) AS shl
+      FROM documents),
+    sh AS MATERIALIZED (
+      SELECT doc_id, len(shl) AS n_shingles, unnest(shl) AS sh FROM lists),
+    base AS MATERIALIZED (
+      SELECT doc_id, ('0x' || substring(md5(sh), 1, 7))::BIGINT AS h FROM sh),
+    sig AS MATERIALIZED (
+      SELECT doc_id, p.i, MIN((p.a * h + p.b) % {MINHASH_PRIME}) AS minh
+      FROM base CROSS JOIN (VALUES {_PERM_VALUES_SQL}) AS p(i, a, b)
+      GROUP BY doc_id, p.i),
+    bnd AS MATERIALIZED (
+      SELECT doc_id, i // {MINHASH_PERMS // LSH_BANDS} AS band,
+             md5(string_agg(CAST(minh AS VARCHAR), ',' ORDER BY i)) AS bucket
+      FROM sig GROUP BY doc_id, i // {MINHASH_PERMS // LSH_BANDS}),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+      FROM bnd a JOIN bnd b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+    j AS (
+      SELECT c.doc1, c.doc2, COUNT(*) AS shared,
+             ANY_VALUE(s1.n_shingles) AS n1, ANY_VALUE(s2.n_shingles) AS n2
+      FROM cand c
+      JOIN sh s1 ON s1.doc_id = c.doc1
+      JOIN sh s2 ON s2.doc_id = c.doc2 AND s2.sh = s1.sh
+      GROUP BY c.doc1, c.doc2)
+    SELECT doc1, doc2, shared,
+           CAST(shared AS DOUBLE) / CAST(n1 + n2 - shared AS DOUBLE) AS jaccard
+    FROM j
+    WHERE CAST(shared AS DOUBLE) / CAST(n1 + n2 - shared AS DOUBLE) >= 0.5
+    """,
     tags=("dedup", "north-star", "minhash"),
 )
 def minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash/LSH candidate pairs verified with exact Jaccard ≥ 0.5.
     The scale path for near-dedup: explode→min-agg→band→bucket-join, then
     exact verification of CANDIDATES ONLY (never the all-pairs Jaccard —
-    that is exactly the quadratic stage LSH exists to avoid)."""
+    that is exactly the quadratic stage LSH exists to avoid).
+
+    Uses the portable signature (one md5 per shingle + universal-hash
+    permutations) so the ENTIRE pipeline — including which candidate pairs
+    the LSH bands surface — is replicated in the DuckDB oracle (previously
+    rows-only: xxhash64 is Spark-specific). The xxhash64 build
+    (:func:`minhash_signatures`) remains available and is pytest-verified
+    against exact Jaccard."""
     docs = load_table(spark, "documents", sf_dir)
-    sigs = minhash_signatures(docs)
-    cands = lsh_candidate_pairs(sigs)
+    sigs = minhash_signatures_md5(docs)
+    cands = lsh_candidate_pairs_md5(sigs)
     return verify_pairs_jaccard(cands, docs).filter(F.col("jaccard") >= 0.5)
 
 
