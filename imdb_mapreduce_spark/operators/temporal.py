@@ -51,6 +51,12 @@ def asof_join(
     that instant). Left rows with no prior right row keep NULL payloads.
     All payload columns come from the SAME matched right row; duplicate
     (key, ts) right rows tie-break on the maximum payload struct.
+
+    Requires every payload column to be orderable (the deterministic
+    tie-break sorts the whole payload struct): map-typed payload columns
+    fail analysis. If you need to carry a map, wrap it — e.g. pass
+    ``map_entries(m)`` (an orderable array<struct>) and rebuild with
+    ``map_from_entries`` after the join.
     """
     from pyspark.sql import types as T
 

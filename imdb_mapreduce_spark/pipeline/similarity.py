@@ -465,8 +465,11 @@ def ann_ivf_topk(
             c,
             (F.col("qc") == F.col("cc")) & (F.col("neighbor_id") != F.col("query_id")),
         )
-        .select("query_id", "neighbor_id", "qe", "ce")
-        .distinct()
+        # No distinct needed: each corpus vector belongs to exactly one
+        # k-means cell and probed_cells emits each (query, cell) at most
+        # once, so (query_id, neighbor_id) pairs are already unique — a
+        # defensive distinct here would shuffle two 64-float arrays per
+        # candidate for nothing.
         .select(
             "query_id",
             "neighbor_id",
@@ -604,6 +607,8 @@ def random_hyperplane_buckets_arrow(
         import pandas as pd
 
         for pdf in it:
+            if not len(pdf):  # np.stack raises on zero arrays
+                continue
             vecs = np.stack(pdf["embedding"].to_numpy())  # (n, dim)
             proj = vecs.astype("float64") @ mat  # (n, T*P)
             bits = (proj >= 0).reshape(len(pdf), n_tables, planes_per_table)

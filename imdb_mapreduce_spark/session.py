@@ -52,6 +52,10 @@ def get_spark(
         # Files at 100 TB: bigger read partitions to bound task count.
         .config("spark.sql.files.maxPartitionBytes", "256m")
         .config("spark.sql.session.timeZone", "UTC")
+        # events.ts is nanosecond parquet; TimestampType (µs) refuses it.
+        # Owned here so engine-built sessions never need the readers'
+        # vanilla-session fallback (sources/star.py::ensure_nanos_as_long).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

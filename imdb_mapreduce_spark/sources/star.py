@@ -49,6 +49,21 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     return spark.read.parquet(f"{d}/{name}.parquet")
 
 
+def ensure_nanos_as_long(spark: SparkSession) -> None:
+    """Vanilla-session fallback for nanosecond-parquet timestamps.
+
+    ``session.get_spark`` sets ``nanosAsLong`` at build time; the driver's
+    correctness harness hands us a session it built itself, so the events
+    readers (batch here, streaming in ``streaming/jobs.py``) call this
+    guarded setter. It is idempotent and a no-op on engine-built sessions —
+    the ONLY config a read path may touch, and only because the conf is a
+    read-format flag that must be on before the parquet footer is parsed.
+    """
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    if spark.conf.get(key, None) != "true":
+        spark.conf.set(key, "true")
+
+
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.ts is nanosecond-precision parquet, which Spark's TimestampType
     (µs) refuses outright (PARQUET_TYPE_ILLEGAL). Read the raw int64 nanos
@@ -56,7 +71,7 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparisons see identical values."""
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensure_nanos_as_long(spark)
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(raw.dtypes).get("ts") == "bigint":
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

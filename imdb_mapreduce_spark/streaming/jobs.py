@@ -30,6 +30,7 @@ from pyspark.sql.types import (
 )
 
 from imdb_mapreduce_spark.plans.registry import register
+from imdb_mapreduce_spark.sources.star import ensure_nanos_as_long
 
 # Streaming sources need an explicit schema (no inference mid-stream).
 # ts arrives as raw int64 nanos (see sources/star.py) and is floor-divided
@@ -55,7 +56,9 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     streams require a directory base, so a file path becomes parent dir +
     glob filter).
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Engine-built sessions set nanosAsLong at build time (session.py);
+    # this guarded no-op fallback covers vanilla driver sessions only.
+    ensure_nanos_as_long(spark)
     reader = spark.readStream.schema(EVENTS_RAW_SCHEMA).option(
         "maxFilesPerTrigger", 1
     )
