@@ -22,8 +22,13 @@ joins (same design GraphFrames uses). Each round:
 ``frontier ⋈ edges ⋈ edges`` (two shuffles on the edge keys; broadcast of
 the frontier when small), then a ``left_anti`` against visited. Rounds
 ``localCheckpoint()`` to truncate the growing lineage — without it the plan
-doubles per iteration. With the edge table bucketed on both key columns the
-per-round shuffles disappear entirely.
+doubles per iteration. With TWO bucketed layouts of the edge table — one
+hashed on ``node_col`` for the outbound hop, one on ``via_col`` for the
+return hop (pass it as ``edges_inverted``) — the big table is never
+re-shuffled in any round: only the tiny frontier-derived sides move. This
+is the durable analog of the reference keeping both adjacency directions
+(``dataInit.erl`` A1/A2), and is pinned by
+``tests/test_storage.py::test_bucketed_bfs_round_join_needs_no_edge_shuffle``.
 """
 
 from __future__ import annotations
@@ -55,6 +60,7 @@ def _two_hop(
     via_col: str,
     broadcast_frontier: bool = True,
     broadcast_hop1: bool = True,
+    edges_inverted: DataFrame | None = None,
 ) -> DataFrame:
     """frontier(node) → co-entities: join out on node_col, back on via_col.
 
@@ -80,7 +86,12 @@ def _two_hop(
     hop1 = f.join(e1, F.col("src") == F.col("_n1"), "inner").select("src", "_via")
     if broadcast_hop1:
         hop1 = F.broadcast(hop1)
-    e2 = edges.select(F.col(via_col).alias("_v2"), F.col(node_col).alias("dst"))
+    # The return hop scans ``edges_inverted`` when provided — a layout of
+    # the SAME relation bucketed/sorted on via_col, so a shuffle-free
+    # sort-merge join is available even when the frontier outgrows
+    # broadcasting (Project-with-alias preserves the scan's partitioning).
+    e2_src = edges_inverted if edges_inverted is not None else edges
+    e2 = e2_src.select(F.col(via_col).alias("_v2"), F.col(node_col).alias("dst"))
     return (
         hop1.join(e2, F.col("_via") == F.col("_v2"), "inner")
         .filter(F.col("src") != F.col("dst"))
@@ -96,6 +107,7 @@ def bipartite_bfs(
     level: int = 2,
     checkpoint: bool = True,
     max_broadcast_rows: int = 1_000_000,
+    edges_inverted: DataFrame | None = None,
 ) -> BfsResult:
     """Generic k-level same-type expansion over any bipartite edge table
     (G1+G2, J4, J5, A4). ``node_col`` is the queried entity type, ``via_col``
@@ -109,6 +121,11 @@ def bipartite_bfs(
     only while its estimate stays under ``max_broadcast_rows``; past that
     the hint is dropped and AQE chooses from runtime sizes, so the
     operator is safe at any level, not just the GUI's 1..4.
+
+    ``edges_inverted``: optional second layout of the SAME relation used
+    for the return hop — pass a catalog table bucketed on ``via_col``
+    (with ``edges`` bucketed on ``node_col``) and no round ever shuffles
+    the big table, broadcast or not.
     """
     spark = edges.sparkSession
 
@@ -139,14 +156,23 @@ def bipartite_bfs(
             via_col,
             broadcast_frontier=frontier_rows <= max_broadcast_rows,
             broadcast_hop1=hop1_estimate <= max_broadcast_rows,
+            edges_inverted=edges_inverted,
         )
         anti = visited
         if visited_rows <= max_broadcast_rows:
             anti = F.broadcast(anti)
+        # Aggregate BEFORE the visited anti-join. Equivalent (the anti
+        # filter is on dst alone, so it drops whole groups and min(src)
+        # is unaffected), and the plan is strictly better: the dedup
+        # aggregation combines map-side, and the anti-join's left is the
+        # already-dst-partitioned aggregate output. With anti FIRST,
+        # Catalyst's PushDownLeftSemiAntiJoin rewrites it onto the edge
+        # scan, which in the non-broadcast regime shuffles the BIG table
+        # on dst and then again on the hop key — two full-table exchanges
+        # per round that this ordering makes impossible.
+        dedup = pairs.groupBy("dst").agg(F.min("src").alias("src"))
         children = (
-            pairs.join(anti, pairs["dst"] == anti["node"], "left_anti")
-            .groupBy("dst")
-            .agg(F.min("src").alias("src"))  # deterministic parent
+            dedup.join(anti, dedup["dst"] == anti["node"], "left_anti")
             .select("src", "dst")
             .withColumn("level", F.lit(lvl))
         )
