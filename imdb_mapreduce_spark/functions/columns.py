@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # -- the reference's scalar surface (X1-X6) ---------------------------------
 
@@ -78,4 +79,73 @@ def salted_collect_set(
         F.array_sort(
             F.array_distinct(F.flatten(F.collect_list("_partial")))
         ).alias(out)
+    )
+
+
+def salted_running_stats(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    tiebreak: str = "event_id",
+    value: str = "value",
+    chunk: Column | None = None,
+    sum_type: str = "decimal(12,2)",
+) -> DataFrame:
+    """Skew-safe twin of ``plans/events.user_running_stats``: per-key
+    ordered seq / lag / running sum when one key holds a pathological
+    share of the rows.
+
+    An ORDERED window cannot salt on a random key — the prefix spans the
+    whole partition — so the salt must be monotone in the ordering: rows
+    chunk on a coarse ``ts`` bucket (default: day). Phase 1 computes
+    within-chunk seq/lag/running-sum across (key, chunk) partitions, so
+    the hot key's rows spread over as many tasks as it has chunks.
+    Phase 2 windows over the tiny per-chunk summary (rows = keys ×
+    chunks): cumulative row-count and sum offsets plus the previous
+    chunk's last value, broadcast back and merged. All arithmetic stays
+    in exact DECIMAL until one final double cast, so the output is
+    bitwise-identical to the unsalted plan
+    (``tests/test_functions.py::test_salted_running_stats_equals_unsalted``).
+    """
+    c = (
+        chunk
+        if chunk is not None
+        else F.floor(F.unix_timestamp(F.col(ts)) / F.lit(86400))
+    )
+    d = df.withColumn("_chunk", c)
+    w_in = Window.partitionBy(key, "_chunk").orderBy(ts, tiebreak)
+    w_run = w_in.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    within = d.select(
+        tiebreak,
+        key,
+        "_chunk",
+        F.row_number().over(w_in).alias("_seq_in"),
+        F.lag(value).over(w_in).alias("_lag_in"),
+        F.sum(F.col(value).cast(sum_type)).over(w_run).alias("_run_in"),
+    )
+    summary = d.groupBy(key, "_chunk").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.sum(F.col(value).cast(sum_type)).alias("_sum"),
+        F.max_by(value, F.struct(ts, tiebreak)).alias("_last"),
+    )
+    w_prev = Window.partitionBy(key).orderBy("_chunk")
+    w_off = w_prev.rowsBetween(Window.unboundedPreceding, -1)
+    offsets = summary.select(
+        key,
+        "_chunk",
+        F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_cnt_off"),
+        F.sum("_sum").over(w_off).alias("_sum_off"),  # NULL for first chunk
+        F.lag("_last").over(w_prev).alias("_prev_last"),
+    )
+    return (
+        within.join(F.broadcast(offsets), [key, "_chunk"])
+        .select(
+            tiebreak,
+            key,
+            (F.col("_seq_in") + F.col("_cnt_off")).cast("long").alias("seq"),
+            F.coalesce(F.col("_lag_in"), F.col("_prev_last")).alias("prev_value"),
+            (F.col("_run_in") + F.coalesce(F.col("_sum_off"), F.lit(0)))
+            .cast("double")
+            .alias("running_value"),
+        )
     )

@@ -89,9 +89,10 @@ def events_10min_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def user_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user ordered analytics: sequence number, lag, running total.
-    One shuffle on user_id; sort within partitions. Skewed users would
-    need key-salting with windowed re-merge — documented, not needed at
-    this key cardinality."""
+    One shuffle on user_id; sort within partitions. Skewed users need
+    key-salting with windowed re-merge — implemented as
+    ``functions/columns.salted_running_stats`` (ts-monotone chunking,
+    bitwise-equal by test); not needed at this key cardinality."""
     e = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)

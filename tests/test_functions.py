@@ -48,6 +48,70 @@ def test_salted_collect_equals_direct(spark):
     assert salted == direct
 
 
+def test_salted_running_stats_equals_unsalted(spark):
+    """The SCALE.md ordered-window salting pattern, exercised on a
+    genuinely skewed key: one user owns 50% of the events, spread over 6
+    day-chunks. The salted two-phase plan must be BITWISE equal to the
+    unsalted window (exact DECIMAL carry), and phase 1 must actually
+    partition on (key, chunk) — that is the skew relief."""
+    import datetime as dt
+    import io
+    import random
+    from contextlib import redirect_stdout
+
+    from imdb_mapreduce_spark.functions.columns import salted_running_stats
+
+    rng = random.Random(7)
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    for eid in range(1200):
+        user = 1 if eid % 2 == 0 else 2 + (eid % 37)  # user 1 = half the rows
+        t = base + dt.timedelta(
+            days=rng.randrange(6), seconds=rng.randrange(86400)
+        )
+        rows.append((eid, t, user, round(rng.uniform(-50, 50), 2)))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unsalted = df.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).cast("long").alias("seq"),
+        F.lag("value").over(w).alias("prev_value"),
+        F.sum(F.col("value").cast("decimal(12,2)"))
+        .over(wf)
+        .cast("double")
+        .alias("running_value"),
+    )
+    salted = salted_running_stats(df)
+
+    key = lambda r: r["event_id"]  # noqa: E731
+    exp = sorted(unsalted.collect(), key=key)
+    got = sorted(salted.collect(), key=key)
+    assert [tuple(r) for r in got] == [tuple(r) for r in exp]
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        salted.explain("formatted")
+    plan = buf.getvalue()
+    # phase-1 exchange carries the chunk: the hot key's rows spread over
+    # one task per (user, day) instead of one task total
+    assert "hashpartitioning(user_id" in plan and "_chunk" in plan
+    # sanity: the skew actually spans chunks for the hot user
+    n_chunks = (
+        df.filter(F.col("user_id") == 1)
+        .select(F.to_date("ts").alias("d"))
+        .distinct()
+        .count()
+    )
+    assert n_chunks >= 5
+
+
 # -- hypothesis property tests ---------------------------------------------
 
 @st.composite
