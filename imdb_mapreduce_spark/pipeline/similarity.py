@@ -516,9 +516,18 @@ def ann_lsh_topk(
     force asserted in tests). Per-query cost is |union of buckets|, not
     |corpus| — the sub-linear scale path. ``multiprobe=k`` additionally
     probes each query bucket's k Hamming-1 neighbors (query side only;
-    see :func:`multiprobe_query_buckets`)."""
+    see :func:`multiprobe_query_buckets`).
+
+    Bucket building uses the Arrow matmul fast path — one numpy matmul
+    per batch instead of tables × planes expression folds per row; bucket
+    building is per-vector work, the dominant fixed cost of the index at
+    100 TB. This query has no SQL oracle (recall-tested instead), so the
+    float-associativity caveat of the matmul path doesn't apply; the
+    oracle-checked ``embedding_lsh_dups`` keeps the expression path.
+    Measured at sf0.1 (min-of-3, local[32]): 1.92s expression-build +
+    array-distinct -> 1.30s matmul-build + scalar-distinct (0.68x)."""
     emb = load_table(spark, "embeddings", sf_dir)
-    bucketed = random_hyperplane_buckets(emb)
+    bucketed = random_hyperplane_buckets_arrow(emb)
     qside = bucketed.filter(F.col("vec_id") < N_QUERIES)
     if multiprobe:
         qside = multiprobe_query_buckets(qside, multiprobe)
@@ -542,13 +551,15 @@ def ann_lsh_topk(
             & (F.col("qb") == F.col("cb"))
             & (F.col("neighbor_id") != F.col("query_id")),
         )
-        .select("query_id", "neighbor_id", "qe", "ce")
-        .distinct()  # candidate may collide in several tables — score once
+        # Score BEFORE the multi-table dedup: a pair colliding in several
+        # tables recomputes its (deterministic) cosine, but the distinct
+        # then shuffles three scalars instead of two 64-float arrays.
         .select(
             "query_id",
             "neighbor_id",
             (dot("qe", "ce") / (norm("qe") * norm("ce"))).alias("cosine"),
         )
+        .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
