@@ -10,11 +10,13 @@ feature-extract / resize / frame-sample at 100 TB:
 - partitioning is by size (``maxPartitionBytes``), not row count, so huge
   blobs don't skew tasks.
 
-The container has no image/audio codecs, so the real decoders are STUBS
-(clearly-marked NotImplementedError, import-gated) and the tested path uses
-a deterministic fake decode — the Spark-side plumbing (schema, batching,
-UDF signature) is real and oracle-checked: the fake decode is a pure
-function of byte length, which SQL can replicate.
+The container has no image/audio codecs, so the default tested path uses a
+deterministic fake decode — the Spark-side plumbing (schema, batching, UDF
+signature) is real and oracle-checked: the fake decode is a pure function
+of byte length, which SQL can replicate. A REAL decode path exists behind
+an import gate (``decode_image`` / ``media_metadata(real=True)``): it runs
+wherever Pillow is installed (skipif-gated test) and raises a
+clearly-marked NotImplementedError here.
 """
 
 from __future__ import annotations
@@ -49,13 +51,45 @@ MEDIA_META_SCHEMA = StructType(
 )
 
 
-def decode_image(payload: bytes) -> "tuple[int, int]":
-    """REAL image decode — requires a codec library absent from this
-    container. Clearly-marked stub per the build contract."""
-    raise NotImplementedError(
-        "image decoding requires PIL/opencv, not available in this environment; "
-        "use fake_decode_meta for the tested plumbing path"
-    )
+def decode_image(payload: bytes) -> "tuple[int, int, str]":
+    """REAL image decode → (width, height, format), PIL-gated: runs
+    wherever Pillow is installed, raises a clearly-marked
+    NotImplementedError in codec-less environments (this container). The
+    tested default pipeline uses :func:`fake_decode_meta`; deployments
+    with codecs switch by passing ``real=True`` to
+    :func:`media_metadata`."""
+    try:
+        from PIL import Image
+    except ImportError as e:  # codec-less container: stub per build contract
+        raise NotImplementedError(
+            "image decoding requires PIL/opencv, not available in this "
+            "environment; use fake_decode_meta for the tested plumbing path"
+        ) from e
+    import io
+
+    with Image.open(io.BytesIO(payload)) as im:
+        return im.width, im.height, (im.format or "unknown").lower()
+
+
+def _real_decode_batches(
+    batches: Iterator["pd.DataFrame"],
+) -> Iterator["pd.DataFrame"]:
+    """mapInPandas worker for the PIL path — same batch shape and output
+    schema as the fake-decode worker, so the surrounding plan (Arrow
+    transfer, partition-by-bytes, downstream rollups) is identical."""
+    import pandas as pd
+
+    for batch in batches:
+        metas = [decode_image(p) for p in batch["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].values,
+                "n_bytes": [len(p) for p in batch["payload"]],
+                "width": [m[0] for m in metas],
+                "height": [m[1] for m in metas],
+                "format": [m[2] for m in metas],
+            }
+        )
 
 
 def fake_decode_meta(payload: bytes) -> tuple[int, int, int, str]:
@@ -90,8 +124,18 @@ def with_media_column(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
 
 
-def media_metadata(docs: DataFrame) -> DataFrame:
-    """binary column → typed metadata via Arrow-batched mapInPandas."""
+def media_metadata(docs: DataFrame, real: bool = False) -> DataFrame:
+    """binary column → typed metadata via Arrow-batched mapInPandas.
+
+    ``real=True`` selects the PIL decode worker: ``docs`` must then carry
+    an actual image-bytes ``payload`` binary column (production shape)
+    and the executors need Pillow. The default path synthesizes a payload
+    from text (:func:`with_media_column`) and fake-decodes it — same
+    schema and plan either way."""
+    if real:
+        return docs.select("doc_id", "payload").mapInPandas(
+            _real_decode_batches, MEDIA_META_SCHEMA
+        )
     return with_media_column(docs).mapInPandas(_decode_batches, MEDIA_META_SCHEMA)
 
 

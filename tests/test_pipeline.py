@@ -101,14 +101,43 @@ def test_ann_ivf_recall_vs_bruteforce(spark):
 
 
 def test_media_stub_and_fake_decode(spark):
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG")
+    try:
+        import PIL  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if not has_pil:  # the import gate must fail loudly, not silently
+        with pytest.raises(NotImplementedError):
+            decode_image(b"\x89PNG")
     assert fake_decode_meta(b"abcd") == (4, 5, 5, "png")
     docs = spark.createDataFrame([(1, "hello"), (2, "worlds!")], ["doc_id", "text"])
     meta = {r["doc_id"]: r for r in media_metadata(docs).collect()}
     assert meta[1]["n_bytes"] == 5 and meta[1]["format"] == "jpeg"
     assert meta[2]["n_bytes"] == 7
     assert meta[2]["width"] == 7 % 640 + 1
+
+
+def test_real_image_decode_with_pil(spark):
+    """The PIL decode path end-to-end (skips in this codec-less container;
+    runs wherever Pillow is installed): real PNG bytes through the same
+    mapInPandas plumbing as the fake path, checking actual dimensions."""
+    Image = pytest.importorskip(
+        "PIL.Image", reason="container has no image codecs"
+    )
+    import io
+
+    payloads = []
+    for i, (w, h) in enumerate([(3, 2), (5, 5), (2, 7)], start=1):
+        buf = io.BytesIO()
+        Image.new("RGB", (w, h), (i, i, i)).save(buf, format="PNG")
+        payloads.append((i, bytearray(buf.getvalue())))
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in media_metadata(df, real=True).collect()}
+    assert out[1]["width"] == 3 and out[1]["height"] == 2
+    assert out[1]["format"] == "png"
+    assert out[3]["width"] == 2 and out[3]["height"] == 7
+    assert all(out[i]["n_bytes"] > 0 for i in out)
 
 
 def test_embedding_lsh_dups_agrees_with_label_blocking(spark):
