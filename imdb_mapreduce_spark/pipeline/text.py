@@ -395,3 +395,156 @@ def source_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("n_punct").cast("double") / F.sum("n_chars").cast("double"))
         .alias("punct_rate"),
     )
+
+
+@register(
+    "inverted_index_postings",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term)
+    SELECT term,
+           COUNT(*) AS doc_freq,
+           CAST(SUM(tf) AS BIGINT) AS total_tf,
+           string_agg(CAST(doc_id AS VARCHAR) || ':' || CAST(tf AS VARCHAR),
+                      ',' ORDER BY doc_id) AS postings
+    FROM tf GROUP BY term HAVING COUNT(*) >= 5
+    """,
+    tags=("text", "north-star", "index"),
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build — the exact-match search side of a training
+    corpus: term → (doc_freq, total_tf, sorted ``doc:tf`` postings list).
+    The classic two-level aggregation: explode → per-(doc, term) tf →
+    per-term merge. Both shuffles combine map-side (counts), and the
+    postings string is assembled ONCE per term from the sorted struct
+    array (the A3 group-concat pattern at term granularity). ``df >= 5``
+    bounds the long tail; at 100 TB the posting payload for stop-like
+    terms is the skew axis — cap or shard them (same salting pattern as
+    ``salted_collect_set``)."""
+    docs = load_table(spark, "documents", sf_dir)
+    tf = (
+        docs.select("doc_id", F.explode(_tokens()).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    posting = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("doc_id", "tf"))),
+            lambda s: F.concat_ws(":", s.doc_id, s.tf),
+        ),
+        ",",
+    )
+    return (
+        tf.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("doc_freq"),
+            F.sum("tf").alias("total_tf"),
+            posting.alias("postings"),
+        )
+        .filter(F.col("doc_freq") >= 5)
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    df AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             CAST(tf.tf * (n.n_docs + 1) AS DOUBLE) / CAST(df.df + 1 AS DOUBLE)
+               AS score
+      FROM tf JOIN df USING (term) CROSS JOIN n),
+    ranked AS (
+      SELECT doc_id, term, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term) AS rnk
+      FROM scored)
+    SELECT doc_id, term, score, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+    tags=("text", "north-star", "index"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 salient terms by tf-idf with a RECIPROCAL idf
+    (``tf * (N+1)/(df+1)``) instead of the log form: same ranking
+    monotonicity in 1/df, but integer-derived double division is
+    correctly rounded by IEEE in both engines, where ``ln`` is a libm
+    call with no cross-engine bit guarantee. Plan: tf agg → broadcast-size
+    df table join → window top-k. The df table (distinct terms) is the
+    natural broadcast side at any corpus size with a bounded vocabulary."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    n_docs = docs.count()  # one scalar job; a literal beats a cross-join plan
+    tf = (
+        docs.select("doc_id", F.explode(_tokens()).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        (
+            (F.col("tf") * F.lit(n_docs + 1)).cast("double")
+            / (F.col("df") + 1).cast("double")
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "score", "rnk")
+    )
+
+
+CHUNK_TOKENS = 128  # training-window length
+CHUNK_STRIDE = 96  # 32-token overlap between consecutive windows
+
+
+@register(
+    "doc_chunk_windows",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents)
+    SELECT doc_id,
+           CAST(s // {CHUNK_STRIDE} AS INTEGER) AS chunk_id,
+           CAST(s AS INTEGER) AS start_token,
+           CAST(LEAST({CHUNK_TOKENS}, n - s) AS INTEGER) AS n_tokens
+    FROM t, unnest(generate_series(0, n - 1, {CHUNK_STRIDE})) AS u(s)
+    """,
+    tags=("text", "north-star", "chunking"),
+)
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-length token windows per document — the chunking
+    stage in front of tokenize-and-pack for LLM training (windows of
+    {CHUNK_TOKENS} tokens, stride {CHUNK_STRIDE}). Pure projection +
+    ``sequence``/``explode`` fan-out: no shuffle at all, embarrassingly
+    parallel at any corpus size, and chunk ids are content-stable
+    (derived from token offsets, not row order)."""
+    docs = load_table(spark, "documents", sf_dir)
+    t = docs.select(
+        "doc_id", F.size(_tokens()).alias("n")
+    )
+    return t.select(
+        "doc_id",
+        "n",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n") - 1, F.lit(CHUNK_STRIDE))
+        ).alias("s"),
+    ).select(
+        "doc_id",
+        (F.col("s") / CHUNK_STRIDE).cast("int").alias("chunk_id"),
+        F.col("s").cast("int").alias("start_token"),
+        F.least(F.lit(CHUNK_TOKENS), F.col("n") - F.col("s"))
+        .cast("int")
+        .alias("n_tokens"),
+    )

@@ -288,3 +288,29 @@ def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100.0
         ).alias("intercept"),
     )
+
+
+@register(
+    "user_running_stats_salted",
+    oracle="""
+    SELECT event_id, user_id,
+           ROW_NUMBER() OVER w AS seq,
+           LAG(value) OVER w AS prev_value,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS running_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "analytic", "skew"),
+)
+def user_running_stats_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``user_running_stats`` through the SKEW-SAFE two-phase plan
+    (``functions/columns.salted_running_stats``: ts-monotone chunking,
+    within-chunk windows, windowed offset re-merge) — registered against
+    the SAME oracle as the unsalted query, so the driver gate itself
+    proves the salted plan bitwise-equal to the plain window. This is the
+    path a 10⁹-events hot key takes at 100 TB; here it demonstrates the
+    rewrite costs nothing in correctness."""
+    from imdb_mapreduce_spark.functions.columns import salted_running_stats
+
+    return salted_running_stats(_events(spark, sf_dir))

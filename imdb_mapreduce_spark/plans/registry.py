@@ -88,6 +88,11 @@ _HEAD: tuple[str, ...] = (
     "ann_lsh_topk",  # rows-only; r03: arrow matmul bucket path
     # queries whose code changed in r03 → must re-earn a driver row
     "user_value_trend",  # r03: intercept unit fix (ADVICE r02 medium)
+    # NEW in r03 → no driver row exists yet
+    "user_running_stats_salted",  # skew-safe two-phase plan, unsalted oracle
+    "inverted_index_postings",
+    "tfidf_top_terms",
+    "doc_chunk_windows",
 )
 _TAIL: tuple[str, ...] = (
     # all green hash-matched in CORRECTNESS_r02.json with code unchanged in
@@ -107,6 +112,13 @@ _TAIL: tuple[str, ...] = (
     "corpus_keep_list",
     "embedding_lsh_dups",  # sibling: ann_cosine_topk (similarity family)
     "orders_per_customer",  # sibling: region_rollup (relational family)
+    # demoted in r03 to keep head+middle at the 50-row window after the 4
+    # new-query additions; all r02-green with code unchanged, each family
+    # keeps an in-window sibling
+    "events_json_stats",  # sibling: events_json_struct (_HEAD)
+    "user_event_pivot",  # sibling: events_cube
+    "fuzzy_name_match",  # sibling: nation_customer_sorted (string family)
+    "embedding_norm_stats",  # sibling: doc_embedding_profile
 )
 
 
