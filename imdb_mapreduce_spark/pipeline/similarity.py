@@ -637,3 +637,69 @@ def random_hyperplane_buckets_arrow(
             )
 
     return emb.select("vec_id", "embedding").mapInPandas(batches, out_schema)
+
+
+@register(
+    "embedding_int8_quant",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id,
+             CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS vmin,
+             CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS vmax,
+             embedding
+      FROM embeddings),
+    q AS (
+      SELECT vec_id, vmin, vmax,
+             CASE WHEN vmax > vmin THEN
+               list_transform(embedding, x ->
+                 CAST(floor((CAST(x AS DOUBLE) - vmin) * 255.0
+                            / (vmax - vmin)) AS BIGINT))
+             ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS qv
+      FROM base)
+    SELECT vec_id, vmin, vmax,
+           (vmax - vmin) / 255.0 AS scale,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), qv),
+                       (a, b) -> a + b) AS q_sum,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(qv, v -> v * v)),
+                       (a, b) -> a + b) AS q_sumsq
+    FROM q
+    """,
+    tags=("similarity", "north-star", "quantization"),
+)
+def embedding_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 scalar quantization stats — the compression stage
+    of an embedding store (memory ÷4 before ANN). Emits the dequant
+    params (vmin, vmax, scale) plus exact integer checksums of the
+    quantized codes (q_sum, q_sumsq), which pin the whole code array
+    cross-engine without shipping arrays through the comparator.
+    ``floor`` quantization, not ``round``: floor is exact on doubles in
+    both engines while round ties differ (half-up vs half-even). Pure
+    projection — no shuffle, embarrassingly parallel."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    base = emb.select(
+        "vec_id",
+        F.array_min("embedding").cast("double").alias("vmin"),
+        F.array_max("embedding").cast("double").alias("vmax"),
+        "embedding",
+    )
+    q = base.withColumn(
+        "qv",
+        F.when(
+            F.col("vmax") > F.col("vmin"),
+            F.expr(
+                "transform(embedding, x -> CAST(floor((CAST(x AS DOUBLE) - vmin)"
+                " * 255.0D / (vmax - vmin)) AS BIGINT))"
+            ),
+        ).otherwise(F.expr("transform(embedding, x -> CAST(0 AS BIGINT))")),
+    )
+    return q.select(
+        "vec_id",
+        "vmin",
+        "vmax",
+        ((F.col("vmax") - F.col("vmin")) / 255.0).alias("scale"),
+        F.expr("aggregate(qv, CAST(0 AS BIGINT), (a, v) -> a + v)").alias("q_sum"),
+        F.expr("aggregate(qv, CAST(0 AS BIGINT), (a, v) -> a + v * v)").alias(
+            "q_sumsq"
+        ),
+    )

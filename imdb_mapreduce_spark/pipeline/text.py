@@ -548,3 +548,59 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("n_tokens"),
     )
+
+
+PACK_CAPACITY = 2048  # tokens per training pack
+
+
+@register(
+    "token_pack_assignment",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, doc_id, len(string_split(text, ' ')) AS n_tok
+      FROM documents),
+    c AS (
+      SELECT source, doc_id, n_tok,
+             COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM t)
+    SELECT source, doc_id,
+           CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(cum_before // {PACK_CAPACITY} AS BIGINT) AS pack_id,
+           CAST(cum_before % {PACK_CAPACITY} AS BIGINT) AS offset_in_pack
+    FROM c
+    """,
+    tags=("text", "north-star", "chunking"),
+)
+def token_pack_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM training: lay documents head-to-tail in
+    doc_id order within each source shard and assign each to its
+    {PACK_CAPACITY}-token pack (pack_id, starting offset). Offset-based
+    packing — documents may straddle pack boundaries, as training windows
+    cut there anyway — keeps the layout a pure windowed cumsum: one
+    shuffle on the shard key, no sequential driver loop, and adding a
+    shard never reshuffles the others. (True greedy whole-doc bin packing
+    is inherently sequential per shard; the offset layout is the
+    distributed-friendly form.)"""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    t = docs.select("source", "doc_id", F.size(_tokens()).alias("n_tok"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return t.select(
+        "source",
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.coalesce(F.sum("n_tok").over(w), F.lit(0)).alias("cum_before"),
+    ).select(
+        "source",
+        "doc_id",
+        "n_tok",
+        F.expr(f"cum_before div {PACK_CAPACITY}").alias("pack_id"),
+        F.pmod("cum_before", F.lit(PACK_CAPACITY)).cast("long").alias("offset_in_pack"),
+    )

@@ -93,6 +93,8 @@ _HEAD: tuple[str, ...] = (
     "inverted_index_postings",
     "tfidf_top_terms",
     "doc_chunk_windows",
+    "token_pack_assignment",
+    "embedding_int8_quant",
 )
 _TAIL: tuple[str, ...] = (
     # all green hash-matched in CORRECTNESS_r02.json with code unchanged in
@@ -119,6 +121,8 @@ _TAIL: tuple[str, ...] = (
     "user_event_pivot",  # sibling: events_cube
     "fuzzy_name_match",  # sibling: nation_customer_sorted (string family)
     "embedding_norm_stats",  # sibling: doc_embedding_profile
+    "doc_quality_stats",  # sibling: token_count_bpe (text family)
+    "lang_id_heuristic",  # sibling: token_count_bpe
 )
 
 
