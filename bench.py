@@ -44,6 +44,10 @@ HEADLINE = (
     "ann_cosine_topk",
     "doc_quality_stats",
     "media_metadata_stats",
+    # added r03 (new ops; per-query r2 comparisons unaffected)
+    "ann_lsh_topk",
+    "tfidf_top_terms",
+    "token_pack_assignment",
 )
 
 
