@@ -383,7 +383,10 @@ def ivf_index(
 
     At 100 TB: fit the quantizer on a sample (k-means cost is per-row ×
     iterations), persist cell assignments partitioned BY cell so a query
-    reads only its probed cells' files — the classic IVF index layout.
+    reads only its probed cells' files — the classic IVF index layout
+    (pinned by ``tests/test_storage.py::
+    test_ivf_cell_partition_layout_prunes_probed_cells``: the probe
+    IN-list lands in PartitionFilters, i.e. directory pruning).
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector

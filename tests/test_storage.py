@@ -114,6 +114,30 @@ def test_bucketed_bfs_round_join_needs_no_edge_shuffle(spark):
     assert n > 0
 
 
+def test_ivf_cell_partition_layout_prunes_probed_cells(spark, tmp_path):
+    """The IVF index layout claim (pipeline/similarity.ivf_index docstring):
+    persist cell assignments partitioned BY cell, and a query reads only
+    its probed cells' directories — partition pruning at planning time,
+    not a post-scan filter. This is what makes IVF sub-linear in I/O, not
+    just in compute."""
+    from imdb_mapreduce_spark.pipeline.similarity import ivf_cells
+    from imdb_mapreduce_spark.sources.star import load_table as lt
+
+    emb = lt(spark, "embeddings", SF)
+    cells = ivf_cells(emb)
+    path = str(tmp_path / "corpus_by_cell")
+    cells.write.mode("overwrite").partitionBy("cell").parquet(path)
+    back = read_partitioned(spark, path)
+    probed = back.filter(F.col("cell").isin(0, 3))
+    plan = _explain(probed)
+    # the IN-list lands in PartitionFilters (directory pruning), and the
+    # data scan reads only the payload columns
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "IN (0,3)" in pf
+    n_probed = probed.count()
+    assert 0 < n_probed < back.count()  # strictly fewer rows than the corpus
+
+
 def test_date_partition_pruning(spark, tmp_path):
     e = load_table(spark, "events", SF)
     path = str(tmp_path / "events_by_day")
