@@ -1,0 +1,76 @@
+"""Long-running request service — the reference's client↔master RPC
+surface, re-expressed as a process boundary around :class:`ImdbEngine`.
+
+The reference GUI issues
+``gen_server:call({master, Node}, {request, #request{name, type, level}})``
+(``/root/reference/src/client/client.erl:88-94``) and the master replies
+``{Vertices, Edges}`` (``master.erl:261-263``). Here the same request/reply
+contract is one JSON object per line over a persistent TCP connection:
+
+    → {"name": "Some Actor", "type": "actor", "level": 2}
+    ← {"vertices": [...], "edges": [[src, dst, level], ...]}
+
+Invalid requests (empty name, bad type/level — the reference validates in
+the GUI, ``client.erl:139-140``) produce ``{"error": "..."}`` on the same
+connection instead of killing it, matching a long-running service's
+contract.
+
+Scale posture: the service is a thin driver-side frontend — each request
+runs the fully distributed BFS (``operators/graph.py``) and collects only
+the bounded result graph, exactly like the reference master collecting
+worker replies. Threaded handlers are safe because SparkSession actions
+are thread-safe; concurrent requests simply become concurrent Spark jobs
+sharing the cached edge table.
+"""
+
+from __future__ import annotations
+
+import json
+import socketserver
+import threading
+
+from imdb_mapreduce_spark.api import ImdbEngine
+
+
+class _RequestHandler(socketserver.StreamRequestHandler):
+    def handle(self) -> None:  # one JSON request per line, reply per line
+        for raw in self.rfile:
+            line = raw.strip()
+            if not line:
+                continue
+            try:
+                req = json.loads(line)
+                vertices, edges = self.server.engine.request(
+                    req["name"],
+                    req.get("type", "actor"),
+                    int(req.get("level", 2)),
+                )
+                reply: dict = {
+                    "vertices": vertices,
+                    "edges": [list(e) for e in edges],
+                }
+            except Exception as e:  # noqa: BLE001 — every error becomes a reply
+                reply = {"error": f"{type(e).__name__}: {e}"}
+            self.wfile.write((json.dumps(reply) + "\n").encode())
+            self.wfile.flush()
+
+
+class ImdbService(socketserver.ThreadingTCPServer):
+    """TCP server bound to an :class:`ImdbEngine` (port 0 = ephemeral)."""
+
+    allow_reuse_address = True
+    daemon_threads = True
+
+    def __init__(self, engine: ImdbEngine, host: str = "127.0.0.1", port: int = 0):
+        super().__init__((host, port), _RequestHandler)
+        self.engine = engine
+
+
+def serve_background(
+    engine: ImdbEngine, host: str = "127.0.0.1", port: int = 0
+) -> tuple[ImdbService, int]:
+    """Start the service on a daemon thread; returns (server, bound port).
+    Call ``server.shutdown(); server.server_close()`` to stop."""
+    srv = ImdbService(engine, host, port)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, srv.server_address[1]

@@ -118,3 +118,54 @@ def test_save_load_roundtrip(engine, spark, tmp_path):
     engine.save(p)
     eng2 = ImdbEngine.load(spark, p, cache=False)
     assert eng2.cast_edges.count() == engine.cast_edges.count()
+
+
+def test_service_round_trip_matches_in_process_request(engine):
+    """The socket service must return byte-identical results to the
+    in-process API, keep serving after an invalid request (reference GUI
+    validation semantics, client.erl:139-140), and handle several
+    requests on one persistent connection."""
+    import json
+    import socket
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from imdb_mapreduce_spark.service import serve_background
+
+    busiest = (
+        engine.cast_edges.groupBy("actor")
+        .count()
+        .orderBy(F.col("count").desc(), "actor")
+        .first()["actor"]
+    )
+    expect_v, expect_e = engine.request(busiest, "actor", level=2)
+
+    srv, port = serve_background(engine)
+    try:
+        with socket.create_connection(("127.0.0.1", port), timeout=60) as s:
+            f = s.makefile("rwb")
+            f.write(
+                (json.dumps({"name": busiest, "type": "actor", "level": 2}) + "\n").encode()
+            )
+            f.flush()
+            reply = json.loads(f.readline())
+            assert reply["vertices"] == expect_v
+            assert [tuple(e) for e in reply["edges"]] == expect_e
+
+            # invalid request -> error reply, connection survives
+            f.write(b'{"name": "", "type": "actor", "level": 2}\n')
+            f.flush()
+            err = json.loads(f.readline())
+            assert "error" in err and "non-empty" in err["error"]
+
+            # connection still usable after the error
+            f.write(
+                (json.dumps({"name": busiest, "type": "actor", "level": 1}) + "\n").encode()
+            )
+            f.flush()
+            reply1 = json.loads(f.readline())
+            assert reply1["vertices"] == [busiest]  # level 1 = root only
+            assert reply1["edges"] == []
+    finally:
+        srv.shutdown()
+        srv.server_close()
