@@ -70,25 +70,37 @@ def main() -> None:
     timings: dict[str, float] = {}
     all_passes: dict[str, list[float]] = {}
     row_counts: dict[str, int] = {}
+    errors: dict[str, str] = {}
     # Warm-up: small query to JIT the read path (untimed).
-    qs["priority_segment_union"](spark, sf_dir).collect()
+    try:
+        qs["priority_segment_union"](spark, sf_dir).collect()
+    except Exception as exc:  # noqa: BLE001 — warm-up must never kill the run
+        errors["_warmup"] = repr(exc)[:800]
 
     # Min-of-3 per query, every query: single-run jitter on this box
     # reaches 2-3x at sub-second scale (r02 flagged a 2.04x reading on
     # unchanged code), so one pass can cross any regression threshold on
     # its own. Per-pass times are emitted so a noisy pass is visible in
     # the recorded JSON instead of silently shaping the headline number.
+    #
+    # Per-query isolation (VERDICT r03 item 2): one broken query records an
+    # {"err": ...} entry and the harness moves on — the JSON line is ALWAYS
+    # emitted. A bench must degrade, not die; r03's artifact was zeroed by
+    # a single AnalysisException aborting the whole process.
     for name in HEADLINE:
-        fn = qs[name]
-        passes: list[float] = []
-        for _ in range(3):
-            t = time.time()
-            rows = fn(spark, sf_dir).collect()
-            passes.append(round(time.time() - t, 3))
-            row_counts[name] = len(rows)
-            del rows
-        all_passes[name] = passes
-        timings[name] = min(passes)
+        try:
+            fn = qs[name]
+            passes: list[float] = []
+            for _ in range(3):
+                t = time.time()
+                rows = fn(spark, sf_dir).collect()
+                passes.append(round(time.time() - t, 3))
+                row_counts[name] = len(rows)
+                del rows
+            all_passes[name] = passes
+            timings[name] = min(passes)
+        except Exception as exc:  # noqa: BLE001 — isolate; record; continue
+            errors[name] = repr(exc)[:800]
 
     # "value" is the steady-state total: sum of per-query min-of-3 wall
     # times, session startup excluded (reported separately) — directly
@@ -107,6 +119,7 @@ def main() -> None:
                 "steady_total_sec": total,
                 "startup_sec": round(startup, 2),
                 "n_queries": len(timings),
+                "errors": errors,
             }
         )
     )

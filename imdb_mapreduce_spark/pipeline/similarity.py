@@ -431,6 +431,83 @@ def probed_cells(
     )
 
 
+def build_ivf_index(
+    emb: DataFrame,
+    index_dir: str,
+    k: int = 8,
+    seed: int = 42,
+    fit_fraction: float | None = None,
+) -> None:
+    """Materialize the IVF index: the one-time WRITE phase that makes
+    querying sub-linear in I/O.
+
+    Layout (the one ``tests/test_storage.py`` pins for pruning):
+      ``{index_dir}/cells/cell=<i>/…``  — full corpus (vec_id, embedding),
+        parquet partitioned BY cell → a probe reads only its directories;
+      ``{index_dir}/centroids/``        — k (cell, center) rows, the coarse
+        quantizer the query side ranks against.
+
+    ``fit_fraction`` fits the quantizer on a sample (k-means cost is
+    per-row × iterations) while still assigning the FULL corpus — the
+    standard 100 TB recipe: train on ~1%, transform everything once.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = emb.sparkSession
+    fit_src = emb.sample(fit_fraction, seed=seed) if fit_fraction else emb
+    model = KMeans(k=k, seed=seed, maxIter=10).fit(
+        fit_src.select(array_to_vector("embedding").alias("features"))
+    )
+    assigned = model.transform(
+        emb.select("vec_id", "embedding", array_to_vector("embedding").alias("features"))
+    ).select("vec_id", "embedding", F.col("prediction").alias("cell"))
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{index_dir}/cells"
+    )
+    cdf = spark.createDataFrame(
+        [(i, c.tolist()) for i, c in enumerate(model.clusterCenters())],
+        "cell int, center array<double>",
+    )
+    cdf.coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/centroids")
+
+
+def _ivf_index_dir(spark: SparkSession, sf_dir: str, k: int, seed: int) -> str:
+    """Resolve (and lazily build) the persisted IVF index for a corpus.
+
+    The index is keyed by corpus identity — (source path basename, source
+    parquet mtime+size fingerprint, k, seed) — under the local warehouse.
+    A regenerated embeddings.parquet therefore invalidates the index
+    automatically (the r03 lesson: never trust persisted state across a
+    testdata re-encode). Build happens at most once per corpus version;
+    every subsequent call is pure read."""
+    import json
+    import os
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    fingerprint = {
+        "src": src,
+        "mtime_ns": st.st_mtime_ns,
+        "size": st.st_size,
+        "k": k,
+        "seed": seed,
+    }
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    index_dir = os.path.join(
+        repo, "spark-warehouse", "ivf", os.path.basename(sf_dir.rstrip("/"))
+    )
+    meta_path = os.path.join(index_dir, "_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            if json.load(f) == fingerprint:
+                return index_dir
+    build_ivf_index(load_table(spark, "embeddings", sf_dir), index_dir, k, seed)
+    with open(meta_path, "w") as f:
+        json.dump(fingerprint, f)
+    return index_dir
+
+
 @register(
     "ann_ivf_topk",
     oracle=None,  # k-means cells are algorithm-internal; recall tested vs brute force
@@ -439,37 +516,63 @@ def probed_cells(
 def ann_ivf_topk(
     spark: SparkSession, sf_dir: str, nprobe: int = 1
 ) -> DataFrame:
-    """IVF ANN: queries score their ``nprobe`` nearest k-means cells
-    (nprobe=1 → own cell only). Complements the LSH variant:
-    data-adaptive cells give better candidate quality on clustered
-    corpora; LSH needs no training. Same downstream shape
-    (bucket-equi-join → score → rank); raising nprobe is the recall knob,
-    probing cells the query is CLOSEST to rather than hash neighbors."""
+    """IVF ANN over the PERSISTED cell-partitioned index (VERDICT r03 item
+    6: the registered read path must not refit KMeans per call).
+
+    Query flow: read the k centroids (tiny), rank them per query driver-
+    side (numpy over N_QUERIES×k distances — both sides bounded constants,
+    ~10×8 here; a large query BATCH would use :func:`probed_cells` + a
+    dynamic-partition-pruning join instead), then scan ONLY the probed
+    cells' directories — the probe IN-list is a planning-time literal, so
+    it lands in PartitionFilters (directory pruning, pinned by
+    ``tests/test_storage.py``), and the scan never touches the other
+    cells' files. Complements the LSH variant: data-adaptive cells give
+    better candidates on clustered corpora; LSH needs no training.
+    Raising ``nprobe`` is the recall knob."""
+    import numpy as np
+
+    idx = _ivf_index_dir(spark, sf_dir, k=8, seed=42)
+    centers = {
+        r["cell"]: np.array(r["center"])
+        for r in spark.read.parquet(f"{idx}/centroids").collect()
+    }
+    # Query side: N_QUERIES bounded rows — driver-side probe ranking.
     emb = load_table(spark, "embeddings", sf_dir)
-    cells, centers = ivf_index(emb)
-    q = cells.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qe"),
-        F.col("cell").alias("qc"),
+    q_rows = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        "vec_id", "embedding"
+    ).collect()
+    probe_pairs = []  # (query_id, probed cell)
+    for r in q_rows:
+        qe = np.array(r["embedding"], dtype="float64")
+        ranked = sorted(
+            centers, key=lambda c: (float(np.sum((qe - centers[c]) ** 2)), c)
+        )
+        probe_pairs.extend((r["vec_id"], c) for c in ranked[:nprobe])
+    probes = spark.createDataFrame(probe_pairs, "query_id bigint, qc int")
+    q = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+        .join(F.broadcast(probes), "query_id")
     )
-    if nprobe > 1:
-        probes = probed_cells(
-            spark, q.select("query_id", "qe"), centers, nprobe
-        ).withColumnRenamed("cell", "qc")
-        q = q.drop("qc").join(F.broadcast(probes), "query_id")
-    c = cells.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("ce"),
-        F.col("cell").alias("cc"),
+    cells_needed = sorted({c for _, c in probe_pairs})
+    corpus = (
+        spark.read.parquet(f"{idx}/cells")
+        # literal IN-list → PartitionFilters → only probed directories read
+        .filter(F.col("cell").isin(cells_needed))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("ce"),
+            F.col("cell").alias("cc"),
+        )
     )
     scored = (
         F.broadcast(q)
         .join(
-            c,
+            corpus,
             (F.col("qc") == F.col("cc")) & (F.col("neighbor_id") != F.col("query_id")),
         )
         # No distinct needed: each corpus vector belongs to exactly one
-        # k-means cell and probed_cells emits each (query, cell) at most
+        # k-means cell and the probe list holds each (query, cell) at most
         # once, so (query_id, neighbor_id) pairs are already unique — a
         # defensive distinct here would shuffle two 64-float arrays per
         # candidate for nothing.

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from imdb_mapreduce_spark.functions.columns import epoch_us
 from imdb_mapreduce_spark.plans.registry import register
 from imdb_mapreduce_spark.sources.star import load_table
 
@@ -138,7 +139,7 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_ts = F.lag("ts").over(w)
     is_new = (
         prev_ts.isNull()
-        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts) > 30 * 60 * 1_000_000)
+        | (epoch_us("ts") - epoch_us(prev_ts) > 30 * 60 * 1_000_000)
     ).cast("int")
     sess = e.select(
         "user_id", "event_id", "ts", is_new.alias("is_new")
@@ -148,7 +149,7 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sess.groupBy("user_id", "session_no").agg(
         F.count("*").alias("n_events"),
         F.min("event_id").alias("first_event"),
-        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
+        (epoch_us(F.max("ts")) - epoch_us(F.min("ts"))).alias("duration_us"),
     )
 
 
@@ -255,7 +256,7 @@ def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         # integer div, not `/`+cast: double division of large epochs can
         # round across a second boundary before the truncation
-        F.expr("unix_micros(ts) div 1000000").alias("_us_div"),
+        F.expr("unix_micros(cast(ts as timestamp)) div 1000000").alias("_us_div"),
         F.col("value").cast(D2).alias("_v"),
     ).select(
         "user_id",

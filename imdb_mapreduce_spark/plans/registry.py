@@ -68,61 +68,63 @@ def register(
 # Rotate these lists each round so coverage accumulates. See COVERAGE.md
 # ("Driver correctness window") for the per-round rotation record.
 _HEAD: tuple[str, ...] = (
-    # the 15 queries whose latest driver row is from r01 (or rows-only):
-    # rotated to the head for r03 so every registered query's driver row is
-    # at most one round old (VERDICT r02 item 1)
-    "ngram_jaccard_capped",
-    "dedup_exact_survivors",
-    "rollup_grouping_flags",
-    "events_json_struct",
-    "embedding_label_dups",
-    "events_10min_windows",
-    "customer_order_window",
-    "orders_by_month",
-    "supplier_unpivot",
-    "early_not_recent_buyers",
-    "brand_top2_parts",
-    "minhash_lsh_dups",  # r03: converted to portable md5 minhash with oracle
-    "simhash_near_dups",  # rows-only (oracle=None)
-    "ann_ivf_topk",  # rows-only; r03: no-op distinct removed
-    "ann_lsh_topk",  # rows-only; r03: arrow matmul bucket path
-    # queries whose code changed in r03 → must re-earn a driver row
-    "user_value_trend",  # r03: intercept unit fix (ADVICE r02 medium)
-    # NEW in r03 → no driver row exists yet
-    "user_running_stats_salted",  # skew-safe two-phase plan, unsalted oracle
-    "inverted_index_postings",
-    "tfidf_top_terms",
-    "doc_chunk_windows",
-    "token_pack_assignment",
-    "embedding_int8_quant",
-)
-_TAIL: tuple[str, ...] = (
-    # all green hash-matched in CORRECTNESS_r02.json with code unchanged in
-    # r03; families keep an in-window sibling where one exists
-    "media_metadata_stats",  # sibling: media_byte_histogram
+    # r04 rotation: the 26 queries without a green hash row in
+    # CORRECTNESS_r03.json, repaired-first so the driver validates the
+    # NTZ fixes even in a truncated sweep (VERDICT r03 items 1 and 4).
+    "user_sessions",  # r04: repaired (events.ts NTZ normalization)
+    "user_value_trend",  # r04: repaired; r03 intercept fix still unvalidated
+    "streaming_click_attribution",  # r04: latent NTZ break repaired
+    "streaming_10min_counts",  # r04: stream/batch parity re-proven in pytest
+    # out of the r03 window (all r02-green, code unchanged)
+    "events_json_stats",
+    "orders_per_customer",
+    "corpus_keep_list",
+    "embedding_lsh_dups",
+    "media_metadata_stats",
     "media_feature_extract",
     "media_resize_plan",
     "media_frame_sample",
     "media_format_rollup",
-    "doc_fingerprint_rolling",  # sibling: token_count_bpe (text family)
+    "doc_fingerprint_rolling",
     "dataset_split_assignment",
     "content_sample",
     "doc_repetition_stats",
     "source_quality_profile",
-    "streaming_10min_counts",
-    "streaming_click_attribution",
-    "corpus_keep_list",
-    "embedding_lsh_dups",  # sibling: ann_cosine_topk (similarity family)
-    "orders_per_customer",  # sibling: region_rollup (relational family)
-    # demoted in r03 to keep head+middle at the 50-row window after the 4
-    # new-query additions; all r02-green with code unchanged, each family
-    # keeps an in-window sibling
-    "events_json_stats",  # sibling: events_json_struct (_HEAD)
-    "user_event_pivot",  # sibling: events_cube
-    "fuzzy_name_match",  # sibling: nation_customer_sorted (string family)
-    "embedding_norm_stats",  # sibling: doc_embedding_profile
-    "doc_quality_stats",  # sibling: token_count_bpe (text family)
-    "lang_id_heuristic",  # sibling: token_count_bpe
+    "user_event_pivot",
+    "fuzzy_name_match",
+    "embedding_norm_stats",
+    "doc_quality_stats",
+    "lang_id_heuristic",
+    # permanent rows-only entries (oracle=None → can never earn hash green;
+    # keeping them in _HEAD guarantees a fresh rows-only row every round)
+    "simhash_near_dups",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+)
+_TAIL: tuple[str, ...] = (
+    # 21 entries, ALL green hash-matched in CORRECTNESS_r03.json with code
+    # unchanged in r04; each family keeps an in-window sibling
+    "ngram_jaccard_capped",  # sibling: ngram_jaccard_pairs
+    "dedup_exact_survivors",  # sibling: dedup_exact_groups
+    "rollup_grouping_flags",  # siblings: region_rollup, events_cube
+    "events_json_struct",  # sibling: events_json_stats (_HEAD)
+    "embedding_label_dups",  # sibling: embedding_lsh_dups (_HEAD)
+    "customer_order_window",  # sibling: user_running_stats
+    "orders_by_month",  # sibling: orders_per_customer (_HEAD)
+    "supplier_unpivot",  # sibling: supplier_part_facts
+    "early_not_recent_buyers",  # sibling: priority_segment_union
+    "brand_top2_parts",  # sibling: parts_above_brand_avg
+    "minhash_lsh_dups",  # siblings: dedup_clusters, simhash_near_dups (_HEAD)
+    "user_running_stats_salted",  # sibling: user_running_stats
+    "inverted_index_postings",  # sibling: tfidf_top_terms
+    "doc_chunk_windows",  # sibling: token_pack_assignment
+    "embedding_int8_quant",  # sibling: doc_embedding_profile
+    "pricing_summary",  # sibling: local_supplier_revenue; still entry()'s query
+    "revenue_topk",  # sibling: copart_pairs_topk
+    "customers_without_orders",  # sibling: active_buildings_semi
+    "order_basket_lookup",  # sibling: part_expr_catalog
+    "nation_customer_sorted",  # sibling: fuzzy_name_match (_HEAD)
+    "asof_last_purchase",  # sibling: quantity_band_stats
 )
 
 

@@ -65,16 +65,31 @@ def ensure_nanos_as_long(spark: SparkSession) -> None:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is nanosecond-precision parquet, which Spark's TimestampType
-    (µs) refuses outright (PARQUET_TYPE_ILLEGAL). Read the raw int64 nanos
-    and floor-divide to µs — the same truncation DuckDB applies, so oracle
-    comparisons see identical values."""
+    """Normalize ``events.ts`` to TimestampType regardless of the at-rest
+    parquet encoding. The driver has shipped the table under multiple
+    encodings across rounds, so the loader handles all three:
+
+    - ``timestamp[ns]`` → (with ``nanosAsLong``) reads as ``bigint`` nanos;
+      floor-divide to µs — the same truncation DuckDB applies;
+    - ``timestamp[us]`` without tz → Spark 4 infers ``TIMESTAMP_NTZ``;
+      cast to ``timestamp`` under the UTC session tz pinned in
+      ``load_table`` (the instant is unchanged, but ``unix_micros`` et al
+      accept only TIMESTAMP);
+    - plain ``timestamp`` → pass through.
+
+    Every downstream plan (and the DuckDB oracle, which treats naive
+    timestamps as tz-free under the same UTC convention) then sees one
+    canonical TimestampType column.
+    """
     from pyspark.sql import functions as F
 
     ensure_nanos_as_long(spark)
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(raw.dtypes).get("ts") == "bigint":
+    dtype = dict(raw.dtypes).get("ts")
+    if dtype == "bigint":
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dtype == "timestamp_ntz":
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw
 
 

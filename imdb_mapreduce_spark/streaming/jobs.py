@@ -22,29 +22,34 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    DataType,
     DoubleType,
     LongType,
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
+    TimestampType,
 )
 
+from imdb_mapreduce_spark.functions.columns import epoch_us
 from imdb_mapreduce_spark.plans.registry import register
 from imdb_mapreduce_spark.sources.star import ensure_nanos_as_long
 
-# Streaming sources need an explicit schema (no inference mid-stream).
-# ts arrives as raw int64 nanos (see sources/star.py) and is floor-divided
-# to µs — identical semantics to the batch reader.
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+
+def _events_schema(ts_type: DataType) -> StructType:
+    # Streaming sources need an explicit schema (no inference mid-stream);
+    # only the ts encoding varies across driver testdata generations.
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
 
 
 def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
@@ -55,11 +60,24 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     ``path`` may be a directory or a single ``.parquet`` file (file
     streams require a directory base, so a file path becomes parent dir +
     glob filter).
+
+    The explicit stream schema must match the at-rest encoding, and the
+    driver has re-encoded ``events.ts`` across rounds (int64 nanos →
+    timestamp[us]/NTZ). One batch footer read sniffs the encoding, then
+    the stream normalizes to TimestampType with EXACTLY the batch reader's
+    semantics (``sources/star.py::_load_events``) so stream/batch parity
+    is schema-drift-proof. The footer read is a driver-side metadata
+    operation — no data scan, negligible at any scale.
     """
     # Engine-built sessions set nanosAsLong at build time (session.py);
     # this guarded no-op fallback covers vanilla driver sessions only.
     ensure_nanos_as_long(spark)
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA).option(
+    ts_dtype = dict(spark.read.parquet(path).dtypes).get("ts", "timestamp")
+    ts_type = {
+        "bigint": LongType(),
+        "timestamp_ntz": TimestampNTZType(),
+    }.get(ts_dtype, TimestampType())
+    reader = spark.readStream.schema(_events_schema(ts_type)).option(
         "maxFilesPerTrigger", 1
     )
     if path.endswith(".parquet"):
@@ -67,7 +85,11 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
         reader = reader.option("pathGlobFilter", fname)
         path = base
     raw = reader.parquet(path)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_dtype == "bigint":
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_dtype == "timestamp_ntz":
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
@@ -174,7 +196,7 @@ def interval_join_streams(
         "user_id",
         "view_ts",
         "purchase_ts",
-        (F.unix_micros("purchase_ts") - F.unix_micros("view_ts")).alias("delay_us"),
+        (epoch_us("purchase_ts") - epoch_us("view_ts")).alias("delay_us"),
     )
 
 
@@ -234,14 +256,21 @@ def events_from_kafka_frame(kafka_df: DataFrame) -> DataFrame:
     """Map a Kafka-shaped frame (the exact columns ``spark.readStream
     .format("kafka")`` produces: binary key/value + topic/partition/offset/
     timestamp) onto the typed events schema: JSON-decode the value, cast,
-    floor ns → µs. Works identically on batch and streaming inputs — wire
+    normalize ts. Works identically on batch and streaming inputs — wire
     a real broker by swapping the source, no downstream change (no broker
     exists in this environment, so tests feed a synthetic frame with the
-    same columns)."""
+    same columns).
+
+    Producers have shipped ``ts`` two ways (matching the file encodings):
+    raw int64 nanoseconds, or an ISO-8601 string (what JSON-encoding a
+    timestamp column yields). The payload field is read as STRING and
+    branch-decoded per row — all-digit values are nanos, anything else
+    parses as a timestamp under the UTC session tz — so one adapter covers
+    both wire formats and always emits canonical TimestampType."""
     value_schema = StructType(
         [
             StructField("event_id", LongType()),
-            StructField("ts", LongType()),  # raw ns, as the file source
+            StructField("ts", StringType()),  # int64-ns digits OR ISO-8601
             StructField("user_id", LongType()),
             StructField("event_type", StringType()),
             StructField("value", DoubleType()),
@@ -251,9 +280,17 @@ def events_from_kafka_frame(kafka_df: DataFrame) -> DataFrame:
     parsed = kafka_df.select(
         F.from_json(F.col("value").cast("string"), value_schema).alias("v")
     )
+    ts_col = (
+        F.when(
+            F.col("v.ts").rlike("^-?[0-9]+$"),
+            F.timestamp_micros(F.expr("cast(v.ts as bigint) div 1000")),
+        )
+        .otherwise(F.to_timestamp(F.col("v.ts")).cast("timestamp"))
+        .alias("ts")
+    )
     return parsed.select(
         F.col("v.event_id").alias("event_id"),
-        F.timestamp_micros(F.expr("v.ts div 1000")).alias("ts"),
+        ts_col,
         F.col("v.user_id").alias("user_id"),
         F.col("v.event_type").alias("event_type"),
         F.col("v.value").alias("value"),

@@ -138,6 +138,35 @@ def test_ivf_cell_partition_layout_prunes_probed_cells(spark, tmp_path):
     assert 0 < n_probed < back.count()  # strictly fewer rows than the corpus
 
 
+def test_registered_ivf_query_reads_persisted_index(spark):
+    """VERDICT r03 item 6: the REGISTERED ann_ivf_topk must be a pure read
+    of the persisted cell-partitioned index — probe IN-list in
+    PartitionFilters, and no KMeans refit on a second call (the index
+    build is once per corpus fingerprint)."""
+    import json
+    import os
+
+    from imdb_mapreduce_spark.pipeline.similarity import (
+        _ivf_index_dir,
+        ann_ivf_topk,
+    )
+
+    df = ann_ivf_topk(spark, SF)  # builds the index iff absent/stale
+    plan = _explain(df)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf, "registered IVF query must scan the cell-partitioned index"
+    assert "IN (" in pf[0], f"probe IN-list not pruned: {pf[0]}"
+    assert "KMeans" not in plan
+    # second call: same fingerprint → no rebuild (meta mtime unchanged)
+    idx = _ivf_index_dir(spark, SF, k=8, seed=42)
+    meta = os.path.join(idx, "_meta.json")
+    before = os.stat(meta).st_mtime_ns
+    ann_ivf_topk(spark, SF).collect()
+    assert os.stat(meta).st_mtime_ns == before
+    with open(meta) as f:
+        assert json.load(f)["k"] == 8
+
+
 def test_date_partition_pruning(spark, tmp_path):
     e = load_table(spark, "events", SF)
     path = str(tmp_path / "events_by_day")

@@ -125,9 +125,18 @@ def test_kafka_shaped_source_roundtrip(spark):
 
     events = load_table(spark, "events", "/root/testdata/sf0.001").limit(200)
     raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet").limit(200)
+    # The producer serializes timestamps at FULL µs precision (to_json's
+    # default format is ms-truncating and would silently lose data — the
+    # testdata is 99.9% sub-ms-bearing).
+    json_opts = {
+        "timestampNTZFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+        "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+    }
     kafka_shaped = raw.select(
         FN.lit(None).cast("binary").alias("key"),
-        FN.encode(FN.to_json(FN.struct(*raw.columns)), "utf-8").alias("value"),
+        FN.encode(
+            FN.to_json(FN.struct(*raw.columns), json_opts), "utf-8"
+        ).alias("value"),
         FN.lit("events").alias("topic"),
         FN.lit(0).alias("partition"),
         FN.monotonically_increasing_id().alias("offset"),
