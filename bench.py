@@ -48,6 +48,9 @@ HEADLINE = (
     "ann_lsh_topk",
     "tfidf_top_terms",
     "token_pack_assignment",
+    # added r04 (curation family; the two with nontrivial cost)
+    "benchmark_decontam",
+    "cdc_orders_upsert",
 )
 
 

@@ -1,0 +1,242 @@
+"""Corpus-curation operators ([NORTH-STAR]): the decisions a training-data
+pipeline makes AFTER cleaning — what to exclude (benchmark contamination),
+what to keep (stratified / per-group sampling), and how to fold in late
+corrections (CDC upsert).
+
+All four are pure DataFrame compositions with exact DuckDB oracles; the
+determinism trick throughout is the portable md5 fragment-hash from
+``pipeline/dedup.py`` (``conv(substr(md5(x),1,7),16,10)`` ↔
+``('0x' || substr(md5(x),1,7))::BIGINT``) so sampling decisions are
+bit-identical across engines and across runs — a re-run of the pipeline
+selects the SAME documents, which is what makes corpus builds auditable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from imdb_mapreduce_spark.plans.registry import register
+from imdb_mapreduce_spark.sources.star import load_table
+
+# Word-n-gram size for contamination checks. Real pipelines use 8-13-gram
+# overlap (the WMDP/GPT-3 convention); this synthetic corpus draws ~40
+# vocabulary words, where 8-grams are near-unique per doc — 3-grams give
+# the collision structure that exercises the operator.
+DECONTAM_NGRAM = 3
+
+# Benchmark membership: a deterministic pseudo-benchmark (every 97th doc).
+# In production this is the actual eval-set text, loaded as its own table.
+BENCH_MOD = 97
+
+# Per-language keep-rates (percent) for the stratified downsample:
+# rebalance the English-heavy corpus (the classic data-mixing move).
+STRATA_RATES = {"en": 20, "de": 40, "fr": 40, "es": 40, "zh": 40}
+DEFAULT_RATE = 40
+
+PER_GROUP_N = 20
+
+
+def _md5_bucket(col: Column, mod: int = 100) -> Column:
+    """Deterministic [0, mod) bucket from a 28-bit md5 prefix — portable
+    (bit-identical in DuckDB) and uniform. The sampling primitive."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 7), 16, 10).cast(
+        "bigint"
+    ) % mod
+
+
+def _word_ngrams(n: int) -> Column:
+    """Array of word n-grams of ``text`` (requires size >= n; filter first)."""
+    return F.expr(
+        f"transform(sequence(1, size(split(text, ' ')) - {n - 1}),"
+        f" i -> concat_ws(' ', slice(split(text, ' '), i, {n})))"
+    )
+
+
+@register(
+    "benchmark_decontam",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(t) - {DECONTAM_NGRAM - 1}),
+                    i -> array_to_string(t[i:i+{DECONTAM_NGRAM - 1}], ' '))) AS g
+      FROM toks WHERE len(t) >= {DECONTAM_NGRAM}),
+    dg AS (SELECT DISTINCT doc_id, g FROM grams)
+    SELECT c.doc_id,
+           CAST(COUNT(DISTINCT c.g) AS BIGINT) AS n_overlap_shingles,
+           CAST(COUNT(DISTINCT b.doc_id) AS BIGINT) AS n_benchmark_docs
+    FROM dg c JOIN dg b ON c.g = b.g
+    WHERE b.doc_id % {BENCH_MOD} = 0 AND c.doc_id % {BENCH_MOD} <> 0
+    GROUP BY c.doc_id
+    """,
+    tags=("curation", "north-star", "decontamination"),
+)
+def benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination: flag corpus documents sharing any word
+    n-gram with the benchmark set, with overlap evidence counts (how many
+    distinct shingles, from how many distinct benchmark docs).
+
+    100 TB posture: the benchmark side is small by definition (eval sets
+    are ~10³-10⁵ docs), so its distinct shingle set broadcasts and the
+    corpus side is a single map-side semi-join + one aggregation shuffle
+    on doc_id — the corpus text is never shuffled. The n-gram explode is
+    shuffle-free fan-out.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    grams = (
+        docs.filter(F.size(F.split("text", " ")) >= DECONTAM_NGRAM)
+        .select("doc_id", F.explode(_word_ngrams(DECONTAM_NGRAM)).alias("g"))
+        .distinct()
+    )
+    bench = grams.filter(F.col("doc_id") % BENCH_MOD == 0).select(
+        F.col("doc_id").alias("bench_id"), "g"
+    )
+    corpus = grams.filter(F.col("doc_id") % BENCH_MOD != 0)
+    return (
+        corpus.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("g").alias("n_overlap_shingles"),
+            F.countDistinct("bench_id").alias("n_benchmark_docs"),
+        )
+    )
+
+
+@register(
+    "stratified_sample_hash",
+    oracle=f"""
+    SELECT doc_id, lang,
+           ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 100
+             AS bucket
+    FROM documents
+    WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 100
+          < CASE lang WHEN 'en' THEN {STRATA_RATES['en']}
+                      WHEN 'de' THEN {STRATA_RATES['de']}
+                      WHEN 'fr' THEN {STRATA_RATES['fr']}
+                      WHEN 'es' THEN {STRATA_RATES['es']}
+                      WHEN 'zh' THEN {STRATA_RATES['zh']}
+                      ELSE {DEFAULT_RATE} END
+    """,
+    tags=("curation", "north-star", "sampling"),
+)
+def stratified_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: keep a per-language percentage of
+    documents, decided by a content-stable hash bucket — NOT an RNG.
+
+    Why hash, not ``sampleBy``: RNG sampling is partitioning-dependent and
+    engine-specific; hash sampling is reproducible (same doc set every
+    run, any cluster size), auditable (membership is a pure function of
+    doc_id), and incremental (new docs don't re-roll old decisions — the
+    property that makes corpus versioning tractable). Pure projection +
+    filter: zero shuffles at any scale.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    bucket = _md5_bucket(F.col("doc_id"))
+    rate = F.lit(DEFAULT_RATE)
+    for lang, r in STRATA_RATES.items():
+        rate = F.when(F.col("lang") == lang, r).otherwise(rate)
+    return docs.select("doc_id", "lang", bucket.alias("bucket")).filter(
+        F.col("bucket") < rate
+    )
+
+
+@register(
+    "sample_n_per_group",
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS sample_rank
+      FROM documents)
+    SELECT doc_id, lang, CAST(sample_rank AS BIGINT) AS sample_rank
+    FROM r WHERE sample_rank <= {PER_GROUP_N}
+    """,
+    tags=("curation", "north-star", "sampling"),
+)
+def sample_n_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-N-per-group sampling (balanced eval subsets): rank docs
+    within each language by md5 order — a deterministic shuffle — and keep
+    the first N.
+
+    The rank<=N predicate is pushed into the window operator by Spark's
+    WindowGroupLimit rule (each partition keeps a running top-N heap
+    before the shuffle), so the full groups are never materialized — the
+    map side already drops everything beyond N per (partition, lang).
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select(
+            "doc_id", "lang", F.row_number().over(w).cast("long").alias("sample_rank")
+        )
+        .filter(F.col("sample_rank") <= PER_GROUP_N)
+    )
+
+
+@register(
+    "cdc_orders_upsert",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS price_cents,
+             1 AS src_seq
+      FROM orders),
+    upd AS (
+      SELECT o_orderkey, 'U' AS o_orderstatus,
+             (CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) * 11) // 10
+               AS price_cents,
+             2 AS src_seq
+      FROM orders WHERE o_orderkey % 10 = 0),
+    u AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                       ORDER BY src_seq DESC) AS rn FROM u)
+    SELECT o_orderkey, o_orderstatus, price_cents, src_seq
+    FROM r WHERE rn = 1
+    """,
+    tags=("curation", "cdc", "upsert"),
+)
+def cdc_orders_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins merge (CDC upsert): apply an update batch over a base
+    table by sequence number — the batch-SQL formulation of MERGE INTO.
+    The update batch here is derived deterministically (every 10th order
+    re-priced +10%, exact integer cents) so the oracle can replay it.
+
+    100 TB posture: one shuffle on the merge key (window + rn=1); with the
+    base table bucketed by key (``sources/storage.write_bucketed``) even
+    that shuffle drops to the (small) update batch. In production the same
+    logic runs through a storage layer's MERGE (Delta/Iceberg) — this
+    operator IS that semantics, engine-side, for plain parquet.
+
+    Money math: prices go through exact DECIMAL(12,2) → integer cents;
+    the +10% is ``cents * 11 div 10`` in BIGINT — no float ever touches
+    the ledger, so cross-engine hashes match bit-for-bit.
+    """
+    orders = load_table(spark, "orders", sf_dir)
+    cents = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")
+    base = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        cents.alias("price_cents"),
+        F.lit(1).alias("src_seq"),
+    )
+    upd = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        F.expr(
+            "(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) * 11) div 10"
+        ).alias("price_cents"),
+        F.lit(2).alias("src_seq"),
+    )
+    merged = base.unionByName(upd)
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("src_seq").desc())
+    return (
+        merged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderkey", "o_orderstatus", "price_cents", "src_seq")
+    )

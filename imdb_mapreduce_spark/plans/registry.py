@@ -95,6 +95,11 @@ _HEAD: tuple[str, ...] = (
     "embedding_norm_stats",
     "doc_quality_stats",
     "lang_id_heuristic",
+    # NEW in r04 → no driver row exists yet
+    "benchmark_decontam",
+    "stratified_sample_hash",
+    "sample_n_per_group",
+    "cdc_orders_upsert",
     # permanent rows-only entries (oracle=None → can never earn hash green;
     # keeping them in _HEAD guarantees a fresh rows-only row every round)
     "simhash_near_dups",
@@ -125,6 +130,12 @@ _TAIL: tuple[str, ...] = (
     "order_basket_lookup",  # sibling: part_expr_catalog
     "nation_customer_sorted",  # sibling: fuzzy_name_match (_HEAD)
     "asof_last_purchase",  # sibling: quantity_band_stats
+    # demoted in r04 to offset the 4 new curation queries; all r03-green
+    # with code unchanged, each family keeps an in-window sibling
+    "events_10min_windows",  # sibling: events_hourly
+    "dedup_clusters",  # siblings: dedup_exact_groups, ngram_jaccard_pairs
+    "parts_above_brand_avg",  # siblings: events_cube, order_price_quantiles
+    "doc_embedding_profile",  # sibling: embedding_norm_stats (_HEAD)
 )
 
 
@@ -145,6 +156,7 @@ def all_queries() -> dict[str, Query]:
         temporal_queries,
     )
     from imdb_mapreduce_spark.pipeline import (  # noqa: F401
+        curation,
         dedup,
         similarity,
         text,
