@@ -653,9 +653,25 @@ def corpus_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     Composition shape at scale: the cluster mapping is tiny (only docs in
     some near-dup pair) so its join side broadcasts; the quality gates are
     pure projections on the corpus scan. One wide pass + one small join.
+
+    The cluster map comes from the SILVER layer (``sources/silver.py``):
+    the pairs→components recompute runs once per documents.parquet
+    version; every later call — and every downstream consumer — is a pure
+    parquet read of the materialized map. (The registered
+    ``dedup_clusters`` query itself stays a live recompute: it IS the
+    build, and what its recursive-CTE oracle prices.)
     """
+    from imdb_mapreduce_spark.sources.silver import materialized
+
     docs = load_table(spark, "documents", sf_dir)
-    clusters = dedup_clusters(spark, sf_dir)
+    clusters = materialized(
+        spark,
+        sf_dir,
+        "dedup_clusters",
+        "documents",
+        {"thr": CLUSTER_JACCARD_THR, "shingle": SHINGLE_WORDS, "v": 1},
+        lambda: dedup_clusters(spark, sf_dir),
+    )
     non_survivor = clusters.filter(F.col("component") != F.col("doc_id")).select(
         "doc_id", F.lit(True).alias("_dup")
     )

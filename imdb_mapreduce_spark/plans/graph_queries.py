@@ -123,3 +123,43 @@ def copart_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_shared_orders").desc(), "part1", "part2")
         .limit(20)
     )
+
+
+@register(
+    "pagerank_coparts",
+    oracle=None,  # iterative float fixpoint: verified vs a pure-Python
+    # reference implementation in tests/test_pagerank.py (rank-order and
+    # value tolerance), not SQL-expressible without order-sensitive float
+    # accumulation differences
+    tags=("graph", "iterative", "pagerank"),
+)
+def pagerank_coparts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the co-purchase part graph (parts sharing an order,
+    symmetrized), 10 fixed power iterations, top 50 by rank.
+
+    Graph build: distinct (order, part) → same-order part pairs →
+    symmetrize. The pair fan-out is Σ basket² (bounded baskets here; cap
+    baskets at 100 TB — same guard as copart_pairs_topk). The iteration
+    itself is ``operators/pagerank.py``: one join + one agg per round,
+    lineage checkpointed."""
+    from imdb_mapreduce_spark.operators.pagerank import pagerank
+
+    e = (
+        load_table(spark, "lineitem", sf_dir)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = e.alias("a"), e.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+    ).distinct()
+    ranks = pagerank(pairs, iterations=10)
+    return (
+        ranks.select(F.col("node").alias("part"), "rank")
+        .orderBy(F.col("rank").desc(), "part")
+        .limit(50)
+    )

@@ -100,11 +100,13 @@ _HEAD: tuple[str, ...] = (
     "stratified_sample_hash",
     "sample_n_per_group",
     "cdc_orders_upsert",
+    "dq_expectations",
     # permanent rows-only entries (oracle=None → can never earn hash green;
     # keeping them in _HEAD guarantees a fresh rows-only row every round)
     "simhash_near_dups",
     "ann_ivf_topk",
     "ann_lsh_topk",
+    "pagerank_coparts",  # NEW r04; verified vs Python reference in pytest
 )
 _TAIL: tuple[str, ...] = (
     # 21 entries, ALL green hash-matched in CORRECTNESS_r03.json with code
@@ -136,6 +138,8 @@ _TAIL: tuple[str, ...] = (
     "dedup_clusters",  # siblings: dedup_exact_groups, ngram_jaccard_pairs
     "parts_above_brand_avg",  # siblings: events_cube, order_price_quantiles
     "doc_embedding_profile",  # sibling: embedding_norm_stats (_HEAD)
+    "copart_pairs_topk",  # sibling: copurchase_bfs_l3
+    "supplier_part_facts",  # siblings: region_rollup, local_supplier_revenue
 )
 
 
@@ -154,6 +158,7 @@ def all_queries() -> dict[str, Query]:
         graph_queries,
         analytics,
         temporal_queries,
+        quality,
     )
     from imdb_mapreduce_spark.pipeline import (  # noqa: F401
         curation,

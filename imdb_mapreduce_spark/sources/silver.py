@@ -1,0 +1,64 @@
+"""Build-once materialized ("silver") tables keyed by source fingerprint.
+
+The medallion-architecture move: expensive derived datasets (near-dup
+cluster maps, ANN index layouts, signature tables) are written ONCE per
+source-data version and every consumer afterwards is a pure parquet read.
+At 100 TB this is the difference between a dedup pipeline that runs once
+per corpus snapshot and one that re-shingles the corpus every time a
+downstream query wants the cluster map.
+
+Staleness safety (the r03 lesson — never trust persisted state across a
+driver-side data regeneration): the materialization is keyed by the source
+parquet's (path, mtime_ns, size) plus the build parameters; any change
+rebuilds automatically, so a consumer can never read a silver table that
+disagrees with its source.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+_REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def silver_root() -> str:
+    return os.path.join(_REPO, "spark-warehouse", "silver")
+
+
+def materialized(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    src_table: str,
+    params: dict,
+    build: Callable[[], DataFrame],
+) -> DataFrame:
+    """Return the silver table ``name`` derived from ``src_table`` at
+    ``sf_dir``, building it with ``build()`` iff absent or stale.
+
+    ``params`` must include every knob the build depends on — it is part
+    of the staleness key, so changing a threshold invalidates the table.
+    """
+    src = os.path.join(sf_dir, f"{src_table}.parquet")
+    st = os.stat(src)
+    fingerprint = {
+        "src": src,
+        "mtime_ns": st.st_mtime_ns,
+        "size": st.st_size,
+        **params,
+    }
+    base = os.path.join(silver_root(), os.path.basename(sf_dir.rstrip("/")), name)
+    data_dir = os.path.join(base, "data")
+    meta_path = os.path.join(base, "_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            if json.load(f) == fingerprint:
+                return spark.read.parquet(data_dir)
+    build().write.mode("overwrite").parquet(data_dir)
+    with open(meta_path, "w") as f:
+        json.dump(fingerprint, f)
+    return spark.read.parquet(data_dir)

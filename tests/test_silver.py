@@ -1,0 +1,59 @@
+"""Silver-layer materialization: build-once, fingerprint-keyed staleness."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from imdb_mapreduce_spark.sources.silver import materialized
+
+
+def test_materialized_builds_once_and_rebuilds_on_source_change(spark, tmp_path):
+    sf_dir = str(tmp_path)
+    src = os.path.join(sf_dir, "documents.parquet")
+    spark.range(5).select(F.col("id").alias("doc_id")).coalesce(1).write.parquet(src)
+
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.read.parquet(src).withColumn("x", F.col("doc_id") * 2)
+
+    # three reads, one build
+    for _ in range(3):
+        got = materialized(spark, sf_dir, "t", "documents", {"v": 1}, build)
+        assert {r["x"] for r in got.collect()} == {0, 2, 4, 6, 8}
+    assert calls["n"] == 1
+
+    # parameter change → rebuild (params are part of the staleness key)
+    materialized(spark, sf_dir, "t", "documents", {"v": 2}, build)
+    assert calls["n"] == 2
+
+    # source data change → rebuild; consumer sees the NEW data
+    spark.range(3).select(F.col("id").alias("doc_id")).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    got = materialized(spark, sf_dir, "t", "documents", {"v": 2}, build)
+    assert calls["n"] == 3
+    assert {r["x"] for r in got.collect()} == {0, 2, 4}
+
+
+def test_keep_list_second_call_reads_silver(spark):
+    """The registered corpus_keep_list must not recompute clustering on a
+    second call: the silver meta is untouched and results are identical."""
+    import json
+
+    from imdb_mapreduce_spark.pipeline.dedup import corpus_keep_list
+    from imdb_mapreduce_spark.sources.silver import silver_root
+
+    sf = "/root/testdata/sf0.001"
+    first = {r["doc_id"]: (r["keep"], r["drop_reason"]) for r in corpus_keep_list(spark, sf).collect()}
+    meta = os.path.join(silver_root(), "sf0.001", "dedup_clusters", "_meta.json")
+    assert os.path.exists(meta)
+    mtime = os.stat(meta).st_mtime_ns
+    with open(meta) as f:
+        assert json.load(f)["src"] == f"{sf}/documents.parquet"
+    second = {r["doc_id"]: (r["keep"], r["drop_reason"]) for r in corpus_keep_list(spark, sf).collect()}
+    assert os.stat(meta).st_mtime_ns == mtime  # no rebuild
+    assert first == second
