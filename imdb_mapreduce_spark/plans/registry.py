@@ -101,6 +101,7 @@ _HEAD: tuple[str, ...] = (
     "sample_n_per_group",
     "cdc_orders_upsert",
     "dq_expectations",
+    "streaming_dedup_10min_counts",
     # permanent rows-only entries (oracle=None → can never earn hash green;
     # keeping them in _HEAD guarantees a fresh rows-only row every round)
     "simhash_near_dups",
@@ -140,6 +141,7 @@ _TAIL: tuple[str, ...] = (
     "doc_embedding_profile",  # sibling: embedding_norm_stats (_HEAD)
     "copart_pairs_topk",  # sibling: copurchase_bfs_l3
     "supplier_part_facts",  # siblings: region_rollup, local_supplier_revenue
+    "events_hourly",  # siblings: events_cube; streaming twins in _HEAD
 )
 
 

@@ -229,6 +229,45 @@ def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_dedup_10min_counts",
+    oracle="""
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("streaming", "north-star", "dedup", "window-time"),
+)
+def streaming_dedup_10min_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once ingest under at-least-once delivery: the source stream
+    is DOUBLED (two reads of the same file — every event delivered twice),
+    then ``dropDuplicatesWithinWatermark`` on the event key collapses the
+    replays before the windowed count. The oracle is the BATCH count over
+    the ORIGINAL (undoubled) events — so a hash-green row proves the dedup
+    removed exactly the duplicates, no more, no less.
+
+    State posture: within-watermark dedup keeps a key's fingerprint only
+    until the watermark passes it (bounded by delivery skew, not stream
+    length) — the production shape for replayed Kafka partitions; plain
+    ``dropDuplicates`` state grows forever. Two stateful operators chain
+    here (dedup → windowed agg); Spark orders their watermarks
+    internally."""
+    src = f"{sf_dir}/events.parquet"
+    doubled = read_events_stream(spark, src).unionByName(
+        read_events_stream(spark, src)
+    )
+    deduped = doubled.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    agg = (
+        deduped.groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+    return run_stream_to_memory(agg, "complete")
+
+
 def run_stream_to_parquet(
     result: DataFrame,
     out_dir: str,

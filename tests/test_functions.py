@@ -48,6 +48,29 @@ def test_salted_collect_equals_direct(spark):
     assert salted == direct
 
 
+def test_salted_join_equals_plain_join(spark):
+    from imdb_mapreduce_spark.functions.columns import salted_join
+
+    # hot key: 2000 of 2300 rows share one key (the skew shape)
+    big = spark.createDataFrame(
+        [("hot", i) for i in range(2000)] + [(f"k{i % 3}", i) for i in range(300)],
+        ["k", "x"],
+    )
+    small = spark.createDataFrame(
+        [("hot", 10), ("k0", 20), ("k1", 30), ("orphan", 99)], ["k", "y"]
+    )
+    for how in ("inner", "left"):
+        plain = sorted(
+            (r["k"], r["x"], r["y"])
+            for r in big.join(small, "k", how).collect()
+        )
+        salted = sorted(
+            (r["k"], r["x"], r["y"])
+            for r in salted_join(big, small, "k", salt_buckets=8, how=how).collect()
+        )
+        assert salted == plain, how
+
+
 def test_salted_running_stats_equals_unsalted(spark):
     """The SCALE.md ordered-window salting pattern, exercised on a
     genuinely skewed key: one user owns 50% of the events, spread over 6

@@ -114,6 +114,24 @@ def test_parquet_sink_exactly_once_on_rerun(spark, tmp_path):
     assert ev.select("view_id", "purchase_id").distinct().count() == first
 
 
+def test_streaming_dedup_collapses_doubled_source(spark):
+    """At-least-once delivery (every event twice) through
+    dropDuplicatesWithinWatermark must reproduce the batch answer exactly
+    — same windows, same counts, total == the undoubled event count."""
+    from imdb_mapreduce_spark.streaming.jobs import streaming_dedup_10min_counts
+
+    got = {
+        r["window_start"]: r["n_events"]
+        for r in streaming_dedup_10min_counts(spark, SF).collect()
+    }
+    want = {
+        r["window_start"]: r["n_events"]
+        for r in events_10min_windows(spark, SF).collect()
+    }
+    assert got == want
+    assert sum(got.values()) == 1000
+
+
 def test_kafka_shaped_source_roundtrip(spark):
     # Encode real events rows into the exact frame shape the Kafka source
     # produces (binary value + topic/partition/offset), decode through the
