@@ -315,3 +315,93 @@ def user_running_stats_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from imdb_mapreduce_spark.functions.columns import salted_running_stats
 
     return salted_running_stats(_events(spark, sf_dir))
+
+
+@register(
+    "events_sliding_windows",
+    oracle="""
+    WITH slid AS (
+      SELECT time_bucket(INTERVAL '5 minutes', ts) - k * INTERVAL '5 minutes'
+               AS window_start,
+             user_id, value
+      FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k)
+      WHERE ts < time_bucket(INTERVAL '5 minutes', ts)
+              - k * INTERVAL '5 minutes' + INTERVAL '10 minutes')
+    SELECT window_start, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM slid GROUP BY 1
+    """,
+    tags=("time", "agg", "window-time", "sliding"),
+)
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (10-minute length, 5-minute slide): each event lands
+    in exactly length/slide = 2 windows. Spark's ``window()`` does the
+    2-row fan-out BEFORE the shuffle, so partial aggregation still applies
+    — cost is 2× the tumbling plan, never quadratic. The oracle replays
+    the same fan-out with an explicit 2-element unnest."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(D2)).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+@register(
+    "events_gapfill_zero",
+    oracle="""
+    WITH bounds AS (
+      SELECT time_bucket(INTERVAL '1 hour', MIN(ts)) AS lo,
+             time_bucket(INTERVAL '1 hour', MAX(ts)) AS hi
+      FROM events),
+    grid AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS hour
+      FROM bounds),
+    types AS (SELECT DISTINCT event_type FROM events),
+    actual AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS hour, event_type,
+             COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2)
+    SELECT g.hour, t.event_type,
+           CAST(COALESCE(a.n_events, 0) AS BIGINT) AS n_events
+    FROM grid g CROSS JOIN types t
+    LEFT JOIN actual a ON a.hour = g.hour AND a.event_type = t.event_type
+    """,
+    tags=("time", "agg", "gapfill"),
+)
+def events_gapfill_zero(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense time series from sparse events: build the full (hour × type)
+    grid with ``sequence()`` + explode and left-join the actual counts,
+    zero-filling holes — the gap-fill every downstream charting/anomaly
+    job needs.
+
+    Scale shape: the grid is hours×types (tiny, broadcastable) regardless
+    of event volume; the only big-data pass is the one aggregation.
+    ``sequence`` runs on a ONE-ROW frame (min/max agg) — the grid
+    generation is driver-free and never touches the fact table again."""
+    e = _events(spark, sf_dir)
+    actual = e.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.count("*").alias("n_events"))
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 hour"))
+        ).alias("hour")
+    )
+    types = e.select("event_type").distinct()
+    return (
+        grid.crossJoin(types)
+        .join(F.broadcast(actual), ["hour", "event_type"], "left")
+        .select(
+            "hour",
+            "event_type",
+            F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+        )
+    )

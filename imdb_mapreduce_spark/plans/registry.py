@@ -102,6 +102,8 @@ _HEAD: tuple[str, ...] = (
     "cdc_orders_upsert",
     "dq_expectations",
     "streaming_dedup_10min_counts",
+    "events_sliding_windows",
+    "events_gapfill_zero",
     # permanent rows-only entries (oracle=None → can never earn hash green;
     # keeping them in _HEAD guarantees a fresh rows-only row every round)
     "simhash_near_dups",
@@ -142,6 +144,8 @@ _TAIL: tuple[str, ...] = (
     "copart_pairs_topk",  # sibling: copurchase_bfs_l3
     "supplier_part_facts",  # siblings: region_rollup, local_supplier_revenue
     "events_hourly",  # siblings: events_cube; streaming twins in _HEAD
+    "ngram_jaccard_pairs",  # siblings: dedup_exact_groups (middle)
+    "order_price_quantiles",  # siblings: events_cube (middle)
 )
 
 
