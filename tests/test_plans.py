@@ -159,7 +159,15 @@ def test_global_plan_hygiene_sweep(spark, queries):
         # path (similarity.random_hyperplane_buckets_arrow), not a UDF smell
         "ann_lsh_topk",
     }
-    ALLOW_BNLJ = {"quantity_band_stats", "ann_cosine_topk"}
+    ALLOW_BNLJ = {
+        "quantity_band_stats",
+        "ann_cosine_topk",
+        # deliberate tiny cross joins: 1-row agg × 1-row agg (attach the
+        # table rowcount to the FK check) and hour-grid × type-list (both
+        # bounded by calendar/domain size, never by fact volume)
+        "dq_expectations",
+        "events_gapfill_zero",
+    }
     for name, q in queries.items():
         if "streaming" in q.tags:
             continue
