@@ -51,6 +51,11 @@ HEADLINE = (
     # added r04 (curation family; the two with nontrivial cost)
     "benchmark_decontam",
     "cdc_orders_upsert",
+    # added r04 (quality + time-series; sub-second but perf-tracked so a
+    # regression in the conditional-agg / grid-join plans is visible)
+    "dq_expectations",
+    "events_sliding_windows",
+    "events_gapfill_zero",
 )
 
 

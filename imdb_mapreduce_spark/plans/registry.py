@@ -104,6 +104,8 @@ _HEAD: tuple[str, ...] = (
     "streaming_dedup_10min_counts",
     "events_sliding_windows",
     "events_gapfill_zero",
+    "segment_reconciliation_fullouter",
+    "loyal_buyer_intersect",
     # permanent rows-only entries (oracle=None → can never earn hash green;
     # keeping them in _HEAD guarantees a fresh rows-only row every round)
     "simhash_near_dups",
@@ -146,6 +148,8 @@ _TAIL: tuple[str, ...] = (
     "events_hourly",  # siblings: events_cube; streaming twins in _HEAD
     "ngram_jaccard_pairs",  # siblings: dedup_exact_groups (middle)
     "order_price_quantiles",  # siblings: events_cube (middle)
+    "region_rollup",  # siblings: local_supplier_revenue (middle)
+    "token_pack_assignment",  # siblings: token_count_bpe, tfidf (middle)
 )
 
 

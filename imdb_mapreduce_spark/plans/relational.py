@@ -428,3 +428,81 @@ def nation_customer_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("nation_name", "sort_token", "custkey")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# Set-op / outer-join completions (r04): FULL OUTER + INTERSECT
+# ---------------------------------------------------------------------------
+
+@register(
+    "segment_reconciliation_fullouter",
+    oracle="""
+    WITH hv AS (
+      SELECT o_custkey AS custkey,
+             CAST(COUNT(*) AS BIGINT) AS n_high_value
+      FROM orders WHERE o_totalprice > 300000 GROUP BY 1),
+    urg AS (
+      SELECT o_custkey AS custkey,
+             CAST(COUNT(*) AS BIGINT) AS n_urgent
+      FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1)
+    SELECT COALESCE(hv.custkey, urg.custkey) AS custkey,
+           COALESCE(hv.n_high_value, 0) AS n_high_value,
+           COALESCE(urg.n_urgent, 0) AS n_urgent,
+           hv.custkey IS NOT NULL AND urg.custkey IS NOT NULL AS in_both
+    FROM hv FULL OUTER JOIN urg ON hv.custkey = urg.custkey
+    """,
+    tags=("join", "outer", "setop"),
+)
+def segment_reconciliation_fullouter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER reconciliation of two derived segments (high-value vs
+    urgent buyers) — the audit-join shape: keep every key from BOTH sides,
+    flag membership. Completes the join-type surface (inner/left/semi/
+    anti/asof/band/interval already registered). Both sides aggregate
+    BEFORE the join, so the outer join moves (key, count) tuples, never
+    order rows."""
+    o = _t(spark, sf_dir, "orders")
+    hv = (
+        o.filter(F.col("o_totalprice") > 300000)
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.count("*").alias("n_high_value"))
+    )
+    urg = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.count("*").alias("n_urgent"))
+    )
+    h = hv.alias("h")
+    u = urg.alias("u")
+    return h.join(u, F.col("h.custkey") == F.col("u.custkey"), "full_outer").select(
+        F.coalesce(F.col("h.custkey"), F.col("u.custkey")).alias("custkey"),
+        F.coalesce(F.col("h.n_high_value"), F.lit(0)).alias("n_high_value"),
+        F.coalesce(F.col("u.n_urgent"), F.lit(0)).alias("n_urgent"),
+        (F.col("h.custkey").isNotNull() & F.col("u.custkey").isNotNull()).alias(
+            "in_both"
+        ),
+    )
+
+
+@register(
+    "loyal_buyer_intersect",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders
+    WHERE ts_month(o_orderdate) = 1
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE ts_month(o_orderdate) = 6
+    """.replace("ts_month(o_orderdate)", "EXTRACT(month FROM o_orderdate)"),
+    tags=("setop", "intersect"),
+)
+def loyal_buyer_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct) of two keyed sets — customers who ordered in
+    BOTH January and June. Completes the set-op family (union-distinct and
+    EXCEPT are already registered). Spark plans this as a left-semi over
+    pre-aggregated distinct sets: one shuffle per side on the key."""
+    o = _t(spark, sf_dir, "orders")
+    jan = o.filter(F.month("o_orderdate") == 1).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    jun = o.filter(F.month("o_orderdate") == 6).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return jan.intersect(jun)
