@@ -178,6 +178,34 @@ def sample_n_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_upsert_join(base: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+    """Join-formulated MERGE for update batches with ≤1 row per key: FULL
+    OUTER on the merge key, update wins per column, unmatched updates are
+    inserts. Row-identical to the window formulation (pytest-pinned) —
+    but the shape that EXPLOITS a bucketed base table: the window variant
+    unions both sides first (union discards bucketing → full shuffle);
+    here the bucketed base side joins WITHOUT an exchange, so only the
+    small update batch shuffles. That asymmetry is the whole point of
+    maintaining a bucketed silver table under CDC
+    (``tests/test_storage.py::test_cdc_join_on_bucketed_base_shuffles_only_updates``).
+
+    Caveat: updates are FULL-ROW images (CDC after-images), so per-column
+    ``coalesce(update, base)`` is latest-wins; a delta feed that encodes
+    "set to NULL" needs an explicit tombstone column instead.
+    """
+    cols = base.columns
+    b = base.alias("b")
+    u = updates.alias("u")
+    picked = [
+        F.coalesce(F.col(f"u.{c}"), F.col(f"b.{c}")).alias(c)
+        for c in cols
+        if c != key
+    ]
+    return b.join(u, F.col(f"b.{key}") == F.col(f"u.{key}"), "full_outer").select(
+        F.coalesce(F.col(f"u.{key}"), F.col(f"b.{key}")).alias(key), *picked
+    )
+
+
 @register(
     "cdc_orders_upsert",
     oracle="""

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from imdb_mapreduce_spark.plans.registry import register
 from imdb_mapreduce_spark.sources.star import load_table
@@ -606,6 +607,63 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return connected_components(pairs, "doc1", "doc2").select(
         F.col("node").alias("doc_id"), "component"
+    )
+
+
+@register(
+    "dedup_survivors_by_quality",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT c.component, c.doc_id, d.n_chars,
+             ROW_NUMBER() OVER (PARTITION BY c.component
+                                ORDER BY d.n_chars DESC, c.doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY c.component) AS n_docs
+      FROM ({CLUSTERS_SQL}) c JOIN documents d ON d.doc_id = c.doc_id)
+    SELECT component, doc_id AS survivor_id, n_chars AS survivor_chars,
+           CAST(n_docs AS BIGINT) AS n_docs
+    FROM ranked WHERE rn = 1
+    """,
+    tags=("dedup", "north-star", "policy"),
+)
+def dedup_survivors_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pluggable survivor-selection policy: instead of min-doc_id, each
+    near-dup cluster keeps its LONGEST member (n_chars, deterministic
+    doc_id tiebreak) — the 'prefer richer duplicate' rule real corpus
+    builds use. Cluster map read from the silver layer (built once);
+    ranking runs over the tiny cluster relation joined to per-doc quality
+    — the policy swap costs one window over |clustered docs|, it never
+    rescans the corpus text."""
+    from imdb_mapreduce_spark.sources.silver import materialized
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "n_chars")
+    clusters = materialized(
+        spark,
+        sf_dir,
+        "dedup_clusters",
+        "documents",
+        {"thr": CLUSTER_JACCARD_THR, "shingle": SHINGLE_WORDS, "v": 1},
+        lambda: dedup_clusters(spark, sf_dir),
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    wc = Window.partitionBy("component")
+    return (
+        clusters.join(docs, "doc_id")
+        .select(
+            "component",
+            "doc_id",
+            "n_chars",
+            F.row_number().over(w).alias("_rn"),
+            F.count("*").over(wc).alias("n_docs"),
+        )
+        .filter(F.col("_rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("survivor_id"),
+            F.col("n_chars").alias("survivor_chars"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+        )
     )
 
 

@@ -106,6 +106,7 @@ _HEAD: tuple[str, ...] = (
     "events_gapfill_zero",
     "segment_reconciliation_fullouter",
     "loyal_buyer_intersect",
+    "dedup_survivors_by_quality",
     # permanent rows-only entries (oracle=None → can never earn hash green;
     # keeping them in _HEAD guarantees a fresh rows-only row every round)
     "simhash_near_dups",
@@ -150,6 +151,7 @@ _TAIL: tuple[str, ...] = (
     "order_price_quantiles",  # siblings: events_cube (middle)
     "region_rollup",  # siblings: local_supplier_revenue (middle)
     "token_pack_assignment",  # siblings: token_count_bpe, tfidf (middle)
+    "media_byte_histogram",  # siblings: all media_* in _HEAD
 )
 
 

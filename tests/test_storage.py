@@ -167,6 +167,65 @@ def test_registered_ivf_query_reads_persisted_index(spark):
         assert json.load(f)["k"] == 8
 
 
+def test_cdc_join_on_bucketed_base_shuffles_only_updates(spark):
+    """The bucketed-base CDC claim: with orders bucketed on the merge key,
+    the join-formulated upsert exchanges ONLY the update batch — the base
+    side reads its bucket layout directly."""
+    from imdb_mapreduce_spark.pipeline.curation import cdc_upsert_join
+    from imdb_mapreduce_spark.sources.storage import write_bucketed
+
+    orders = load_table(spark, "orders", SF)
+    write_bucketed(orders, "orders_cdc_base", "o_orderkey")
+    base = spark.table("orders_cdc_base")
+    updates = (
+        orders.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_orderstatus", F.lit("U"))
+    )
+    merged = cdc_upsert_join(base, updates, "o_orderkey")
+    plan = _explain(merged)
+    # exactly one exchange on the merge key — the update side
+    assert plan.count("hashpartitioning(o_orderkey") == 1, plan
+    # and the merge itself is correct: updated rows flipped, count stable
+    assert merged.count() == orders.count()
+    assert (
+        merged.filter(F.col("o_orderkey") % 10 == 0)
+        .filter(F.col("o_orderstatus") != "U")
+        .count()
+        == 0
+    )
+
+
+def test_cdc_join_equals_window_formulation(spark):
+    """cdc_upsert_join must produce the registered window-formulated
+    result row-for-row (same update batch, same precedence)."""
+    from imdb_mapreduce_spark.pipeline.curation import (
+        cdc_orders_upsert,
+        cdc_upsert_join,
+    )
+
+    orders = load_table(spark, "orders", SF)
+    cents = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")
+    base = orders.select(
+        "o_orderkey", "o_orderstatus", cents.alias("price_cents")
+    )
+    updates = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        F.expr(
+            "(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) * 11) div 10"
+        ).alias("price_cents"),
+    )
+    via_join = {
+        r["o_orderkey"]: (r["o_orderstatus"], r["price_cents"])
+        for r in cdc_upsert_join(base, updates, "o_orderkey").collect()
+    }
+    via_window = {
+        r["o_orderkey"]: (r["o_orderstatus"], r["price_cents"])
+        for r in cdc_orders_upsert(spark, SF).collect()
+    }
+    assert via_join == via_window
+
+
 def test_date_partition_pruning(spark, tmp_path):
     e = load_table(spark, "events", SF)
     path = str(tmp_path / "events_by_day")
