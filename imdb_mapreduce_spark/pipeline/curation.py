@@ -268,3 +268,77 @@ def cdc_orders_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("o_orderkey", "o_orderstatus", "price_cents", "src_seq")
     )
+
+
+MIX_BUDGET = 10_000  # target token budget for the mixed corpus
+
+
+@register(
+    "corpus_mix_allocation",
+    oracle=f"""
+    WITH g AS (
+      SELECT lang,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+      FROM documents GROUP BY lang),
+    calc AS (
+      SELECT lang, total_tokens,
+             ({MIX_BUDGET} * total_tokens)
+               // SUM(total_tokens) OVER () AS base_alloc,
+             ({MIX_BUDGET} * total_tokens)
+               % SUM(total_tokens) OVER () AS remainder
+      FROM g),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (ORDER BY remainder DESC, lang) AS rem_rank,
+             {MIX_BUDGET} - SUM(base_alloc) OVER () AS leftover
+      FROM calc)
+    SELECT lang, total_tokens,
+           CAST(base_alloc + CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END
+             AS BIGINT) AS alloc_tokens
+    FROM ranked
+    """,
+    tags=("curation", "north-star", "mixing"),
+)
+def corpus_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus mixing: split a global token budget across
+    languages proportionally to their corpus mass, using LARGEST-REMAINDER
+    apportionment — allocations are integers, sum EXACTLY to the budget,
+    and every step is integer arithmetic (no float rounding to disagree
+    across engines; the allocation is auditable arithmetic, not an RNG).
+
+    Scale shape: one aggregation over the corpus (map-side partial sums),
+    then all apportionment windows run on the GROUP relation — |langs|
+    rows — so the allocation logic is free at any corpus size."""
+    docs = load_table(spark, "documents", sf_dir)
+    g = docs.groupBy("lang").agg(
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("total_tokens")
+    )
+    w_all = Window.partitionBy()
+    calc = g.select(
+        "lang",
+        "total_tokens",
+        F.expr(
+            f"({MIX_BUDGET} * total_tokens) div sum(total_tokens) over ()"
+        ).alias("base_alloc"),
+        (
+            (F.lit(MIX_BUDGET) * F.col("total_tokens"))
+            % F.sum("total_tokens").over(w_all)
+        ).alias("remainder"),
+    )
+    ranked = calc.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.col("remainder").desc(), "lang"))
+        .alias("rem_rank"),
+        (F.lit(MIX_BUDGET) - F.sum("base_alloc").over(w_all)).alias("leftover"),
+    )
+    return ranked.select(
+        "lang",
+        "total_tokens",
+        (
+            F.col("base_alloc")
+            + F.when(F.col("rem_rank") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("alloc_tokens"),
+    )

@@ -107,6 +107,7 @@ _HEAD: tuple[str, ...] = (
     "segment_reconciliation_fullouter",
     "loyal_buyer_intersect",
     "dedup_survivors_by_quality",
+    "corpus_mix_allocation",
     # permanent rows-only entries (oracle=None → can never earn hash green;
     # keeping them in _HEAD guarantees a fresh rows-only row every round)
     "simhash_near_dups",
@@ -152,6 +153,7 @@ _TAIL: tuple[str, ...] = (
     "region_rollup",  # siblings: local_supplier_revenue (middle)
     "token_pack_assignment",  # siblings: token_count_bpe, tfidf (middle)
     "media_byte_histogram",  # siblings: all media_* in _HEAD
+    "token_count_bpe",  # siblings: doc_quality_stats, lang_id (_HEAD)
 )
 
 

@@ -129,6 +129,23 @@ def test_cdc_upsert_merge_laws(spark):
             assert m["price_cents"] == b["cents"]
 
 
+def test_corpus_mix_allocation_invariants(spark):
+    """Largest-remainder apportionment laws: allocations are integers that
+    sum EXACTLY to the budget, each within 1 of the exact proportional
+    share, ordered consistently with corpus mass."""
+    from imdb_mapreduce_spark.pipeline.curation import (
+        MIX_BUDGET,
+        corpus_mix_allocation,
+    )
+
+    rows = corpus_mix_allocation(spark, SF).collect()
+    total = sum(r["total_tokens"] for r in rows)
+    assert sum(r["alloc_tokens"] for r in rows) == MIX_BUDGET
+    for r in rows:
+        exact = MIX_BUDGET * r["total_tokens"] / total
+        assert exact - 1 < r["alloc_tokens"] < exact + 1
+
+
 def _explain(df) -> str:
     import io
     from contextlib import redirect_stdout
