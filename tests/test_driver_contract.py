@@ -28,7 +28,11 @@ sf = "/root/testdata/sf0.001"
 names = ["events_hourly", "media_metadata_stats", "pricing_summary",
          "asof_last_purchase", "streaming_10min_counts",
          "streaming_click_attribution", "corpus_keep_list",
-         "media_byte_histogram", "embedding_lsh_dups"]
+         "media_byte_histogram", "embedding_lsh_dups",
+         # r04 config-sensitive paths: stream-schema sniff + chained
+         # stateful dedup, silver-layer build/read, ts grid arithmetic
+         "streaming_dedup_10min_counts", "dedup_survivors_by_quality",
+         "events_gapfill_zero"]
 for name in names:
     n = qs[name](spark, sf).count()
     assert n > 0, name
