@@ -268,6 +268,27 @@ def streaming_dedup_10min_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(agg, "complete")
 
 
+def streaming_user_lifetime_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lifetime totals through ``transformWithStateInPandas``
+    (Spark 4's typed-state API: named ValueState per key, explicit
+    processor lifecycle) — the arbitrary-state twin of the
+    ``applyInPandasWithState`` operator in ``streaming/stateful.py``.
+
+    State carries integer cents, so the cross-batch accumulation is exact
+    and the final emission equals the batch DECIMAL aggregate bit-for-bit.
+
+    NOT registered as a driver query: the TWS state server needs a working
+    ``google.protobuf``, absent in this container — the operator is
+    import-gated and covered by a skipif test
+    (``tests/test_stateful_streaming.py::test_twsip_totals_equal_batch``),
+    the same discipline as the PIL decode path in ``pipeline/multimodal``.
+    """
+    from imdb_mapreduce_spark.streaming.stateful import user_totals_twsip
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    return run_stream_to_memory(user_totals_twsip(stream), output_mode="update")
+
+
 def run_stream_to_parquet(
     result: DataFrame,
     out_dir: str,

@@ -76,3 +76,77 @@ def running_user_stats(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4's arbitrary-state API) — r04
+# ---------------------------------------------------------------------------
+
+TWSIP_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_cents", LongType()),
+    ]
+)
+
+
+def _twsip_processor():
+    """Build the StatefulProcessor lazily (the class only exists on Spark
+    4+; keeping the import inside the factory keeps module import cheap).
+
+    Money stays in integer cents inside the state, so cross-batch
+    accumulation is exact and the final answer matches the batch DECIMAL
+    oracle bit-for-bit — the same parity discipline as the batch plans.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            schema = StructType(
+                [StructField("n", LongType()), StructField("cents", LongType())]
+            )
+            self._state = handle.getValueState("totals", schema)
+
+        def handleInputRows(self, key, rows, timer_values):
+            n, cents = 0, 0
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(
+                    (pdf["value"] * 100).round().astype("int64").sum()
+                )
+            if self._state.exists():
+                prev_n, prev_cents = self._state.get()
+                n += prev_n
+                cents += prev_cents
+            self._state.update((n, cents))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_cents": [cents],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return UserTotals()
+
+
+def user_totals_twsip(events: DataFrame) -> DataFrame:
+    """Per-user lifetime totals via ``transformWithStateInPandas`` — the
+    typed-state successor to ``applyInPandasWithState``: named state
+    variables owned by the state store (here one ValueState per user),
+    explicit processor lifecycle, optional timers/TTL. Emits the updated
+    running totals once per micro-batch in which the key appears."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_twsip_processor(),
+        outputStructType=TWSIP_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

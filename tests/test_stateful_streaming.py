@@ -55,3 +55,41 @@ def test_stateful_user_stats_converge_to_batch(spark):
         assert got["n_events"] == row["n_events"]
         assert abs(got["total_value"] - row["total_value"]) < 1e-6
         assert got["max_value"] == row["max_value"]
+
+
+def test_twsip_totals_equal_batch(spark):
+    """transformWithStateInPandas (Spark 4 typed-state API): final per-user
+    totals must equal the batch DECIMAL aggregate exactly. Skips where the
+    TWS state server's protobuf dependency is absent (this container)."""
+    import pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf unavailable — TWS state server needs it")
+
+    from pyspark.sql import functions as F
+
+    from imdb_mapreduce_spark.sources.star import load_table
+    from imdb_mapreduce_spark.streaming.jobs import (
+        streaming_user_lifetime_totals,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["user_id"]: (r["n_events"], r["total_cents"])
+        for r in streaming_user_lifetime_totals(spark, sf).collect()
+    }
+    want = {
+        r["user_id"]: (r["n_events"], r["total_cents"])
+        for r in load_table(spark, "events", sf)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)") * 100)
+            .cast("bigint")
+            .alias("total_cents"),
+        )
+        .collect()
+    }
+    assert got == want
