@@ -405,3 +405,52 @@ def events_gapfill_zero(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
         )
     )
+
+
+@register(
+    "events_rolling_1h",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
+           CAST(SUM(CAST(value AS DECIMAL(12,2)) * 100) OVER w AS BIGINT)
+             AS cents_last_hour
+    FROM (SELECT event_id, user_id, value,
+                 epoch_us(ts) // 1000000 AS sec FROM events) t
+    WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "analytic", "range-frame", "rolling"),
+)
+def events_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event rolling 1-hour features (count + exact-cents sum of the
+    same user's events in the trailing hour) via a RANGE window frame —
+    the value-based frame the rank/lag family can't express: the frame
+    holds every row within 3600 SECONDS, not N rows.
+
+    Same-instant subtlety both engines share: RANGE frames include ALL
+    peers of the current ORDER BY value, so simultaneous events see each
+    other — deterministic, and exactly mirrored in the oracle. One
+    shuffle on user_id, sort within partitions; money in integer cents so
+    the rolling sums hash bit-identically.
+    """
+    e = _events(spark, sf_dir)
+    sec = F.expr("unix_micros(cast(ts as timestamp)) div 1000000")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            sec.alias("sec"),
+            (F.col("value").cast(D2) * 100).alias("_cents"),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.count("*").over(w).cast("bigint").alias("n_last_hour"),
+            F.sum("_cents").over(w).cast("bigint").alias("cents_last_hour"),
+        )
+    )

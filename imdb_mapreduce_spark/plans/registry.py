@@ -108,6 +108,7 @@ _HEAD: tuple[str, ...] = (
     "loyal_buyer_intersect",
     "dedup_survivors_by_quality",
     "corpus_mix_allocation",
+    "events_rolling_1h",
     # permanent rows-only entries (oracle=None → can never earn hash green;
     # keeping them in _HEAD guarantees a fresh rows-only row every round)
     "simhash_near_dups",
@@ -154,6 +155,7 @@ _TAIL: tuple[str, ...] = (
     "token_pack_assignment",  # siblings: token_count_bpe, tfidf (middle)
     "media_byte_histogram",  # siblings: all media_* in _HEAD
     "token_count_bpe",  # siblings: doc_quality_stats, lang_id (_HEAD)
+    "tfidf_top_terms",  # siblings: doc_quality_stats, lang_id (_HEAD)
 )
 
 
