@@ -426,3 +426,53 @@ def approx_price_quantiles(
         F.min("o_totalprice").alias("min_price"),
         F.max("o_totalprice").alias("max_price"),
     )
+
+
+@register(
+    "key_skew_profile",
+    oracle="""
+    WITH per_key AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM events GROUP BY user_id),
+    ranked AS (
+      SELECT user_id, n_rows,
+             ROW_NUMBER() OVER (ORDER BY n_rows DESC, user_id) AS key_rank,
+             CAST(SUM(n_rows) OVER () AS BIGINT) AS total_rows,
+             CAST(SUM(n_rows) OVER (ORDER BY n_rows DESC, user_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_rows
+      FROM per_key)
+    SELECT user_id, n_rows, CAST(key_rank AS BIGINT) AS key_rank,
+           total_rows, cum_rows
+    FROM ranked WHERE key_rank <= 20
+    """,
+    tags=("analytic", "skew", "profiling"),
+)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-distribution profiler: the top-20 heaviest keys with exact row
+    counts, rank, and cumulative coverage — the diagnostic that decides
+    whether a join/window needs salting (``functions/columns.salted_*``)
+    or AQE's skew split suffices. All counters integer, so the profile is
+    hash-exact cross-engine.
+
+    Scale shape: one map-side-combining count per key, then every window
+    runs on the per-key relation (|keys| rows, not |rows|); the top-20
+    filter rides WindowGroupLimit."""
+    e = load_table(spark, "events", sf_dir)
+    per_key = e.groupBy("user_id").agg(F.count("*").cast("bigint").alias("n_rows"))
+    order = [F.col("n_rows").desc(), F.col("user_id")]
+    w_rank = Window.orderBy(*order)
+    w_all = Window.partitionBy()
+    w_cum = Window.orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per_key.select(
+            "user_id",
+            "n_rows",
+            F.row_number().over(w_rank).cast("bigint").alias("key_rank"),
+            F.sum("n_rows").over(w_all).cast("bigint").alias("total_rows"),
+            F.sum("n_rows").over(w_cum).cast("bigint").alias("cum_rows"),
+        )
+        .filter(F.col("key_rank") <= 20)
+    )

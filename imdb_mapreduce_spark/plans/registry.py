@@ -109,6 +109,7 @@ _HEAD: tuple[str, ...] = (
     "dedup_survivors_by_quality",
     "corpus_mix_allocation",
     "events_rolling_1h",
+    "key_skew_profile",
     # permanent rows-only entries (oracle=None → can never earn hash green;
     # keeping them in _HEAD guarantees a fresh rows-only row every round)
     "simhash_near_dups",
@@ -156,6 +157,7 @@ _TAIL: tuple[str, ...] = (
     "media_byte_histogram",  # siblings: all media_* in _HEAD
     "token_count_bpe",  # siblings: doc_quality_stats, lang_id (_HEAD)
     "tfidf_top_terms",  # siblings: doc_quality_stats, lang_id (_HEAD)
+    "part_expr_catalog",  # sibling: fuzzy_name_match (_HEAD)
 )
 
 
