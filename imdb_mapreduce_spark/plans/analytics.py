@@ -476,3 +476,56 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("key_rank") <= 20)
     )
+
+
+# Histogram knobs: fixed [0, 500_00) cents domain, 10 buckets of 50_00.
+HIST_LO_CENTS = 0
+HIST_STEP_CENTS = 50_00
+HIST_BUCKETS = 10
+
+
+@register(
+    "event_value_histogram",
+    oracle=f"""
+    WITH b AS (
+      SELECT least(greatest((CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                             - {HIST_LO_CENTS}) // {HIST_STEP_CENTS}, 0),
+                   {HIST_BUCKETS - 1}) AS bucket
+      FROM events)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(bucket * {HIST_STEP_CENTS} AS BIGINT) AS lo_cents,
+           CAST((bucket + 1) * {HIST_STEP_CENTS} AS BIGINT) AS hi_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM b GROUP BY bucket
+    """,
+    tags=("analytic", "histogram", "binning"),
+)
+def event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram with edge clamping — distribution
+    profiling as ONE aggregation. Binning runs in integer cents
+    (DECIMAL→BIGINT before the divide), so bucket boundaries are exact —
+    no float x/step whose last-ulp rounding could flip a boundary value
+    between engines. Bucket count is a constant: the aggregate output is
+    bounded regardless of fact volume."""
+    e = load_table(spark, "events", sf_dir)
+    bucket = F.least(
+        F.greatest(
+            F.expr(
+                f"(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"
+                f" - {HIST_LO_CENTS}) div {HIST_STEP_CENTS}"
+            ),
+            F.lit(0),
+        ),
+        F.lit(HIST_BUCKETS - 1),
+    )
+    return (
+        e.select(bucket.cast("bigint").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+        .select(
+            "bucket",
+            (F.col("bucket") * HIST_STEP_CENTS).cast("bigint").alias("lo_cents"),
+            ((F.col("bucket") + 1) * HIST_STEP_CENTS).cast("bigint").alias("hi_cents"),
+            "n_events",
+        )
+    )

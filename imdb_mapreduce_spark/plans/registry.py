@@ -110,6 +110,7 @@ _HEAD: tuple[str, ...] = (
     "corpus_mix_allocation",
     "events_rolling_1h",
     "key_skew_profile",
+    "event_value_histogram",
     # permanent rows-only entries (oracle=None → can never earn hash green;
     # keeping them in _HEAD guarantees a fresh rows-only row every round)
     "simhash_near_dups",
@@ -158,6 +159,7 @@ _TAIL: tuple[str, ...] = (
     "token_count_bpe",  # siblings: doc_quality_stats, lang_id (_HEAD)
     "tfidf_top_terms",  # siblings: doc_quality_stats, lang_id (_HEAD)
     "part_expr_catalog",  # sibling: fuzzy_name_match (_HEAD)
+    "events_cube",  # siblings: rollup_grouping_flags (tail), user_event_pivot (_HEAD)
 )
 
 

@@ -226,6 +226,24 @@ def test_cdc_join_equals_window_formulation(spark):
     assert via_join == via_window
 
 
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Evolving a silver table in place: files written before a column
+    existed coexist with files written after. mergeSchema unifies them
+    (old rows read NULL for the new column) — the at-rest contract that
+    lets a 100 TB table gain a column without a rewrite."""
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string").write.parquet(
+        path
+    )
+    spark.createDataFrame(
+        [(3, "c", 30)], "id long, v string, score long"
+    ).write.mode("append").parquet(path)
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert dict(merged.dtypes) == {"id": "bigint", "v": "string", "score": "bigint"}
+    rows = {r["id"]: r["score"] for r in merged.collect()}
+    assert rows == {1: None, 2: None, 3: 30}
+
+
 def test_date_partition_pruning(spark, tmp_path):
     e = load_table(spark, "events", SF)
     path = str(tmp_path / "events_by_day")
