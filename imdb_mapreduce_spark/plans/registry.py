@@ -68,18 +68,75 @@ def register(
 # Rotate these lists each round so coverage accumulates. See COVERAGE.md
 # ("Driver correctness window") for the per-round rotation record.
 _HEAD: tuple[str, ...] = (
-    # r04 rotation: the 26 queries without a green hash row in
-    # CORRECTNESS_r03.json, repaired-first so the driver validates the
-    # NTZ fixes even in a truncated sweep (VERDICT r03 items 1 and 4).
-    "user_sessions",  # r04: repaired (events.ts NTZ normalization)
-    "user_value_trend",  # r04: repaired; r03 intercept fix still unvalidated
-    "streaming_click_attribution",  # r04: latent NTZ break repaired
-    "streaming_10min_counts",  # r04: stream/batch parity re-proven in pytest
-    # out of the r03 window (all r02-green, code unchanged)
-    "events_json_stats",
+    # r05 rotation: queries whose hash-verification work lands THIS round go
+    # first (oracle conversions that have never had an oracle-backed driver
+    # row), then the 37 queries whose newest green row is r03 (they sat in
+    # _TAIL through r04 by design of the 50-row window), then the permanent
+    # rows-only entries so each round refreshes their rows-only record.
+    "pagerank_coparts",  # r05: exact-DECIMAL oracle conversion (VERDICT item 4)
+    "simhash_near_dups",  # r05: portable md5 oracle conversion (VERDICT item 5)
+    # r03-green, stalest first (all pushed out of the r04 window)
+    "ngram_jaccard_pairs",  # r05: length-ratio prefilter added (VERDICT item 3)
+    "ngram_jaccard_capped",  # r05: same prefilter — re-verify with sibling
+    "dedup_exact_survivors",
+    "rollup_grouping_flags",
+    "events_json_struct",
+    "embedding_label_dups",
+    "customer_order_window",
+    "orders_by_month",
+    "supplier_unpivot",
+    "early_not_recent_buyers",
+    "brand_top2_parts",
+    "minhash_lsh_dups",
+    "user_running_stats_salted",
+    "inverted_index_postings",
+    "doc_chunk_windows",
+    "embedding_int8_quant",
+    "pricing_summary",
+    "revenue_topk",
+    "customers_without_orders",
+    "order_basket_lookup",
+    "nation_customer_sorted",
+    "asof_last_purchase",
+    "events_10min_windows",
+    "dedup_clusters",
+    "parts_above_brand_avg",
+    "doc_embedding_profile",
+    "copart_pairs_topk",
+    "supplier_part_facts",
+    "events_hourly",
+    "order_price_quantiles",
+    "region_rollup",
+    "token_pack_assignment",
+    "media_byte_histogram",
+    "token_count_bpe",
+    "tfidf_top_terms",
+    "part_expr_catalog",
+    "events_cube",
+    # permanent rows-only entries (oracle=None → can never earn hash green;
+    # keeping them in _HEAD guarantees a fresh rows-only row every round)
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+)
+_TAIL: tuple[str, ...] = (
+    # The 46 queries hash-green in CORRECTNESS_r04.json. The first ~9 still
+    # land inside the driver's 50-row window (window − |_HEAD| slots), so the
+    # most-valuable refreshes go first: queries whose code changes this round
+    # or whose r04 bench moved.
+    "event_value_histogram",  # r05: HIST_LO_CENTS offset fix (ADVICE item 1)
+    "copurchase_bfs_l3",  # r05: distinct-edges measurement (VERDICT item 2)
+    "user_sessions",  # r04 bench regression — re-confirm post NTZ layer
+    "events_json_stats",  # r04 bench regression — re-confirm post NTZ layer
+    "user_value_trend",
+    "benchmark_decontam",  # r05: broadcast size gate (ADVICE item 4)
+    "embedding_lsh_dups",
+    "streaming_dedup_10min_counts",
+    "dedup_exact_groups",
+    # beyond the window — all r04-green, each family keeps an in-window sibling
+    "streaming_click_attribution",
+    "streaming_10min_counts",
     "orders_per_customer",
     "corpus_keep_list",
-    "embedding_lsh_dups",
     "media_metadata_stats",
     "media_feature_extract",
     "media_resize_plan",
@@ -95,13 +152,10 @@ _HEAD: tuple[str, ...] = (
     "embedding_norm_stats",
     "doc_quality_stats",
     "lang_id_heuristic",
-    # NEW in r04 → no driver row exists yet
-    "benchmark_decontam",
     "stratified_sample_hash",
     "sample_n_per_group",
     "cdc_orders_upsert",
     "dq_expectations",
-    "streaming_dedup_10min_counts",
     "events_sliding_windows",
     "events_gapfill_zero",
     "segment_reconciliation_fullouter",
@@ -110,56 +164,12 @@ _HEAD: tuple[str, ...] = (
     "corpus_mix_allocation",
     "events_rolling_1h",
     "key_skew_profile",
-    "event_value_histogram",
-    # permanent rows-only entries (oracle=None → can never earn hash green;
-    # keeping them in _HEAD guarantees a fresh rows-only row every round)
-    "simhash_near_dups",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "pagerank_coparts",  # NEW r04; verified vs Python reference in pytest
-)
-_TAIL: tuple[str, ...] = (
-    # 21 entries, ALL green hash-matched in CORRECTNESS_r03.json with code
-    # unchanged in r04; each family keeps an in-window sibling
-    "ngram_jaccard_capped",  # sibling: ngram_jaccard_pairs
-    "dedup_exact_survivors",  # sibling: dedup_exact_groups
-    "rollup_grouping_flags",  # siblings: region_rollup, events_cube
-    "events_json_struct",  # sibling: events_json_stats (_HEAD)
-    "embedding_label_dups",  # sibling: embedding_lsh_dups (_HEAD)
-    "customer_order_window",  # sibling: user_running_stats
-    "orders_by_month",  # sibling: orders_per_customer (_HEAD)
-    "supplier_unpivot",  # sibling: supplier_part_facts
-    "early_not_recent_buyers",  # sibling: priority_segment_union
-    "brand_top2_parts",  # sibling: parts_above_brand_avg
-    "minhash_lsh_dups",  # siblings: dedup_clusters, simhash_near_dups (_HEAD)
-    "user_running_stats_salted",  # sibling: user_running_stats
-    "inverted_index_postings",  # sibling: tfidf_top_terms
-    "doc_chunk_windows",  # sibling: token_pack_assignment
-    "embedding_int8_quant",  # sibling: doc_embedding_profile
-    "pricing_summary",  # sibling: local_supplier_revenue; still entry()'s query
-    "revenue_topk",  # sibling: copart_pairs_topk
-    "customers_without_orders",  # sibling: active_buildings_semi
-    "order_basket_lookup",  # sibling: part_expr_catalog
-    "nation_customer_sorted",  # sibling: fuzzy_name_match (_HEAD)
-    "asof_last_purchase",  # sibling: quantity_band_stats
-    # demoted in r04 to offset the 4 new curation queries; all r03-green
-    # with code unchanged, each family keeps an in-window sibling
-    "events_10min_windows",  # sibling: events_hourly
-    "dedup_clusters",  # siblings: dedup_exact_groups, ngram_jaccard_pairs
-    "parts_above_brand_avg",  # siblings: events_cube, order_price_quantiles
-    "doc_embedding_profile",  # sibling: embedding_norm_stats (_HEAD)
-    "copart_pairs_topk",  # sibling: copurchase_bfs_l3
-    "supplier_part_facts",  # siblings: region_rollup, local_supplier_revenue
-    "events_hourly",  # siblings: events_cube; streaming twins in _HEAD
-    "ngram_jaccard_pairs",  # siblings: dedup_exact_groups (middle)
-    "order_price_quantiles",  # siblings: events_cube (middle)
-    "region_rollup",  # siblings: local_supplier_revenue (middle)
-    "token_pack_assignment",  # siblings: token_count_bpe, tfidf (middle)
-    "media_byte_histogram",  # siblings: all media_* in _HEAD
-    "token_count_bpe",  # siblings: doc_quality_stats, lang_id (_HEAD)
-    "tfidf_top_terms",  # siblings: doc_quality_stats, lang_id (_HEAD)
-    "part_expr_catalog",  # sibling: fuzzy_name_match (_HEAD)
-    "events_cube",  # siblings: rollup_grouping_flags (tail), user_event_pivot (_HEAD)
+    "priority_segment_union",
+    "active_buildings_semi",
+    "user_running_stats",
+    "local_supplier_revenue",
+    "quantity_band_stats",
+    "ann_cosine_topk",
 )
 
 
