@@ -110,12 +110,25 @@ def salted_join(
     pre-partitioned layout it wants to preserve); explicit salting shapes
     the shuffle itself, and composes with bucketed tables. The salt on the
     big side derives from ``spark_partition_id`` + a per-row counter — no
-    RNG, so retried tasks produce identical output (determinism under
-    speculative execution). Replication multiplies the SMALL side by
+    RNG, but NOT stable across task retries or repartitioning
+    (``monotonically_increasing_id`` re-numbers on re-execution). The
+    RESULT is still retry-safe because every salt value joins the same
+    replicated small-side rows — which salt a row lands in cannot change
+    what it matches. Replication multiplies the SMALL side by
     ``salt_buckets``; keep it the dimension side.
 
-    Result is row-identical to ``big.join(small, on, how)`` (inner/left).
+    Result is row-identical to ``big.join(small, on, how)``. Only
+    ``inner`` / ``left`` / ``left_semi`` are accepted: a right or full
+    outer join would emit every unmatched small-side row once per salt
+    value — ``salt_buckets`` duplicates.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "semi"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports how in {sorted(allowed)}, got {how!r}: "
+            "right/full outer would duplicate unmatched small-side rows "
+            "once per salt bucket"
+        )
     salted_big = big.withColumn(
         "_salt",
         F.pmod(

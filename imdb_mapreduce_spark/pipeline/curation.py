@@ -30,6 +30,14 @@ DECONTAM_NGRAM = 3
 # In production this is the actual eval-set text, loaded as its own table.
 BENCH_MOD = 97
 
+# Broadcast gate for the decontam join (ADVICE r04): ~2M shingles × ~100 B
+# each ≈ 200 MB hashed relation — the sane per-executor ceiling. Estimated
+# bench shingles = bench-doc count × this per-doc bound (documents are
+# capped well under 1024 whitespace tokens in this corpus; a production
+# eval set would carry its own measured bound).
+EST_SHINGLES_PER_DOC = 1024
+BENCH_BROADCAST_MAX_SHINGLES = 2_000_000
+
 # Per-language keep-rates (percent) for the stratified downsample:
 # rebalance the English-heavy corpus (the classic data-mixing move).
 STRATA_RATES = {"en": 20, "de": 40, "fr": 40, "es": 40, "zh": 40}
@@ -78,11 +86,16 @@ def benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     n-gram with the benchmark set, with overlap evidence counts (how many
     distinct shingles, from how many distinct benchmark docs).
 
-    100 TB posture: the benchmark side is small by definition (eval sets
-    are ~10³-10⁵ docs), so its distinct shingle set broadcasts and the
-    corpus side is a single map-side semi-join + one aggregation shuffle
-    on doc_id — the corpus text is never shuffled. The n-gram explode is
-    shuffle-free fan-out.
+    100 TB posture: a REAL eval set is small by definition (~10³-10⁵
+    docs), so its distinct shingle set broadcasts and the corpus side is a
+    single map-side semi-join + one aggregation shuffle on doc_id — the
+    corpus text is never shuffled. This synthetic stand-in carves the
+    benchmark out of the corpus itself (doc_id % {BENCH_MOD}), which makes
+    the benchmark side CORPUS-PROPORTIONAL — so the broadcast is gated on
+    an estimated shingle count (parquet-metadata row count ×
+    shingles-per-doc bound) and falls back to a shuffle hash join when the
+    estimate exceeds ``BENCH_BROADCAST_MAX_SHINGLES``. The n-gram explode
+    is shuffle-free fan-out either way.
     """
     docs = load_table(spark, "documents", sf_dir)
     grams = (
@@ -94,8 +107,14 @@ def benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("bench_id"), "g"
     )
     corpus = grams.filter(F.col("doc_id") % BENCH_MOD != 0)
+    # Parquet count() is footer-metadata only — no data scan, one cheap job.
+    n_bench_docs = docs.count() // BENCH_MOD + 1
+    if n_bench_docs * EST_SHINGLES_PER_DOC <= BENCH_BROADCAST_MAX_SHINGLES:
+        bench = F.broadcast(bench)
+    else:  # corpus-scale benchmark side: shuffle hash, never sort-merge
+        bench = bench.hint("shuffle_hash")
     return (
-        corpus.join(F.broadcast(bench), "g")
+        corpus.join(bench, "g")
         .groupBy("doc_id")
         .agg(
             F.countDistinct("g").alias("n_overlap_shingles"),

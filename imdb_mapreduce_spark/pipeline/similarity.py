@@ -498,13 +498,25 @@ def _ivf_index_dir(spark: SparkSession, sf_dir: str, k: int, seed: int) -> str:
         repo, "spark-warehouse", "ivf", os.path.basename(sf_dir.rstrip("/"))
     )
     meta_path = os.path.join(index_dir, "_meta.json")
+    # Trust the fingerprint only if both index parts finished writing
+    # (_SUCCESS markers); torn meta or an externally deleted data dir must
+    # rebuild, not fail the read. Meta lands atomically after the data.
     if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            if json.load(f) == fingerprint:
-                return index_dir
+        try:
+            with open(meta_path) as f:
+                stored = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            stored = None
+        if stored == fingerprint and all(
+            os.path.exists(os.path.join(index_dir, part, "_SUCCESS"))
+            for part in ("cells", "centroids")
+        ):
+            return index_dir
     build_ivf_index(load_table(spark, "embeddings", sf_dir), index_dir, k, seed)
-    with open(meta_path, "w") as f:
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(fingerprint, f)
+    os.replace(tmp, meta_path)
     return index_dir
 
 

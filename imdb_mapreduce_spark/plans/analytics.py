@@ -493,8 +493,8 @@ HIST_BUCKETS = 10
                    {HIST_BUCKETS - 1}) AS bucket
       FROM events)
     SELECT CAST(bucket AS BIGINT) AS bucket,
-           CAST(bucket * {HIST_STEP_CENTS} AS BIGINT) AS lo_cents,
-           CAST((bucket + 1) * {HIST_STEP_CENTS} AS BIGINT) AS hi_cents,
+           CAST({HIST_LO_CENTS} + bucket * {HIST_STEP_CENTS} AS BIGINT) AS lo_cents,
+           CAST({HIST_LO_CENTS} + (bucket + 1) * {HIST_STEP_CENTS} AS BIGINT) AS hi_cents,
            CAST(COUNT(*) AS BIGINT) AS n_events
     FROM b GROUP BY bucket
     """,
@@ -524,8 +524,12 @@ def event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_events"))
         .select(
             "bucket",
-            (F.col("bucket") * HIST_STEP_CENTS).cast("bigint").alias("lo_cents"),
-            ((F.col("bucket") + 1) * HIST_STEP_CENTS).cast("bigint").alias("hi_cents"),
+            (F.lit(HIST_LO_CENTS) + F.col("bucket") * HIST_STEP_CENTS)
+            .cast("bigint")
+            .alias("lo_cents"),
+            (F.lit(HIST_LO_CENTS) + (F.col("bucket") + 1) * HIST_STEP_CENTS)
+            .cast("bigint")
+            .alias("hi_cents"),
             "n_events",
         )
     )

@@ -54,11 +54,26 @@ def materialized(
     base = os.path.join(silver_root(), os.path.basename(sf_dir.rstrip("/")), name)
     data_dir = os.path.join(base, "data")
     meta_path = os.path.join(base, "_meta.json")
+    # Reuse only when the fingerprint matches AND the data directory holds a
+    # completed Spark write (_SUCCESS): a crash between the data write and
+    # the meta write, or an externally deleted data dir, must rebuild rather
+    # than fail the read. Torn meta (partial JSON) likewise falls through.
     if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            if json.load(f) == fingerprint:
-                return spark.read.parquet(data_dir)
+        try:
+            with open(meta_path) as f:
+                stored = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            stored = None
+        if stored == fingerprint and os.path.exists(
+            os.path.join(data_dir, "_SUCCESS")
+        ):
+            return spark.read.parquet(data_dir)
     build().write.mode("overwrite").parquet(data_dir)
-    with open(meta_path, "w") as f:
+    # Meta is written AFTER the data and atomically (temp + rename), so a
+    # reader can never observe a fingerprint that vouches for missing or
+    # half-written data.
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(fingerprint, f)
+    os.replace(tmp, meta_path)
     return spark.read.parquet(data_dir)

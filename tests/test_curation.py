@@ -164,3 +164,25 @@ def test_curation_plan_shapes(spark):
     # (map-side top-N heap, full groups never materialized)
     plan2 = _explain(sample_n_per_group(spark, SF))
     assert "WindowGroupLimit" in plan2
+
+
+def test_decontam_shuffle_fallback_when_bench_too_big(spark, monkeypatch):
+    """ADVICE r04 item 4: a corpus-proportional benchmark side must not
+    broadcast. Force the gate shut and assert the plan switches to a
+    shuffled hash join with identical results."""
+    from imdb_mapreduce_spark.pipeline import curation
+
+    broadcast_rows = {
+        (r["doc_id"], r["n_overlap_shingles"], r["n_benchmark_docs"])
+        for r in benchmark_decontam(spark, SF).collect()
+    }
+    monkeypatch.setattr(curation, "BENCH_BROADCAST_MAX_SHINGLES", 0)
+    gated = benchmark_decontam(spark, SF)
+    plan = _explain(gated)
+    assert "BroadcastHashJoin" not in plan
+    assert "ShuffledHashJoin" in plan
+    gated_rows = {
+        (r["doc_id"], r["n_overlap_shingles"], r["n_benchmark_docs"])
+        for r in gated.collect()
+    }
+    assert gated_rows == broadcast_rows

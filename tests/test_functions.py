@@ -180,3 +180,17 @@ def test_bfs_invariants(spark, raw_edges, level):
     assert all(1 <= r["level"] <= level - 1 for r in rows)
     # tree: every non-root vertex has exactly one edge; vertex count checks
     assert {r["name"] for r in res.vertices.collect()} == set(dsts) | {root}
+
+
+def test_salted_join_rejects_outer_joins(spark):
+    """right/full outer would duplicate unmatched small-side rows once per
+    salt bucket; salted_join must refuse them up front (ADVICE r04)."""
+    import pytest
+
+    from imdb_mapreduce_spark.functions.columns import salted_join
+
+    big = spark.range(10).withColumnRenamed("id", "k")
+    small = spark.range(3).withColumnRenamed("id", "k")
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(big, small, "k", how=how)

@@ -57,3 +57,39 @@ def test_keep_list_second_call_reads_silver(spark):
     second = {r["doc_id"]: (r["keep"], r["drop_reason"]) for r in corpus_keep_list(spark, sf).collect()}
     assert os.stat(meta).st_mtime_ns == mtime  # no rebuild
     assert first == second
+
+
+def test_materialized_recovers_from_torn_meta_and_deleted_data(spark, tmp_path):
+    """ADVICE r04 item 3: torn meta or a deleted data dir must rebuild, not
+    fail the read."""
+    import shutil
+
+    from imdb_mapreduce_spark.sources.silver import silver_root
+
+    sf_dir = str(tmp_path)
+    src = os.path.join(sf_dir, "documents.parquet")
+    spark.range(4).select(F.col("id").alias("doc_id")).coalesce(1).write.parquet(src)
+
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.read.parquet(src).withColumn("x", F.col("doc_id") + 1)
+
+    name = "torn"
+    materialized(spark, sf_dir, name, "documents", {"v": 1}, build)
+    assert calls["n"] == 1
+    base = os.path.join(silver_root(), os.path.basename(sf_dir), name)
+
+    # torn meta (partial JSON) → rebuild instead of JSONDecodeError
+    with open(os.path.join(base, "_meta.json"), "w") as f:
+        f.write('{"src": "tru')
+    got = materialized(spark, sf_dir, name, "documents", {"v": 1}, build)
+    assert calls["n"] == 2
+    assert {r["x"] for r in got.collect()} == {1, 2, 3, 4}
+
+    # data dir deleted under a valid meta → rebuild instead of read failure
+    shutil.rmtree(os.path.join(base, "data"))
+    got = materialized(spark, sf_dir, name, "documents", {"v": 1}, build)
+    assert calls["n"] == 3
+    assert {r["x"] for r in got.collect()} == {1, 2, 3, 4}
