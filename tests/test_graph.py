@@ -147,3 +147,65 @@ def test_png_render_gated(cast_edges, tmp_path):
         render_png(res, out)
         data = open(out, "rb").read()
         assert data[:8] == b"\x89PNG\r\n\x1a\n" and len(data) > 100
+
+
+def test_broadcast_escape_hatch_switches_plan(spark):
+    """VERDICT r04 item 6: the fallback must be OBSERVABLE in the plan, not
+    just asserted by code reading. With hints on, both hop joins broadcast;
+    with hints off, no broadcast join remains in the two-hop plan."""
+    import io
+    from contextlib import redirect_stdout
+
+    from imdb_mapreduce_spark.operators.graph import _two_hop
+
+    edges = spark.createDataFrame(
+        [(f"n{i % 20}", i % 13) for i in range(500)], ["node", "via"]
+    )
+    frontier = spark.createDataFrame([("n0",), ("n1",)], ["node"])
+
+    def plan_of(df):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    hinted = plan_of(_two_hop(frontier, edges, "node", "via", True, True))
+    assert "BroadcastHashJoin" in hinted
+
+    unhinted = plan_of(
+        _two_hop(
+            frontier, edges, "node", "via",
+            broadcast_frontier=False, broadcast_hop1=False,
+        )
+    )
+    assert "BroadcastHashJoin" not in unhinted
+    # AQE replans at runtime, but the static plan must already be a
+    # shuffle-based join: sort-merge or shuffled-hash.
+    assert "SortMergeJoin" in unhinted or "ShuffledHashJoin" in unhinted
+
+
+def test_frontier_outgrows_broadcast_mid_traversal(spark):
+    """Drive a traversal whose frontier starts under max_broadcast_rows and
+    grows past it: round 1 broadcasts (frontier=1 ≤ 3), later rounds must
+    take the guarded path (frontier ≫ 3) — and the answer cannot change."""
+    rows = []
+    for g in range(6):
+        width = 2 ** (g + 1)  # frontier doubles every generation
+        for a in range(width):
+            rows.append((f"m{g}", f"a{g}_{a}"))
+        for a in range(min(width, 4)):
+            rows.append((f"bridge{g}", f"a{g}_{a}"))
+            rows.append((f"bridge{g}", f"a{g+1}_{a}"))
+    edges = spark.createDataFrame(rows, ["title", "actor"])
+
+    unguarded = bipartite_bfs(edges, "actor", "title", "a0_0", level=5)
+    guarded = bipartite_bfs(
+        edges, "actor", "title", "a0_0", level=5, max_broadcast_rows=3
+    )
+    assert _edges(guarded) == _edges(unguarded)
+    assert _verts(guarded) == _verts(unguarded)
+    # sanity: the traversal really does outgrow the threshold
+    per_level = {}
+    for _, dst, lvl in _edges(unguarded):
+        per_level[lvl] = per_level.get(lvl, 0) + 1
+    assert max(per_level.values()) > 3
