@@ -211,16 +211,23 @@ def ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     ultra-frequent shingles (boilerplate, headers) are dropped before the
     self-join. The per-pair ratio keeps the ORIGINAL shingle counts in the
     denominator, making it a Jaccard lower bound (candidates then verify
-    exactly via verify_pairs_jaccard)."""
+    exactly via verify_pairs_jaccard).
+
+    The frequency guard is a COUNT window over the sh partition, not a
+    groupBy + semi-join keep-list: same semantics, one exchange fewer
+    (r05 measurement, sf0.1 min-of-3: 2.54 s vs 4.33 s for the
+    keep-list plan). A postings-list pair generator (collect_list per
+    shingle, one exchange total) measured the same 2.6 s here but holds
+    an unbounded per-shingle array before its size filter can apply —
+    the window's sort spills instead, so it is the shape that survives a
+    boilerplate-heavy corpus."""
     docs = load_table(spark, "documents", sf_dir)
     sh = exploded_shingles(docs)
-    keep = (
-        sh.groupBy("sh")
-        .agg(F.count("*").alias("_f"))
+    sh = (
+        sh.withColumn("_f", F.count("*").over(Window.partitionBy("sh")))
         .filter(F.col("_f") <= STOP_SHINGLE_MAX_FREQ)
-        .select("sh")
+        .drop("_f")
     )
-    sh = sh.join(keep, "sh", "left_semi")
     a = sh.alias("a").hint("shuffle_hash")  # exchange reuse (see above)
     b = sh.alias("b")
     return (
@@ -240,6 +247,89 @@ def ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).cast("double")
             ).alias("jaccard_lower_bound"),
         )
+    )
+
+
+# Threshold for the prefiltered pairs query below AND for cluster building
+# (dedup_clusters): pairs below this Jaccard are not duplicates.
+PAIR_JACCARD_THR = 0.1
+
+
+@register(
+    "ngram_jaccard_thresholded",
+    oracle=f"""
+    WITH lists AS MATERIALIZED (
+      SELECT doc_id,
+             list_distinct(list_transform(
+                 generate_series(1, greatest(len(string_split(text, ' ')) - {SHINGLE_WORDS - 1}, 1)),
+                 i -> array_to_string((string_split(text, ' '))[i:i+{SHINGLE_WORDS - 1}], ' '))) AS shl
+      FROM documents),
+    sh AS (
+      SELECT doc_id, len(shl) AS n_shingles, unnest(shl) AS sh FROM lists)
+    SELECT * FROM (
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+             COUNT(*) AS shared,
+             CAST(COUNT(*) AS DOUBLE)
+               / CAST(ANY_VALUE(a.n_shingles) + ANY_VALUE(b.n_shingles) - COUNT(*) AS DOUBLE)
+               AS jaccard
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    WHERE jaccard >= {PAIR_JACCARD_THR}
+    """,
+    tags=("dedup", "north-star", "jaccard", "scale"),
+)
+def ngram_jaccard_thresholded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier 2 with a similarity floor — the form every duplicate-cluster
+    build actually consumes — plus the LENGTH-COMPATIBILITY prefilter
+    (VERDICT r04 item 3): Jaccard(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so a
+    pair whose shingle counts differ by more than the threshold ratio can
+    never pass the floor. The bound goes INTO the join condition, so
+    incompatible pairs die at the hash-join probe instead of flowing
+    through the pair aggregation. The final exact-Jaccard filter is
+    unchanged — the prefilter is necessary-but-not-sufficient pruning, so
+    the oracle needs no knowledge of it."""
+    return jaccard_pairs_min_threshold(
+        load_table(spark, "documents", sf_dir), PAIR_JACCARD_THR
+    )
+
+
+def jaccard_pairs_min_threshold(docs: DataFrame, thr: float) -> DataFrame:
+    """Exact-Jaccard pairs with ``jaccard >= thr``, length-prefiltered.
+
+    ``thr*|A| <= |B|`` and ``thr*|B| <= |A|`` are implied by
+    ``jaccard >= thr`` (intersection ≤ min, union ≥ max), so adding them
+    to the join condition prunes candidates without changing the result
+    — the classic length filter from the set-similarity-join literature
+    (PPJoin family), expressed relationally. A 1e-9 slack keeps the
+    double multiply from over-pruning an exact-boundary pair (counts are
+    integers, so the slack can only ADMIT boundary candidates — pruning
+    less is always safe; the exact filter below decides)."""
+    sh = exploded_shingles(docs)
+    a = sh.alias("a").hint("shuffle_hash")
+    b = sh.alias("b")
+    lit_thr = F.lit(thr)
+    eps = F.lit(1e-9)
+    return (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (lit_thr * F.col("a.n_shingles") <= F.col("b.n_shingles") + eps)
+            & (lit_thr * F.col("b.n_shingles") <= F.col("a.n_shingles") + eps),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .agg(
+            F.count("*").alias("shared"),
+            (
+                F.count("*").cast("double")
+                / (
+                    F.any_value(F.col("a.n_shingles"))
+                    + F.any_value(F.col("b.n_shingles"))
+                    - F.count("*")
+                ).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= lit_thr)
     )
 
 
@@ -602,8 +692,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle. Component id = min doc_id = the canonical survivor."""
     from imdb_mapreduce_spark.operators.components import connected_components
 
-    pairs = ngram_jaccard_pairs(spark, sf_dir).filter(
-        F.col("jaccard") >= CLUSTER_JACCARD_THR
+    # Length-prefiltered pair build (r05): same pairs as
+    # ngram_jaccard_pairs + jaccard >= thr, but length-incompatible
+    # candidates die at the join probe (the oracle's jaccard filter
+    # subsumes the prefilter, so CLUSTERS_SQL is unchanged).
+    pairs = jaccard_pairs_min_threshold(
+        load_table(spark, "documents", sf_dir), CLUSTER_JACCARD_THR
     )
     return connected_components(pairs, "doc1", "doc2").select(
         F.col("node").alias("doc_id"), "component"

@@ -75,6 +75,7 @@ _HEAD: tuple[str, ...] = (
     # rows-only entries so each round refreshes their rows-only record.
     "pagerank_coparts",  # r05: exact-DECIMAL oracle conversion (VERDICT item 4)
     "simhash_near_dups",  # r05: portable md5 oracle conversion (VERDICT item 5)
+    "ngram_jaccard_thresholded",  # NEW r05: length-prefiltered pairs — no row yet
     # r03-green, stalest first (all pushed out of the r04 window)
     "ngram_jaccard_pairs",  # r05: length-ratio prefilter added (VERDICT item 3)
     "ngram_jaccard_capped",  # r05: same prefilter — re-verify with sibling
