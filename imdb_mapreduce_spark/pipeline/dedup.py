@@ -568,28 +568,44 @@ def verify_pairs_jaccard(pairs: DataFrame, docs: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Tier 4 — SimHash (tests-only)
+# Tier 4 — SimHash (portable: md5-derived 60-bit hashes, full oracle)
 # ---------------------------------------------------------------------------
 
-def simhash64(docs: DataFrame) -> DataFrame:
-    """(doc_id, simhash: bigint) — 64-bit bit-vote over token hashes.
+# 60 bits = 15 hex chars of md5: the widest md5 prefix that still fits a
+# SIGNED bigint in both engines (16 chars could exceed 2^63−1). Banding:
+# 4 chunks × 15 bits.
+SIMHASH_BITS = 60
+SIMHASH_CHUNKS = 4
+SIMHASH_CHUNK_BITS = SIMHASH_BITS // SIMHASH_CHUNKS
+_CHUNK_MASK = (1 << SIMHASH_CHUNK_BITS) - 1
+SIMHASH_MAX_HAMMING = 6
 
-    For each of 64 bit positions, the bit is 1 iff more token-hashes have a
-    1 there than a 0. Expressed entirely JVM-side: explode tokens → per-bit
-    vote aggregation via sum(sign) — one shuffle, no UDFs.
-    """
+
+def simhash_sig(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash: bigint) — {SIMHASH_BITS}-bit bit-vote over token
+    hashes. For each bit position, the bit is 1 iff more token-hashes have
+    a 1 there than a 0. Expressed entirely JVM-side: explode tokens →
+    per-bit vote aggregation via sum(sign) — one shuffle, no UDFs.
+
+    The token hash is an md5 prefix (r05, VERDICT item 5) — the same
+    portable-hash trick as ``minhash_signatures_md5`` — so the ENTIRE
+    simhash pipeline replicates bit-for-bit in any SQL engine with md5
+    and integer shifts, earning tier 4 a real driver oracle."""
     toks = docs.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
-    ).select("doc_id", F.xxhash64("tok").alias("h"))
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint").alias("h"),
+    )
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"b{i}")
-        for i in range(64)
+        for i in range(SIMHASH_BITS)
     ]
     agged = toks.groupBy("doc_id").agg(*votes)
     sig = None
-    for i in range(64):
+    for i in range(SIMHASH_BITS):
         bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
@@ -599,15 +615,16 @@ def simhash64(docs: DataFrame) -> DataFrame:
 
 
 def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by Hamming ≤ k, banded on 16-bit chunks (any pair with
-    Hamming ≤ 3 must agree exactly on ≥1 of 4 chunks — pigeonhole)."""
+    """Near-dup pairs by Hamming ≤ k, banded on 15-bit chunks (any pair
+    with Hamming ≤ 3 must agree exactly on ≥1 of 4 chunks — pigeonhole;
+    larger k trades recall for the same sub-quadratic candidate set)."""
     chunks = sigs.select(
         "doc_id",
         "simhash",
         F.explode(
             F.expr(
-                "transform(sequence(0, 3), c -> struct(c as chunk,"
-                " shiftright(simhash, c * 16) & 65535 as piece))"
+                f"transform(sequence(0, {SIMHASH_CHUNKS - 1}), c -> struct(c as chunk,"
+                f" shiftright(simhash, c * {SIMHASH_CHUNK_BITS}) & {_CHUNK_MASK} as piece))"
             )
         ).alias("cc"),
     ).select("doc_id", "simhash", "cc.chunk", "cc.piece")
@@ -625,7 +642,7 @@ def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
             F.col("b.doc_id").alias("doc2"),
             F.bit_count(
                 F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
+            ).cast("int").alias("hamming"),
         )
         .distinct()
     )
@@ -634,12 +651,43 @@ def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
 
 @register(
     "simhash_near_dups",
-    oracle=None,  # engine-specific hash functions; invariants tested locally
+    # Relational replica of the portable simhash pipeline: md5-prefix token
+    # hash → per-bit sign votes (×60 via generate_series) → signature
+    # reassembly → 15-bit banded candidate join → popcount(xor) filter.
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents),
+    base AS (
+      SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+    votes AS (
+      SELECT doc_id, g.b AS bit,
+             SUM(CASE WHEN (h >> g.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM base CROSS JOIN generate_series(0, {SIMHASH_BITS - 1}) AS g(b)
+      GROUP BY doc_id, g.b),
+    sig AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit)
+                           ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id),
+    chunks AS (
+      SELECT doc_id, simhash, g.c AS chunk,
+             (simhash >> (g.c * {SIMHASH_CHUNK_BITS})) & {_CHUNK_MASK} AS piece
+      FROM sig CROSS JOIN generate_series(0, {SIMHASH_CHUNKS - 1}) AS g(c)),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+      FROM chunks a JOIN chunks b
+        ON a.chunk = b.chunk AND a.piece = b.piece AND a.doc_id < b.doc_id)
+    SELECT doc1, doc2, hamming FROM pairs WHERE hamming <= {SIMHASH_MAX_HAMMING}
+    """,
     tags=("dedup", "north-star", "simhash"),
 )
 def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier-4 near-dups: converted from rows-only to a full driver oracle
+    in r05 by the md5 portable-hash trick (see ``simhash_sig``)."""
     docs = load_table(spark, "documents", sf_dir)
-    return simhash_near_pairs(simhash64(docs), max_hamming=6)
+    return simhash_near_pairs(simhash_sig(docs), max_hamming=SIMHASH_MAX_HAMMING)
 
 
 # ---------------------------------------------------------------------------

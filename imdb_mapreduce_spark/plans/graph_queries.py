@@ -132,12 +132,54 @@ def copart_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PR_ITERS = 10
+PR_SCALE = 10**15
+
+
+def _pagerank_oracle(iterations: int = PR_ITERS, scale: int = PR_SCALE) -> str:
+    """Unrolled fixed-point PageRank as chained CTEs — every operation is
+    integer multiply / floor-divide / sum, mirroring
+    ``operators/pagerank.pagerank_exact`` term for term, so the two
+    engines agree bit-for-bit (order-independent integer sums)."""
+    base_expr = f"(({scale} * 15) // 100) // (SELECT n FROM consts)"
+    ctes = [
+        "dedges AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+        "edges AS (\n"
+        "  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst\n"
+        "  FROM dedges a JOIN dedges b\n"
+        "    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey)",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src)",
+        "consts AS (SELECT COUNT(*) AS n FROM nodes)",
+        f"r0 AS (SELECT node, CAST({scale} // (SELECT n FROM consts) AS BIGINT)"
+        " AS r FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"r{i} AS (\n"
+            f"  SELECT n.node,\n"
+            f"         CAST({base_expr}\n"
+            f"              + (85 * CAST(COALESCE(c.contrib, 0) AS BIGINT)) // 100\n"
+            f"           AS BIGINT) AS r\n"
+            f"  FROM nodes n LEFT JOIN (\n"
+            f"    SELECT e.dst, SUM(p.r // d.deg) AS contrib\n"
+            f"    FROM r{i-1} p\n"
+            f"    JOIN edges e ON e.src = p.node\n"
+            f"    JOIN deg d ON d.node = p.node\n"
+            f"    GROUP BY e.dst) c ON c.dst = n.node)"
+        )
+    body = (
+        f"SELECT node AS part, r AS rank_scaled,\n"
+        f"       CAST(r AS DOUBLE) / {scale} AS rank\n"
+        f"FROM r{iterations}\n"
+        f"ORDER BY rank_scaled DESC, part LIMIT 50"
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + body
+
+
 @register(
     "pagerank_coparts",
-    oracle=None,  # iterative float fixpoint: verified vs a pure-Python
-    # reference implementation in tests/test_pagerank.py (rank-order and
-    # value tolerance), not SQL-expressible without order-sensitive float
-    # accumulation differences
+    oracle=_pagerank_oracle(),
     tags=("graph", "iterative", "pagerank"),
 )
 def pagerank_coparts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -146,10 +188,16 @@ def pagerank_coparts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Graph build: distinct (order, part) → same-order part pairs →
     symmetrize. The pair fan-out is Σ basket² (bounded baskets here; cap
-    baskets at 100 TB — same guard as copart_pairs_topk). The iteration
-    itself is ``operators/pagerank.py``: one join + one agg per round,
-    lineage checkpointed."""
-    from imdb_mapreduce_spark.operators.pagerank import pagerank
+    baskets at 100 TB — same guard as copart_pairs_topk).
+
+    Converted from rows-only to a REAL oracle in r05 (VERDICT item 4):
+    the iteration runs in scaled-integer arithmetic
+    (``operators/pagerank.pagerank_exact``, scale 10^15), which makes a
+    fixed-iteration PageRank order-independent and expressible as 10
+    unrolled CTE rounds in DuckDB — bit-identical, hash-comparable. The
+    float ``pagerank`` operator remains for convergence-style use; the
+    exact twin is the reproducible-corpus-build variant."""
+    from imdb_mapreduce_spark.operators.pagerank import pagerank_exact
 
     e = (
         load_table(spark, "lineitem", sf_dir)
@@ -164,9 +212,13 @@ def pagerank_coparts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
     ).distinct()
-    ranks = pagerank(pairs, iterations=10)
+    ranks = pagerank_exact(pairs, iterations=PR_ITERS, scale=PR_SCALE)
     return (
-        ranks.select(F.col("node").alias("part"), "rank")
-        .orderBy(F.col("rank").desc(), "part")
+        ranks.select(
+            F.col("node").alias("part"),
+            "rank_scaled",
+            (F.col("rank_scaled").cast("double") / PR_SCALE).alias("rank"),
+        )
+        .orderBy(F.col("rank_scaled").desc(), "part")
         .limit(50)
     )

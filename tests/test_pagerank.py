@@ -93,3 +93,27 @@ def test_pagerank_coparts_matches_python_on_real_graph(spark):
         assert abs(rank - want[part]) < 1e-9
     top50 = sorted(want, key=lambda v: (-want[v], v))[:50]
     assert set(got) == set(top50)
+
+
+def test_pagerank_exact_tracks_float_pagerank(spark):
+    """The scaled-integer fixed-point iteration must agree with the float
+    iteration to ~1e-9 (floor-division leakage is ~deg ulps per round at
+    scale 10^15) and preserve the rank ordering."""
+    from imdb_mapreduce_spark.operators.pagerank import pagerank_exact
+
+    edges = [(a, b) for a in range(8) for b in range(8) if a != b and (a + b) % 3]
+    edges = edges + [(b, a) for a, b in edges]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    flt = {r["node"]: r["rank"] for r in pagerank(df, iterations=10).collect()}
+    exact = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank_exact(df, iterations=10).collect()
+    }
+    assert set(flt) == set(exact)
+    scale = 10**15
+    for v, rs in exact.items():
+        assert abs(rs / scale - flt[v]) < 1e-9, (v, rs, flt[v])
+    # ordering agrees (distinct-enough ranks on this graph)
+    by_float = sorted(flt, key=lambda v: (-flt[v], v))
+    by_exact = sorted(exact, key=lambda v: (-exact[v], v))
+    assert by_float == by_exact

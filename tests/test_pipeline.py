@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 from imdb_mapreduce_spark.pipeline.dedup import (
     lsh_candidate_pairs,
     minhash_signatures,
-    simhash64,
+    simhash_sig,
     simhash_near_pairs,
 )
 from imdb_mapreduce_spark.pipeline.multimodal import (
@@ -52,7 +52,7 @@ def test_lsh_finds_near_dups_not_far_pairs(near_dup_docs):
 
 
 def test_simhash_hamming_properties(near_dup_docs):
-    sigs = simhash64(near_dup_docs)
+    sigs = simhash_sig(near_dup_docs)
     vals = {r["doc_id"]: r["simhash"] for r in sigs.collect()}
     assert vals[1] == vals[2]
     ham_near = bin(vals[1] ^ vals[3]).count("1")
