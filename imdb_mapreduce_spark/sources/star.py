@@ -35,6 +35,16 @@ def default_sf_dir() -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# Resolved-DataFrame memo: plan-building a parquet read re-parses the file
+# footer every call (~80 ms for the events loader's dtype probe — measured
+# r05; it was the whole of the r04 "sub-second events regressions"). A
+# DataFrame is an immutable logical plan, so handing the same object back
+# is safe. Keyed by (application, path, mtime_ns, size): a regenerated
+# testdata file or a new session misses the cache — the r03 staleness
+# lesson applied to plan objects.
+_PLAN_CACHE: dict[tuple, DataFrame] = {}
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     d = sf_dir or default_sf_dir()
     # Timestamp semantics (date_trunc/year/window) follow the session tz;
@@ -44,9 +54,17 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     # pass none; the key always resolves to the JVM default otherwise)
     if spark.conf.get("spark.sql.session.timeZone") != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-    if name == "events":
-        return _load_events(spark, d)
-    return spark.read.parquet(f"{d}/{name}.parquet")
+    path = f"{d}/{name}.parquet"
+    st = os.stat(path)
+    key = (spark.sparkContext.applicationId, path, st.st_mtime_ns, st.st_size)
+    cached = _PLAN_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = _load_events(spark, d) if name == "events" else spark.read.parquet(path)
+    if len(_PLAN_CACHE) >= 256:  # sessions × sf_dirs is tiny; cap anyway
+        _PLAN_CACHE.clear()
+    _PLAN_CACHE[key] = df
+    return df
 
 
 def ensure_nanos_as_long(spark: SparkSession) -> None:
