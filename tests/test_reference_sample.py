@@ -169,3 +169,66 @@ def test_service_round_trip_matches_in_process_request(engine):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_service_concurrent_clients_interleaved(engine):
+    """VERDICT r04 item 8: the reference master serves concurrent GUI
+    clients via per-request spawn (master.erl handle_call); the TCP twin
+    must do the same. Two clients connect together, fire interleaved
+    requests concurrently, and each must get ITS OWN correct replies in
+    order on its own connection."""
+    import json
+    import socket
+    import threading
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from imdb_mapreduce_spark.service import serve_background
+
+    actors = [
+        r["actor"]
+        for r in engine.cast_edges.groupBy("actor")
+        .count()
+        .orderBy(F.col("count").desc(), "actor")
+        .limit(2)
+        .collect()
+    ]
+    expected = {
+        (name, lvl): engine.request(name, "actor", level=lvl)
+        for name in actors
+        for lvl in (1, 2)
+    }
+
+    srv, port = serve_background(engine)
+    results: dict[str, list] = {}
+    errors: list = []
+    barrier = threading.Barrier(2)
+
+    def client(name: str) -> None:
+        try:
+            with socket.create_connection(("127.0.0.1", port), timeout=120) as s:
+                f = s.makefile("rwb")
+                barrier.wait()  # both clients in flight before either sends
+                got = []
+                for lvl in (1, 2):  # two requests interleaving with the peer
+                    f.write(
+                        (json.dumps({"name": name, "type": "actor", "level": lvl}) + "\n").encode()
+                    )
+                    f.flush()
+                    got.append((lvl, json.loads(f.readline())))
+                results[name] = got
+        except Exception as e:  # noqa: BLE001 — surfaced on the main thread
+            errors.append((name, e))
+
+    threads = [threading.Thread(target=client, args=(a,)) for a in actors]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=180)
+    assert not errors, errors
+    assert set(results) == set(actors)
+    for name in actors:
+        for lvl, reply in results[name]:
+            want_v, want_e = expected[(name, lvl)]
+            assert reply["vertices"] == want_v, (name, lvl)
+            assert [tuple(e) for e in reply["edges"]] == want_e, (name, lvl)
