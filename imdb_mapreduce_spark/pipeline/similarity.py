@@ -621,9 +621,51 @@ def multiprobe_query_buckets(
     )
 
 
+def _ann_lsh_oracle() -> str:
+    """DuckDB replica of the LSH-bucketed top-k: identical plane literals
+    and left-associated double sums (the same primitives the r04
+    ``embedding_lsh_dups`` oracle proved bit-identical), per-table
+    candidate unions, then the brute-force scoring expression of
+    ``ann_cosine_topk`` restricted to the candidate set."""
+    planes = _hyperplanes(LSH_TABLES, LSH_PLANES)
+    buckets = ",\n             ".join(
+        f"{_bucket_sql(p)} AS b{t}" for t, p in enumerate(planes)
+    )
+    per_table = "\n        UNION ALL ".join(
+        f"SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id\n"
+        f"         FROM buck a JOIN buck b ON a.b{t} = b.b{t}\n"
+        f"         WHERE a.vec_id < {N_QUERIES} AND b.vec_id <> a.vec_id"
+        for t in range(LSH_TABLES)
+    )
+    cos = (
+        f"{_sql_dot_unrolled('q.embedding', 'c.embedding')}"
+        f" / (sqrt({_sql_dot_unrolled('q.embedding', 'q.embedding')})"
+        f" * sqrt({_sql_dot_unrolled('c.embedding', 'c.embedding')}))"
+    )
+    return f"""
+    WITH buck AS MATERIALIZED (
+      SELECT vec_id,
+             {buckets}
+      FROM embeddings),
+    cand AS (
+      SELECT DISTINCT query_id, neighbor_id FROM (
+        {per_table}) u),
+    scored AS (
+      SELECT p.query_id, p.neighbor_id, {cos} AS cosine
+      FROM cand p
+      JOIN embeddings q ON q.vec_id = p.query_id
+      JOIN embeddings c ON c.vec_id = p.neighbor_id)
+    SELECT query_id, neighbor_id, cosine, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM scored) t
+    WHERE rnk <= {TOP_K}
+    """
+
+
 @register(
     "ann_lsh_topk",
-    oracle=None,  # recall vs ann_cosine_topk asserted in tests/test_pipeline.py
+    oracle=_ann_lsh_oracle(),
     tags=("similarity", "north-star", "lsh"),
 )
 def ann_lsh_topk(
@@ -636,16 +678,18 @@ def ann_lsh_topk(
     probes each query bucket's k Hamming-1 neighbors (query side only;
     see :func:`multiprobe_query_buckets`).
 
-    Bucket building uses the Arrow matmul fast path — one numpy matmul
-    per batch instead of tables × planes expression folds per row; bucket
-    building is per-vector work, the dominant fixed cost of the index at
-    100 TB. This query has no SQL oracle (recall-tested instead), so the
-    float-associativity caveat of the matmul path doesn't apply; the
-    oracle-checked ``embedding_lsh_dups`` keeps the expression path.
-    Measured at sf0.1 (min-of-3, local[32]): 1.92s expression-build +
-    array-distinct -> 1.30s matmul-build + scalar-distinct (0.68x)."""
+    Converted from rows-only to a full oracle in r05: buckets come from
+    the expression-fold path (``random_hyperplane_buckets``), whose
+    left-associated sums the r04 ``embedding_lsh_dups`` oracle already
+    replicates bit-for-bit in DuckDB. The Arrow matmul fast path
+    (``random_hyperplane_buckets_arrow``, 1.30 s vs 1.92 s bucket build
+    at sf0.1) remains the production bucket builder — numpy's pairwise
+    summation can flip a sign on a knife-edge projection, so the
+    oracle-gated query keeps the associativity-pinned fold; the parity
+    test (``test_arrow_bucket_fast_path_matches_expression_path``) shows
+    the two agree on real data."""
     emb = load_table(spark, "embeddings", sf_dir)
-    bucketed = random_hyperplane_buckets_arrow(emb)
+    bucketed = random_hyperplane_buckets(emb)
     qside = bucketed.filter(F.col("vec_id") < N_QUERIES)
     if multiprobe:
         qside = multiprobe_query_buckets(qside, multiprobe)

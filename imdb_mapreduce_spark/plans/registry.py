@@ -114,10 +114,14 @@ _HEAD: tuple[str, ...] = (
     "tfidf_top_terms",
     "part_expr_catalog",
     "events_cube",
-    # permanent rows-only entries (oracle=None → can never earn hash green;
-    # keeping them in _HEAD guarantees a fresh rows-only row every round)
+    "ann_lsh_topk",  # r05: oracle conversion (bucket fold + brute scoring,
+    # both bit-identical primitives proven in r03/r04) — no hash row yet
+    # THE permanent rows-only entry (oracle=None → can never earn hash
+    # green; staying in _HEAD guarantees a fresh rows-only row every
+    # round). KMeans cell assignment is an iterative float fixpoint over
+    # mean vectors — not portable to SQL without losing the very thing
+    # being tested; its correctness evidence is the recall pytest suite.
     "ann_ivf_topk",
-    "ann_lsh_topk",
 )
 _TAIL: tuple[str, ...] = (
     # The 46 queries hash-green in CORRECTNESS_r04.json. The first ~9 still
