@@ -59,6 +59,11 @@ HEADLINE = (
     # added r05 (length-prefiltered pair join; portable 60-bit simhash)
     "ngram_jaccard_thresholded",
     "simhash_near_dups",
+    # added r05 (new operators with nontrivial cost: pruned cubic triangle
+    # join; paragraph explode + fingerprint join; range-exchange global rank)
+    "copurchase_triangles",
+    "paragraph_dedup_stats",
+    "training_shuffle_order",
 )
 
 

@@ -361,3 +361,72 @@ def corpus_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("alloc_tokens"),
     )
+
+
+SHUFFLE_SEED = 42
+SHUFFLE_PARTITIONS = 16
+
+
+@register(
+    "training_shuffle_order",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             md5(CAST(doc_id AS VARCHAR) || ':{SHUFFLE_SEED}') AS k
+      FROM documents)
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY k, doc_id) AS BIGINT) AS shuffle_pos
+    FROM keyed
+    """,
+    tags=("curation", "north-star", "shuffle"),
+)
+def training_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-data shuffle: every doc gets a
+    reproducible pseudo-random position (rank of md5(doc_id:seed)) — the
+    'seeded epoch shuffle' a training pipeline needs so that run N and a
+    restarted run N read the corpus in the SAME order, with no RNG state.
+
+    The global rank is computed the SCALABLE way, not with a
+    single-partition window: range-repartition by key, rank locally
+    within each sorted partition, then add per-partition offsets (a
+    partition-count-sized prefix sum, broadcast back). No stage ever
+    holds more than one partition's rows; the only full-data movement is
+    the one range exchange any total order requires. The result is
+    boundary-independent: positions depend only on the total order of
+    the (unique) md5 keys, not where the range sampler cut."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    keyed = docs.select(
+        "doc_id",
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":{SHUFFLE_SEED}"))).alias("k"),
+    )
+    parted = (
+        keyed.repartitionByRange(SHUFFLE_PARTITIONS, "k", "doc_id")
+        .sortWithinPartitions("k", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    local = parted.withColumn(
+        "lr", F.row_number().over(Window.partitionBy("pid").orderBy("k", "doc_id"))
+    )
+    # partition-count-sized side: exclusive prefix sum of partition sizes
+    counts = (
+        local.groupBy("pid")
+        .agg(F.count("*").alias("n"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("n").over(
+                    Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("pid", "offset")
+    )
+    return (
+        local.join(F.broadcast(counts), "pid")
+        .select(
+            "doc_id", (F.col("lr") + F.col("offset")).cast("long").alias("shuffle_pos")
+        )
+    )

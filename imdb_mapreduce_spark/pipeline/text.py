@@ -604,3 +604,71 @@ def token_pack_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"cum_before div {PACK_CAPACITY}").alias("pack_id"),
         F.pmod("cum_before", F.lit(PACK_CAPACITY)).cast("long").alias("offset_in_pack"),
     )
+
+
+PARA_TOKENS = 16  # fixed token-window "paragraphs" (corpus has no \n breaks)
+
+
+@register(
+    "paragraph_dedup_stats",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    idx AS (
+      SELECT doc_id, toks,
+             UNNEST(range(CAST(ceil(len(toks) / {PARA_TOKENS}.0) AS BIGINT))) AS i
+      FROM tok),
+    para AS (
+      SELECT doc_id,
+             md5(array_to_string(
+                 toks[(i*{PARA_TOKENS}+1):(i*{PARA_TOKENS}+{PARA_TOKENS})], ' ')) AS ph
+      FROM idx),
+    freq AS (SELECT ph, COUNT(*) AS cnt FROM para GROUP BY ph)
+    SELECT p.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_paragraphs,
+           CAST(SUM(CASE WHEN f.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_paragraphs,
+           CAST(SUM(CASE WHEN f.cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS dup_fraction
+    FROM para p JOIN freq f ON f.ph = p.ph
+    GROUP BY p.doc_id
+    """,
+    tags=("text", "dedup", "north-star"),
+)
+def paragraph_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (paragraph-granularity) duplication profile — the
+    C4/RefinedWeb-style step that exact doc-level dedup misses: boilerplate
+    repeated ACROSS distinct documents. Documents are chunked into fixed
+    {PARA_TOKENS}-token windows (this corpus has no newline paragraph
+    breaks), each window md5-fingerprinted, and every doc reports how many
+    of its windows occur more than once corpus-wide.
+
+    Shape: chunking is a map-side transform+explode (no UDF), then ONE
+    shuffle builds the global fingerprint frequency table, a fingerprint-
+    keyed join (both sides arrive hash-partitioned by ph — exchange
+    reuse), and a doc-keyed rollup. At 100 TB the frequency table is the
+    small side (distinct fingerprints ≪ total windows under heavy dup) —
+    AQE will broadcast it when it fits."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = F.split("text", " ")
+    chunk_hashes = F.expr(
+        f"transform(sequence(0, cast(ceil(size(split(text, ' ')) / {PARA_TOKENS}.0)"
+        f" as int) - 1),"
+        f" i -> md5(concat_ws(' ', slice(split(text, ' '), i*{PARA_TOKENS}+1, {PARA_TOKENS}))))"
+    )
+    para = docs.select("doc_id", F.explode(chunk_hashes).alias("ph"))
+    freq = para.groupBy("ph").agg(F.count("*").alias("cnt"))
+    return (
+        para.join(freq, "ph")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_paragraphs"),
+            F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_paragraphs"),
+            (
+                F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0)).cast("double")
+                / F.count("*").cast("double")
+            ).alias("dup_fraction"),
+        )
+    )

@@ -454,3 +454,47 @@ def events_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("_cents").over(w).cast("bigint").alias("cents_last_hour"),
         )
     )
+
+
+@register(
+    "user_retention_cohorts",
+    oracle="""
+    WITH wk AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS w
+      FROM events),
+    cohort AS (
+      SELECT user_id, MIN(w) AS cohort_week FROM wk GROUP BY user_id)
+    SELECT c.cohort_week,
+           CAST(datediff('day', c.cohort_week, a.w) / 7 AS INT) AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM cohort c JOIN wk a ON a.user_id = c.user_id
+    GROUP BY 1, 2
+    """,
+    tags=("time", "agg", "retention"),
+)
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users bucketed by first-active week, then
+    counted in every later week they return — the triangular
+    cohort-retention matrix every product-analytics stack computes.
+
+    Shape: one distinct (user, week) shuffle, a groupBy(user) for the
+    cohort assignment, then a user-keyed join that REUSES the same hash
+    partitioning (no extra exchange: both sides arrive partitioned by
+    user_id), and a final small-cardinality rollup (weeks × offsets).
+    Distinct-first keeps the join input at |users|×|weeks| instead of raw
+    event volume — the 100 TB-critical reduction."""
+    e = load_table(spark, "events", sf_dir)
+    wk = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("w")
+    ).distinct()
+    cohort = wk.groupBy("user_id").agg(F.min("w").alias("cohort_week"))
+    return (
+        wk.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("w"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )

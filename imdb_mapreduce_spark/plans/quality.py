@@ -148,3 +148,123 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         fk_rows
     ).unionByName(li_rows)
     return report.withColumn("passed", F.col("n_violations") == 0)
+
+
+# Column profile targets: (column, is_numeric). Numeric min/max are exact
+# (order-independent), so they cross-check as DOUBLE; string/timestamp
+# min/max are omitted rather than fighting engine-specific cast formats.
+PROFILE_COLS = (
+    ("o_orderkey", True),
+    ("o_custkey", True),
+    ("o_orderstatus", False),
+    ("o_totalprice", True),
+    ("o_orderdate", False),
+    ("o_orderpriority", False),
+)
+
+
+def _profile_oracle() -> str:
+    branches = []
+    for col, numeric in PROFILE_COLS:
+        mn = f"CAST(MIN({col}) AS DOUBLE)" if numeric else "CAST(NULL AS DOUBLE)"
+        mx = f"CAST(MAX({col}) AS DOUBLE)" if numeric else "CAST(NULL AS DOUBLE)"
+        branches.append(
+            f"SELECT '{col}' AS col_name,"
+            f" CAST(COUNT(*) - COUNT({col}) AS BIGINT) AS n_nulls,"
+            f" CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct,"
+            f" {mn} AS min_num, {mx} AS max_num"
+            f" FROM orders"
+        )
+    return "\nUNION ALL ".join(branches)
+
+
+@register(
+    "table_profile_orders",
+    oracle=_profile_oracle(),
+    tags=("quality", "profiling", "north-star"),
+)
+def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data profile of ``orders`` — null counts, distinct
+    cardinalities, numeric min/max: the schema-drift / batch-health report
+    a pipeline emits before promoting new data (the pandas-profiling /
+    Deequ ``ColumnProfilerRunner`` shape, engine-side).
+
+    Execution shape: ONE scan. All per-column counters fold into a single
+    aggregation; the COUNT(DISTINCT)s share the scan through Catalyst's
+    Expand rewrite (one exchange per distinct column set, partial-agged
+    map-side — not one job per column, which is what a naive profiler
+    loop would issue at 100 TB)."""
+    o = load_table(spark, "orders", sf_dir)
+    aggs = []
+    for col, numeric in PROFILE_COLS:
+        aggs.append((F.count("*") - F.count(col)).cast("long").alias(f"nn_{col}"))
+        aggs.append(F.count_distinct(F.col(col)).cast("long").alias(f"nd_{col}"))
+        if numeric:
+            aggs.append(F.min(col).cast("double").alias(f"mn_{col}"))
+            aggs.append(F.max(col).cast("double").alias(f"mx_{col}"))
+    wide = o.agg(*aggs)
+    stack_args = []
+    for col, numeric in PROFILE_COLS:
+        mn = f"mn_{col}" if numeric else "CAST(NULL AS DOUBLE)"
+        mx = f"mx_{col}" if numeric else "CAST(NULL AS DOUBLE)"
+        stack_args.append(f"'{col}', nn_{col}, nd_{col}, {mn}, {mx}")
+    return wide.select(
+        F.expr(
+            f"stack({len(PROFILE_COLS)}, {', '.join(stack_args)})"
+            " AS (col_name, n_nulls, n_distinct, min_num, max_num)"
+        )
+    )
+
+
+QUALITY_DECILES_KEPT = 8  # keep deciles 8-10 (top 30% by type-token ratio)
+
+
+@register(
+    "quality_decile_filter",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / CAST(len(string_split(text, ' ')) AS DOUBLE) AS ttr
+      FROM documents),
+    deciled AS (
+      SELECT doc_id, source, ttr,
+             CAST(NTILE(10) OVER (PARTITION BY source
+                                  ORDER BY ttr, doc_id) AS INT) AS decile
+      FROM scored)
+    SELECT doc_id, source, ttr, decile
+    FROM deciled WHERE decile >= {QUALITY_DECILES_KEPT}
+    """,
+    tags=("quality", "text", "north-star", "window"),
+)
+def quality_decile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-bin quality filtering: score every doc (type-token ratio),
+    NTILE(10) within each source, keep the top deciles — the standard
+    'keep the best X% per domain' curation gate (quality-classifier
+    thresholding by quantile rather than absolute score, so each source
+    retains the same fraction regardless of its score distribution).
+
+    One shuffle (hash by source for the window), map-side projection for
+    the score. Skew note: NTILE needs its partition sorted, so a single
+    giant source would bottleneck one task at 100 TB — pre-aggregate an
+    approximate CDF per source (percentile_approx) and cut on that
+    instead when a source exceeds executor-sort capacity; the exact
+    NTILE here is the reproducible small/medium-domain path. Ties sort
+    by doc_id so both engines bin identically."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = F.split("text", " ")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        (
+            F.size(F.array_distinct(toks)).cast("double")
+            / F.size(toks).cast("double")
+        ).alias("ttr"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy("ttr", "doc_id")
+    return (
+        scored.withColumn("decile", F.ntile(10).over(w).cast("int"))
+        .filter(F.col("decile") >= QUALITY_DECILES_KEPT)
+    )

@@ -76,6 +76,13 @@ _HEAD: tuple[str, ...] = (
     "pagerank_coparts",  # r05: exact-DECIMAL oracle conversion (VERDICT item 4)
     "simhash_near_dups",  # r05: portable md5 oracle conversion (VERDICT item 5)
     "ngram_jaccard_thresholded",  # NEW r05: length-prefiltered pairs — no row yet
+    # NEW r05 operators (no driver row yet):
+    "copurchase_triangles",  # triangle counting w/ a-priori min-support prune
+    "paragraph_dedup_stats",  # sub-document boilerplate dedup profile
+    "table_profile_orders",  # one-scan column profiler
+    "quality_decile_filter",  # per-source NTILE quality gate
+    "user_retention_cohorts",  # weekly cohort retention matrix
+    "training_shuffle_order",  # seeded scalable global shuffle rank
     # r03-green, stalest first (all pushed out of the r04 window)
     "ngram_jaccard_pairs",  # r05: length-ratio prefilter added (VERDICT item 3)
     "ngram_jaccard_capped",  # r05: same prefilter — re-verify with sibling

@@ -1,0 +1,204 @@
+"""Semantic tests for the r05 operator additions (beyond the DuckDB
+oracle parity the driver checks): triangle counting, paragraph-level
+dedup, the scalable seeded global shuffle, quantile-bin quality gating,
+retention cohorts, and the one-scan column profiler."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+# ---------------------------------------------------------------------------
+# copurchase_triangles: hand-built graph with known triangles
+# ---------------------------------------------------------------------------
+
+
+def test_triangle_count_on_known_graph(spark, tmp_path):
+    """Orders {1,2}: parts (1,2,3) twice → co-edges 1-2, 1-3, 2-3 all with
+    support 2 → one triangle, each corner counted once. Order 3 adds a
+    support-1 edge (3,4) that the min-support prune must drop."""
+    rows = [
+        (1, 1), (1, 2), (1, 3),
+        (2, 1), (2, 2), (2, 3),
+        (3, 3), (3, 4),
+    ]
+    li = spark.createDataFrame(rows, ["l_orderkey", "l_partkey"])
+    d = str(tmp_path / "sf")
+    li.write.parquet(f"{d}/lineitem.parquet")
+
+    from imdb_mapreduce_spark.plans.graph_queries import copurchase_triangles
+
+    out = {r["part"]: r["n_triangles"] for r in copurchase_triangles(spark, d).collect()}
+    assert out == {1: 1, 2: 1, 3: 1}
+
+
+# ---------------------------------------------------------------------------
+# paragraph_dedup_stats: known cross-document boilerplate
+# ---------------------------------------------------------------------------
+
+
+def test_paragraph_dedup_flags_cross_doc_boilerplate(spark, tmp_path):
+    from imdb_mapreduce_spark.pipeline.text import PARA_TOKENS, paragraph_dedup_stats
+
+    boiler = " ".join(["spam"] * PARA_TOKENS)
+    uniq1 = " ".join(f"u{i}" for i in range(PARA_TOKENS))
+    uniq2 = " ".join(f"v{i}" for i in range(PARA_TOKENS))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler} {uniq1}", "en", "s", 0),
+            (2, f"{boiler} {uniq2}", "en", "s", 0),
+            (3, uniq2 + " tail", "en", "s", 0),  # dup of doc2's window? no —
+            # doc3's first window is uniq2 tokens, doc2's SECOND window is
+            # also uniq2 → cross-doc dup at paragraph level
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    d = str(tmp_path / "sf")
+    docs.write.parquet(f"{d}/documents.parquet")
+
+    out = {r["doc_id"]: r.asDict() for r in paragraph_dedup_stats(spark, d).collect()}
+    assert out[1]["n_paragraphs"] == 2 and out[1]["n_dup_paragraphs"] == 1
+    assert out[2]["n_paragraphs"] == 2 and out[2]["n_dup_paragraphs"] == 2
+    # doc3: window1 = uniq2 (dup with doc2's window2), window2 = "tail"
+    assert out[3]["n_dup_paragraphs"] == 1
+    assert out[2]["dup_fraction"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# training_shuffle_order: permutation, determinism, boundary independence
+# ---------------------------------------------------------------------------
+
+
+def test_shuffle_order_is_a_permutation_and_partition_invariant(spark):
+    from imdb_mapreduce_spark.pipeline import curation
+    from imdb_mapreduce_spark.pipeline.curation import training_shuffle_order
+
+    out = training_shuffle_order(spark, SF_SMALL).collect()
+    n = len(out)
+    positions = sorted(r["shuffle_pos"] for r in out)
+    assert positions == list(range(1, n + 1))  # exact permutation of 1..N
+
+    by_doc = {r["doc_id"]: r["shuffle_pos"] for r in out}
+    # partition-count independence: the rank depends only on the key's
+    # total order, not where the range sampler cut
+    orig = curation.SHUFFLE_PARTITIONS
+    try:
+        curation.SHUFFLE_PARTITIONS = 3
+        again = {
+            r["doc_id"]: r["shuffle_pos"]
+            for r in training_shuffle_order(spark, SF_SMALL).collect()
+        }
+    finally:
+        curation.SHUFFLE_PARTITIONS = orig
+    assert again == by_doc
+
+
+# ---------------------------------------------------------------------------
+# quality_decile_filter: keeps exactly the top deciles per source
+# ---------------------------------------------------------------------------
+
+
+def test_quality_decile_filter_keeps_top_fraction(spark):
+    from imdb_mapreduce_spark.plans.quality import (
+        QUALITY_DECILES_KEPT,
+        quality_decile_filter,
+    )
+    from imdb_mapreduce_spark.sources.star import load_table
+
+    kept = quality_decile_filter(spark, SF_SMALL)
+    rows = kept.collect()
+    assert rows, "gate kept nothing"
+    assert all(r["decile"] >= QUALITY_DECILES_KEPT for r in rows)
+
+    total = load_table(spark, "documents", SF_SMALL).count()
+    frac = len(rows) / total
+    expect = (10 - QUALITY_DECILES_KEPT + 1) / 10
+    # NTILE bins are even only up to integer granularity; tiny per-source
+    # doc counts at sf0.001 make the kept fraction lumpy
+    assert abs(frac - expect) < 0.1
+
+    # per-source monotonicity: every kept doc's ttr >= every dropped doc's
+    # ttr within the same source (modulo the doc_id tiebreak at the cut)
+    docs = load_table(spark, "documents", SF_SMALL)
+    toks = F.split("text", " ")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks).cast("double")).alias(
+            "ttr"
+        ),
+    )
+    kept_ids = {r["doc_id"] for r in rows}
+    per_source = {}
+    for r in scored.collect():
+        per_source.setdefault(r["source"], []).append(r)
+    for src, lst in per_source.items():
+        kept_ttrs = [r["ttr"] for r in lst if r["doc_id"] in kept_ids]
+        drop_ttrs = [r["ttr"] for r in lst if r["doc_id"] not in kept_ids]
+        if kept_ttrs and drop_ttrs:
+            assert min(kept_ttrs) >= max(t for t in drop_ttrs if t < min(kept_ttrs)) or (
+                min(kept_ttrs) >= min(drop_ttrs)
+            )
+
+
+# ---------------------------------------------------------------------------
+# user_retention_cohorts: offset-0 diagonal equals cohort sizes
+# ---------------------------------------------------------------------------
+
+
+def test_retention_offset_zero_equals_cohort_size(spark):
+    from imdb_mapreduce_spark.plans.events import user_retention_cohorts
+    from imdb_mapreduce_spark.sources.star import load_table
+
+    out = user_retention_cohorts(spark, SF_SMALL).collect()
+    assert out
+    diag = {r["cohort_week"]: r["n_users"] for r in out if r["week_offset"] == 0}
+
+    e = load_table(spark, "events", SF_SMALL)
+    cohorts = (
+        e.select("user_id", F.date_trunc("week", "ts").alias("w"))
+        .groupBy("user_id")
+        .agg(F.min("w").alias("cw"))
+        .groupBy("cw")
+        .count()
+        .collect()
+    )
+    expected = {r["cw"]: r["count"] for r in cohorts}
+    assert diag == expected
+    # retention can never exceed the cohort's size
+    for r in out:
+        assert r["n_users"] <= expected[r["cohort_week"]]
+
+
+# ---------------------------------------------------------------------------
+# table_profile_orders: invariants against a direct scan
+# ---------------------------------------------------------------------------
+
+
+def test_table_profile_matches_direct_counts(spark):
+    from imdb_mapreduce_spark.plans.quality import table_profile_orders
+    from imdb_mapreduce_spark.sources.star import load_table
+
+    prof = {r["col_name"]: r.asDict() for r in table_profile_orders(spark, SF_SMALL).collect()}
+    o = load_table(spark, "orders", SF_SMALL)
+    n = o.count()
+    assert prof["o_orderkey"]["n_distinct"] == n  # primary key
+    assert prof["o_orderkey"]["n_nulls"] == 0
+    assert prof["o_orderkey"]["min_num"] == float(
+        o.agg(F.min("o_orderkey")).collect()[0][0]
+    )
+    assert prof["o_orderstatus"]["min_num"] is None  # non-numeric: no min
+    assert prof["o_totalprice"]["max_num"] == o.agg(F.max("o_totalprice")).collect()[0][0]
+
+
+def test_table_profile_is_single_scan(spark):
+    """The profiler must not issue one job per column: its plan reads the
+    orders parquet exactly once (Expand-based multi-distinct, not a
+    self-union of per-column scans)."""
+    from imdb_mapreduce_spark.plans.quality import table_profile_orders
+
+    plan = table_profile_orders(spark, SF_SMALL)._jdf.queryExecution().toString()
+    assert plan.count("orders.parquet") <= 2  # logical+physical mention, 1 scan
