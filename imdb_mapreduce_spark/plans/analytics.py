@@ -533,3 +533,80 @@ def event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order data layout (r05): multi-dimensional clustering key
+# ---------------------------------------------------------------------------
+
+Z_BITS = 8  # 8 bits per dimension → 16-bit z-value → 256 target files
+Z_FILE_SHIFT = 8
+EPOCH = "1970-01-01"
+
+
+def _z_terms(a: str, b: str, bits: int) -> list[str]:
+    """Shared spec of the bit-interleave: one arithmetic term per bit, in
+    plain SQL that parses identically in Spark SQL and DuckDB (shiftright
+    via integer division, shiftleft via multiplication — no engine-specific
+    bit operators). Generating BOTH engines' expressions from this one
+    list makes the oracle symmetric by construction."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(({a} // {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"(({b} // {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return terms
+
+
+def _z_sql(a: str, b: str, bits: int) -> str:
+    return " + ".join(_z_terms(a, b, bits))
+
+
+@register(
+    "zorder_layout_plan",
+    oracle=f"""
+    WITH dims AS (
+      SELECT o_orderkey,
+             o_custkey % {1 << Z_BITS} AS ca,
+             datediff('day', DATE '{EPOCH}', CAST(o_orderdate AS DATE))
+               % {1 << Z_BITS} AS da
+      FROM orders)
+    SELECT o_orderkey,
+           CAST({_z_sql('ca', 'da', Z_BITS)} AS BIGINT) AS zkey,
+           CAST(({_z_sql('ca', 'da', Z_BITS)}) // {1 << Z_FILE_SHIFT} AS BIGINT)
+             AS file_id
+    FROM dims
+    """,
+    tags=("layout", "north-star", "zorder"),
+)
+def zorder_layout_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (customer, order-day) — the
+    lakehouse OPTIMIZE ZORDER BY primitive: writing files sorted by the
+    interleaved key gives BOTH `WHERE o_custkey = ?` and
+    `WHERE o_orderdate BETWEEN ?` queries sub-linear file skipping from
+    min/max column stats, where a plain sort key serves only its leading
+    column.
+
+    The z-value is pure per-row arithmetic (map-side, codegen'd — the
+    interleave unrolls to {2 * Z_BITS} add/multiply terms, no UDF). The
+    layout step a writer would add is `repartitionByRange(file_id)` +
+    `sortWithinPartitions(zkey)` — the same one-exchange total-order
+    pattern as ``training_shuffle_order``. Both engines' expressions are
+    generated from the same term list (``_z_terms``), so the oracle is
+    symmetric by construction; integer div/mod only, exactly portable."""
+    # Spark SQL parses the same arithmetic: `//` is not Spark syntax, so
+    # swap it for DIV (integer division) — the single dialect difference.
+    z_expr = _z_sql("ca", "da", Z_BITS).replace("//", "DIV")
+    o = load_table(spark, "orders", sf_dir)
+    dims = o.select(
+        "o_orderkey",
+        (F.col("o_custkey") % (1 << Z_BITS)).alias("ca"),
+        (
+            F.datediff(F.col("o_orderdate"), F.lit(EPOCH).cast("date"))
+            % (1 << Z_BITS)
+        ).alias("da"),
+    )
+    return dims.select(
+        "o_orderkey",
+        F.expr(z_expr).cast("long").alias("zkey"),
+        F.expr(f"({z_expr}) DIV {1 << Z_FILE_SHIFT}").cast("long").alias("file_id"),
+    )

@@ -356,3 +356,46 @@ def events_from_kafka_frame(kafka_df: DataFrame) -> DataFrame:
         F.col("v.value").alias("value"),
         F.col("v.props").alias("props"),
     )
+
+
+@register(
+    "streaming_segment_purchase_totals",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS n_purchases,
+           CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    WHERE e.event_type = 'purchase'
+    GROUP BY 1
+    """,
+    tags=("streaming", "north-star", "join"),
+)
+def streaming_segment_purchase_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the purchase stream joins the static
+    customer dimension (market segment) and rolls up revenue per segment —
+    the canonical 'enrich events with a dim table' streaming job.
+
+    The static side is a plain batch DataFrame: Spark re-resolves it per
+    micro-batch and, being dimension-sized, it broadcasts — the stream
+    side never shuffles for the join, and only the tiny (segment) rollup
+    state lives in the state store. Stream-static joins need no watermark
+    (the static side can't be late); the oracle is the equivalent BATCH
+    join+rollup, proving stream/batch parity end-to-end. Money goes
+    through exact DECIMAL so the streamed sum is order-independent."""
+    from imdb_mapreduce_spark.sources.star import load_table
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    dim = load_table(spark, "customer", sf_dir).select("c_custkey", "c_mktsegment")
+    enriched = (
+        stream.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(dim), stream["user_id"] == dim["c_custkey"])
+    )
+    agg = (
+        enriched.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+        )
+    )
+    return run_stream_to_memory(agg, "complete")

@@ -202,3 +202,97 @@ def test_table_profile_is_single_scan(spark):
 
     plan = table_profile_orders(spark, SF_SMALL)._jdf.queryExecution().toString()
     assert plan.count("orders.parquet") <= 2  # logical+physical mention, 1 scan
+
+
+# ---------------------------------------------------------------------------
+# zorder_layout_plan: interleave correctness + bijection
+# ---------------------------------------------------------------------------
+
+
+def _z_ref(a: int, b: int, bits: int) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((a >> i) & 1) << (2 * i)
+        z |= ((b >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_zorder_matches_python_reference(spark):
+    from imdb_mapreduce_spark.plans.analytics import Z_BITS, zorder_layout_plan
+    from imdb_mapreduce_spark.sources.star import load_table
+    from pyspark.sql import functions as F
+    import datetime
+
+    out = {r["o_orderkey"]: r for r in zorder_layout_plan(spark, SF_SMALL).collect()}
+    orders = load_table(spark, "orders", SF_SMALL).collect()
+    epoch = datetime.date(1970, 1, 1)
+    for o in orders[:200]:
+        ca = o["o_custkey"] % (1 << Z_BITS)
+        da = (o["o_orderdate"].date() - epoch).days % (1 << Z_BITS)
+        z = _z_ref(ca, da, Z_BITS)
+        row = out[o["o_orderkey"]]
+        assert row["zkey"] == z
+        assert row["file_id"] == z >> 8
+
+
+def test_zorder_is_bijective_on_cells(spark):
+    from imdb_mapreduce_spark.plans.analytics import zorder_layout_plan
+    from pyspark.sql import functions as F
+
+    df = zorder_layout_plan(spark, SF_SMALL)
+    n_z = df.select("zkey").distinct().count()
+    # reconstruct the cell count: distinct (ca, da) == distinct z (bijection)
+    from imdb_mapreduce_spark.plans.analytics import Z_BITS, EPOCH
+    from imdb_mapreduce_spark.sources.star import load_table
+
+    o = load_table(spark, "orders", SF_SMALL)
+    n_cells = (
+        o.select(
+            (F.col("o_custkey") % (1 << Z_BITS)).alias("ca"),
+            (F.datediff("o_orderdate", F.lit(EPOCH).cast("date")) % (1 << Z_BITS)).alias(
+                "da"
+            ),
+        )
+        .distinct()
+        .count()
+    )
+    assert n_z == n_cells
+
+
+# ---------------------------------------------------------------------------
+# sharded ordered write: the layout step both shuffle/zorder plans document
+# ---------------------------------------------------------------------------
+
+
+def test_range_sharded_write_produces_disjoint_sorted_files(spark, tmp_path):
+    """repartitionByRange + sortWithinPartitions + parquet write must yield
+    files whose key ranges are pairwise DISJOINT and internally sorted —
+    the property that makes min/max file stats prune reads (the whole
+    point of the zorder/shuffle layout operators)."""
+    import glob as g
+
+    from pyspark.sql import functions as F
+
+    from imdb_mapreduce_spark.pipeline.curation import training_shuffle_order
+
+    df = training_shuffle_order(spark, SF_SMALL)
+    out = str(tmp_path / "sharded")
+    (
+        df.repartitionByRange(4, "shuffle_pos")
+        .sortWithinPartitions("shuffle_pos")
+        .write.parquet(out)
+    )
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in g.glob(f"{out}/part-*.parquet"):
+        t = pq.read_table(f, columns=["shuffle_pos"])
+        vals = t.column("shuffle_pos").to_pylist()
+        if not vals:
+            continue
+        assert vals == sorted(vals), f"file {f} not internally sorted"
+        ranges.append((min(vals), max(vals)))
+    ranges.sort()
+    assert len(ranges) >= 2
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, "file key ranges overlap — stats-based pruning broken"
