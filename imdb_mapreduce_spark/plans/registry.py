@@ -83,6 +83,8 @@ _HEAD: tuple[str, ...] = (
     "quality_decile_filter",  # per-source NTILE quality gate
     "user_retention_cohorts",  # weekly cohort retention matrix
     "training_shuffle_order",  # seeded scalable global shuffle rank
+    "zorder_layout_plan",  # Morton clustering key + file assignment
+    "streaming_segment_purchase_totals",  # stream-static dim enrichment
     # r03-green, stalest first (all pushed out of the r04 window)
     "ngram_jaccard_pairs",  # r05: length-ratio prefilter added (VERDICT item 3)
     "ngram_jaccard_capped",  # r05: same prefilter — re-verify with sibling
