@@ -268,3 +268,114 @@ def quality_decile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("decile", F.ntile(10).over(w).cast("int"))
         .filter(F.col("decile") >= QUALITY_DECILES_KEPT)
     )
+
+
+KMV_K = 64
+KMV_SPACE = 1 << 60  # md5 15-hex-char prefix → uniform on [0, 2^60)
+
+
+@register(
+    "kmv_distinct_users",
+    oracle=f"""
+    WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+    h AS (
+      SELECT event_type,
+             ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM du),
+    rk AS (
+      SELECT event_type, h,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM h),
+    kmv AS (
+      SELECT event_type, MAX(h) AS kth_hash, CAST(COUNT(*) AS BIGINT) AS m
+      FROM rk WHERE rn <= {KMV_K} GROUP BY event_type),
+    exact AS (
+      SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+      FROM events GROUP BY event_type)
+    SELECT e.event_type, e.n_exact, k.kth_hash,
+           CASE WHEN k.m < {KMV_K} THEN CAST(k.m AS DOUBLE)
+                ELSE ({KMV_K} - 1) * CAST({KMV_SPACE} AS DOUBLE)
+                     / CAST(k.kth_hash AS DOUBLE) END AS est_distinct
+    FROM exact e JOIN kmv k ON k.event_type = e.event_type
+    """,
+    tags=("quality", "sketch", "north-star"),
+)
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-count sketch per event type, next to the
+    exact answer it approximates. KMV is the cardinality sketch that stays
+    DETERMINISTIC and portable: hash every key with md5, keep the K
+    smallest hash values per group, and estimate distinct ≈ (K−1)·M/h(K)
+    (hashes uniform on [0, M)). Unlike HLL (whose register layout is
+    engine-private), every step here — hash, k-smallest, one division —
+    reproduces bit-for-bit in any SQL engine, so the sketch itself is
+    driver-oracle-verified; accuracy (~1/√K ≈ 12% worst-case, 3% observed)
+    is pytest-asserted against the exact column.
+
+    Scale posture: the K-smallest set is MERGEABLE (union then re-take K
+    smallest) — the 100 TB path is a partial per-partition K-smallest
+    before the group shuffle, so no group ever sorts its full key set;
+    here distinct-first already bounds the window input to |users| per
+    type. Groups under K keys fall back to the exact count (m < K)."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, "events", sf_dir)
+    du = e.select("event_type", "user_id").distinct()
+    h = du.select(
+        "event_type",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    kmv = (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .groupBy("event_type")
+        .agg(F.max("h").alias("kth_hash"), F.count("*").cast("long").alias("m"))
+    )
+    exact = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("n_exact")
+    )
+    est = F.when(F.col("m") < KMV_K, F.col("m").cast("double")).otherwise(
+        F.lit(float(KMV_K - 1)) * F.lit(float(KMV_SPACE)) / F.col("kth_hash").cast("double")
+    )
+    return exact.join(kmv, "event_type").select(
+        "event_type", "n_exact", "kth_hash", est.alias("est_distinct")
+    )
+
+
+@register(
+    "props_redaction_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(length(props) - length(regexp_replace(props, '[0-9]', '', 'g')))
+             AS BIGINT) AS n_digits_masked,
+           CAST(COUNT(DISTINCT regexp_replace(props, '[0-9]+', '#', 'g')) AS BIGINT)
+             AS n_templates
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("quality", "redaction", "north-star"),
+)
+def props_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex redaction audit over the semi-structured ``props`` payload:
+    how many numeric characters each event type would mask, and how many
+    distinct post-redaction templates remain — the PII-scrubbing
+    accounting step of a training-data pipeline (digit runs stand in for
+    the phone/SSN/account patterns a production rule set would carry; the
+    mechanics — masked-char accounting, template cardinality after
+    ``regexp_replace`` — are identical).
+
+    All built-in regex ops, map-side, one aggregation shuffle; the
+    distinct-template count rides the same Expand rewrite as any
+    COUNT(DISTINCT). A real rule set is a chain of regexp_replace calls —
+    still one projection, still zero Python."""
+    e = load_table(spark, "events", sf_dir)
+    masked = F.regexp_replace("props", "[0-9]+", "#")
+    n_digits = F.length("props") - F.length(F.regexp_replace("props", "[0-9]", ""))
+    return e.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(n_digits).cast("long").alias("n_digits_masked"),
+        F.count_distinct(masked).cast("long").alias("n_templates"),
+    )

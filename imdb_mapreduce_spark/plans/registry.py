@@ -85,6 +85,19 @@ _HEAD: tuple[str, ...] = (
     "training_shuffle_order",  # seeded scalable global shuffle rank
     "zorder_layout_plan",  # Morton clustering key + file assignment
     "streaming_segment_purchase_totals",  # stream-static dim enrichment
+    "kmv_distinct_users",  # portable mergeable cardinality sketch
+    "props_redaction_stats",  # regex PII-masking audit
+    # never-green entries must stay inside the 50-row window (guarded by
+    # test_out_of_window_queries_union_green), so they precede the
+    # union-green r03 refreshes below:
+    "ann_lsh_topk",  # r05: oracle conversion (bucket fold + brute scoring,
+    # both bit-identical primitives proven in r03/r04) — no hash row yet
+    # THE permanent rows-only entry (oracle=None → can never earn hash
+    # green; staying in _HEAD guarantees a fresh rows-only row every
+    # round). KMeans cell assignment is an iterative float fixpoint over
+    # mean vectors — not portable to SQL without losing the very thing
+    # being tested; its correctness evidence is the recall pytest suite.
+    "ann_ivf_topk",
     # r03-green, stalest first (all pushed out of the r04 window)
     "ngram_jaccard_pairs",  # r05: length-ratio prefilter added (VERDICT item 3)
     "ngram_jaccard_capped",  # r05: same prefilter — re-verify with sibling
@@ -123,14 +136,6 @@ _HEAD: tuple[str, ...] = (
     "tfidf_top_terms",
     "part_expr_catalog",
     "events_cube",
-    "ann_lsh_topk",  # r05: oracle conversion (bucket fold + brute scoring,
-    # both bit-identical primitives proven in r03/r04) — no hash row yet
-    # THE permanent rows-only entry (oracle=None → can never earn hash
-    # green; staying in _HEAD guarantees a fresh rows-only row every
-    # round). KMeans cell assignment is an iterative float fixpoint over
-    # mean vectors — not portable to SQL without losing the very thing
-    # being tested; its correctness evidence is the recall pytest suite.
-    "ann_ivf_topk",
 )
 _TAIL: tuple[str, ...] = (
     # The 46 queries hash-green in CORRECTNESS_r04.json. The first ~9 still

@@ -296,3 +296,58 @@ def test_range_sharded_write_produces_disjoint_sorted_files(spark, tmp_path):
     assert len(ranges) >= 2
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 < lo2, "file key ranges overlap — stats-based pruning broken"
+
+
+# ---------------------------------------------------------------------------
+# kmv_distinct_users: sketch accuracy + fallback branch
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_estimate_within_theoretical_error(spark):
+    from imdb_mapreduce_spark.plans.quality import KMV_K, kmv_distinct_users
+
+    rows = kmv_distinct_users(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    for r in rows:
+        if r["n_exact"] >= KMV_K:
+            rel = abs(r["est_distinct"] - r["n_exact"]) / r["n_exact"]
+            # KMV std error ≈ 1/sqrt(K) ≈ 12.5% at K=64; allow 3 sigma
+            assert rel < 3 / (KMV_K**0.5), (r["event_type"], rel)
+
+
+def test_kmv_small_group_falls_back_to_exact(spark):
+    """Groups with fewer than K distinct keys must report the exact count
+    (sf0.001 has ~15 users — every group takes the m<K branch)."""
+    from imdb_mapreduce_spark.plans.quality import KMV_K, kmv_distinct_users
+
+    rows = kmv_distinct_users(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        if r["n_exact"] < KMV_K:
+            assert r["est_distinct"] == float(r["n_exact"])
+
+
+def test_kmv_sketch_is_mergeable(spark):
+    """The 100 TB claim: K-smallest sets merged across two halves of the
+    data equal the K-smallest of the whole — union then re-take K."""
+    from imdb_mapreduce_spark.plans.quality import KMV_K
+    from imdb_mapreduce_spark.sources.star import load_table
+
+    e = load_table(spark, "events", "/root/testdata/sf0.01")
+    h = e.select(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("h")
+    ).distinct()
+    whole = [r["h"] for r in h.orderBy("h").limit(KMV_K).collect()]
+    lo = e.filter(F.col("event_id") % 2 == 0)
+    hi = e.filter(F.col("event_id") % 2 == 1)
+    merged = set()
+    for half in (lo, hi):
+        hh = half.select(
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("h")
+        ).distinct()
+        merged |= {r["h"] for r in hh.orderBy("h").limit(KMV_K).collect()}
+    assert sorted(merged)[:KMV_K] == whole
