@@ -164,3 +164,51 @@ def test_kafka_shaped_source_roundtrip(spark):
     assert decoded.schema == events.schema
     assert decoded.subtract(events).count() == 0
     assert events.subtract(decoded).count() == 0
+
+
+def test_parquet_sink_incremental_across_restart(spark, tmp_path):
+    """Checkpoint recovery with GROWING input: run, land a new source
+    file, run again with the SAME checkpoint. The second run must process
+    ONLY the new file (no reprocessing of committed offsets, no dropped
+    new data) — the crash/restart contract that makes the file-stream
+    source usable as a continuous ingest directory at scale."""
+    from imdb_mapreduce_spark.streaming.jobs import (
+        read_events_stream,
+        run_stream_to_parquet,
+    )
+
+    import pyarrow.parquet as pq
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    tbl = pq.read_table("/root/testdata/sf0.001/events.parquet")
+    import pyarrow.compute as pc
+
+    even = pc.equal(pc.bit_wise_and(tbl.column("event_id"), 1), 0)
+    half1, half2 = tbl.filter(even), tbl.filter(pc.invert(even))
+    pq.write_table(half1, str(src_dir / "batch1.parquet"))
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = read_events_stream(spark, f"{src_dir}/*.parquet")
+        enriched = stream.filter(F.col("event_type") != "error").select(
+            "event_id", "user_id", "event_type"
+        )
+        run_stream_to_parquet(enriched, out, ckpt)
+
+    run()
+    n1 = spark.read.parquet(out).count()
+    import pyarrow.compute as pc2
+    n_half1 = half1.filter(pc2.not_equal(half1.column("event_type"), "error")).num_rows
+    assert n1 == n_half1
+
+    pq.write_table(half2, str(src_dir / "batch2.parquet"))
+    run()  # restart: offset log skips batch1, picks up batch2 only
+
+    final = spark.read.parquet(out)
+    n_all = tbl.filter(pc2.not_equal(tbl.column("event_type"), "error")).num_rows
+    assert final.count() == n_all  # nothing dropped
+    # exactly-once: no event id appears twice
+    assert final.select("event_id").distinct().count() == final.count()
