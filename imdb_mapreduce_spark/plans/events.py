@@ -498,3 +498,102 @@ def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("long").alias("n_users"))
     )
+
+
+@register(
+    "event_funnel_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t0 FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t1 FROM events e
+      JOIN v ON v.user_id = e.user_id AND e.ts > v.t0
+      WHERE e.event_type = 'click' GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+      JOIN c ON c.user_id = e.user_id AND e.ts > c.t1
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT 'view' AS stage, CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_users
+    UNION ALL
+    SELECT 'view>click', CAST((SELECT COUNT(*) FROM c) AS BIGINT)
+    UNION ALL
+    SELECT 'view>click>purchase', CAST((SELECT COUNT(*) FROM p) AS BIGINT)
+    """,
+    tags=("time", "funnel", "analytics"),
+)
+def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who viewed, then clicked AFTER their first
+    view, then purchased AFTER that click — the strictly-sequenced
+    conversion funnel (not mere per-type existence, which would over-count
+    users who purchased before ever viewing).
+
+    Each stage is a keyed min-aggregation joined to the previous stage on
+    user_id — three user-keyed hash shuffles over an already user-bounded
+    frame, every join equi on user_id so AQE can broadcast the shrinking
+    stage side. Strict '>' on timestamps keeps the stage assignment
+    deterministic in both engines."""
+    e = load_table(spark, "events", sf_dir)
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    count_row = lambda df, label: df.agg(  # noqa: E731
+        F.lit(label).alias("stage"), F.count("*").cast("long").alias("n_users")
+    ).select("stage", "n_users")
+    return (
+        count_row(v, "view")
+        .unionAll(count_row(c, "view>click"))
+        .unionAll(count_row(p, "view>click>purchase"))
+    )
+
+
+@register(
+    "event_transition_bigrams",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events)
+    SELECT event_type AS from_type, next_type AS to_type,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    tags=("time", "window", "analytics"),
+)
+def event_transition_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition matrix (behavioral bigrams): LEAD
+    over each user's timeline, then a global (from, to) rollup — the
+    Markov-chain input for session-path analysis. One hash exchange on
+    user_id for the window (per-user timelines are bounded), then a
+    small-cardinality aggregation (|types|²). The (ts, event_id) sort
+    carries the unique tiebreak so both engines sequence ties
+    identically."""
+    e = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    return (
+        seq.groupBy(
+            F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+        )
+        .agg(F.count("*").cast("long").alias("n_transitions"))
+    )

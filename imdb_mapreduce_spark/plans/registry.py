@@ -87,6 +87,8 @@ _HEAD: tuple[str, ...] = (
     "streaming_segment_purchase_totals",  # stream-static dim enrichment
     "kmv_distinct_users",  # portable mergeable cardinality sketch
     "props_redaction_stats",  # regex PII-masking audit
+    "event_funnel_conversion",  # strictly-sequenced conversion funnel
+    "event_transition_bigrams",  # behavioral Markov-chain rollup
     # never-green entries must stay inside the 50-row window (guarded by
     # test_out_of_window_queries_union_green), so they precede the
     # union-green r03 refreshes below:

@@ -351,3 +351,33 @@ def test_kmv_sketch_is_mergeable(spark):
         ).distinct()
         merged |= {r["h"] for r in hh.orderBy("h").limit(KMV_K).collect()}
     assert sorted(merged)[:KMV_K] == whole
+
+
+# ---------------------------------------------------------------------------
+# funnel + transitions: monotonicity and conservation invariants
+# ---------------------------------------------------------------------------
+
+
+def test_funnel_stages_are_monotone(spark):
+    from imdb_mapreduce_spark.plans.events import event_funnel_conversion
+
+    rows = {r["stage"]: r["n_users"] for r in event_funnel_conversion(spark, SF_SMALL).collect()}
+    assert set(rows) == {"view", "view>click", "view>click>purchase"}
+    assert rows["view"] >= rows["view>click"] >= rows["view>click>purchase"]
+    assert rows["view"] > 0
+
+
+def test_transition_bigrams_conserve_events(spark):
+    """Σ transitions == Σ (events_per_user − 1): every user contributes
+    exactly one fewer transition than events."""
+    from imdb_mapreduce_spark.plans.events import event_transition_bigrams
+    from imdb_mapreduce_spark.sources.star import load_table
+
+    n_trans = sum(
+        r["n_transitions"]
+        for r in event_transition_bigrams(spark, SF_SMALL).collect()
+    )
+    e = load_table(spark, "events", SF_SMALL)
+    n_events = e.count()
+    n_users = e.select("user_id").distinct().count()
+    assert n_trans == n_events - n_users
