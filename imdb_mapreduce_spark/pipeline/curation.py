@@ -430,3 +430,79 @@ def training_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", (F.col("lr") + F.col("offset")).cast("long").alias("shuffle_pos")
         )
     )
+
+
+@register(
+    "incremental_priority_rollup",
+    # The ORACLE recomputes the view from scratch over the upserted table;
+    # the Spark side maintains it incrementally (base aggregate + delta
+    # aggregate over only the update batch). Hash equality between the two
+    # IS the incremental-view-maintenance correctness proof.
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS price_cents
+      FROM orders),
+    upserted AS (
+      SELECT o_orderkey, o_orderpriority,
+             CASE WHEN o_orderkey % 10 = 0
+                  THEN (price_cents * 11) // 10 ELSE price_cents END AS price_cents
+      FROM base)
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(price_cents) AS BIGINT) AS total_cents
+    FROM upserted
+    GROUP BY 1
+    """,
+    tags=("curation", "cdc", "ivm", "north-star"),
+)
+def incremental_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: the per-priority revenue rollup after
+    the CDC re-pricing batch (same deterministic batch as
+    ``cdc_orders_upsert``: every 10th order +10%), computed WITHOUT
+    re-aggregating the merged table. The maintained view is
+
+        base_aggregate ⊕ delta_aggregate
+
+    where the delta side aggregates ONLY the update batch's (new − old)
+    cents per group — the additive-measure IVM algebra (counts unchanged
+    by an upsert; SUM absorbs signed deltas). The oracle recomputes the
+    view from the fully-merged table, so a hash match proves the
+    incremental path lands on exactly the recomputed answer.
+
+    100 TB posture: this is the whole POINT of IVM — the base aggregate is
+    computed once (or itself maintained), and each CDC batch costs one
+    aggregation of |batch| rows + a |groups|-sized merge join, never a
+    fact-table re-scan. All ledger math in BIGINT cents: exact, order-
+    independent, bit-portable."""
+    orders = load_table(spark, "orders", sf_dir)
+    cents = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")
+    base = orders.select("o_orderpriority", cents.alias("price_cents"))
+    base_agg = base.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum("price_cents").cast("long").alias("base_cents"),
+    )
+    # delta over the update batch only: new − old, per group
+    delta = (
+        orders.filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            (
+                F.expr(
+                    "(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) * 11)"
+                    " div 10"
+                )
+                - cents
+            ).alias("d_cents"),
+        )
+        .groupBy("priority")
+        .agg(F.sum("d_cents").cast("long").alias("delta_cents"))
+    )
+    return base_agg.join(delta, "priority", "left").select(
+        "priority",
+        "n_orders",
+        (F.col("base_cents") + F.coalesce(F.col("delta_cents"), F.lit(0)))
+        .cast("long")
+        .alias("total_cents"),
+    )
