@@ -38,3 +38,21 @@ def snapshot_parquet(df: DataFrame, path: str) -> None:
 def restore_parquet(spark, path: str) -> DataFrame:
     """Snapshot restore (``ets:file2tab`` analog, ``server.erl:329,334``)."""
     return spark.read.parquet(path)
+
+
+def snapshot_table(df: DataFrame, path: str, fmt: str = "parquet") -> None:
+    """Format-parameterized snapshot (K2 generalized): parquet (default),
+    orc, or json — the columnar formats share schema+stats; json is the
+    interchange escape hatch. Every format keeps overwrite semantics."""
+    if fmt not in ("parquet", "orc", "json"):
+        raise ValueError(f"unsupported snapshot format: {fmt}")
+    df.write.mode("overwrite").format(fmt).save(path)
+
+
+def restore_table(spark, path: str, fmt: str = "parquet") -> DataFrame:
+    """Restore a :func:`snapshot_table` dump (schema from file metadata
+    for columnar formats; JSON restores need the caller to re-cast types
+    that JSON cannot carry — restore returns whatever the format kept)."""
+    if fmt not in ("parquet", "orc", "json"):
+        raise ValueError(f"unsupported snapshot format: {fmt}")
+    return spark.read.format(fmt).load(path)

@@ -67,3 +67,29 @@ def test_parquet_snapshot_restore(cast_edges, tmp_path, spark):
     snapshot_parquet(cast_edges, path)
     back = restore_parquet(spark, path)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, cast_edges.collect()))
+
+
+def test_orc_snapshot_roundtrip(spark, tmp_path):
+    """K2 in ORC: schema and rows survive bit-exactly (ORC carries typed
+    schema + stats like parquet, so restore needs no casts)."""
+    from imdb_mapreduce_spark.sources.sinks import restore_table, snapshot_table
+    from imdb_mapreduce_spark.sources.star import load_table
+
+    src = load_table(spark, "orders", "/root/testdata/sf0.001")
+    p = str(tmp_path / "orders_orc")
+    snapshot_table(src, p, fmt="orc")
+    back = restore_table(spark, p, fmt="orc")
+    assert back.schema == src.schema
+    assert back.subtract(src).count() == 0
+    assert src.subtract(back).count() == 0
+
+
+def test_snapshot_rejects_unknown_format(spark, tmp_path):
+    import pytest as _pytest
+
+    from imdb_mapreduce_spark.sources.sinks import snapshot_table
+    from imdb_mapreduce_spark.sources.star import load_table
+
+    src = load_table(spark, "region", "/root/testdata/sf0.001")
+    with _pytest.raises(ValueError):
+        snapshot_table(src, str(tmp_path / "x"), fmt="avro")
