@@ -394,42 +394,14 @@ def training_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     the one range exchange any total order requires. The result is
     boundary-independent: positions depend only on the total order of
     the (unique) md5 keys, not where the range sampler cut."""
-    from pyspark.sql.window import Window
-
     docs = load_table(spark, "documents", sf_dir)
     keyed = docs.select(
         "doc_id",
+        F.lit(0).alias("_tok"),  # rank-only use of the shared layout primitive
         F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":{SHUFFLE_SEED}"))).alias("k"),
     )
-    parted = (
-        keyed.repartitionByRange(SHUFFLE_PARTITIONS, "k", "doc_id")
-        .sortWithinPartitions("k", "doc_id")
-        .withColumn("pid", F.spark_partition_id())
-    )
-    local = parted.withColumn(
-        "lr", F.row_number().over(Window.partitionBy("pid").orderBy("k", "doc_id"))
-    )
-    # partition-count-sized side: exclusive prefix sum of partition sizes
-    counts = (
-        local.groupBy("pid")
-        .agg(F.count("*").alias("n"))
-        .withColumn(
-            "offset",
-            F.coalesce(
-                F.sum("n").over(
-                    Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
-                ),
-                F.lit(0),
-            ),
-        )
-        .select("pid", "offset")
-    )
-    return (
-        local.join(F.broadcast(counts), "pid")
-        .select(
-            "doc_id", (F.col("lr") + F.col("offset")).cast("long").alias("shuffle_pos")
-        )
-    )
+    laid = ranked_prefix_layout(keyed, ("k", "doc_id"), "_tok", SHUFFLE_PARTITIONS)
+    return laid.select("doc_id", F.col("global_rank").alias("shuffle_pos"))
 
 
 @register(
@@ -505,4 +477,125 @@ def incremental_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("base_cents") + F.coalesce(F.col("delta_cents"), F.lit(0)))
         .cast("long")
         .alias("total_cents"),
+    )
+
+
+def ranked_prefix_layout(
+    df: DataFrame,
+    key_cols: tuple[str, ...],
+    tok_col: str,
+    n_partitions: int = SHUFFLE_PARTITIONS,
+) -> DataFrame:
+    """Global rank AND global running token sum along a total order, in
+    ONE range exchange — the scalable primitive behind both the seeded
+    epoch shuffle and corpus layout/packing.
+
+    Range-partition by the sort key, compute per-partition local rank and
+    local exclusive prefix sum, then add per-partition offsets (an
+    exclusive prefix sum over the partition-count-sized (rows, tokens)
+    table, broadcast back). No stage holds more than one partition's rows;
+    the result is independent of where the range sampler cut."""
+    from pyspark.sql.window import Window
+
+    parted = (
+        df.repartitionByRange(n_partitions, *key_cols)
+        .sortWithinPartitions(*key_cols)
+        .withColumn("pid", F.spark_partition_id())
+    )
+    wloc = Window.partitionBy("pid").orderBy(*key_cols)
+    wcum = wloc.rowsBetween(Window.unboundedPreceding, -1)
+    local = parted.withColumn("lr", F.row_number().over(wloc)).withColumn(
+        "lcum", F.coalesce(F.sum(tok_col).over(wcum), F.lit(0))
+    )
+    wpid = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        local.groupBy("pid")
+        .agg(F.count("*").alias("_n"), F.sum(tok_col).alias("_s"))
+        .select(
+            "pid",
+            F.coalesce(F.sum("_n").over(wpid), F.lit(0)).alias("roff"),
+            F.coalesce(F.sum("_s").over(wpid), F.lit(0)).alias("toff"),
+        )
+    )
+    return (
+        local.join(F.broadcast(offsets), "pid")
+        .withColumn("global_rank", (F.col("lr") + F.col("roff")).cast("long"))
+        .withColumn("cum_before", (F.col("lcum") + F.col("toff")).cast("long"))
+        .drop("pid", "lr", "lcum", "roff", "toff")
+    )
+
+
+def _manifest_oracle() -> str:
+    from imdb_mapreduce_spark.pipeline.dedup import (
+        CLUSTERS_SQL,
+        KEEP_MAX_TOKENS,
+        KEEP_MIN_TOKENS,
+        KEEP_MIN_TTR,
+    )
+    from imdb_mapreduce_spark.pipeline.text import PACK_CAPACITY
+
+    return f"""
+    WITH kept AS (
+      SELECT d.doc_id, len(string_split(d.text, ' ')) AS n_tok
+      FROM documents d
+      LEFT JOIN ({CLUSTERS_SQL}) c ON c.doc_id = d.doc_id
+      WHERE NOT (c.component IS NOT NULL AND c.component <> d.doc_id)
+        AND len(string_split(d.text, ' ')) >= {KEEP_MIN_TOKENS}
+        AND len(string_split(d.text, ' ')) <= {KEEP_MAX_TOKENS}
+        AND CAST(len(list_distinct(string_split(d.text, ' '))) AS DOUBLE)
+              / CAST(len(string_split(d.text, ' ')) AS DOUBLE) >= {KEEP_MIN_TTR}),
+    keyed AS (
+      SELECT doc_id, n_tok,
+             md5(CAST(doc_id AS VARCHAR) || ':{SHUFFLE_SEED}') AS k
+      FROM kept),
+    laid AS (
+      SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+             ROW_NUMBER() OVER (ORDER BY k, doc_id) AS shuffle_pos,
+             COALESCE(SUM(n_tok) OVER (ORDER BY k, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM keyed)
+    SELECT doc_id, CAST(shuffle_pos AS BIGINT) AS shuffle_pos, n_tok,
+           CAST(cum_before // {PACK_CAPACITY} AS BIGINT) AS pack_id,
+           CAST(cum_before % {PACK_CAPACITY} AS BIGINT) AS offset_in_pack
+    FROM laid
+    """
+
+
+@register(
+    "corpus_build_manifest",
+    oracle=_manifest_oracle(),
+    tags=("curation", "north-star", "pipeline", "end-to-end"),
+)
+def corpus_build_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END corpus build: keep-list (near-dup clusters + quality
+    gates) → seeded global shuffle → head-to-tail token packing, in one
+    composed plan. Each kept document gets its reproducible epoch position
+    and its training-pack assignment (pack id + starting offset) — the
+    manifest a 100 TB pre-training data build hands to the trainer.
+
+    Composition: ``corpus_keep_list`` (cluster map from the silver layer),
+    whitespace token counts, then :func:`ranked_prefix_layout` — global
+    rank and running token sum in ONE range exchange (no single-partition
+    window anywhere). The DuckDB oracle recomposes all three stages as
+    plain SQL (recursive-CTE clusterer → window rank/cumsum), so the
+    entire pipeline, not just its pieces, is hash-verified."""
+    from imdb_mapreduce_spark.pipeline.dedup import corpus_keep_list
+    from imdb_mapreduce_spark.pipeline.text import PACK_CAPACITY
+
+    keep = corpus_keep_list(spark, sf_dir).filter(F.col("keep")).select("doc_id")
+    docs = load_table(spark, "documents", sf_dir)
+    kept = docs.join(keep, "doc_id").select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+        F.md5(
+            F.concat(F.col("doc_id").cast("string"), F.lit(f":{SHUFFLE_SEED}"))
+        ).alias("k"),
+    )
+    laid = ranked_prefix_layout(kept, ("k", "doc_id"), "n_tok")
+    return laid.select(
+        "doc_id",
+        F.col("global_rank").alias("shuffle_pos"),
+        "n_tok",
+        F.expr(f"cum_before div {PACK_CAPACITY}").cast("long").alias("pack_id"),
+        F.pmod("cum_before", F.lit(PACK_CAPACITY)).cast("long").alias("offset_in_pack"),
     )

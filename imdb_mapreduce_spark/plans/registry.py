@@ -90,6 +90,7 @@ _HEAD: tuple[str, ...] = (
     "event_funnel_conversion",  # strictly-sequenced conversion funnel
     "event_transition_bigrams",  # behavioral Markov-chain rollup
     "incremental_priority_rollup",  # IVM: base ⊕ delta vs full recompute
+    "corpus_build_manifest",  # END-TO-END: keep → shuffle → pack, one plan
     # never-green entries must stay inside the 50-row window (guarded by
     # test_out_of_window_queries_union_green), so they precede the
     # union-green r03 refreshes below:
