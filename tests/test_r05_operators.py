@@ -381,3 +381,39 @@ def test_transition_bigrams_conserve_events(spark):
     n_events = e.count()
     n_users = e.select("user_id").distinct().count()
     assert n_trans == n_events - n_users
+
+
+# ---------------------------------------------------------------------------
+# ranked_prefix_layout: hypothesis property vs a sequential reference
+# ---------------------------------------------------------------------------
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    toks=st.lists(st.integers(min_value=0, max_value=500), min_size=1, max_size=60),
+    nparts=st.integers(min_value=1, max_value=7),
+)
+def test_ranked_prefix_layout_matches_sequential_reference(spark, toks, nparts):
+    """For ANY token multiset and ANY partition count, the one-exchange
+    layout equals the sequential sort+cumsum: rank i and the exclusive
+    prefix sum of tokens in key order."""
+    from imdb_mapreduce_spark.pipeline.curation import ranked_prefix_layout
+
+    rows = [(i, f"k{i:04d}", t) for i, t in enumerate(toks)]
+    df = spark.createDataFrame(rows, ["rid", "k", "n_tok"])
+    out = {
+        r["rid"]: (r["global_rank"], r["cum_before"])
+        for r in ranked_prefix_layout(df, ("k",), "n_tok", nparts).collect()
+    }
+    cum = 0
+    for rank, (rid, _, t) in enumerate(sorted(rows, key=lambda r: r[1]), start=1):
+        assert out[rid] == (rank, cum)
+        cum += t
