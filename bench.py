@@ -64,6 +64,8 @@ HEADLINE = (
     "copurchase_triangles",
     "paragraph_dedup_stats",
     "training_shuffle_order",
+    # added r05 (the composed END PRODUCT: keep -> shuffle -> pack)
+    "corpus_build_manifest",
 )
 
 

@@ -678,18 +678,17 @@ def ann_lsh_topk(
     probes each query bucket's k Hamming-1 neighbors (query side only;
     see :func:`multiprobe_query_buckets`).
 
-    Converted from rows-only to a full oracle in r05: buckets come from
-    the expression-fold path (``random_hyperplane_buckets``), whose
-    left-associated sums the r04 ``embedding_lsh_dups`` oracle already
-    replicates bit-for-bit in DuckDB. The Arrow matmul fast path
-    (``random_hyperplane_buckets_arrow``, 1.30 s vs 1.92 s bucket build
-    at sf0.1) remains the production bucket builder — numpy's pairwise
-    summation can flip a sign on a knife-edge projection, so the
-    oracle-gated query keeps the associativity-pinned fold; the parity
-    test (``test_arrow_bucket_fast_path_matches_expression_path``) shows
-    the two agree on real data."""
+    Converted from rows-only to a full oracle in r05: the DuckDB oracle
+    replicates the bucket fold bit-for-bit (same plane literals,
+    left-associated double sums — the primitives the r04
+    ``embedding_lsh_dups`` oracle proved). Buckets are built on the Arrow
+    path in ``exact=True`` mode (dimension-major accumulation — the
+    matmul's throughput with the fold's exact summation order), so the
+    query keeps the production fast path AND hash-matches the oracle;
+    ``test_arrow_bucket_fast_path_matches_expression_path`` pins the
+    bit-equality of the two builders."""
     emb = load_table(spark, "embeddings", sf_dir)
-    bucketed = random_hyperplane_buckets(emb)
+    bucketed = random_hyperplane_buckets_arrow(emb, exact=True)
     qside = bucketed.filter(F.col("vec_id") < N_QUERIES)
     if multiprobe:
         qside = multiprobe_query_buckets(qside, multiprobe)
@@ -737,6 +736,7 @@ def random_hyperplane_buckets_arrow(
     planes_per_table: int = LSH_PLANES,
     seed: int = 42,
     dim: int = 64,
+    exact: bool = False,
 ) -> DataFrame:
     """Arrow fast path for :func:`random_hyperplane_buckets`: ONE numpy
     matmul per batch ((rows × dim) @ (dim × tables·planes)) instead of
@@ -744,13 +744,20 @@ def random_hyperplane_buckets_arrow(
     bucket building dominates (it is per-vector work, so at 100 TB it is
     the biggest fixed cost of the LSH index).
 
-    Trade-off, stated plainly: numpy accumulates the dot products
+    ``exact=False`` (default): numpy accumulates the dot products
     pairwise/SIMD, not left-associated, so a projection within float
     rounding of zero can land on the other side of the hyperplane vs the
     expression path — bucket agreement is ~1 - 1e-8 per projection, not
-    exactly 1. The oracle-checked queries therefore keep the expression
-    path; use this for throughput at scale (tests pin exact agreement on
-    this corpus).
+    exactly 1.
+
+    ``exact=True`` (r05): dimension-major accumulation — acc starts at
+    0.0 and adds x[d]·p[d] one dimension at a time (a vectorized (rows ×
+    projections) FMA per dimension), which reproduces the expression
+    fold's left-associated order BIT-FOR-BIT while keeping the Arrow
+    batch shape. Same flop count as the matmul, slightly more memory
+    traffic; this is what lets the oracle-gated ``ann_lsh_topk`` use the
+    Arrow path without breaking cross-engine hash equality
+    (``test_arrow_exact_bucket_path_matches_expression_path``).
     """
     import numpy as np
 
@@ -783,7 +790,15 @@ def random_hyperplane_buckets_arrow(
             if not len(pdf):  # np.stack raises on zero arrays
                 continue
             vecs = np.stack(pdf["embedding"].to_numpy())  # (n, dim)
-            proj = vecs.astype("float64") @ mat  # (n, T*P)
+            v64 = vecs.astype("float64")
+            if exact:
+                # left-associated fold, dimension-major: bit-identical to
+                # the expression path (and the DuckDB oracle's list_reduce)
+                proj = np.zeros((len(pdf), mat.shape[1]))
+                for d in range(mat.shape[0]):
+                    proj += v64[:, d : d + 1] * mat[d]
+            else:
+                proj = v64 @ mat  # (n, T*P), pairwise/SIMD accumulation
             bits = (proj >= 0).reshape(len(pdf), n_tables, planes_per_table)
             buckets = (bits * weights).sum(axis=2).astype("int32")  # (n, T)
             n = len(pdf)

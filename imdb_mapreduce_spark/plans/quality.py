@@ -271,6 +271,7 @@ def quality_decile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 KMV_K = 64
+KMV_SALTS = 64  # sub-partitions for the two-level k-smallest
 KMV_SPACE = 1 << 60  # md5 15-hex-char prefix → uniform on [0, 2^60)
 
 
@@ -312,10 +313,12 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     is pytest-asserted against the exact column.
 
     Scale posture: the K-smallest set is MERGEABLE (union then re-take K
-    smallest) — the 100 TB path is a partial per-partition K-smallest
-    before the group shuffle, so no group ever sorts its full key set;
-    here distinct-first already bounds the window input to |users| per
-    type. Groups under K keys fall back to the exact count (m < K)."""
+    smallest — pytest-proven), and the query USES that property: the
+    salted two-level top-k ranks within (group, h mod {KMV_SALTS})
+    sub-partitions first, so no task ever sorts a full group's key set,
+    then re-ranks the surviving salts×K rows per group. Identical result
+    to a single global window (the oracle's form), scale-safe shape.
+    Groups under K keys fall back to the exact count (m < K)."""
     from pyspark.sql.window import Window
 
     e = load_table(spark, "events", sf_dir)
@@ -326,9 +329,19 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("h"),
     )
-    w = Window.partitionBy("event_type").orderBy("h")
+    # two-level k-smallest (salted top-k): pass 1 ranks inside (type,
+    # salt) sub-partitions — no task ever sorts a full group's key set —
+    # and bounds pass 2's input to salts×K rows per type. The union of
+    # per-salt K-smallest sets contains the global K smallest, so the
+    # result is identical to a single global window (the oracle's form).
+    salted = h.withColumn("salt", F.pmod("h", F.lit(KMV_SALTS)))
+    w1 = Window.partitionBy("event_type", "salt").orderBy("h")
+    pre = salted.withColumn("rn1", F.row_number().over(w1)).filter(
+        F.col("rn1") <= KMV_K
+    )
+    w2 = Window.partitionBy("event_type").orderBy("h")
     kmv = (
-        h.withColumn("rn", F.row_number().over(w))
+        pre.withColumn("rn", F.row_number().over(w2))
         .filter(F.col("rn") <= KMV_K)
         .groupBy("event_type")
         .agg(F.max("h").alias("kth_hash"), F.count("*").cast("long").alias("m"))

@@ -232,3 +232,11 @@ def test_arrow_bucket_fast_path_matches_expression_path(spark):
         for r in random_hyperplane_buckets_arrow(emb).collect()
     }
     assert expr_b == arrow_b
+    # exact mode is left-fold-identical BY CONSTRUCTION (dimension-major
+    # accumulation), not just on this corpus — the mode the oracle-gated
+    # ann_lsh_topk runs
+    exact_b = {
+        (r["vec_id"], r["table"]): r["bucket"]
+        for r in random_hyperplane_buckets_arrow(emb, exact=True).collect()
+    }
+    assert exact_b == expr_b
