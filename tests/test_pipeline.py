@@ -240,3 +240,59 @@ def test_arrow_bucket_fast_path_matches_expression_path(spark):
         for r in random_hyperplane_buckets_arrow(emb, exact=True).collect()
     }
     assert exact_b == expr_b
+
+
+def test_ann_ivf_is_exact_within_probed_cells(spark):
+    """The sharp IVF invariant (this is the query's real contract, far
+    stronger than nonzero recall): for every query, the IVF top-k equals
+    the EXACT cosine top-k restricted to vectors in the probed cells —
+    the approximation lives entirely in the cell restriction, never in
+    the scoring or ranking."""
+    import numpy as np
+
+    from imdb_mapreduce_spark.pipeline.similarity import (
+        N_QUERIES,
+        TOP_K,
+        _ivf_index_dir,
+        ann_ivf_topk,
+    )
+    from imdb_mapreduce_spark.sources.star import load_table
+
+    idx = _ivf_index_dir(spark, SF, k=8, seed=42)
+    centers = {
+        r["cell"]: np.array(r["center"], dtype="float64")
+        for r in spark.read.parquet(f"{idx}/centroids").collect()
+    }
+    cell_of = {
+        r["vec_id"]: r["cell"] for r in spark.read.parquet(f"{idx}/cells").collect()
+    }
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype="float64")
+        for r in load_table(spark, "embeddings", SF).collect()
+    }
+
+    expected = set()
+    for qid in range(N_QUERIES):
+        if qid not in vecs:
+            continue
+        qe = vecs[qid]
+        probe = min(
+            centers, key=lambda c: (float(np.sum((qe - centers[c]) ** 2)), c)
+        )
+        cands = [v for v, c in cell_of.items() if c == probe and v != qid]
+        scored = sorted(
+            cands,
+            key=lambda v: (
+                -float(
+                    np.dot(qe, vecs[v])
+                    / (np.linalg.norm(qe) * np.linalg.norm(vecs[v]))
+                ),
+                v,
+            ),
+        )
+        expected |= {(qid, v) for v in scored[:TOP_K]}
+
+    got = {
+        (r["query_id"], r["neighbor_id"]) for r in ann_ivf_topk(spark, SF).collect()
+    }
+    assert got == expected
