@@ -610,3 +610,62 @@ def zorder_layout_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(z_expr).cast("long").alias("zkey"),
         F.expr(f"({z_expr}) DIV {1 << Z_FILE_SHIFT}").cast("long").alias("file_id"),
     )
+
+
+MAD_K = 3.0  # flag |value − median| > K·MAD
+
+
+@register(
+    "event_value_anomalies",
+    oracle=f"""
+    WITH stats AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY 1),
+    dev AS (
+      SELECT e.event_type, s.med, abs(e.value - s.med) AS ad
+      FROM events e JOIN stats s ON s.event_type = e.event_type),
+    mads AS (
+      SELECT event_type, quantile_cont(ad, 0.5) AS mad FROM dev GROUP BY 1)
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ANY_VALUE(d.med) AS median_value,
+           ANY_VALUE(m.mad) AS mad,
+           CAST(SUM(CASE WHEN d.ad > {MAD_K} * m.mad THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_outliers
+    FROM dev d JOIN mads m ON m.event_type = d.event_type
+    GROUP BY d.event_type
+    """,
+    tags=("quality", "anomaly", "quantile"),
+)
+def event_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type: median absolute deviation
+    (MAD) flags, |value − median| > {MAD_K}·MAD — the monitoring rule that
+    survives the heavy tails that break z-scores (mean/std are themselves
+    dragged by the outliers they should catch).
+
+    Two exact-percentile passes (median, then median of deviations) — the
+    deviation pass reuses the event_type hash partitioning, and both
+    medians broadcast back as |types|-row sides. All arithmetic is single
+    double ops on identical operands, so cross-engine hashes match
+    exactly; at 100 TB swap exact percentile for approx_percentile
+    (t-digest, partial-aggregable) and keep the same shape."""
+    e = _t(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = e.join(F.broadcast(stats), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("ad")
+    )
+    mads = dev.groupBy("event_type").agg(F.expr("percentile(ad, 0.5)").alias("mad"))
+    return (
+        dev.join(F.broadcast(mads), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.any_value("med").alias("median_value"),
+            F.any_value("mad").alias("mad"),
+            F.sum(F.when(F.col("ad") > MAD_K * F.col("mad"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )

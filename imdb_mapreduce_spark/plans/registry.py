@@ -91,6 +91,7 @@ _HEAD: tuple[str, ...] = (
     "event_transition_bigrams",  # behavioral Markov-chain rollup
     "incremental_priority_rollup",  # IVM: base ⊕ delta vs full recompute
     "corpus_build_manifest",  # END-TO-END: keep → shuffle → pack, one plan
+    "event_value_anomalies",  # MAD-based robust outlier flags
     # never-green entries must stay inside the 50-row window (guarded by
     # test_out_of_window_queries_union_green), so they precede the
     # union-green r03 refreshes below:
