@@ -880,3 +880,73 @@ def embedding_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_sumsq"
         ),
     )
+
+
+CENTROID_DECIMALS = 6  # centroid components rounded for stable text emission
+
+
+@register(
+    "embedding_label_centroids",
+    oracle=f"""
+    WITH dims AS (
+      SELECT label, i AS dim, embedding[i] AS x
+      FROM (SELECT label, embedding,
+                   UNNEST(generate_series(1, len(embedding))) AS i
+            FROM embeddings)),
+    means AS (
+      SELECT label, dim, COUNT(*) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(38,9))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS m
+      FROM dims GROUP BY label, dim)
+    SELECT label,
+           CAST(SUM(n) / (SELECT MAX(dim) FROM dims) AS BIGINT) AS _chk,
+           string_agg(CAST(CAST(round(m, {CENTROID_DECIMALS})
+                             AS DECIMAL(12,{CENTROID_DECIMALS})) AS VARCHAR), ','
+                      ORDER BY dim) AS centroid
+    FROM means
+    GROUP BY label
+    """,
+    tags=("similarity", "north-star", "centroid"),
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean vector — the centroid build underneath every IVF /
+    coarse-quantizer / cluster-summary step, as a first-class distributed
+    aggregate: posexplode to (label, dim, x), exact-DECIMAL per-dimension
+    sums (order-independent — a float mean over a shuffled billion-vector
+    corpus must not drift run to run), one division per (label, dim).
+
+    Emission: centroids leave the engine as comma-joined rounded strings
+    ordered by dimension (array hashing is representation-sensitive cross-
+    engine; rounding to {CENTROID_DECIMALS} dp makes the TEXT rendering
+    identical while the underlying doubles are already bit-equal). The
+    ``_chk`` column carries members-per-label derived from the dim rows —
+    a built-in conservation check. One explode + one (label, dim) shuffle
+    whose cardinality is |labels|·dim regardless of corpus size."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    dims = emb.select(
+        "label", F.posexplode("embedding").alias("dim0", "x")
+    ).select("label", (F.col("dim0") + 1).alias("dim"), "x")
+    means = dims.groupBy("label", "dim").agg(
+        (
+            F.sum(F.col("x").cast("decimal(38,9)")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("m"),
+        F.count("*").alias("n"),
+    )
+    ndim = dims.agg(F.max("dim").alias("nd"))
+    return (
+        means.crossJoin(F.broadcast(ndim))  # 1-row: attach dimensionality
+        .groupBy("label")
+        .agg(
+            (F.sum("n") / F.any_value("nd")).cast("long").alias("_chk"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("dim", F.round("m", CENTROID_DECIMALS).alias("mr")))
+                    ),
+                    lambda s: s["mr"].cast("decimal(12,6)").cast("string"),
+                ),
+                ",",
+            ).alias("centroid"),
+        )
+    )

@@ -669,3 +669,45 @@ def event_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+@register(
+    "shipping_lag_stats",
+    oracle="""
+    WITH lags AS (
+      SELECT date_trunc('month', o.o_orderdate) AS order_month,
+             datediff('day', CAST(o.o_orderdate AS DATE),
+                      CAST(l.l_shipdate AS DATE)) AS lag_days
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey)
+    SELECT order_month,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           quantile_cont(lag_days, 0.5) AS median_lag_days,
+           quantile_cont(lag_days, 0.9) AS p90_lag_days,
+           CAST(MAX(lag_days) AS BIGINT) AS max_lag_days
+    FROM lags
+    GROUP BY order_month
+    """,
+    tags=("time", "quantile", "join"),
+)
+def shipping_lag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship fulfilment lag percentiles per order month — the SLA
+    report (how long until lines ship, by cohort month). One fact-fact
+    equi-join on the order key (both sides shuffle-partition on it), then
+    exact interpolated percentiles over integer day lags (integer inputs
+    → the interpolation arithmetic is identical in both engines, the
+    parity already proven by order_price_quantiles)."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.date_trunc("month", "o_orderdate").alias("order_month"),
+        F.col("o_orderdate")
+    )
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    lags = o.join(l, o["o_orderkey"] == l["l_orderkey"]).select(
+        "order_month",
+        F.datediff("l_shipdate", "o_orderdate").alias("lag_days"),
+    )
+    return lags.groupBy("order_month").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.expr("percentile(lag_days, 0.5)").alias("median_lag_days"),
+        F.expr("percentile(lag_days, 0.9)").alias("p90_lag_days"),
+        F.max("lag_days").cast("long").alias("max_lag_days"),
+    )

@@ -92,6 +92,8 @@ _HEAD: tuple[str, ...] = (
     "incremental_priority_rollup",  # IVM: base ⊕ delta vs full recompute
     "corpus_build_manifest",  # END-TO-END: keep → shuffle → pack, one plan
     "event_value_anomalies",  # MAD-based robust outlier flags
+    "embedding_label_centroids",  # exact-DECIMAL distributed centroid build
+    "shipping_lag_stats",  # fact-fact join + integer-lag percentiles
     # never-green entries must stay inside the 50-row window (guarded by
     # test_out_of_window_queries_union_green), so they precede the
     # union-green r03 refreshes below:
