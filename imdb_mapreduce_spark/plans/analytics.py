@@ -695,7 +695,10 @@ def shipping_lag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join on the order key (both sides shuffle-partition on it), then
     exact interpolated percentiles over integer day lags (integer inputs
     → the interpolation arithmetic is identical in both engines, the
-    parity already proven by order_price_quantiles)."""
+    parity already proven by order_price_quantiles). Exact percentile
+    sorts per month group; at 100 TB switch to approx_percentile
+    (t-digest, partial-aggregable) exactly as documented for
+    order_price_quantiles — same plan shape either way."""
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey", F.date_trunc("month", "o_orderdate").alias("order_month"),
         F.col("o_orderdate")

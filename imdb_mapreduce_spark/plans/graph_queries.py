@@ -225,6 +225,7 @@ def pagerank_coparts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TRI_MIN_SUPPORT = 2  # co-purchase edges must recur in ≥2 orders
+TRI_BROADCAST_MAX_EDGES = 5_000_000  # broadcast the pruned edges only under this
 
 
 @register(
@@ -262,7 +263,10 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the cubic triangle join runs only on that pruned edge set (the
     standard heavy-hitter guard; raise the support with scale). The edge
     build is one shuffle; the pruned set broadcasts for both triangle
-    joins, so no further exchange."""
+    joins ONLY while its measured row count stays under
+    ``TRI_BROADCAST_MAX_EDGES`` — past that (an under-pruned graph) the
+    joins fall back to shuffle hash joins on the edge keys rather than
+    OOM-ing the executors on an unbounded broadcast."""
     e = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey").distinct()
     a, b = e.alias("a"), e.alias("b")
     co = (
@@ -277,7 +281,12 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("support") >= TRI_MIN_SUPPORT)
         .select("p1", "p2")
     )
-    e1, e2, e3 = co.alias("e1"), F.broadcast(co.alias("e2")), F.broadcast(co.alias("e3"))
+    # guarded broadcast: count the pruned edges (cheap — the aggregation
+    # ran anyway) before replicating them to every executor
+    if co.count() <= TRI_BROADCAST_MAX_EDGES:
+        e1, e2, e3 = co.alias("e1"), F.broadcast(co.alias("e2")), F.broadcast(co.alias("e3"))
+    else:
+        e1, e2, e3 = co.alias("e1"), co.alias("e2").hint("shuffle_hash"), co.alias("e3").hint("shuffle_hash")
     tri = (
         e1.join(e2, F.col("e2.p1") == F.col("e1.p2"))
         .join(

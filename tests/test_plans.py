@@ -167,6 +167,8 @@ def test_global_plan_hygiene_sweep(spark, queries):
         # bounded by calendar/domain size, never by fact volume)
         "dq_expectations",
         "events_gapfill_zero",
+        # 1-row dimensionality broadcast onto the |labels|·dim means frame
+        "embedding_label_centroids",
     }
     for name, q in queries.items():
         if "streaming" in q.tags:

@@ -417,3 +417,22 @@ def test_ranked_prefix_layout_matches_sequential_reference(spark, toks, nparts):
     for rank, (rid, _, t) in enumerate(sorted(rows, key=lambda r: r[1]), start=1):
         assert out[rid] == (rank, cum)
         cum += t
+
+
+def test_triangle_broadcast_gate_fallback(spark, tmp_path, monkeypatch):
+    """Force the pruned edge set past the broadcast threshold: the
+    shuffle-join fallback must produce the identical triangle counts."""
+    from imdb_mapreduce_spark.plans import graph_queries as gq
+
+    rows = [
+        (1, 1), (1, 2), (1, 3),
+        (2, 1), (2, 2), (2, 3),
+    ]
+    li = spark.createDataFrame(rows, ["l_orderkey", "l_partkey"])
+    d = str(tmp_path / "sf")
+    li.write.parquet(f"{d}/lineitem.parquet")
+
+    normal = {r["part"]: r["n_triangles"] for r in gq.copurchase_triangles(spark, d).collect()}
+    monkeypatch.setattr(gq, "TRI_BROADCAST_MAX_EDGES", 0)
+    gated = {r["part"]: r["n_triangles"] for r in gq.copurchase_triangles(spark, d).collect()}
+    assert gated == normal == {1: 1, 2: 1, 3: 1}
