@@ -226,6 +226,7 @@ def pagerank_coparts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TRI_MIN_SUPPORT = 2  # co-purchase edges must recur in ≥2 orders
 TRI_BROADCAST_MAX_EDGES = 5_000_000  # broadcast the pruned edges only under this
+TRI_PAIR_FAN = 4  # pair-count bound per fact row ((max_basket-1)/2 with margin)
 
 
 @register(
@@ -281,9 +282,22 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("support") >= TRI_MIN_SUPPORT)
         .select("p1", "p2")
     )
-    # guarded broadcast: count the pruned edges (cheap — the aggregation
-    # ran anyway) before replicating them to every executor
-    if co.count() <= TRI_BROADCAST_MAX_EDGES:
+    # guarded broadcast, two-tier. Tier 1 is metadata-only: raw pair count
+    # is at most fact_rows × (max_basket−1)/2 (pairs are quadratic in
+    # basket size, ~7 lines/order here → factor ≤ 3; TRI_PAIR_FAN keeps a
+    # 4/3 margin over that), so a small fact table proves a small pruned
+    # set with NO extra job (parquet count() is footer-only). Only past
+    # that bound does tier 2 pay for an exact count — with the pruned set
+    # localCheckpoint'ed first so the count and both triangle joins share
+    # one materialization instead of re-running the edge build per
+    # consumer.
+    fact_rows = load_table(spark, "lineitem", sf_dir).count()
+    if fact_rows * TRI_PAIR_FAN > TRI_BROADCAST_MAX_EDGES:
+        co = co.localCheckpoint()
+        small = co.count() <= TRI_BROADCAST_MAX_EDGES
+    else:
+        small = True
+    if small:
         e1, e2, e3 = co.alias("e1"), F.broadcast(co.alias("e2")), F.broadcast(co.alias("e3"))
     else:
         e1, e2, e3 = co.alias("e1"), co.alias("e2").hint("shuffle_hash"), co.alias("e3").hint("shuffle_hash")
