@@ -155,9 +155,11 @@ def test_global_plan_hygiene_sweep(spark, queries):
     ALLOW_MAPINPANDAS = {
         "media_metadata_stats", "media_feature_extract", "media_resize_plan",
         "media_frame_sample", "media_format_rollup", "media_byte_histogram",
-        # Arrow matmul LSH bucket build — the sanctioned per-vector fast
-        # path (similarity.random_hyperplane_buckets_arrow), not a UDF smell
+        # Arrow LSH bucket build (exact mode) — the sanctioned per-vector
+        # fast path (similarity.random_hyperplane_buckets_arrow), not a
+        # UDF smell
         "ann_lsh_topk",
+        "embedding_lsh_dups",
     }
     ALLOW_BNLJ = {
         "quantity_band_stats",
