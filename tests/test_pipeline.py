@@ -296,3 +296,22 @@ def test_ann_ivf_is_exact_within_probed_cells(spark):
         (r["query_id"], r["neighbor_id"]) for r in ann_ivf_topk(spark, SF).collect()
     }
     assert got == expected
+
+
+def test_arrow_minhash_matches_expression_path(spark):
+    """The Arrow signature builder must equal the JVM expression build
+    bit-for-bit on real data (same md5, same exact int64 arithmetic) —
+    the parity that lets the oracle-gated minhash_lsh_dups run the fast
+    path."""
+    from imdb_mapreduce_spark.pipeline.dedup import (
+        MINHASH_PERMS,
+        minhash_signatures_arrow,
+        minhash_signatures_md5,
+    )
+    from imdb_mapreduce_spark.sources.star import load_table
+
+    docs = load_table(spark, "documents", SF)
+    cols = [f"h{i}" for i in range(MINHASH_PERMS)]
+    exp = {r["doc_id"]: tuple(r[c] for c in cols) for r in minhash_signatures_md5(docs).collect()}
+    arr = {r["doc_id"]: tuple(r[c] for c in cols) for r in minhash_signatures_arrow(docs).collect()}
+    assert arr == exp

@@ -112,12 +112,14 @@ def test_cc_convergence_probe_has_no_join_or_broadcast(spark):
 def test_new_pipeline_queries_stay_jvm_side(spark, queries):
     # r2 additions: pure built-in expression pipelines — no row-at-a-time
     # or Arrow Python evaluation anywhere (mapInPandas queries are audited
-    # separately; these four must be all-JVM)
+    # separately; these four must be all-JVM). embedding_lsh_dups moved to
+    # the sanctioned Arrow-bucket-build set in r05; ngram_jaccard_pairs
+    # holds its slot as the representative all-JVM dedup query.
     for name in (
         "source_quality_profile",
         "doc_repetition_stats",
         "corpus_keep_list",
-        "embedding_lsh_dups",
+        "ngram_jaccard_pairs",
     ):
         plan = explain_str(queries[name].spark_fn(spark, SF))
         assert "BatchEvalPython" not in plan, name
@@ -160,6 +162,8 @@ def test_global_plan_hygiene_sweep(spark, queries):
         # UDF smell
         "ann_lsh_topk",
         "embedding_lsh_dups",
+        # Arrow minhash signature build (hashlib md5 + exact int64 mins)
+        "minhash_lsh_dups",
     }
     ALLOW_BNLJ = {
         "quantity_band_stats",
