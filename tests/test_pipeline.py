@@ -315,3 +315,13 @@ def test_arrow_minhash_matches_expression_path(spark):
     exp = {r["doc_id"]: tuple(r[c] for c in cols) for r in minhash_signatures_md5(docs).collect()}
     arr = {r["doc_id"]: tuple(r[c] for c in cols) for r in minhash_signatures_arrow(docs).collect()}
     assert arr == exp
+
+
+def test_arrow_simhash_matches_expression_path(spark):
+    from imdb_mapreduce_spark.pipeline.dedup import simhash_sig, simhash_sig_arrow
+    from imdb_mapreduce_spark.sources.star import load_table
+
+    docs = load_table(spark, "documents", SF)
+    exp = {r["doc_id"]: r["simhash"] for r in simhash_sig(docs).collect()}
+    arr = {r["doc_id"]: r["simhash"] for r in simhash_sig_arrow(docs).collect()}
+    assert arr == exp

@@ -162,8 +162,10 @@ def test_global_plan_hygiene_sweep(spark, queries):
         # UDF smell
         "ann_lsh_topk",
         "embedding_lsh_dups",
-        # Arrow minhash signature build (hashlib md5 + exact int64 mins)
+        # Arrow minhash / simhash signature builds (hashlib md5 + exact
+        # int64 arithmetic, parity-tested vs the expression builds)
         "minhash_lsh_dups",
+        "simhash_near_dups",
     }
     ALLOW_BNLJ = {
         "quantity_band_stats",
