@@ -93,3 +93,36 @@ def test_snapshot_rejects_unknown_format(spark, tmp_path):
     src = load_table(spark, "region", "/root/testdata/sf0.001")
     with _pytest.raises(ValueError):
         snapshot_table(src, str(tmp_path / "x"), fmt="avro")
+
+
+def test_sql_front_door_views(spark):
+    """register_views + raw spark.sql: a join-aggregate over the views
+    must equal the DataFrame formulation (same loader underneath,
+    including the events ts normalization)."""
+    from pyspark.sql import functions as F
+
+    from imdb_mapreduce_spark.sources.star import load_table, register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    got = {
+        (r["n_name"], r["n_customers"])
+        for r in spark.sql(
+            """
+            SELECT n.n_name, COUNT(*) AS n_customers
+            FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+            GROUP BY n.n_name
+            """
+        ).collect()
+    }
+    c = load_table(spark, "customer", "/root/testdata/sf0.001")
+    n = load_table(spark, "nation", "/root/testdata/sf0.001")
+    want = {
+        (r["n_name"], r["n_customers"])
+        for r in c.join(n, c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_customers"))
+        .collect()
+    }
+    assert got == want
+    # events view carries the normalized timestamp type
+    assert dict(spark.table("events").dtypes)["ts"] == "timestamp"
