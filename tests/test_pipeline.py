@@ -325,3 +325,39 @@ def test_arrow_simhash_matches_expression_path(spark):
     exp = {r["doc_id"]: r["simhash"] for r in simhash_sig(docs).collect()}
     arr = {r["doc_id"]: r["simhash"] for r in simhash_sig_arrow(docs).collect()}
     assert arr == exp
+
+
+def test_arrow_builders_match_expressions_on_random_text(spark):
+    """Parity on adversarial random text, not just the fixture corpus:
+    unicode-ish tokens, repeated tokens, single-token docs, long docs —
+    the Arrow and expression builders must agree bit-for-bit on all of
+    them (md5 + exact integer arithmetic leaves no rounding to hide in).
+    Deterministic cases (no RNG) so a failure is reproducible."""
+    from imdb_mapreduce_spark.pipeline.dedup import (
+        MINHASH_PERMS,
+        minhash_signatures_arrow,
+        minhash_signatures_md5,
+        simhash_sig,
+        simhash_sig_arrow,
+    )
+
+    cases = [
+        "a",
+        "a a a a a a a a",
+        "x y",
+        " ".join(f"w{i}" for i in range(200)),
+        " ".join(f"w{i % 7}" for i in range(64)),
+        "Ünïcode tökens mixed with ascii and CAPS and 123 456",
+        "the quick brown fox jumps over the lazy dog",
+        " ".join(str(i * 37 % 100) for i in range(50)),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)], ["doc_id", "text"]
+    )
+    cols = [f"h{i}" for i in range(MINHASH_PERMS)]
+    exp_m = {r["doc_id"]: tuple(r[c] for c in cols) for r in minhash_signatures_md5(docs).collect()}
+    arr_m = {r["doc_id"]: tuple(r[c] for c in cols) for r in minhash_signatures_arrow(docs).collect()}
+    assert arr_m == exp_m
+    exp_s = {r["doc_id"]: r["simhash"] for r in simhash_sig(docs).collect()}
+    arr_s = {r["doc_id"]: r["simhash"] for r in simhash_sig_arrow(docs).collect()}
+    assert arr_s == exp_s
