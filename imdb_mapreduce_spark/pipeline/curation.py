@@ -599,3 +599,53 @@ def corpus_build_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"cum_before div {PACK_CAPACITY}").cast("long").alias("pack_id"),
         F.pmod("cum_before", F.lit(PACK_CAPACITY)).cast("long").alias("offset_in_pack"),
     )
+
+
+@register(
+    "packed_training_rows",
+    oracle=f"""
+    WITH manifest AS ({_manifest_oracle()}),
+    joined AS (
+      SELECT m.pack_id, m.shuffle_pos, d.text
+      FROM manifest m JOIN documents d ON d.doc_id = m.doc_id)
+    SELECT pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(length(text)) + COUNT(*) - 1 AS BIGINT) AS packed_chars,
+           md5(string_agg(text, CHR(10) ORDER BY shuffle_pos)) AS packed_md5
+    FROM joined
+    GROUP BY pack_id
+    """,
+    tags=("curation", "north-star", "pipeline", "end-to-end"),
+)
+def packed_training_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trainer-facing artifact the manifest promises: one row per
+    training pack, documents concatenated newline-separated in shuffle
+    order. Emitted as (n_docs, char count, md5 of the packed text) — the
+    fingerprint proves BYTE-EXACT pack content cross-engine without
+    hashing megabyte strings through the driver compare.
+
+    Shape: the manifest plan (keep → shuffle → pack) feeds one doc-keyed
+    join back to the text and ONE pack-keyed aggregation; packs are
+    ~2048-token units, so group sizes are bounded by
+    construction — the concat never exceeds a few pack-capacities of
+    text regardless of corpus size (the property that makes the
+    collect_list safe where an unbounded per-key concat would not be)."""
+    from imdb_mapreduce_spark.pipeline.dedup import corpus_keep_list  # noqa: F401
+
+    manifest = corpus_build_manifest(spark, sf_dir).select(
+        "doc_id", "shuffle_pos", "pack_id"
+    )
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    joined = manifest.join(docs, "doc_id")
+    packed = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("shuffle_pos", "text"))),
+            lambda s: s["text"],
+        ),
+        "\n",
+    )
+    return joined.groupBy("pack_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        (F.sum(F.length("text")) + F.count("*") - 1).cast("long").alias("packed_chars"),
+        F.md5(packed).alias("packed_md5"),
+    )

@@ -94,6 +94,7 @@ _HEAD: tuple[str, ...] = (
     "event_value_anomalies",  # MAD-based robust outlier flags
     "embedding_label_centroids",  # exact-DECIMAL distributed centroid build
     "shipping_lag_stats",  # fact-fact join + integer-lag percentiles
+    "packed_training_rows",  # byte-exact packed text artifacts
     # never-green entries must stay inside the 50-row window (guarded by
     # test_out_of_window_queries_union_green), so they precede the
     # union-green r03 refreshes below:
