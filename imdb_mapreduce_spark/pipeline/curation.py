@@ -630,8 +630,6 @@ def packed_training_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction — the concat never exceeds a few pack-capacities of
     text regardless of corpus size (the property that makes the
     collect_list safe where an unbounded per-key concat would not be)."""
-    from imdb_mapreduce_spark.pipeline.dedup import corpus_keep_list  # noqa: F401
-
     manifest = corpus_build_manifest(spark, sf_dir).select(
         "doc_id", "shuffle_pos", "pack_id"
     )
