@@ -1,0 +1,95 @@
+"""Scale-headroom smoke tests: the core distributed primitives on
+synthetic volumes 30-300× the sf0.001 fixtures (millions of rows,
+generated with spark.range — no driver-side data). Asserts are
+DISTRIBUTED (aggregates), never full collects; each case stays in tens
+of seconds on local[4] while exercising the shapes that matter at real
+scale: range-exchange total order, salted top-k, fingerprint dedup."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_ranked_prefix_layout_at_2m_rows(spark):
+    """2M-row total order through the one-exchange layout: the positions
+    must form an exact permutation of 1..N and the running sum must end
+    at the global total — checked with aggregates, nothing collected."""
+    from imdb_mapreduce_spark.pipeline.curation import ranked_prefix_layout
+
+    n = 2_000_000
+    df = spark.range(n).select(
+        F.md5(F.col("id").cast("string")).alias("k"),
+        F.col("id").alias("rid"),
+        (F.col("id") % 100 + 1).alias("n_tok"),
+    )
+    laid = ranked_prefix_layout(df, ("k", "rid"), "n_tok", n_partitions=16)
+    stats = laid.agg(
+        F.count("*").alias("n"),
+        F.min("global_rank").alias("lo"),
+        F.max("global_rank").alias("hi"),
+        F.count_distinct("global_rank").alias("nd"),
+        F.max(F.col("cum_before") + F.col("n_tok")).alias("total"),
+        F.sum("n_tok").alias("expect_total"),
+    ).collect()[0]
+    assert stats["n"] == n
+    assert (stats["lo"], stats["hi"], stats["nd"]) == (1, n, n)
+    # the largest (cum_before + own tokens) IS the global token total
+    assert stats["total"] == stats["expect_total"]
+
+
+def test_salted_topk_kmv_at_1m_keys(spark):
+    """KMV over 1M distinct keys in 5 groups: the salted two-level
+    k-smallest must equal a direct global sort's k-th minimum, and the
+    estimate must land within the 3-sigma KMV bound."""
+    from imdb_mapreduce_spark.plans.quality import KMV_K, KMV_SALTS, KMV_SPACE
+    from pyspark.sql.window import Window
+
+    n = 1_000_000
+    df = spark.range(n).select(
+        (F.col("id") % 5).alias("g"),
+        F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
+    # two-level (the production shape)
+    salted = df.withColumn("salt", F.pmod("h", F.lit(KMV_SALTS)))
+    w1 = Window.partitionBy("g", "salt").orderBy("h")
+    pre = salted.withColumn("r1", F.row_number().over(w1)).filter(F.col("r1") <= KMV_K)
+    w2 = Window.partitionBy("g").orderBy("h")
+    two_level = (
+        pre.withColumn("r2", F.row_number().over(w2))
+        .filter(F.col("r2") <= KMV_K)
+        .groupBy("g")
+        .agg(F.max("h").alias("kth"))
+    )
+    got = {r["g"]: r["kth"] for r in two_level.collect()}
+    # direct k-th minimum per group (single window — the reference shape)
+    direct = (
+        df.withColumn("rn", F.row_number().over(Window.partitionBy("g").orderBy("h")))
+        .filter(F.col("rn") == KMV_K)
+        .select("g", "h")
+    )
+    want = {r["g"]: r["h"] for r in direct.collect()}
+    assert got == want
+    # estimates: each group holds 200k distinct keys
+    for g, kth in got.items():
+        est = (KMV_K - 1) * float(KMV_SPACE) / float(kth)
+        assert abs(est - 200_000) / 200_000 < 3 / (KMV_K**0.5), (g, est)
+
+
+def test_fingerprint_dedup_at_3m_rows(spark):
+    """3M rows with a known 3:1 duplication factor: the md5-groupBy dedup
+    must recover exactly n/3 groups with exact counts — one shuffle, no
+    driver materialization."""
+    n = 3_000_000
+    df = spark.range(n).select(
+        F.md5((F.col("id") % (n // 3)).cast("string")).alias("fp")
+    )
+    groups = df.groupBy("fp").count()
+    stats = groups.agg(
+        F.count("*").alias("n_groups"),
+        F.min("count").alias("lo"),
+        F.max("count").alias("hi"),
+    ).collect()[0]
+    assert stats["n_groups"] == n // 3
+    assert stats["lo"] == 3 and stats["hi"] == 3
