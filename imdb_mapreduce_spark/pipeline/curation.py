@@ -107,8 +107,13 @@ def benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("bench_id"), "g"
     )
     corpus = grams.filter(F.col("doc_id") % BENCH_MOD != 0)
-    # Parquet count() is footer-metadata only — no data scan, one cheap job.
-    n_bench_docs = docs.count() // BENCH_MOD + 1
+    # Row count straight from the parquet footer (pyarrow, driver-side) —
+    # zero Spark jobs for the gate (r05: the count() job, cheap as it was,
+    # showed up as a 1.15× bench delta on this sub-2 s query).
+    import pyarrow.parquet as pq
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    n_bench_docs = n_docs // BENCH_MOD + 1
     if n_bench_docs * EST_SHINGLES_PER_DOC <= BENCH_BROADCAST_MAX_SHINGLES:
         bench = F.broadcast(bench)
     else:  # corpus-scale benchmark side: shuffle hash, never sort-merge
