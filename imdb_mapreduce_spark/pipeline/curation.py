@@ -110,9 +110,9 @@ def benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Row count straight from the parquet footer (pyarrow, driver-side) —
     # zero Spark jobs for the gate (r05: the count() job, cheap as it was,
     # showed up as a 1.15× bench delta on this sub-2 s query).
-    import pyarrow.parquet as pq
+    from imdb_mapreduce_spark.sources.star import parquet_num_rows
 
-    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    n_docs = parquet_num_rows(f"{sf_dir}/documents.parquet")
     n_bench_docs = n_docs // BENCH_MOD + 1
     if n_bench_docs * EST_SHINGLES_PER_DOC <= BENCH_BROADCAST_MAX_SHINGLES:
         bench = F.broadcast(bench)

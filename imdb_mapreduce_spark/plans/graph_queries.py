@@ -291,7 +291,9 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint'ed first so the count and both triangle joins share
     # one materialization instead of re-running the edge build per
     # consumer.
-    fact_rows = load_table(spark, "lineitem", sf_dir).count()
+    from imdb_mapreduce_spark.sources.star import parquet_num_rows
+
+    fact_rows = parquet_num_rows(f"{sf_dir}/lineitem.parquet")
     if fact_rows * TRI_PAIR_FAN > TRI_BROADCAST_MAX_EDGES:
         co = co.localCheckpoint()
         small = co.count() <= TRI_BROADCAST_MAX_EDGES

@@ -124,3 +124,20 @@ def register_views(spark: SparkSession, sf_dir: str | None = None) -> None:
     UTC session pin apply to SQL users too."""
     for t, df in load_tables(spark, sf_dir).items():
         df.createOrReplaceTempView(t)
+
+
+def parquet_num_rows(path: str) -> int:
+    """Row count from parquet FOOTERS only (pyarrow, driver-side, zero
+    Spark jobs) — works for both single-file tables (the testdata layout)
+    and directory tables (Spark writer output). The cheap cardinality
+    probe behind broadcast-safety gates."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in _glob.glob(os.path.join(path, "*.parquet"))
+        )
+    return pq.ParquetFile(path).metadata.num_rows
