@@ -49,6 +49,12 @@ def get_spark(
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # NOT enabled: spark.sql.optimizer.runtime.bloomFilter /
+        # runtimeFilter.semiJoinReduction. Tried in r05 — the pair caused
+        # intermittent first-job hangs on this local[32] build; on a real
+        # cluster deployment they are the right knobs for star joins whose
+        # dim side outgrows the broadcast budget (runtime semi-join
+        # pushdown), so turn them on there and smoke-test first.
         # Files at 100 TB: bigger read partitions to bound task count.
         .config("spark.sql.files.maxPartitionBytes", "256m")
         .config("spark.sql.session.timeZone", "UTC")

@@ -126,3 +126,23 @@ def test_sql_front_door_views(spark):
     assert got == want
     # events view carries the normalized timestamp type
     assert dict(spark.table("events").dtypes)["ts"] == "timestamp"
+
+
+def test_json_snapshot_roundtrip_with_recast(spark, tmp_path):
+    """K2 in JSON (the interchange escape hatch): values survive; types
+    that JSON can't carry (DATE/TIMESTAMP precision, int width) come back
+    as JSON-native types and the caller re-casts — the documented
+    contract of restore_table for this format."""
+    from imdb_mapreduce_spark.sources.sinks import restore_table, snapshot_table
+    from imdb_mapreduce_spark.sources.star import load_table
+    from pyspark.sql import functions as F
+
+    src = load_table(spark, "region", "/root/testdata/sf0.001")
+    p = str(tmp_path / "region_json")
+    snapshot_table(src, p, fmt="json")
+    back = restore_table(spark, p, fmt="json").select(
+        F.col("r_regionkey").cast("long"), "r_name"
+    )
+    assert {tuple(r) for r in back.collect()} == {
+        tuple(r) for r in src.select("r_regionkey", "r_name").collect()
+    }
