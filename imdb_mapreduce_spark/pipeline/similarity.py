@@ -956,3 +956,177 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic-pivot IVF (r05): the hash-verifiable sibling of ann_ivf_topk.
+# ---------------------------------------------------------------------------
+
+IVF_DET_K = 8  # pivot count (matches ann_ivf_topk's k for comparability)
+IVF_DET_NPROBE = 2
+
+
+def _d2_lit_fold(col: str, vec: "list[float]") -> Column:
+    """Squared L2 distance of ``col`` to a LITERAL pivot vector, as the
+    repo's sequential double fold — the same ((0+t1)+t2)+… addition order
+    as the oracle's unrolled SQL, so the distance (and hence the argmin
+    cell) is bit-identical cross-engine. Literal doubles round-trip via
+    repr() exactly (same trick as :func:`_bucket_col`)."""
+    arr = ", ".join(f"CAST({v!r} AS DOUBLE)" for v in vec)
+    return F.expr(
+        f"aggregate(zip_with({col}, array({arr}),"
+        " (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
+        " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _sql_d2_unrolled(a: str, b: str, dim: int = 64) -> str:
+    """The same squared L2 distance in DuckDB SQL, fold unrolled to the
+    identical left-associated sum (see :func:`_sql_dot_unrolled`)."""
+    terms = " + ".join(
+        f"(CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE))"
+        f" * (CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE))"
+        for i in range(1, dim + 1)
+    )
+    return f"(CAST(0 AS DOUBLE) + {terms})"
+
+
+def ivf_det_pivots(spark: SparkSession, sf_dir: str, k: int = IVF_DET_K):
+    """The k deterministic pivot vectors: corpus rows ranked by
+    ``(md5(vec_id), vec_id)`` — the repo's portable-hash ordering, so both
+    engines select the SAME pivots with no RNG and no training state.
+    Returns ``[(cell, [float, ...]), ...]`` with cell = rank − 1.
+
+    100 TB posture: a global top-k by a hash key is a TakeOrdered — each
+    partition contributes its local top-k (map-side), the driver merges
+    k·partitions candidate rows; k is constant, so this is one cheap pass
+    regardless of corpus size (and in practice the pivot set would be
+    computed once and persisted with the index, not per query)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    rows = (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(k)
+        .collect()
+    )
+    return [(i, [float(x) for x in r["embedding"]]) for i, r in enumerate(rows)]
+
+
+def _ivf_det_ranked(pivots) -> Column:
+    """array<struct<d2,cell>> of ALL pivot distances for one row, sorted
+    ascending (ties → smaller cell) — element 1 is the owning cell, the
+    first ``nprobe`` elements are the probe list. One narrow projection,
+    zero shuffle: exactly how a coarse quantizer assigns at scale."""
+    return F.sort_array(
+        F.array(
+            *[
+                F.struct(
+                    _d2_lit_fold("embedding", vec).alias("d2"),
+                    F.lit(cell).alias("cell"),
+                )
+                for cell, vec in pivots
+            ]
+        )
+    )
+
+
+def _ivf_det_oracle() -> str:
+    d2 = _sql_d2_unrolled("e.embedding", "p.pe")
+    cos = (
+        f"{_sql_dot_unrolled('p.qe', 'c.embedding')}"
+        f" / (sqrt({_sql_dot_unrolled('p.qe', 'p.qe')})"
+        f" * sqrt({_sql_dot_unrolled('c.embedding', 'c.embedding')}))"
+    )
+    return f"""
+    WITH pivots AS MATERIALIZED (
+      SELECT CAST(ROW_NUMBER() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INT) - 1 AS cell,
+             embedding AS pe
+      FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT {IVF_DET_K}),
+    assign AS MATERIALIZED (
+      SELECT e.vec_id, e.embedding, p.cell, {d2} AS d2
+      FROM embeddings e CROSS JOIN pivots p),
+    cells AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT vec_id, embedding, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        FROM assign) t
+      WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS query_id, embedding AS qe, cell FROM (
+        SELECT vec_id, embedding, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        FROM assign WHERE vec_id < {N_QUERIES}) t
+      WHERE rn <= {IVF_DET_NPROBE})
+    SELECT query_id, neighbor_id, cosine, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM (
+        SELECT p.query_id, c.vec_id AS neighbor_id, {cos} AS cosine
+        FROM probes p
+        JOIN cells c ON c.cell = p.cell AND c.vec_id <> p.query_id) s) t
+    WHERE rnk <= {TOP_K}
+    """
+
+
+@register(
+    "ann_ivf_det_topk",
+    oracle=_ivf_det_oracle(),
+    tags=("similarity", "north-star", "ivf"),
+)
+def ann_ivf_det_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a DETERMINISTIC coarse quantizer — the hash-verifiable
+    sibling of :func:`ann_ivf_topk` (VERDICT r04: shrink the rows-only
+    set). Same probe/search pipeline (cell assignment → nprobe probing →
+    within-cell exact cosine → top-k), but the k cells are anchored on
+    md5-ranked corpus vectors instead of a KMeans float fixpoint, so the
+    ENTIRE path — pivot choice, argmin assignment, probe ranking, scoring,
+    ranking — is bit-replicable in the DuckDB oracle. KMeans cells give
+    better candidates on clustered corpora (that quality gap is exactly
+    what ``tests`` measure as recall); this variant proves the machinery.
+
+    Plan shape (the one that survives 100 TB): pivots are k collected rows
+    baked into the plan as literals; cell assignment is ONE narrow
+    projection (k distance folds + an array sort per row — no fan-out, no
+    shuffle, exactly KMeans-transform's cost model); the probe side is
+    N_QUERIES·nprobe rows broadcast into a hash join against the corpus
+    keyed by cell; top-k is a per-query window over candidates only."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    pivots = ivf_det_pivots(spark, sf_dir)
+    ranked = _ivf_det_ranked(pivots)
+    assigned = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        ranked[0]["cell"].alias("cell"),
+    )
+    probes = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.explode(F.slice(ranked, 1, IVF_DET_NPROBE)).alias("pr"),
+        )
+        .select("query_id", "qe", F.col("pr.cell").alias("cell"))
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(assigned, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        # each corpus vector sits in exactly one cell and the probe list
+        # holds each (query, cell) once → pairs already unique, no distinct
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot("qe", "ce") / (norm("qe") * norm("ce"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )

@@ -106,6 +106,9 @@ _HEAD: tuple[str, ...] = (
     # mean vectors — not portable to SQL without losing the very thing
     # being tested; its correctness evidence is the recall pytest suite.
     "ann_ivf_topk",
+    # NEW r05: deterministic-pivot IVF — the hash-verifiable sibling of
+    # ann_ivf_topk (same probe/search path, md5-anchored cells) — no row yet
+    "ann_ivf_det_topk",
     # r03-green, stalest first (all pushed out of the r04 window)
     "ngram_jaccard_pairs",  # r05: length-ratio prefilter added (VERDICT item 3)
     "ngram_jaccard_capped",  # r05: same prefilter — re-verify with sibling

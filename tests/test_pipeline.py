@@ -361,3 +361,59 @@ def test_arrow_builders_match_expressions_on_random_text(spark):
     exp_s = {r["doc_id"]: r["simhash"] for r in simhash_sig(docs).collect()}
     arr_s = {r["doc_id"]: r["simhash"] for r in simhash_sig_arrow(docs).collect()}
     assert arr_s == exp_s
+
+
+def test_ann_ivf_det_properties(spark):
+    """The deterministic-pivot IVF (hash-verifiable sibling of ann_ivf_topk):
+    cell assignment must be the true argmin over the md5-ranked pivots, and
+    real neighbors must survive the cell restriction."""
+    from imdb_mapreduce_spark.pipeline.similarity import (
+        IVF_DET_K,
+        TOP_K,
+        ann_cosine_topk,
+        ann_ivf_det_topk,
+        ivf_det_pivots,
+        _ivf_det_ranked,
+    )
+    from imdb_mapreduce_spark.sources.star import load_table
+
+    pivots = ivf_det_pivots(spark, SF)
+    assert len(pivots) == IVF_DET_K
+    assert [c for c, _ in pivots] == list(range(IVF_DET_K))
+
+    # argmin property, re-derived in plain Python with a left fold
+    emb = load_table(spark, "embeddings", SF)
+    ranked = _ivf_det_ranked(pivots)
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in emb.select("vec_id", ranked[0]["cell"].alias("cell")).collect()
+    }
+
+    def d2(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (float(x) - y) * (float(x) - y)
+        return acc
+
+    for r in emb.select("vec_id", "embedding").collect():
+        best = min((d2(r["embedding"], vec), cell) for cell, vec in pivots)
+        assert got[r["vec_id"]] == best[1], r["vec_id"]
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_cosine_topk(spark, SF).collect()
+    }
+    det = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_ivf_det_topk(spark, SF).collect()
+    }
+    assert len(det) > 0
+    assert len(det & exact) > 0  # real neighbors survive cell restriction
+    # ranks are 1..TOP_K per query, unique
+    rows = ann_ivf_det_topk(spark, SF).collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["rnk"])
+    for q, rnks in per_q.items():
+        assert sorted(rnks) == list(range(1, len(rnks) + 1))
+        assert len(rnks) <= TOP_K
