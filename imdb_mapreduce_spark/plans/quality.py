@@ -392,3 +392,271 @@ def props_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(n_digits).cast("long").alias("n_digits_masked"),
         F.count_distinct(masked).cast("long").alias("n_templates"),
     )
+
+
+# Count-min sketch: d independent md5-derived hash rows × w counters.
+CM_DEPTH = 4
+CM_WIDTH = 512
+CM_TOP_N = 20
+
+
+def _cm_bucket_spark(j: int, key) -> "F.Column":
+    """Row-j counter index of ``key``: 28-bit md5 prefix of ``j:key`` mod
+    width — the repo's portable-hash idiom (identical hex parse both
+    engines), one independent hash per sketch row via the ``j:`` prefix."""
+    s = F.concat(F.lit(f"{j}:"), key.cast("string"))
+    return F.pmod(
+        F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("bigint"),
+        F.lit(CM_WIDTH),
+    )
+
+
+def _cm_bucket_sql(j: str, key: str) -> str:
+    return (
+        f"(('0x' || substring(md5(CAST({j} AS VARCHAR) || ':' ||"
+        f" CAST({key} AS VARCHAR)), 1, 7))::BIGINT % {CM_WIDTH})"
+    )
+
+
+@register(
+    "cm_sketch_heavy_hitters",
+    oracle=f"""
+    WITH rows_j AS (SELECT UNNEST(generate_series(0, {CM_DEPTH - 1})) AS j),
+    cells AS (
+      SELECT j, {_cm_bucket_sql("j", "user_id")} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events CROSS JOIN rows_j
+      GROUP BY 1, 2),
+    exact AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+      FROM events GROUP BY user_id),
+    est AS (
+      SELECT e.user_id, e.exact_cnt, MIN(c.cnt) AS cm_est
+      FROM exact e
+      CROSS JOIN rows_j
+      JOIN cells c ON c.j = rows_j.j
+                  AND c.bucket = {_cm_bucket_sql("rows_j.j", "e.user_id")}
+      GROUP BY e.user_id, e.exact_cnt)
+    SELECT user_id, exact_cnt, cm_est, cm_est - exact_cnt AS overestimate
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY exact_cnt DESC, user_id) AS rn
+      FROM est) t
+    WHERE rn <= {CM_TOP_N}
+    """,
+    tags=("quality", "sketch", "north-star"),
+)
+def cm_sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch next to the exact counts it approximates: estimate
+    per-user event counts from a {CM_DEPTH}×{CM_WIDTH} counter matrix and
+    report the top heavy hitters with their guaranteed-one-sided error
+    (``overestimate`` ≥ 0 by construction — collisions only ever ADD).
+
+    Like the KMV sketch above, the hashes are md5-derived so the sketch is
+    DETERMINISTIC and the whole estimate reproduces bit-for-bit in the
+    DuckDB oracle — unlike engine-private approx_count structures.
+
+    Scale posture: the sketch is d·w = {CM_DEPTH * CM_WIDTH} integer cells
+    REGARDLESS of corpus size — one map-side-combining shuffle keyed on
+    (row, bucket) builds it, and two sketches merge by cell-wise addition
+    (pytest-proven), the property that makes it a streaming/partitioned
+    aggregate. The estimate join keys candidates to d cells each; the
+    top-N ranking is the usual two-level window shape."""
+    e = load_table(spark, "events", sf_dir)
+    cells = (
+        e.select(
+            F.posexplode(
+                F.array(
+                    *[_cm_bucket_spark(j, F.col("user_id")) for j in range(CM_DEPTH)]
+                )
+            ).alias("j", "bucket")
+        )
+        .groupBy("j", "bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    exact = e.groupBy("user_id").agg(F.count("*").cast("long").alias("exact_cnt"))
+    probes = exact.select(
+        "user_id",
+        "exact_cnt",
+        F.posexplode(
+            F.array(
+                *[_cm_bucket_spark(j, F.col("user_id")) for j in range(CM_DEPTH)]
+            )
+        ).alias("j", "bucket"),
+    )
+    est = (
+        probes.join(F.broadcast(cells), ["j", "bucket"])
+        .groupBy("user_id", "exact_cnt")
+        .agg(F.min("cnt").alias("cm_est"))
+    )
+    # global top-N via orderBy+limit → TakeOrdered (map-side partial top-N
+    # per partition, driver merges N·partitions rows) — never a
+    # single-partition window
+    return (
+        est.orderBy(F.col("exact_cnt").desc(), "user_id")
+        .limit(CM_TOP_N)
+        .select(
+            "user_id",
+            "exact_cnt",
+            "cm_est",
+            (F.col("cm_est") - F.col("exact_cnt")).alias("overestimate"),
+        )
+    )
+
+
+# Bloom filter: m bits packed into 64-bit words, k md5-derived hashes.
+BLOOM_BITS = 4096
+BLOOM_WORDS = BLOOM_BITS // 32  # 32-bit payload per word: max shift 31, no sign-bit overflow in either engine
+BLOOM_K = 3
+
+
+def _bloom_pos_spark(j: int, key) -> "F.Column":
+    s = F.concat(F.lit(f"b{j}:"), key.cast("string"))
+    return F.pmod(
+        F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("bigint"),
+        F.lit(BLOOM_BITS),
+    )
+
+
+def _bloom_pos_sql(j: str, key: str) -> str:
+    return (
+        f"(('0x' || substring(md5('b' || CAST({j} AS VARCHAR) || ':' ||"
+        f" CAST({key} AS VARCHAR)), 1, 7))::BIGINT % {BLOOM_BITS})"
+    )
+
+
+@register(
+    "bloom_filter_prune",
+    oracle=f"""
+    WITH ks AS (SELECT UNNEST(generate_series(0, {BLOOM_K - 1})) AS j),
+    members AS (
+      SELECT DISTINCT o_custkey AS k FROM orders
+      WHERE o_orderpriority = '1-URGENT'),
+    bloom AS (
+      SELECT CAST(pos // 32 AS INT) AS word,
+             bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+      FROM (SELECT {_bloom_pos_sql("ks.j", "m.k")} AS pos
+            FROM members m CROSS JOIN ks) p
+      GROUP BY 1),
+    probe AS (
+      SELECT c.c_custkey,
+             MIN(CASE WHEN (COALESCE(b.bits, 0)
+                            & (CAST(1 AS BIGINT) << CAST(p.pos % 32 AS INT)))
+                           <> 0
+                      THEN 1 ELSE 0 END) AS candidate
+      FROM (SELECT c_custkey, {_bloom_pos_sql("ks.j", "c_custkey")} AS pos
+            FROM customer CROSS JOIN ks) p
+      JOIN customer c ON c.c_custkey = p.c_custkey
+      LEFT JOIN bloom b ON b.word = CAST(p.pos // 32 AS INT)
+      GROUP BY c.c_custkey),
+    truth AS (
+      SELECT p.c_custkey, p.candidate,
+             CASE WHEN m.k IS NULL THEN 0 ELSE 1 END AS is_member
+      FROM probe p LEFT JOIN members m ON m.k = p.c_custkey)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+           CAST(SUM(is_member) AS BIGINT) AS n_members,
+           CAST(SUM(candidate) AS BIGINT) AS n_candidates,
+           CAST(SUM(CASE WHEN candidate = 1 AND is_member = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS false_pos,
+           CAST(SUM(CASE WHEN candidate = 0 AND is_member = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS false_neg,
+           CAST(SUM(CASE WHEN candidate = 1 AND is_member = 0 THEN 1 ELSE 0
+                    END) AS DOUBLE)
+             / CAST(SUM(CASE WHEN is_member = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             AS fp_rate
+    FROM truth
+    """,
+    tags=("quality", "sketch", "join", "north-star"),
+)
+def bloom_filter_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning, audited against the exact semi-join:
+    build a {BLOOM_BITS}-bit filter (packed into {BLOOM_WORDS} words of 32 payload bits
+    via ``bit_or``) over the urgent-order customer set, probe EVERY
+    customer through its {BLOOM_K} md5-derived bit positions, and report
+    the confusion counts. ``false_neg`` is 0 by construction — the
+    guarantee that makes Bloom pruning sound as a pre-join filter — and
+    ``fp_rate`` is the price paid (pytest bounds it near the
+    (1−e^(−kn/m))^k theory value).
+
+    This is the operator UNDER Spark's own runtime-filter/DPP machinery,
+    surfaced as data: at 100 TB the filter ({BLOOM_WORDS} words, constant) broadcasts
+    to prune a fact-table scan before the real join shuffles anything.
+    The build is one map-side-combining ``bit_or`` shuffle of ≤{BLOOM_WORDS}
+    rows; md5 hashes make the bit layout engine-portable, so even the
+    packed words hash-match the oracle bit-for-bit."""
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    members = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    # shiftleft() the builtin only takes a literal bit count — go through
+    # expr for a column-valued shift; 32-bit payloads keep the shift ≤ 31
+    # (DuckDB raises on a 1<<63 BIGINT overflow, Spark silently wraps)
+    shl = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 32) AS INT))")
+    positions = members.select(
+        F.explode(
+            F.array(*[_bloom_pos_spark(j, F.col("k")) for j in range(BLOOM_K)])
+        ).alias("pos")
+    )
+    bloom = (
+        positions.select(
+            (F.col("pos") / 32).cast("int").alias("word"),
+            shl.alias("m"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("m").alias("bits"))
+    )
+    probe_pos = c.select(
+        "c_custkey",
+        F.explode(
+            F.array(
+                *[_bloom_pos_spark(j, F.col("c_custkey")) for j in range(BLOOM_K)]
+            )
+        ).alias("pos"),
+    )
+    probe = (
+        probe_pos.join(
+            F.broadcast(bloom),
+            (F.col("pos") / 32).cast("int") == F.col("word"),
+            "left",
+        )
+        .select(
+            "c_custkey",
+            F.when(
+                F.coalesce(F.col("bits"), F.lit(0).cast("bigint")).bitwiseAND(shl)
+                != 0,
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("hit"),
+        )
+        .groupBy("c_custkey")
+        .agg(F.min("hit").alias("candidate"))
+    )
+    truth = probe.join(
+        members, probe["c_custkey"] == members["k"], "left"
+    ).select(
+        "candidate",
+        F.when(F.col("k").isNull(), F.lit(0)).otherwise(F.lit(1)).alias("is_member"),
+    )
+    fp = F.sum(
+        F.when((F.col("candidate") == 1) & (F.col("is_member") == 0), 1).otherwise(0)
+    )
+    return truth.agg(
+        F.count("*").cast("long").alias("n_probes"),
+        F.sum("is_member").cast("long").alias("n_members"),
+        F.sum("candidate").cast("long").alias("n_candidates"),
+        fp.cast("long").alias("false_pos"),
+        F.sum(
+            F.when((F.col("candidate") == 0) & (F.col("is_member") == 1), 1).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("false_neg"),
+        (
+            fp.cast("double")
+            / F.sum(F.when(F.col("is_member") == 0, 1).otherwise(0)).cast("double")
+        ).alias("fp_rate"),
+    )

@@ -109,6 +109,10 @@ _HEAD: tuple[str, ...] = (
     # NEW r05: deterministic-pivot IVF — the hash-verifiable sibling of
     # ann_ivf_topk (same probe/search path, md5-anchored cells) — no row yet
     "ann_ivf_det_topk",
+    # NEW r05 (session 2): portable sketch/pruning/history operators — no rows yet
+    "cm_sketch_heavy_hitters",  # count-min with one-sided-error audit
+    "bloom_filter_prune",  # bit-packed bloom semi-join prune + confusion audit
+    "user_state_scd2",  # SCD Type-2 validity-interval history build
     # r03-green, stalest first (all pushed out of the r04 window)
     "ngram_jaccard_pairs",  # r05: length-ratio prefilter added (VERDICT item 3)
     "ngram_jaccard_capped",  # r05: same prefilter — re-verify with sibling

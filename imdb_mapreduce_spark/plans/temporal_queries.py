@@ -83,3 +83,79 @@ def quantity_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_price"),
     )
+
+
+@register(
+    "user_state_scd2",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    changes AS (
+      SELECT user_id, event_type, ts
+      FROM ordered
+      WHERE prev_type IS NULL OR event_type <> prev_type),
+    versioned AS (
+      SELECT user_id, event_type,
+             epoch_us(ts) AS valid_from_us,
+             epoch_us(LEAD(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts)) AS valid_to_us,
+             CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts) AS BIGINT) AS version
+      FROM changes)
+    SELECT user_id, event_type, valid_from_us,
+           COALESCE(valid_to_us, CAST(-1 AS BIGINT)) AS valid_to_us,
+           version,
+           valid_to_us IS NULL AS is_current
+    FROM versioned
+    """,
+    tags=("temporal", "scd2", "window", "north-star"),
+)
+def user_state_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history build: compress each user's event-type stream
+    into validity intervals — the lakehouse dimension-history op (state,
+    valid_from, valid_to, version, is_current) built from an append-only
+    change log in two windows over ONE (user_id)-partitioned exchange:
+    LAG to keep only state CHANGES, LEAD/ROW_NUMBER on the survivors to
+    close each interval and stamp versions. Open intervals emit
+    valid_to_us = −1 with ``is_current`` true (epoch-µs BIGINTs, exact
+    cross-engine; a NULL sentinel would be representation-ambiguous in
+    the value hash).
+
+    100 TB posture: both windows key on user_id — one shuffle total,
+    state-change compression happens BEFORE the second window touches the
+    (much smaller) change set; no global ordering anywhere."""
+    from pyspark.sql.window import Window
+
+    from imdb_mapreduce_spark.functions.columns import epoch_us
+
+    e = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts")
+    return (
+        changes.select(
+            "user_id",
+            "event_type",
+            epoch_us("ts").alias("valid_from_us"),
+            epoch_us(F.lead("ts").over(w2)).alias("vt"),
+            F.row_number().over(w2).cast("long").alias("version"),
+        )
+        .select(
+            "user_id",
+            "event_type",
+            "valid_from_us",
+            F.coalesce("vt", F.lit(-1).cast("bigint")).alias("valid_to_us"),
+            "version",
+            F.col("vt").isNull().alias("is_current"),
+        )
+    )

@@ -436,3 +436,139 @@ def test_triangle_broadcast_gate_fallback(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(gq, "TRI_BROADCAST_MAX_EDGES", 0)
     gated = {r["part"]: r["n_triangles"] for r in gq.copurchase_triangles(spark, d).collect()}
     assert gated == normal == {1: 1, 2: 1, 3: 1}
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch: one-sided error + cell-wise mergeability
+# ---------------------------------------------------------------------------
+
+
+def test_cm_sketch_never_underestimates(spark):
+    """CM estimates are exact counts plus collision mass — the min over
+    rows can overestimate but NEVER underestimate, for every key."""
+    from imdb_mapreduce_spark.plans.quality import (
+        CM_DEPTH,
+        _cm_bucket_spark,
+    )
+    from imdb_mapreduce_spark.sources.star import load_table
+
+    e = load_table(spark, "events", SF_SMALL)
+    cells = (
+        e.select(
+            F.posexplode(
+                F.array(
+                    *[_cm_bucket_spark(j, F.col("user_id")) for j in range(CM_DEPTH)]
+                )
+            ).alias("j", "bucket")
+        )
+        .groupBy("j", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    exact = e.groupBy("user_id").agg(F.count("*").alias("exact_cnt"))
+    probes = exact.select(
+        "user_id",
+        "exact_cnt",
+        F.posexplode(
+            F.array(
+                *[_cm_bucket_spark(j, F.col("user_id")) for j in range(CM_DEPTH)]
+            )
+        ).alias("j", "bucket"),
+    )
+    est = (
+        probes.join(cells, ["j", "bucket"])
+        .groupBy("user_id", "exact_cnt")
+        .agg(F.min("cnt").alias("cm_est"))
+    )
+    bad = est.filter(F.col("cm_est") < F.col("exact_cnt")).count()
+    assert bad == 0
+
+
+def test_cm_sketch_merges_cellwise(spark):
+    """sketch(A) + sketch(B) == sketch(A ∪ B) cell-by-cell — the property
+    that makes CM a partitioned/streaming aggregate."""
+    from imdb_mapreduce_spark.plans.quality import CM_DEPTH, _cm_bucket_spark
+    from imdb_mapreduce_spark.sources.star import load_table
+
+    e = load_table(spark, "events", SF_SMALL)
+
+    def sketch(df):
+        return (
+            df.select(
+                F.posexplode(
+                    F.array(
+                        *[
+                            _cm_bucket_spark(j, F.col("user_id"))
+                            for j in range(CM_DEPTH)
+                        ]
+                    )
+                ).alias("j", "bucket")
+            )
+            .groupBy("j", "bucket")
+            .agg(F.count("*").alias("cnt"))
+        )
+
+    half_a = e.filter(F.col("event_id") % 2 == 0)
+    half_b = e.filter(F.col("event_id") % 2 == 1)
+    merged = (
+        sketch(half_a)
+        .unionByName(sketch(half_b))
+        .groupBy("j", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    full = sketch(e)
+    diff = (
+        merged.join(full, ["j", "bucket"], "full")
+        .filter(
+            F.coalesce(merged["cnt"], F.lit(0)) != F.coalesce(full["cnt"], F.lit(0))
+        )
+        .count()
+    )
+    assert diff == 0
+
+
+# ---------------------------------------------------------------------------
+# bloom filter: no false negatives, fp rate near theory
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_filter_no_false_negatives_and_sane_fp(spark):
+    import math
+
+    from imdb_mapreduce_spark.plans.quality import (
+        BLOOM_BITS,
+        BLOOM_K,
+        bloom_filter_prune,
+    )
+
+    row = bloom_filter_prune(spark, SF_SMALL).collect()[0]
+    assert row["false_neg"] == 0  # the guarantee that makes pruning sound
+    assert row["n_candidates"] >= row["n_members"]
+    # theory: fp ≈ (1 − e^{−kn/m})^k; allow generous slack for small n
+    n, m, k = row["n_members"], BLOOM_BITS, BLOOM_K
+    theory = (1 - math.exp(-k * n / m)) ** k
+    assert row["fp_rate"] <= max(0.02, 4 * theory)
+
+
+# ---------------------------------------------------------------------------
+# SCD2: intervals tile each user's timeline, one open interval per user
+# ---------------------------------------------------------------------------
+
+
+def test_scd2_intervals_tile_timeline(spark):
+    from imdb_mapreduce_spark.plans.temporal_queries import user_state_scd2
+
+    rows = user_state_scd2(spark, SF_SMALL).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert by_user
+    for uid, ivs in by_user.items():
+        ivs.sort(key=lambda r: r["version"])
+        # versions are 1..n dense
+        assert [r["version"] for r in ivs] == list(range(1, len(ivs) + 1))
+        # exactly one open (current) interval, and it is the last one
+        assert sum(r["is_current"] for r in ivs) == 1
+        assert ivs[-1]["is_current"] and ivs[-1]["valid_to_us"] == -1
+        for a, b in zip(ivs, ivs[1:]):
+            assert a["valid_to_us"] == b["valid_from_us"]  # no gaps/overlaps
+            assert a["event_type"] != b["event_type"]  # real state changes
