@@ -660,3 +660,228 @@ def bloom_filter_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum(F.when(F.col("is_member") == 0, 1).otherwise(0)).cast("double")
         ).alias("fp_rate"),
     )
+
+
+@register(
+    "kmv_set_ops",
+    oracle=f"""
+    WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+    h AS (
+      SELECT event_type,
+             ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM du),
+    sk AS (
+      SELECT event_type, h FROM (
+        SELECT event_type, h,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM h) t
+      WHERE rn <= {KMV_K}),
+    theta AS (
+      SELECT event_type, MAX(h) AS kth, CAST(COUNT(*) AS BIGINT) AS m
+      FROM sk GROUP BY event_type),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CASE WHEN ta.m < {KMV_K} THEN {KMV_SPACE} ELSE ta.kth END AS th_a,
+             CASE WHEN tb.m < {KMV_K} THEN {KMV_SPACE} ELSE tb.kth END AS th_b
+      FROM (SELECT DISTINCT event_type FROM events) a
+      JOIN (SELECT DISTINCT event_type FROM events) b
+        ON a.event_type < b.event_type
+      JOIN theta ta ON ta.event_type = a.event_type
+      JOIN theta tb ON tb.event_type = b.event_type),
+    common AS (
+      SELECT sa.event_type AS type_a, sb.event_type AS type_b, sa.h
+      FROM sk sa JOIN sk sb ON sb.h = sa.h
+                           AND sa.event_type < sb.event_type),
+    inter_c AS (
+      SELECT p.type_a, p.type_b, LEAST(p.th_a, p.th_b) AS theta,
+             CAST(COUNT(c.h) AS BIGINT) AS c
+      FROM pairs p
+      LEFT JOIN common c ON c.type_a = p.type_a AND c.type_b = p.type_b
+                        AND c.h < LEAST(p.th_a, p.th_b)
+      GROUP BY 1, 2, 3),
+    merged AS (
+      SELECT p.type_a, p.type_b, s.h FROM pairs p
+      JOIN sk s ON s.event_type IN (p.type_a, p.type_b)
+      GROUP BY 1, 2, 3),
+    uni_est AS (
+      SELECT type_a, type_b, MAX(h) AS kth, CAST(COUNT(*) AS BIGINT) AS m
+      FROM (
+        SELECT type_a, type_b, h,
+               ROW_NUMBER() OVER (PARTITION BY type_a, type_b ORDER BY h) AS rn
+        FROM merged) t
+      WHERE rn <= {KMV_K}
+      GROUP BY 1, 2),
+    exact_inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_inter
+      FROM du a JOIN du b ON b.user_id = a.user_id
+                         AND a.event_type < b.event_type
+      GROUP BY 1, 2),
+    exact_n AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM du GROUP BY 1)
+    SELECT p.type_a, p.type_b,
+           COALESCE(ei.n_inter, 0) AS n_inter_exact,
+           CAST(ic.c AS DOUBLE) * {KMV_SPACE} / CAST(ic.theta AS DOUBLE)
+             AS est_inter,
+           na.n + nb.n - COALESCE(ei.n_inter, 0) AS n_union_exact,
+           CASE WHEN ue.m < {KMV_K} THEN CAST(ue.m AS DOUBLE)
+                ELSE ({KMV_K} - 1) * CAST({KMV_SPACE} AS DOUBLE)
+                     / CAST(ue.kth AS DOUBLE) END AS est_union
+    FROM pairs p
+    JOIN inter_c ic ON ic.type_a = p.type_a AND ic.type_b = p.type_b
+    JOIN uni_est ue ON ue.type_a = p.type_a AND ue.type_b = p.type_b
+    JOIN exact_n na ON na.event_type = p.type_a
+    JOIN exact_n nb ON nb.event_type = p.type_b
+    LEFT JOIN exact_inter ei ON ei.type_a = p.type_a AND ei.type_b = p.type_b
+    """,
+    tags=("quality", "sketch", "north-star"),
+)
+def kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch-style SET OPERATIONS on KMV sketches, audited against
+    the exact answers: for every event-type pair, estimate |A∩B| and
+    |A∪B| from the two k-minimum-value sketches alone — the
+    audience-overlap question ("how many users both click AND purchase")
+    answered WITHOUT re-scanning the raw data per pair.
+
+    Mechanics (all md5-deterministic, hash-portable): θ_X = the k-th
+    smallest hash of X (or the full space M when |X| < k, i.e. the sketch
+    is exact); intersection estimate = |S_A ∩ S_B ∩ [0, θ)| · M / θ with
+    θ = min(θ_A, θ_B); union estimate = the KMV estimator over the
+    k-smallest of S_A ∪ S_B (sketch mergeability, pytest-proven above).
+    Accuracy is pytest-bounded; the ORACLE verifies the estimates
+    themselves bit-for-bit.
+
+    Scale posture: after the one distinct + per-group k-smallest pass
+    that kmv_distinct_users already demonstrates (salted two-level top-k
+    there; plain windows here match the oracle's form on ≤ k·|types|
+    rows), EVERY pairwise estimate works on |types|·k sketch rows —
+    pairwise set analytics over billions of users without a pairwise
+    scan. The exact audit columns are the only full-data joins."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, "events", sf_dir)
+    du = e.select("event_type", "user_id").distinct()
+    h = du.select(
+        "event_type",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    sk = (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .select("event_type", "h")
+    )
+    theta = sk.groupBy("event_type").agg(
+        F.max("h").alias("kth"), F.count("*").cast("long").alias("m")
+    )
+    types = e.select("event_type").distinct()
+    th = F.when(F.col("m") < KMV_K, F.lit(KMV_SPACE).cast("bigint")).otherwise(
+        F.col("kth")
+    )
+    ta = theta.select(
+        F.col("event_type").alias("type_a"), th.alias("th_a")
+    )
+    tb = theta.select(
+        F.col("event_type").alias("type_b"), th.alias("th_b")
+    )
+    pairs = (
+        types.select(F.col("event_type").alias("type_a"))
+        .join(
+            types.select(F.col("event_type").alias("type_b")),
+            F.col("type_a") < F.col("type_b"),
+        )
+        .join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .withColumn("theta", F.least("th_a", "th_b"))
+    )
+    # common sketch hashes per pair FIRST, then a pair-preserving left
+    # join: a pair whose sketches share nothing must still emit c = 0
+    sa = sk.select(F.col("event_type").alias("type_a"), F.col("h").alias("ch"))
+    sb = sk.select(F.col("event_type").alias("type_b"), F.col("h").alias("hb"))
+    common = (
+        sa.join(
+            sb,
+            (sb["hb"] == sa["ch"]) & (sa["type_a"] < sb["type_b"]),
+        )
+        .select("type_a", "type_b", "ch")
+    )
+    inter_c = (
+        pairs.join(
+            common,
+            (common["type_a"] == pairs["type_a"])
+            & (common["type_b"] == pairs["type_b"])
+            & (common["ch"] < pairs["theta"]),
+            "left",
+        )
+        .drop(common["type_a"])
+        .drop(common["type_b"])
+        .groupBy("type_a", "type_b", "theta")
+        .agg(F.count("ch").cast("long").alias("c"))
+    )
+    merged = (
+        pairs.select("type_a", "type_b")
+        .join(
+            sk,
+            (sk["event_type"] == F.col("type_a"))
+            | (sk["event_type"] == F.col("type_b")),
+        )
+        .select("type_a", "type_b", "h")
+        .distinct()
+    )
+    wu = Window.partitionBy("type_a", "type_b").orderBy("h")
+    uni_est = (
+        merged.withColumn("rn", F.row_number().over(wu))
+        .filter(F.col("rn") <= KMV_K)
+        .groupBy("type_a", "type_b")
+        .agg(F.max("h").alias("ukth"), F.count("*").cast("long").alias("um"))
+    )
+    exact_inter = (
+        du.alias("a")
+        .join(
+            du.alias("b"),
+            (F.col("b.user_id") == F.col("a.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_inter"))
+    )
+    exact_n = du.groupBy("event_type").agg(F.count("*").cast("long").alias("n"))
+    est_union = F.when(F.col("um") < KMV_K, F.col("um").cast("double")).otherwise(
+        F.lit(float(KMV_K - 1))
+        * F.lit(float(KMV_SPACE))
+        / F.col("ukth").cast("double")
+    )
+    return (
+        pairs.join(inter_c, ["type_a", "type_b", "theta"])
+        .join(uni_est, ["type_a", "type_b"])
+        .join(
+            F.broadcast(exact_n.select(F.col("event_type").alias("type_a"),
+                                       F.col("n").alias("na"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(exact_n.select(F.col("event_type").alias("type_b"),
+                                       F.col("n").alias("nb"))),
+            "type_b",
+        )
+        .join(exact_inter, ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            F.coalesce("n_inter", F.lit(0).cast("bigint")).alias("n_inter_exact"),
+            (
+                F.col("c").cast("double")
+                * F.lit(float(KMV_SPACE))
+                / F.col("theta").cast("double")
+            ).alias("est_inter"),
+            (F.col("na") + F.col("nb") - F.coalesce("n_inter", F.lit(0)))
+            .cast("bigint")
+            .alias("n_union_exact"),
+            est_union.alias("est_union"),
+        )
+    )
