@@ -113,6 +113,7 @@ _HEAD: tuple[str, ...] = (
     "cm_sketch_heavy_hitters",  # count-min with one-sided-error audit
     "bloom_filter_prune",  # bit-packed bloom semi-join prune + confusion audit
     "user_state_scd2",  # SCD Type-2 validity-interval history build
+    "kmv_set_ops",  # theta-style intersection/union estimates on KMV sketches
     # r03-green, stalest first (all pushed out of the r04 window)
     "ngram_jaccard_pairs",  # r05: length-ratio prefilter added (VERDICT item 3)
     "ngram_jaccard_capped",  # r05: same prefilter — re-verify with sibling

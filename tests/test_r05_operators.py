@@ -572,3 +572,27 @@ def test_scd2_intervals_tile_timeline(spark):
         for a, b in zip(ivs, ivs[1:]):
             assert a["valid_to_us"] == b["valid_from_us"]  # no gaps/overlaps
             assert a["event_type"] != b["event_type"]  # real state changes
+
+
+# ---------------------------------------------------------------------------
+# kmv set ops: estimates land near the exact intersections/unions
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_set_ops_estimates_track_exact(spark):
+    """Theta-style sketch set ops: union estimates inherit KMV's ~1/sqrt(k)
+    accuracy; intersection estimates are noisier (variance scales with
+    1/J·k) but must stay the right order of magnitude and be exact
+    whenever both sketches are exact (|X| < k)."""
+    from imdb_mapreduce_spark.plans.quality import kmv_set_ops
+
+    rows = kmv_set_ops(spark, SF_SMALL).collect()
+    assert rows  # every type pair present
+    for r in rows:
+        assert r["n_union_exact"] >= r["n_inter_exact"]
+        assert r["est_inter"] >= 0 and r["est_union"] > 0
+        # union: KMV-accuracy (generous 3x the 1/sqrt(64) bound)
+        rel = abs(r["est_union"] - r["n_union_exact"]) / r["n_union_exact"]
+        assert rel <= 0.5, (r["type_a"], r["type_b"], rel)
+        # intersection: order-of-magnitude sanity vs the union bound
+        assert r["est_inter"] <= 1.5 * r["est_union"]
