@@ -66,6 +66,13 @@ HEADLINE = (
     "training_shuffle_order",
     # added r05 (the composed END PRODUCT: keep -> shuffle -> pack)
     "corpus_build_manifest",
+    # added r05 session 2 (deterministic IVF probe path; portable sketch
+    # family: count-min, bloom prune, theta set-ops; SCD2 history build)
+    "ann_ivf_det_topk",
+    "cm_sketch_heavy_hitters",
+    "bloom_filter_prune",
+    "kmv_set_ops",
+    "user_state_scd2",
 )
 
 
