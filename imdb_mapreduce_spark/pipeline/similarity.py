@@ -1194,3 +1194,121 @@ def ann_ivf_det_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Random-projection dimensionality reduction (r05 session 2)
+# ---------------------------------------------------------------------------
+
+PROJ_DIM = 16  # 64-d -> 16-d Johnson-Lindenstrauss sketch
+PROJ_SEED = 7  # independent of the LSH planes
+
+
+def _proj_planes():
+    return _hyperplanes(1, PROJ_DIM, seed=PROJ_SEED)[0]  # (PROJ_DIM, 64)
+
+
+_PROJ_SCALE = "0.25"  # 1/sqrt(PROJ_DIM), exact in binary for PROJ_DIM=16
+
+
+def _proj_cols() -> "list[Column]":
+    """The PROJ_DIM projection components of ``embedding`` as expression
+    folds against literal rows of the seeded matrix, scaled by
+    1/√PROJ_DIM (norm-preserving in expectation). Same literal-repr
+    round-trip and left-associated sums as the LSH bucket builder."""
+    out = []
+    for row in _proj_planes():
+        arr = ", ".join(f"CAST({v!r} AS DOUBLE)" for v in row.tolist())
+        out.append(
+            F.expr(_DOT.format(a="embedding", b=f"array({arr})"))
+            * F.lit(float(_PROJ_SCALE))
+        )
+    return out
+
+
+def _proj_sql_terms(col: str = "embedding") -> "list[str]":
+    # literals QUOTED: DuckDB parses a bare 17-digit numeric literal as
+    # DECIMAL first and double-rounds on the cast (~13% of values land one
+    # ulp off the repr round-trip); CAST('…' AS DOUBLE) goes through strtod
+    # and matches Spark's literal bit-for-bit (verified over all 1024)
+    return [
+        f"({_sql_dot_unrolled(col, f'[{lst}]')} * {_PROJ_SCALE})"
+        for lst in (
+            ", ".join(f"CAST('{v!r}' AS DOUBLE)" for v in row.tolist())
+            for row in _proj_planes()
+        )
+    ]
+
+
+def _rp_oracle() -> str:
+    comps = _proj_sql_terms()
+    rendered = ", ".join(
+        f"CAST(CAST(round(p{k + 1}, {CENTROID_DECIMALS})"
+        f" AS DECIMAL(12,{CENTROID_DECIMALS})) AS VARCHAR)"
+        for k in range(PROJ_DIM)
+    )
+    pnorm_terms = " + ".join(f"p{k + 1} * p{k + 1}" for k in range(PROJ_DIM))
+    proj_cols = ",\n             ".join(
+        f"{c} AS p{k + 1}" for k, c in enumerate(comps)
+    )
+    return f"""
+    WITH proj AS (
+      SELECT vec_id,
+             sqrt({_sql_dot_unrolled("embedding", "embedding")}) AS orig_norm,
+             {proj_cols}
+      FROM embeddings)
+    SELECT vec_id,
+           concat_ws(',', {rendered}) AS proj,
+           orig_norm,
+           sqrt(CAST(0 AS DOUBLE) + {pnorm_terms}) AS proj_norm,
+           sqrt(CAST(0 AS DOUBLE) + {pnorm_terms}) / orig_norm AS norm_ratio
+    FROM proj
+    """
+
+
+@register(
+    "embedding_random_projection",
+    oracle=_rp_oracle(),
+    tags=("similarity", "north-star", "projection"),
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: 64-d embeddings sketched to
+    {PROJ_DIM}-d with a seeded Gaussian matrix (scaled 1/√{PROJ_DIM} so
+    norms are preserved in expectation) — the dimensionality-reduction
+    step in front of clustering/ANN when the full embedding width is the
+    cost driver. Emits the projected vector (rounded comma-string, the
+    centroid-emission convention) plus the per-vector norm-preservation
+    audit columns; pairwise-distance distortion is pytest-bounded (the
+    actual JL guarantee).
+
+    Purely per-row arithmetic against plan-literal matrix rows — one
+    narrow projection, zero shuffle, embarrassingly parallel at any
+    scale; the seeded-literal trick makes the whole sketch bit-replicable
+    in the DuckDB oracle (same repr doubles, same left-associated sums).
+    """
+    emb = load_table(spark, "embeddings", sf_dir)
+    comps = _proj_cols()
+    proj = emb.select(
+        "vec_id",
+        F.sqrt(_dot_unrolled("embedding", "embedding")).alias("orig_norm"),
+        *[c.alias(f"p{k + 1}") for k, c in enumerate(comps)],
+    )
+    pnorm: Column = F.lit(0.0)
+    for k in range(PROJ_DIM):
+        pnorm = pnorm + F.col(f"p{k + 1}") * F.col(f"p{k + 1}")
+    rendered = F.concat_ws(
+        ",",
+        *[
+            F.round(F.col(f"p{k + 1}"), CENTROID_DECIMALS)
+            .cast(f"decimal(12,{CENTROID_DECIMALS})")
+            .cast("string")
+            for k in range(PROJ_DIM)
+        ],
+    )
+    return proj.select(
+        "vec_id",
+        rendered.alias("proj"),
+        "orig_norm",
+        F.sqrt(pnorm).alias("proj_norm"),
+        (F.sqrt(pnorm) / F.col("orig_norm")).alias("norm_ratio"),
+    )

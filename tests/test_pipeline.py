@@ -417,3 +417,43 @@ def test_ann_ivf_det_properties(spark):
     for q, rnks in per_q.items():
         assert sorted(rnks) == list(range(1, len(rnks) + 1))
         assert len(rnks) <= TOP_K
+
+
+def test_random_projection_jl_distortion(spark):
+    """JL guarantee: pairwise distances survive the 64d->16d projection
+    within bounded distortion. With d=16 the bound is loose; assert every
+    sampled pair's distance ratio stays in a generous band and the mean
+    lands near 1 (unbiased)."""
+    import numpy as np
+
+    from imdb_mapreduce_spark.pipeline.similarity import (
+        PROJ_DIM,
+        embedding_random_projection,
+    )
+    from imdb_mapreduce_spark.sources.star import load_table
+
+    rows = embedding_random_projection(spark, SF).collect()
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype="float64")
+        for r in load_table(spark, "embeddings", SF).collect()
+    }
+    proj = {
+        r["vec_id"]: np.array([float(x) for x in r["proj"].split(",")])
+        for r in rows
+    }
+    assert all(len(p) == PROJ_DIM for p in proj.values())
+    ids = sorted(proj)[:30]
+    ratios = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            do = np.linalg.norm(emb[a] - emb[b])
+            dp = np.linalg.norm(proj[a] - proj[b])
+            if do > 0:
+                ratios.append(dp / do)
+    ratios = np.array(ratios)
+    assert (ratios > 0.3).all() and (ratios < 2.2).all()
+    assert 0.8 <= ratios.mean() <= 1.2
+    # norm audit columns agree with the rendered vector (rounding aside)
+    for r in rows[:20]:
+        assert abs(r["proj_norm"] - np.linalg.norm(proj[r["vec_id"]])) < 1e-4
+        assert r["norm_ratio"] == r["proj_norm"] / r["orig_norm"]
