@@ -672,3 +672,105 @@ def paragraph_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_fraction"),
         )
     )
+
+
+# Feature hashing (the "hashing trick"): fixed-width signed bag-of-words.
+FH_DIM = 32
+
+
+@register(
+    "text_feature_hashing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS token
+      FROM documents),
+    hashed AS (
+      SELECT doc_id,
+             (('0x' || substring(md5('f:' || token), 1, 7))::BIGINT
+                % {FH_DIM}) AS bucket,
+             CASE WHEN ('0x' || substring(md5('s:' || token), 1, 7))::BIGINT
+                       % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM toks),
+    cells AS (
+      SELECT doc_id, bucket, CAST(SUM(sgn) AS BIGINT) AS v
+      FROM hashed GROUP BY 1, 2),
+    grid AS (
+      SELECT d.doc_id, g.b
+      FROM (SELECT DISTINCT doc_id FROM documents) d
+      CROSS JOIN (SELECT UNNEST(generate_series(0, {FH_DIM - 1})) AS b) g)
+    SELECT g.doc_id,
+           string_agg(CAST(COALESCE(c.v, 0) AS VARCHAR), ',' ORDER BY g.b)
+             AS fvec,
+           CAST(SUM(ABS(COALESCE(c.v, 0))) AS BIGINT) AS l1,
+           CAST(SUM(CASE WHEN COALESCE(c.v, 0) <> 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS nnz
+    FROM grid g
+    LEFT JOIN cells c ON c.doc_id = g.doc_id AND c.bucket = g.b
+    GROUP BY g.doc_id
+    """,
+    tags=("text", "north-star", "features"),
+)
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (Weinberger et al.): every document's bag of words
+    folded into a FIXED {FH_DIM}-wide signed count vector — token →
+    md5 bucket, ±1 sign from an independent md5 bit (the sign trick makes
+    collisions cancel in expectation instead of biasing upward). The
+    vocabulary-free featurizer for training-data pipelines: no dictionary
+    build, no OOV, identical vector for the same text on any engine (all
+    integer arithmetic — the whole vector hash-matches the oracle).
+
+    Shape at scale: explode → one map-side-combining (doc, bucket) sum →
+    one (doc) rollup that densifies via a constant-width map transform;
+    output width is {FH_DIM} regardless of vocabulary or corpus size."""
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("f:"), F.col("token"))), 1, 7), 16, 10
+        ).cast("bigint"),
+        F.lit(FH_DIM),
+    )
+    sgn = F.when(
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("s:"), F.col("token"))), 1, 7),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(2),
+        )
+        == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    cells = (
+        tok.select("doc_id", bucket.alias("bucket"), sgn.alias("sgn"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("sgn").cast("long").alias("v"))
+    )
+    dense = cells.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("bucket", "v"))
+        ).alias("m")
+    )
+    return dense.select(
+        "doc_id",
+        F.array_join(
+            F.expr(
+                f"transform(transform(sequence(0, {FH_DIM - 1}),"
+                f" b -> coalesce(m[cast(b as bigint)], 0L)),"
+                " v -> cast(v as string))"
+            ),
+            ",",
+        ).alias("fvec"),
+        F.expr(
+            f"aggregate(transform(sequence(0, {FH_DIM - 1}),"
+            f" b -> coalesce(m[cast(b as bigint)], 0L)),"
+            " 0L, (acc, v) -> acc + abs(v))"
+        ).alias("l1"),
+        F.expr(
+            f"cast(size(filter(transform(sequence(0, {FH_DIM - 1}),"
+            f" b -> coalesce(m[cast(b as bigint)], 0L)),"
+            " v -> v != 0)) as bigint)"
+        ).alias("nnz"),
+    )

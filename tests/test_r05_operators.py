@@ -596,3 +596,33 @@ def test_kmv_set_ops_estimates_track_exact(spark):
         assert rel <= 0.5, (r["type_a"], r["type_b"], rel)
         # intersection: order-of-magnitude sanity vs the union bound
         assert r["est_inter"] <= 1.5 * r["est_union"]
+
+
+# ---------------------------------------------------------------------------
+# feature hashing: linearity + boundedness
+# ---------------------------------------------------------------------------
+
+
+def test_feature_hashing_linear_and_bounded(spark, tmp_path):
+    """The hashed featurizer is LINEAR in the bag of words: the vector of
+    doc A+B equals vector(A) + vector(B) element-wise, and l1 is bounded
+    by the token count (signs only ever cancel)."""
+    from imdb_mapreduce_spark.pipeline.text import text_feature_hashing, FH_DIM
+
+    a = "spark makes distributed joins easy"
+    b = "hash tricks make features fixed width"
+    docs = spark.createDataFrame(
+        [(1, a, "en", "t", len(a)), (2, b, "en", "t", len(b)),
+         (3, a + " " + b, "en", "t", len(a + b) + 1)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    d = str(tmp_path / "sf")
+    docs.write.parquet(f"{d}/documents.parquet")
+    rows = {r["doc_id"]: r for r in text_feature_hashing(spark, d).collect()}
+    va = [int(x) for x in rows[1]["fvec"].split(",")]
+    vb = [int(x) for x in rows[2]["fvec"].split(",")]
+    vab = [int(x) for x in rows[3]["fvec"].split(",")]
+    assert len(va) == FH_DIM
+    assert vab == [x + y for x, y in zip(va, vb)]
+    assert rows[1]["l1"] <= len(a.split(" "))
+    assert rows[3]["nnz"] <= rows[1]["nnz"] + rows[2]["nnz"]
