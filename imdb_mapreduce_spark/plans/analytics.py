@@ -714,3 +714,216 @@ def shipping_lag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(lag_days, 0.9)").alias("p90_lag_days"),
         F.max("lag_days").cast("long").alias("max_lag_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Zone-map pruning audit (r05 session 2): WHY the z-order layout pays off
+# ---------------------------------------------------------------------------
+
+ZM_FILES = 64
+ZM_CUST_PROBES = 20
+ZM_DAY_PROBES = 10
+ZM_DAY_STEP = 50
+ZM_DAY_WIDTH = 14
+
+
+@register(
+    "zone_map_prune_audit",
+    oracle=f"""
+    WITH raw AS (
+      SELECT o_orderkey, o_custkey,
+             datediff('day', DATE '{EPOCH}', CAST(o_orderdate AS DATE)) AS day
+      FROM orders),
+    mx AS (
+      SELECT MAX(o_orderkey) AS mk, MAX(o_custkey) AS mc,
+             MIN(day) AS dmin, MAX(day) AS dmax
+      FROM raw),
+    dims AS (
+      -- RANGE-binned coordinates (monotone, 0..{(1 << Z_BITS) - 1}): zone
+      -- maps live on raw values, so layout bins must preserve order
+      SELECT o_orderkey, o_custkey, day,
+             (o_custkey * {1 << Z_BITS}) // (mx.mc + 1) AS ca,
+             ((day - mx.dmin) * {1 << Z_BITS})
+               // (mx.dmax - mx.dmin + 1) AS da,
+             mx.mk AS mk
+      FROM raw CROSS JOIN mx),
+    assigned AS (
+      SELECT o_custkey, day,
+             ({_z_sql('ca', 'da', Z_BITS)})
+               // {(1 << (2 * Z_BITS)) // ZM_FILES} AS zorder,
+             ca // {(1 << Z_BITS) // ZM_FILES} AS custsort,
+             (o_orderkey * {ZM_FILES}) // (mk + 1) AS nat
+      FROM dims),
+    files AS (
+      SELECT layout, file,
+             MIN(o_custkey) AS c_lo, MAX(o_custkey) AS c_hi,
+             MIN(day) AS d_lo, MAX(day) AS d_hi
+      FROM (
+        SELECT o_custkey, day, 'zorder' AS layout, zorder AS file FROM assigned
+        UNION ALL
+        SELECT o_custkey, day, 'custsort', custsort FROM assigned
+        UNION ALL
+        SELECT o_custkey, day, 'natural', nat FROM assigned) u
+      GROUP BY 1, 2),
+    cust_probes AS (
+      SELECT o_custkey AS v FROM (
+        SELECT DISTINCT o_custkey FROM orders) t
+      ORDER BY md5(CAST(o_custkey AS VARCHAR)), o_custkey
+      LIMIT {ZM_CUST_PROBES}),
+    day_probes AS (
+      SELECT mn + i * {ZM_DAY_STEP} AS lo,
+             mn + i * {ZM_DAY_STEP} + {ZM_DAY_WIDTH} AS hi
+      FROM (SELECT MIN(day) AS mn FROM raw) m
+      CROSS JOIN (SELECT UNNEST(generate_series(0, {ZM_DAY_PROBES - 1})) AS i) g),
+    cust_scan AS (
+      SELECT f.layout, 'custkey_point' AS probe_kind,
+             CAST(COUNT(DISTINCT f.file) AS BIGINT) AS n_files,
+             CAST({ZM_CUST_PROBES} AS BIGINT) AS n_probes,
+             CAST(SUM(CASE WHEN p.v BETWEEN f.c_lo AND f.c_hi
+                           THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned
+      FROM files f CROSS JOIN cust_probes p
+      GROUP BY 1),
+    day_scan AS (
+      SELECT f.layout, 'day_range' AS probe_kind,
+             CAST(COUNT(DISTINCT f.file) AS BIGINT) AS n_files,
+             CAST({ZM_DAY_PROBES} AS BIGINT) AS n_probes,
+             CAST(SUM(CASE WHEN p.lo <= f.d_hi AND p.hi >= f.d_lo
+                           THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned
+      FROM files f CROSS JOIN day_probes p
+      GROUP BY 1)
+    SELECT layout, probe_kind, n_files, n_probes, files_scanned,
+           CAST(files_scanned AS DOUBLE)
+             / (CAST(n_probes AS DOUBLE) * CAST(n_files AS DOUBLE))
+             AS scan_fraction
+    FROM (SELECT * FROM cust_scan UNION ALL SELECT * FROM day_scan) r
+    """,
+    tags=("layout", "north-star", "zorder", "audit"),
+)
+def zone_map_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The payoff measurement behind ``zorder_layout_plan``: lay the SAME
+    orders out three ways — z-ordered on (custkey, day), range-sorted on
+    custkey alone, natural (insert) order — build each layout's per-file
+    zone maps (min/max of both columns, exactly what parquet footers
+    store), fire identical probe workloads (md5-chosen customer point
+    lookups + fixed day-range windows), and report the fraction of files
+    a zone-map-aware scanner must read. Expected and observed: custsort
+    prunes custkey probes hard but scans ~everything for day ranges;
+    z-order prunes BOTH; natural prunes neither — the quantitative
+    argument for multi-dimensional clustering, as a query.
+
+    Everything is integer arithmetic over per-file constants: the audit
+    costs O(files × probes) AFTER one aggregation over the fact table —
+    at 100 TB the zone maps already exist in footers, so only the tiny
+    probe × file grid remains."""
+    o = load_table(spark, "orders", sf_dir)
+    z_expr = _z_sql("ca", "da", Z_BITS).replace("//", "DIV")
+    raw = o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit(EPOCH).cast("date")).alias("day"),
+    )
+    mx = raw.agg(
+        F.max("o_orderkey").alias("mk"),
+        F.max("o_custkey").alias("mc"),
+        F.min("day").alias("dmin"),
+        F.max("day").alias("dmax"),
+    )
+    # RANGE-binned coordinates (monotone): zone maps live on raw values,
+    # so layout bins must preserve order — a modulo fold would spread each
+    # file across the whole raw range and no probe could ever prune
+    dims = raw.crossJoin(F.broadcast(mx)).select(
+        "o_orderkey",
+        "o_custkey",
+        "day",
+        F.expr(f"(o_custkey * {1 << Z_BITS}) DIV (mc + 1)").alias("ca"),
+        F.expr(
+            f"((day - dmin) * {1 << Z_BITS}) DIV (dmax - dmin + 1)"
+        ).alias("da"),
+        "mk",
+    )
+    assigned = dims.select(
+        "o_custkey",
+        "day",
+        F.expr(f"({z_expr}) DIV {(1 << (2 * Z_BITS)) // ZM_FILES}").alias("zorder"),
+        F.expr(f"ca DIV {(1 << Z_BITS) // ZM_FILES}").alias("custsort"),
+        F.expr(f"(o_orderkey * {ZM_FILES}) DIV (mk + 1)").alias("nat"),
+    )
+    files = (
+        assigned.select(
+            "o_custkey",
+            "day",
+            F.expr(
+                "stack(3, 'zorder', zorder, 'custsort', custsort,"
+                " 'natural', nat) AS (layout, file)"
+            ),
+        )
+        .groupBy("layout", "file")
+        .agg(
+            F.min("o_custkey").alias("c_lo"),
+            F.max("o_custkey").alias("c_hi"),
+            F.min("day").alias("d_lo"),
+            F.max("day").alias("d_hi"),
+        )
+    )
+    cust_probes = (
+        o.select("o_custkey")
+        .distinct()
+        .orderBy(F.md5(F.col("o_custkey").cast("string")), "o_custkey")
+        .limit(ZM_CUST_PROBES)
+        .select(F.col("o_custkey").alias("v"))
+    )
+    day_probes = (
+        raw.agg(F.min("day").alias("mn"))
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(ZM_DAY_PROBES - 1))).alias("i"),
+            "mn",
+        )
+        .select(
+            (F.col("mn") + F.col("i") * ZM_DAY_STEP).alias("lo"),
+            (F.col("mn") + F.col("i") * ZM_DAY_STEP + ZM_DAY_WIDTH).alias("hi"),
+        )
+    )
+    cust_scan = (
+        files.crossJoin(F.broadcast(cust_probes))
+        .groupBy("layout")
+        .agg(
+            F.countDistinct("file").cast("long").alias("n_files"),
+            F.lit(ZM_CUST_PROBES).cast("long").alias("n_probes"),
+            F.sum(
+                F.when(
+                    F.col("v").between(F.col("c_lo"), F.col("c_hi")), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("files_scanned"),
+        )
+        .withColumn("probe_kind", F.lit("custkey_point"))
+    )
+    day_scan = (
+        files.crossJoin(F.broadcast(day_probes))
+        .groupBy("layout")
+        .agg(
+            F.countDistinct("file").cast("long").alias("n_files"),
+            F.lit(ZM_DAY_PROBES).cast("long").alias("n_probes"),
+            F.sum(
+                F.when(
+                    (F.col("lo") <= F.col("d_hi")) & (F.col("hi") >= F.col("d_lo")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("files_scanned"),
+        )
+        .withColumn("probe_kind", F.lit("day_range"))
+    )
+    return cust_scan.unionByName(day_scan).select(
+        "layout",
+        "probe_kind",
+        "n_files",
+        "n_probes",
+        "files_scanned",
+        (
+            F.col("files_scanned").cast("double")
+            / (F.col("n_probes").cast("double") * F.col("n_files").cast("double"))
+        ).alias("scan_fraction"),
+    )

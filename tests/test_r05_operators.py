@@ -626,3 +626,33 @@ def test_feature_hashing_linear_and_bounded(spark, tmp_path):
     assert vab == [x + y for x, y in zip(va, vb)]
     assert rows[1]["l1"] <= len(a.split(" "))
     assert rows[3]["nnz"] <= rows[1]["nnz"] + rows[2]["nnz"]
+
+
+# ---------------------------------------------------------------------------
+# zone-map audit: the layouts must rank the way the theory says
+# ---------------------------------------------------------------------------
+
+
+def test_zone_map_audit_ranks_layouts(spark):
+    """custsort must prune custkey probes hardest but fail day ranges;
+    z-order must prune BOTH dimensions well; natural order must prune
+    neither. This is the quantitative argument for multi-dimensional
+    clustering — if a layout change breaks it, the audit catches it."""
+    from imdb_mapreduce_spark.plans.analytics import zone_map_prune_audit
+
+    rows = {
+        (r["layout"], r["probe_kind"]): r["scan_fraction"]
+        for r in zone_map_prune_audit(spark, SF_SMALL).collect()
+    }
+    assert rows[("custsort", "custkey_point")] < 0.2
+    assert rows[("zorder", "custkey_point")] < 0.5
+    assert rows[("natural", "custkey_point")] > 0.9
+    assert rows[("zorder", "day_range")] < 0.5
+    assert rows[("custsort", "day_range")] > 0.7
+    assert rows[("natural", "day_range")] > 0.7
+    # z-order's whole point: best COMBINED worst-case across dimensions
+    worst = {
+        lay: max(rows[(lay, "custkey_point")], rows[(lay, "day_range")])
+        for lay in ("zorder", "custsort", "natural")
+    }
+    assert worst["zorder"] == min(worst.values())
