@@ -1003,3 +1003,68 @@ def simhash_sig_arrow(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(
         batches, "doc_id bigint, simhash bigint"
     )
+
+
+CONTAIN_THR = 0.8  # near-superset: >=80% of the smaller side's shingles
+
+
+@register(
+    "ngram_containment_pairs",
+    oracle=f"""
+    WITH lists AS MATERIALIZED (
+      SELECT doc_id,
+             list_distinct(list_transform(
+                 generate_series(1, greatest(len(string_split(text, ' ')) - {SHINGLE_WORDS - 1}, 1)),
+                 i -> array_to_string((string_split(text, ' '))[i:i+{SHINGLE_WORDS - 1}], ' '))) AS shl
+      FROM documents),
+    sh AS (
+      SELECT doc_id, len(shl) AS n_shingles, unnest(shl) AS sh FROM lists)
+    SELECT * FROM (
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+             CAST(COUNT(*) AS BIGINT) AS shared,
+             CAST(COUNT(*) AS DOUBLE)
+               / CAST(ANY_VALUE(a.n_shingles) AS DOUBLE) AS contain_1in2,
+             CAST(COUNT(*) AS DOUBLE)
+               / CAST(ANY_VALUE(b.n_shingles) AS DOUBLE) AS contain_2in1
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    WHERE contain_1in2 >= {CONTAIN_THR} OR contain_2in1 >= {CONTAIN_THR}
+    """,
+    tags=("dedup", "north-star", "containment"),
+)
+def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC set-similarity: shingle containment C(A→B) = |A∩B|/|A| —
+    the quote/boilerplate/near-superset detector Jaccard cannot express (a
+    short doc fully embedded in a long one has tiny Jaccard but
+    containment 1.0). Reports both directions per pair, kept when either
+    crosses {CONTAIN_THR}. Deliberately NO length-ratio prefilter: unequal
+    lengths are exactly the pairs this operator exists to find — the
+    stop-shingle cap (tier 2's guard) is the scale control that applies
+    here, and the plan is the same single shingle equi-join + one pair
+    aggregation as the Jaccard tiers."""
+    sh = exploded_shingles(load_table(spark, "documents", sf_dir))
+    a = sh.alias("a").hint("shuffle_hash")
+    b = sh.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .agg(
+            F.count("*").cast("long").alias("shared"),
+            (
+                F.count("*").cast("double")
+                / F.any_value(F.col("a.n_shingles")).cast("double")
+            ).alias("contain_1in2"),
+            (
+                F.count("*").cast("double")
+                / F.any_value(F.col("b.n_shingles")).cast("double")
+            ).alias("contain_2in1"),
+        )
+        .filter(
+            (F.col("contain_1in2") >= CONTAIN_THR)
+            | (F.col("contain_2in1") >= CONTAIN_THR)
+        )
+    )

@@ -656,3 +656,43 @@ def test_zone_map_audit_ranks_layouts(spark):
         for lay in ("zorder", "custsort", "natural")
     }
     assert worst["zorder"] == min(worst.values())
+
+
+# ---------------------------------------------------------------------------
+# containment: the asymmetric case Jaccard misses
+# ---------------------------------------------------------------------------
+
+
+def test_containment_catches_embedded_quote(spark, tmp_path):
+    """A short doc fully embedded in a long one: containment 1.0 even
+    though Jaccard is small — the case this operator exists for."""
+    from imdb_mapreduce_spark.pipeline.dedup import (
+        jaccard_pairs_min_threshold,
+        ngram_containment_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i}" for i in range(60))
+    rows = [
+        (1, short, "en", "t", len(short)),
+        (2, filler + " " + short, "en", "t", 0),
+        (3, "totally unrelated text about query engines and shuffles x y z",
+         "en", "t", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    d = str(tmp_path / "sf")
+    docs.write.parquet(f"{d}/documents.parquet")
+    got = {
+        (r["doc1"], r["doc2"]): r for r in ngram_containment_pairs(spark, d).collect()
+    }
+    assert (1, 2) in got
+    assert got[(1, 2)]["contain_1in2"] == 1.0  # every short-doc shingle in 2
+    assert got[(1, 2)]["contain_2in1"] < 0.5  # asymmetric
+    # and Jaccard at the same floor would have missed it
+    jac = {
+        (r["doc1"], r["doc2"])
+        for r in jaccard_pairs_min_threshold(docs, 0.8).collect()
+    }
+    assert (1, 2) not in jac
