@@ -177,6 +177,12 @@ def test_global_plan_hygiene_sweep(spark, queries):
         "events_gapfill_zero",
         # 1-row dimensionality broadcast onto the |labels|·dim means frame
         "embedding_label_centroids",
+        # sketch set-ops: every side bounded by |event types| (≤5) or
+        # |types|·K sketch rows — pairwise work on sketches IS the point
+        "kmv_set_ops",
+        # 1-row min/max frame onto the fact scan + probe-grid (≤20 rows) ×
+        # per-file zone maps (≤64·3 rows) — all bounded by constants
+        "zone_map_prune_audit",
     }
     for name, q in queries.items():
         if "streaming" in q.tags:
