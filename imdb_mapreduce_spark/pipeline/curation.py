@@ -652,3 +652,147 @@ def packed_training_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(F.length("text")) + F.count("*") - 1).cast("long").alias("packed_chars"),
         F.md5(packed).alias("packed_md5"),
     )
+
+
+LEAK_JACCARD = 0.3  # near-dup floor for the cross-split leakage tier
+
+
+@register(
+    "split_leakage_audit",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             CASE WHEN md5(text) < 'c' THEN 'train'
+                  WHEN md5(text) < 'e' THEN 'val'
+                  ELSE 'test' END AS split,
+             md5(text) AS raw_fp
+      FROM documents),
+    test_n AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_test FROM s WHERE split = 'test'),
+    raw_pairs AS (
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2
+      FROM s a JOIN s b ON a.raw_fp = b.raw_fp AND a.doc_id < b.doc_id),
+    lists AS MATERIALIZED (
+      SELECT doc_id,
+             list_distinct(list_transform(
+                 generate_series(1, greatest(len(string_split(text, ' ')) - 4, 1)),
+                 i -> array_to_string((string_split(text, ' '))[i:i+4], ' '))) AS shl
+      FROM documents),
+    sh AS (
+      SELECT doc_id, len(shl) AS n_shingles, unnest(shl) AS sh FROM lists),
+    jac_pairs AS (
+      SELECT doc1, doc2 FROM (
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+               CAST(COUNT(*) AS DOUBLE)
+                 / CAST(ANY_VALUE(a.n_shingles) + ANY_VALUE(b.n_shingles)
+                        - COUNT(*) AS DOUBLE) AS j
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      WHERE j >= {LEAK_JACCARD}),
+    graded AS (
+      SELECT tier, p.doc1, p.doc2, sa.split AS s1, sb.split AS s2
+      FROM (SELECT 'raw_exact' AS tier, * FROM raw_pairs
+            UNION ALL SELECT 'jaccard_{LEAK_JACCARD}', * FROM jac_pairs) p
+      JOIN s sa ON sa.doc_id = p.doc1
+      JOIN s sb ON sb.doc_id = p.doc2),
+    tiers AS (SELECT 'raw_exact' AS tier UNION ALL
+              SELECT 'jaccard_{LEAK_JACCARD}')
+    SELECT t.tier,
+           CAST(COUNT(g.doc1) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(SUM(CASE WHEN g.s1 <> g.s2 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_cross_pairs,
+           CAST(COUNT(DISTINCT CASE
+                  WHEN g.s1 = 'test' AND g.s2 = 'train' THEN g.doc1
+                  WHEN g.s2 = 'test' AND g.s1 = 'train' THEN g.doc2
+                END) AS BIGINT) AS n_test_docs_leaked,
+           ANY_VALUE(tn.n_test) AS n_test_docs,
+           CAST(COUNT(DISTINCT CASE
+                  WHEN g.s1 = 'test' AND g.s2 = 'train' THEN g.doc1
+                  WHEN g.s2 = 'test' AND g.s1 = 'train' THEN g.doc2
+                END) AS DOUBLE) / CAST(ANY_VALUE(tn.n_test) AS DOUBLE)
+             AS test_leak_fraction
+    FROM tiers t
+    CROSS JOIN test_n tn
+    LEFT JOIN graded g ON g.tier = t.tier
+    GROUP BY t.tier
+    """,
+    tags=("curation", "north-star", "dedup", "audit"),
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test LEAKAGE audit — the eval-integrity failure mode every
+    benchmark pipeline must measure: near-duplicate pairs that straddle
+    split boundaries. Two tiers graded side by side:
+
+    - ``raw_exact``: byte-identical pairs across splits — 0 BY
+      CONSTRUCTION here, because ``dataset_split_assignment`` cuts splits
+      on the content hash itself (identical bytes → identical split).
+      The zero is the audit's positive control: it PROVES that design
+      choice, and catches any future switch to doc-id/random splits.
+    - ``jaccard_{LEAK_JACCARD}``: near-dup pairs (shingle Jaccard ≥
+      {LEAK_JACCARD}) cross splits freely — content-hash splitting
+      cannot see paraphrases (13 cross-split pairs at sf0.01). The
+      ``n_test_docs_leaked`` / ``test_leak_fraction`` columns are the
+      action signal: those test docs need re-assignment or removal
+      (LLM practice: dedup-THEN-split, or split by dup-cluster id from
+      ``dedup_clusters``).
+
+    Plan shape: the split map is one projection of the doc table; tier
+    pair sets reuse the exact-fingerprint join and the thresholded
+    shingle join (the same tiers the dedup family runs); grading is two
+    broadcast-friendly joins onto the pair lists plus one rollup. The
+    1-row test-count frame rides a cross join."""
+    docs = load_table(spark, "documents", sf_dir)
+    from imdb_mapreduce_spark.pipeline.dedup import jaccard_pairs_min_threshold
+    from imdb_mapreduce_spark.pipeline.text import SPLIT_TRAIN_END, SPLIT_VAL_END
+
+    s = docs.select(
+        "doc_id",
+        F.when(F.md5("text") < SPLIT_TRAIN_END, "train")
+        .when(F.md5("text") < SPLIT_VAL_END, "val")
+        .otherwise("test")
+        .alias("split"),
+        F.md5("text").alias("raw_fp"),
+    )
+    test_n = s.filter(F.col("split") == "test").agg(
+        F.count("*").cast("long").alias("n_test")
+    )
+    a = s.select(F.col("doc_id").alias("doc1"), F.col("raw_fp").alias("f1"))
+    b = s.select(F.col("doc_id").alias("doc2"), F.col("raw_fp").alias("f2"))
+    raw_pairs = a.join(
+        b, (F.col("f1") == F.col("f2")) & (F.col("doc1") < F.col("doc2"))
+    ).select("doc1", "doc2")
+    jac_pairs = jaccard_pairs_min_threshold(docs, LEAK_JACCARD).select(
+        "doc1", "doc2"
+    )
+    pairs = raw_pairs.withColumn("tier", F.lit("raw_exact")).unionByName(
+        jac_pairs.withColumn("tier", F.lit(f"jaccard_{LEAK_JACCARD}"))
+    )
+    sa = s.select(F.col("doc_id").alias("doc1"), F.col("split").alias("s1"))
+    sb = s.select(F.col("doc_id").alias("doc2"), F.col("split").alias("s2"))
+    graded = pairs.join(F.broadcast(sa), "doc1").join(F.broadcast(sb), "doc2")
+    tiers = spark.createDataFrame(
+        [("raw_exact",), (f"jaccard_{LEAK_JACCARD}",)], ["tier"]
+    )
+    leaked_doc = F.when(
+        (F.col("s1") == "test") & (F.col("s2") == "train"), F.col("doc1")
+    ).when((F.col("s2") == "test") & (F.col("s1") == "train"), F.col("doc2"))
+    return (
+        tiers.crossJoin(F.broadcast(test_n))
+        .join(F.broadcast(graded), "tier", "left")
+        .groupBy("tier")
+        .agg(
+            F.count("doc1").cast("long").alias("n_pairs"),
+            F.coalesce(
+                F.sum(F.when(F.col("s1") != F.col("s2"), 1).otherwise(0)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_cross_pairs"),
+            F.countDistinct(leaked_doc).cast("long").alias("n_test_docs_leaked"),
+            F.any_value("n_test").alias("n_test_docs"),
+            (
+                F.countDistinct(leaked_doc).cast("double")
+                / F.any_value("n_test").cast("double")
+            ).alias("test_leak_fraction"),
+        )
+    )

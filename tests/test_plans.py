@@ -183,6 +183,8 @@ def test_global_plan_hygiene_sweep(spark, queries):
         # 1-row min/max frame onto the fact scan + probe-grid (≤20 rows) ×
         # per-file zone maps (≤64·3 rows) — all bounded by constants
         "zone_map_prune_audit",
+        # 2-row tier list × 1-row test-count frame
+        "split_leakage_audit",
     }
     for name, q in queries.items():
         if "streaming" in q.tags:

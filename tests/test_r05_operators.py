@@ -696,3 +696,26 @@ def test_containment_catches_embedded_quote(spark, tmp_path):
         for r in jaccard_pairs_min_threshold(docs, 0.8).collect()
     }
     assert (1, 2) not in jac
+
+
+# ---------------------------------------------------------------------------
+# split leakage audit: the positive control must hold
+# ---------------------------------------------------------------------------
+
+
+def test_split_leakage_raw_exact_is_zero_by_construction(spark):
+    """Content-hash splits make byte-identical cross-split pairs
+    impossible — the raw_exact tier is the audit's positive control. The
+    jaccard tier's numbers must be internally consistent."""
+    from imdb_mapreduce_spark.pipeline.curation import split_leakage_audit
+
+    rows = {r["tier"]: r for r in split_leakage_audit(spark, SF_SMALL).collect()}
+    assert set(rows) == {"raw_exact", "jaccard_0.3"}
+    assert rows["raw_exact"]["n_cross_pairs"] == 0
+    assert rows["raw_exact"]["n_test_docs_leaked"] == 0
+    j = rows["jaccard_0.3"]
+    assert j["n_cross_pairs"] <= j["n_pairs"]
+    assert j["n_test_docs_leaked"] <= j["n_test_docs"]
+    assert j["test_leak_fraction"] == (
+        j["n_test_docs_leaked"] / j["n_test_docs"]
+    )
