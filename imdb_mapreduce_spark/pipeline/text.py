@@ -774,3 +774,79 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
             " v -> v != 0)) as bigint)"
         ).alias("nnz"),
     )
+
+
+def _guess_sql() -> str:
+    return f"""CASE
+             WHEN {_marker_count_sql(LANG_MARKERS["en"])} >= greatest(
+                    {_marker_count_sql(LANG_MARKERS["de"])},
+                    {_marker_count_sql(LANG_MARKERS["fr"])},
+                    {_marker_count_sql(LANG_MARKERS["es"])}, 1) THEN 'en'
+             WHEN {_marker_count_sql(LANG_MARKERS["de"])} >= greatest(
+                    {_marker_count_sql(LANG_MARKERS["fr"])},
+                    {_marker_count_sql(LANG_MARKERS["es"])}, 1) THEN 'de'
+             WHEN {_marker_count_sql(LANG_MARKERS["fr"])} >= greatest(
+                    {_marker_count_sql(LANG_MARKERS["es"])}, 1) THEN 'fr'
+             WHEN {_marker_count_sql(LANG_MARKERS["es"])} >= 1 THEN 'es'
+             ELSE 'unknown'
+           END"""
+
+
+@register(
+    "lang_id_confusion",
+    oracle=f"""
+    WITH pred AS (
+      SELECT lang AS true_lang, {_guess_sql()} AS pred_lang
+      FROM documents),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM documents)
+    SELECT p.true_lang, p.pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN p.true_lang = p.pred_lang THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST(COUNT(*) AS DOUBLE) / CAST(ANY_VALUE(n.total) AS DOUBLE)
+             AS cell_fraction
+    FROM pred p CROSS JOIN n
+    GROUP BY p.true_lang, p.pred_lang
+    """,
+    tags=("text", "north-star", "lang", "audit"),
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-eval audit for the language-ID heuristic: the full confusion
+    matrix of predicted vs labeled language (one row per cell, with the
+    corpus-fraction column a dashboard plots directly). The per-class
+    diagonal/off-diagonal split is the routing signal every multilingual
+    pipeline needs before trusting lang filters — and because the
+    predictor is the SAME deterministic expression as
+    ``lang_id_heuristic``, the entire evaluation hash-matches the oracle.
+
+    One conditional-aggregation pass over the doc table (the prediction
+    is a projection, not a model call), one (true, pred) rollup of at
+    most |langs|² cells, 1-row total frame on a cross join."""
+    docs = load_table(spark, "documents", sf_dir)
+    scores = {k: _marker_count(v) for k, v in LANG_MARKERS.items()}
+    guess = (
+        F.when(
+            scores["en"]
+            >= F.greatest(scores["de"], scores["fr"], scores["es"], F.lit(1)),
+            "en",
+        )
+        .when(scores["de"] >= F.greatest(scores["fr"], scores["es"], F.lit(1)), "de")
+        .when(scores["fr"] >= F.greatest(scores["es"], F.lit(1)), "fr")
+        .when(scores["es"] >= 1, "es")
+        .otherwise("unknown")
+    )
+    n = docs.agg(F.count("*").cast("long").alias("total"))
+    return (
+        docs.select(F.col("lang").alias("true_lang"), guess.alias("pred_lang"))
+        .crossJoin(F.broadcast(n))
+        .groupBy("true_lang", "pred_lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("true_lang") == F.col("pred_lang"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_correct"),
+            (
+                F.count("*").cast("double") / F.any_value("total").cast("double")
+            ).alias("cell_fraction"),
+        )
+    )

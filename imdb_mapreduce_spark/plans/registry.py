@@ -119,6 +119,7 @@ _HEAD: tuple[str, ...] = (
     "zone_map_prune_audit",  # file-skipping payoff of the zorder layout
     "ngram_containment_pairs",  # asymmetric quote/near-superset detection
     "split_leakage_audit",  # cross-split near-dup eval-integrity audit
+    "lang_id_confusion",  # confusion-matrix eval of the lang-ID heuristic
     # r03-green, stalest first (all pushed out of the r04 window)
     "ngram_jaccard_pairs",  # r05: length-ratio prefilter added (VERDICT item 3)
     "ngram_jaccard_capped",  # r05: same prefilter — re-verify with sibling

@@ -185,6 +185,8 @@ def test_global_plan_hygiene_sweep(spark, queries):
         "zone_map_prune_audit",
         # 2-row tier list × 1-row test-count frame
         "split_leakage_audit",
+        # 1-row corpus-total frame onto the prediction projection
+        "lang_id_confusion",
     }
     for name, q in queries.items():
         if "streaming" in q.tags:
