@@ -400,3 +400,149 @@ def media_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     is ASCII: byte identity == char codepoint)."""
     docs = load_table(spark, "documents", sf_dir)
     return with_media_column(docs).mapInPandas(_histogram_batches, HISTOGRAM_SCHEMA)
+
+
+# Perceptual-hash dedup over the binary payloads (r05 session 2)
+PHASH_BITS = 64  # one bit per (byte % 64) histogram bucket
+PHASH_BANDS = 4  # 4 bands x 16 bits: exact for hamming <= 2 (pigeonhole)
+PHASH_HAM_MAX = 2
+
+
+def _phash_hist_batches(batches):
+    """64-bucket byte histogram (byte % 64) per payload — finer than the
+    16-nibble feature histogram: text-like payloads have near-identical
+    nibble distributions, so a 16-bit hash collides the whole corpus
+    (measured: 97k of 125k possible pairs); 64 buckets give the per-doc
+    share noise the corpus-relative bits need to discriminate."""
+    import numpy as np
+    import pandas as pd
+
+    for batch in batches:
+        ids: list = []
+        buckets: list = []
+        counts: list = []
+        for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+            h = np.bincount(
+                np.frombuffer(payload, dtype=np.uint8) % 64, minlength=64
+            )
+            nz = np.nonzero(h)[0]
+            ids.extend([doc_id] * len(nz))
+            buckets.extend(int(b) for b in nz)
+            counts.extend(int(c) for c in h[nz])
+        yield pd.DataFrame({"doc_id": ids, "bucket": buckets, "n_bytes": counts})
+
+
+@register(
+    "media_phash_dedup",
+    oracle=f"""
+    WITH chars AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, length(text)),
+                    i -> ascii(text[i]) % 64)) AS bucket
+      FROM documents),
+    hist AS (
+      SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS n
+      FROM chars GROUP BY 1, 2),
+    tot AS (
+      SELECT doc_id, CAST(SUM(n) AS BIGINT) AS total FROM hist GROUP BY 1),
+    corpus AS (
+      SELECT bucket, CAST(SUM(n) AS BIGINT) AS cn FROM hist GROUP BY 1),
+    grand AS (SELECT CAST(SUM(cn) AS BIGINT) AS ct FROM corpus),
+    ph AS (
+      -- bit i: doc's bucket share above the CORPUS share, compared by
+      -- integer cross-multiplication (n/total > cn/ct <=> n*ct > cn*total)
+      SELECT h.doc_id,
+             CAST(SUM(CASE WHEN h.bucket < 63 AND h.n * g.ct > c.cn * t.total
+                           THEN (CAST(1 AS BIGINT) << CAST(h.bucket AS INT))
+                           ELSE 0 END) AS BIGINT) AS phash
+      FROM hist h
+      JOIN tot t ON t.doc_id = h.doc_id
+      JOIN corpus c ON c.bucket = h.bucket
+      CROSS JOIN grand g
+      GROUP BY h.doc_id),
+    bands AS (
+      SELECT doc_id, phash, b,
+             (phash // (CASE b WHEN 0 THEN 1 WHEN 1 THEN 65536
+                               WHEN 2 THEN 4294967296
+                               ELSE 281474976710656 END)) % 65536 AS bv
+      FROM ph
+      CROSS JOIN (SELECT UNNEST(generate_series(0, {PHASH_BANDS - 1})) AS b) g),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc1, a.phash AS p1,
+                      b.doc_id AS doc2, b.phash AS p2
+      FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv
+                               AND a.doc_id < b.doc_id)
+    SELECT doc1, doc2,
+           CAST(bit_count(xor(p1, p2)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(p1, p2)) <= {PHASH_HAM_MAX}
+    """,
+    tags=("multimodal", "north-star", "dedup", "phash"),
+)
+def media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate detection for OPAQUE BINARY payloads — the
+    multimodal arm of the dedup family: a {PHASH_BITS}-bit perceptual
+    hash (bit i set iff byte-histogram bucket i exceeds the uniform
+    share), banded {PHASH_BANDS}×16 for sub-quadratic candidate pairing,
+    verified by exact Hamming distance ≤ {PHASH_HAM_MAX}. The banding is
+    EXACT at this threshold (≤2 differing bits leave ≥2 of 4 bands
+    untouched — pigeonhole), so the approximate plan returns the same
+    pairs a quadratic scan would.
+
+    The histogram runs on the sanctioned Arrow path over the binary
+    column (the media family's plumbing); everything after is JVM
+    integer arithmetic, hash-portable (the oracle recomputes byte
+    identity from chars — valid on this ASCII corpus). Real images would
+    swap the histogram for a DCT/gradient phash inside the same batches;
+    banding, verification, and scale shape are unchanged."""
+    docs = load_table(spark, "documents", sf_dir)
+    hist = with_media_column(docs).mapInPandas(_phash_hist_batches, HISTOGRAM_SCHEMA)
+    tot = hist.groupBy("doc_id").agg(F.sum("n_bytes").cast("long").alias("total"))
+    corpus = hist.groupBy("bucket").agg(F.sum("n_bytes").cast("long").alias("cn"))
+    grand = corpus.agg(F.sum("cn").cast("long").alias("ct"))
+    # bit i: doc's bucket share above the CORPUS share, compared by exact
+    # integer cross-multiplication (n/total > cn/ct <=> n*ct > cn*total) —
+    # a per-doc mean threshold degenerates on text-like payloads (every
+    # doc's nibble distribution is near-uniform, so all phashes collide
+    # into the full quadratic pair set; measured before this fix)
+    ph = (
+        hist.join(tot, "doc_id")
+        .join(F.broadcast(corpus), "bucket")
+        .crossJoin(F.broadcast(grand))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                # bucket 63 excluded: bit 63 is the BIGINT sign bit and
+                # DuckDB raises on 1<<63 (same guard as the bloom filter)
+                F.when(
+                    (F.col("bucket") < 63)
+                    & (F.col("n_bytes") * F.col("ct") > F.col("cn") * F.col("total")),
+                    F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT))"),
+                ).otherwise(F.lit(0).cast("bigint"))
+            )
+            .cast("long")
+            .alias("phash")
+        )
+    )
+    bands = ph.select(
+        "doc_id",
+        "phash",
+        F.explode(F.sequence(F.lit(0), F.lit(PHASH_BANDS - 1))).alias("b"),
+    ).withColumn(
+        "bv", F.expr("CAST(shiftright(phash, CAST(b * 16 AS INT)) % 65536 AS INT)")
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc1"), F.col("phash").alias("p1"), "b", "bv"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc2"), F.col("phash").alias("p2"), "b", "bv"
+    )
+    ham = F.bit_count(F.col("p1").bitwiseXOR(F.col("p2")))
+    return (
+        a.join(b, ["b", "bv"])
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "p1", "doc2", "p2")
+        .distinct()
+        .select("doc1", "doc2", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= PHASH_HAM_MAX)
+    )

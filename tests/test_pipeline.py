@@ -457,3 +457,50 @@ def test_random_projection_jl_distortion(spark):
     for r in rows[:20]:
         assert abs(r["proj_norm"] - np.linalg.norm(proj[r["vec_id"]])) < 1e-4
         assert r["norm_ratio"] == r["proj_norm"] / r["orig_norm"]
+
+
+def test_media_phash_banding_is_exact_vs_quadratic(spark, tmp_path):
+    """The 4x16 banding must return EXACTLY the pairs a quadratic hamming
+    scan would at threshold 2 (pigeonhole), and byte-identical payloads
+    must pair at hamming 0."""
+    import itertools
+
+    from imdb_mapreduce_spark.pipeline.multimodal import (
+        PHASH_HAM_MAX,
+        media_phash_dedup,
+    )
+    from imdb_mapreduce_spark.sources.star import load_table
+
+    sf = SF  # real corpus slice
+    pairs = {
+        (r["doc1"], r["doc2"]): r["hamming"]
+        for r in media_phash_dedup(spark, sf).collect()
+    }
+    assert all(h <= PHASH_HAM_MAX for h in pairs.values())
+    # quadratic reference over the same phashes (recompute via the query's
+    # own per-doc hash by grouping pairs is circular — rebuild from bands
+    # source instead: derive phash per doc from any pair row is not
+    # possible, so recompute histograms in python)
+    import numpy as np
+
+    docs = load_table(spark, "documents", sf).select("doc_id", "text").collect()
+    hists = {}
+    for r in docs:
+        b = np.frombuffer(r["text"].encode("utf-8"), dtype=np.uint8) % 64
+        hists[r["doc_id"]] = np.bincount(b, minlength=64).astype("int64")
+    corpus = sum(hists.values())
+    ct = int(corpus.sum())
+    phash = {}
+    for d, h in hists.items():
+        total = int(h.sum())
+        bits = 0
+        for i in range(63):
+            if int(h[i]) * ct > int(corpus[i]) * total:
+                bits |= 1 << i
+        phash[d] = bits
+    expect = {}
+    for a, b in itertools.combinations(sorted(phash), 2):
+        ham = bin(phash[a] ^ phash[b]).count("1")
+        if ham <= PHASH_HAM_MAX:
+            expect[(a, b)] = ham
+    assert pairs == expect

@@ -166,6 +166,8 @@ def test_global_plan_hygiene_sweep(spark, queries):
         # int64 arithmetic, parity-tested vs the expression builds)
         "minhash_lsh_dups",
         "simhash_near_dups",
+        # Arrow 64-bucket byte histogram feeding the perceptual hash
+        "media_phash_dedup",
     }
     ALLOW_BNLJ = {
         "quantity_band_stats",
