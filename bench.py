@@ -73,6 +73,14 @@ HEADLINE = (
     "bloom_filter_prune",
     "kmv_set_ops",
     "user_state_scd2",
+    # added r05 session 2 (second batch: pair-join dedup variants over
+    # shingles and binary payloads; eval-integrity audits; featurizers)
+    "ngram_containment_pairs",
+    "media_phash_dedup",
+    "split_leakage_audit",
+    "text_feature_hashing",
+    "embedding_random_projection",
+    "zone_map_prune_audit",
 )
 
 
