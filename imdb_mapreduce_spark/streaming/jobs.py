@@ -399,3 +399,54 @@ def streaming_segment_purchase_totals(spark: SparkSession, sf_dir: str) -> DataF
         )
     )
     return run_stream_to_memory(agg, "complete")
+
+
+def _cm_cells_oracle() -> str:
+    from imdb_mapreduce_spark.plans.quality import CM_DEPTH, _cm_bucket_sql
+
+    return f"""
+    WITH rows_j AS (SELECT UNNEST(generate_series(0, {CM_DEPTH - 1})) AS j),
+    cells AS (
+      SELECT j, {_cm_bucket_sql("j", "user_id")} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events CROSS JOIN rows_j
+      GROUP BY 1, 2)
+    SELECT CAST(j AS INT) AS j, bucket, cnt FROM cells
+    """
+
+
+@register(
+    "streaming_cm_sketch_cells",
+    oracle=_cm_cells_oracle(),  # the BATCH sketch: stream/batch parity
+    tags=("streaming", "north-star", "sketch"),
+)
+def streaming_cm_sketch_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The count-min sketch MAINTAINED BY THE STREAM: the same d×w md5
+    cell matrix as ``cm_sketch_heavy_hitters``, built as a live streaming
+    aggregation (cells are additive counters, so the sketch is exactly
+    the kind of state Structured Streaming keeps incrementally — the
+    mergeability the batch pytest proves, realized as a running job). In
+    complete mode with an availableNow drain, the final cells must equal
+    the batch sketch bit-for-bit, so the oracle is the BATCH cell query:
+    stream/batch parity for sketch state.
+
+    At 100 TB/unbounded: state is d·w integer counters regardless of
+    stream volume — the sketch never grows, needs no watermark eviction,
+    and any reader gets heavy-hitter estimates from {CM_DEPTH}·{CM_WIDTH}
+    rows without touching raw history."""
+    from imdb_mapreduce_spark.plans.quality import CM_DEPTH, _cm_bucket_spark
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    cells = (
+        stream.select(
+            F.posexplode(
+                F.array(
+                    *[_cm_bucket_spark(j, F.col("user_id")) for j in range(CM_DEPTH)]
+                )
+            ).alias("j", "bucket")
+        )
+        .groupBy("j", "bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    return run_stream_to_memory(cells, "complete")
+
