@@ -450,3 +450,59 @@ def streaming_cm_sketch_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return run_stream_to_memory(cells, "complete")
 
+
+
+def _kmv_stream_oracle() -> str:
+    from imdb_mapreduce_spark.plans.quality import KMV_K
+
+    return f"""
+    WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+    h AS (
+      SELECT event_type,
+             ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM du),
+    rk AS (
+      SELECT event_type, h,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM h),
+    kmv AS (
+      SELECT event_type, MAX(h) AS kth_hash, CAST(COUNT(*) AS BIGINT) AS m
+      FROM rk WHERE rn <= {KMV_K} GROUP BY event_type),
+    n AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS rows_seen
+      FROM events GROUP BY event_type)
+    SELECT n.event_type, n.rows_seen, k.kth_hash, k.m
+    FROM n JOIN kmv k ON k.event_type = n.event_type
+    """
+
+
+@register(
+    "streaming_kmv_distinct",
+    oracle=_kmv_stream_oracle(),
+    tags=("streaming", "north-star", "sketch", "stateful"),
+)
+def streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KMV cardinality sketch as CUSTOM STREAMING STATE
+    (``applyInPandasWithState``): unlike the count-min cells (a plain
+    additive aggregation), k-smallest needs arbitrary per-key state — the
+    merge law (union, re-take k smallest) the batch pytest proves is here
+    executed incrementally by the state store, constant k·|types| state
+    regardless of stream length. The update-mode change-log lands in the
+    memory sink; the FINAL state per key is the row with the highest
+    ``rows_seen`` (strictly increasing per emission), extracted with one
+    ranking window over the tiny change-log. Hash parity holds because
+    the Python-side hashlib md5 produces the identical portable fragment
+    hash the Spark/DuckDB expression builds use — so a custom stateful
+    Python operator still lands on the batch oracle bit-for-bit."""
+    from pyspark.sql.window import Window
+
+    from imdb_mapreduce_spark.streaming.stateful import running_kmv_by_type
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    log = run_stream_to_memory(running_kmv_by_type(stream), "update")
+    w = Window.partitionBy("event_type").orderBy(F.col("rows_seen").desc())
+    return (
+        log.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("event_type", "rows_seen", "kth_hash", "m")
+    )

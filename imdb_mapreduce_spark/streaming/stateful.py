@@ -20,6 +20,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -149,4 +150,68 @@ def user_totals_twsip(events: DataFrame) -> DataFrame:
         outputStructType=TWSIP_OUTPUT_SCHEMA,
         outputMode="Update",
         timeMode="None",
+    )
+
+
+# --- streaming KMV sketch (r05 session 2) ---------------------------------
+
+KMV_STATE_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("rows_seen", LongType()),
+        StructField("kth_hash", LongType()),
+        StructField("m", LongType()),
+    ]
+)
+
+_KMV_STATE = "hashes ARRAY<LONG>, rows_seen LONG"
+
+
+def _update_kmv(
+    key: tuple[Any, ...],
+    batches: Iterator["pd.DataFrame"],
+    state: GroupState,
+) -> Iterator["pd.DataFrame"]:
+    """Cross-batch k-minimum-values state per event type: merge each
+    micro-batch's md5 user hashes into the k-smallest set (the KMV merge
+    law the batch pytest proves), emit (rows_seen, kth, m) per batch.
+
+    The hash is the repo's portable md5 fragment — hashlib here computes
+    the IDENTICAL value the Spark/DuckDB expression builds produce, so
+    the drained state hash-matches the batch oracle."""
+    import hashlib
+
+    import pandas as pd
+
+    from imdb_mapreduce_spark.plans.quality import KMV_K
+
+    hashes, rows_seen = (
+        (list(state.get[0]), state.get[1]) if state.exists else ([], 0)
+    )
+    cur = set(hashes)
+    for pdf in batches:
+        rows_seen += len(pdf)
+        for u in pdf["user_id"]:
+            cur.add(int(hashlib.md5(str(int(u)).encode()).hexdigest()[:15], 16))
+    keep = sorted(cur)[:KMV_K]
+    state.update((keep, rows_seen))
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "rows_seen": [rows_seen],
+            "kth_hash": [keep[-1]],
+            "m": [len(keep)],
+        }
+    )
+
+
+def running_kmv_by_type(events: DataFrame) -> DataFrame:
+    """Streaming KMV distinct-count sketch per event type (update mode):
+    constant-size k-smallest state per key, merged incrementally."""
+    return events.groupBy("event_type").applyInPandasWithState(
+        _update_kmv,
+        outputStructType=KMV_STATE_SCHEMA,
+        stateStructType=_KMV_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
