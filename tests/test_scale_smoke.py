@@ -93,3 +93,112 @@ def test_fingerprint_dedup_at_3m_rows(spark):
     ).collect()[0]
     assert stats["n_groups"] == n // 3
     assert stats["lo"] == 3 and stats["hi"] == 3
+
+
+def test_cm_sketch_cells_at_5m_rows(spark):
+    """Count-min over 5M events / 100k keys: the cell matrix must stay at
+    exactly d·w rows (constant state — the whole point) and conserve the
+    event count per hash row."""
+    from imdb_mapreduce_spark.plans.quality import CM_DEPTH, CM_WIDTH, _cm_bucket_spark
+
+    n = 5_000_000
+    df = spark.range(n).select((F.col("id") % 100_000).alias("user_id"))
+    cells = (
+        df.select(
+            F.posexplode(
+                F.array(
+                    *[_cm_bucket_spark(j, F.col("user_id")) for j in range(CM_DEPTH)]
+                )
+            ).alias("j", "bucket")
+        )
+        .groupBy("j", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    stats = cells.groupBy("j").agg(
+        F.count("*").alias("n_cells"), F.sum("cnt").alias("total")
+    )
+    for r in stats.collect():
+        assert r["n_cells"] <= CM_WIDTH
+        assert r["total"] == n  # every event lands in exactly one cell/row
+
+
+def test_bloom_build_at_2m_members(spark):
+    """Bloom build over 2M member keys: the word table must stay at the
+    constant BLOOM_WORDS size no matter the member volume, and a sample
+    of members must all probe positive (no false negatives)."""
+    from imdb_mapreduce_spark.plans.quality import (
+        BLOOM_K,
+        BLOOM_WORDS,
+        _bloom_pos_spark,
+    )
+
+    n = 2_000_000
+    members = spark.range(n).select(F.col("id").alias("k"))
+    shl = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 32) AS INT))")
+    positions = members.select(
+        F.explode(
+            F.array(*[_bloom_pos_spark(j, F.col("k")) for j in range(BLOOM_K)])
+        ).alias("pos")
+    )
+    bloom = (
+        positions.select((F.col("pos") / 32).cast("int").alias("word"), shl.alias("m"))
+        .groupBy("word")
+        .agg(F.bit_or("m").alias("bits"))
+    )
+    assert bloom.count() <= BLOOM_WORDS
+    # probe a 1/1000 member sample — every bit must be set (zero FN)
+    probe = (
+        spark.range(0, n, 1000)
+        .select(F.col("id").alias("k"))
+        .select(
+            "k",
+            F.explode(
+                F.array(*[_bloom_pos_spark(j, F.col("k")) for j in range(BLOOM_K)])
+            ).alias("pos"),
+        )
+        .join(F.broadcast(bloom), (F.col("pos") / 32).cast("int") == F.col("word"))
+        .select(
+            "k",
+            F.when(F.col("bits").bitwiseAND(shl) != 0, 1).otherwise(0).alias("hit"),
+        )
+        .groupBy("k")
+        .agg(F.min("hit").alias("cand"))
+    )
+    assert probe.filter(F.col("cand") == 0).count() == 0
+
+
+def test_scd2_compression_at_2m_events(spark):
+    """SCD2 interval build over 2M synthetic state changes across 50k
+    users: interval count equals the number of true state CHANGES
+    (checked with aggregates), and exactly one open interval per user."""
+    from pyspark.sql.window import Window
+
+    n = 2_000_000
+    ev = spark.range(n).select(
+        (F.col("id") % 50_000).alias("user_id"),
+        F.col("id").alias("event_id"),
+        # deterministic state sequence with runs: state flips every 3rd
+        # occurrence per user
+        ((F.col("id") / 50_000).cast("long") / 3).cast("long").alias("_s"),
+    ).select("user_id", "event_id", (F.col("_s") % 4).cast("string").alias("st"))
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    changes = ev.withColumn("prev", F.lag("st").over(w)).filter(
+        F.col("prev").isNull() | (F.col("st") != F.col("prev"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("event_id")
+    scd = changes.select(
+        "user_id",
+        "st",
+        F.lead("event_id").over(w2).alias("vt"),
+        F.row_number().over(w2).alias("version"),
+    )
+    agg = scd.agg(
+        F.count("*").alias("n_intervals"),
+        F.sum(F.when(F.col("vt").isNull(), 1).otherwise(0)).alias("n_open"),
+        F.count_distinct("user_id").alias("n_users"),
+    ).collect()[0]
+    assert agg["n_open"] == agg["n_users"] == 50_000
+    # each user sees 40 occurrences -> ceil(40/3)=14 runs... derive
+    # exactly: per-user states are s=floor(t/3)%4 for t=0..39 -> changes
+    # at t=0,3,6,...,39 -> 14 intervals per user
+    assert agg["n_intervals"] == 50_000 * 14
