@@ -597,3 +597,93 @@ def event_transition_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("long").alias("n_transitions"))
     )
+
+
+@register(
+    "ab_experiment_metrics",
+    oracle="""
+    WITH assign AS (
+      SELECT user_id,
+             CASE WHEN ('0x' || substring(md5('ab1:' || CAST(user_id AS VARCHAR)),
+                                          1, 7))::BIGINT % 2 = 0
+                  THEN 'control' ELSE 'treatment' END AS arm
+      FROM (SELECT DISTINCT user_id FROM events)),
+    metrics AS (
+      SELECT a.arm,
+             CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+             CAST(SUM(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_purchases,
+             CAST(SUM(CASE WHEN e.event_type = 'purchase'
+                           THEN CAST(e.value AS DECIMAL(12,2)) ELSE 0 END)
+                  AS DECIMAL(38,2)) AS revenue
+      FROM events e JOIN assign a ON a.user_id = e.user_id
+      GROUP BY a.arm)
+    SELECT arm, n_users, n_purchases,
+           CAST(revenue AS DOUBLE) AS revenue,
+           CAST(n_purchases AS DOUBLE) / CAST(n_users AS DOUBLE)
+             AS purchases_per_user,
+           CAST(revenue AS DOUBLE) / CAST(n_users AS DOUBLE)
+             AS revenue_per_user
+    FROM metrics
+    """,
+    tags=("events", "experiment", "north-star", "audit"),
+)
+def ab_experiment_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users deterministically assigned to arms by
+    the portable md5 bucket (salted 'ab1:' — reassignable by changing the
+    salt, stable across dataset versions, no RNG), per-arm engagement and
+    revenue metrics with exact-DECIMAL money sums. The assignment trick is
+    the same content-hash idiom as the train/val/test split — experiment
+    membership must never depend on execution order or partitioning.
+
+    Plan: one distinct over users, a broadcast-friendly assignment join,
+    one conditional-aggregation pass — at 100 TB the assignment is a
+    PROJECTION on the fact scan (the hash needs only user_id), so the
+    join exists purely to share the distinct-users frame with the
+    per-user denominators."""
+    e = load_table(spark, "events", sf_dir)
+    arm = F.when(
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("ab1:"), F.col("user_id").cast("string"))),
+                    1,
+                    7,
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(2),
+        )
+        == 0,
+        "control",
+    ).otherwise("treatment")
+    revenue = F.sum(
+        F.when(
+            F.col("event_type") == "purchase",
+            F.col("value").cast("decimal(12,2)"),
+        ).otherwise(F.lit(0).cast("decimal(12,2)"))
+    ).cast("decimal(38,2)")
+    m = (
+        e.select("user_id", "event_type", "value", arm.alias("arm"))
+        .groupBy("arm")
+        .agg(
+            F.count_distinct("user_id").cast("long").alias("n_users"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("n_purchases"),
+            revenue.alias("rev"),
+        )
+    )
+    return m.select(
+        "arm",
+        "n_users",
+        "n_purchases",
+        F.col("rev").cast("double").alias("revenue"),
+        (F.col("n_purchases").cast("double") / F.col("n_users").cast("double")).alias(
+            "purchases_per_user"
+        ),
+        (F.col("rev").cast("double") / F.col("n_users").cast("double")).alias(
+            "revenue_per_user"
+        ),
+    )

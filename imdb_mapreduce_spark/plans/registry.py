@@ -124,6 +124,7 @@ _HEAD: tuple[str, ...] = (
     "streaming_cm_sketch_cells",  # the CM sketch as live streaming state
     "streaming_kmv_distinct",  # KMV as custom applyInPandasWithState state
     "snapshot_diff",  # change-data-feed diff of two table versions
+    "ab_experiment_metrics",  # md5-arm experiment readout, exact money
     # r03-green, stalest first (all pushed out of the r04 window)
     "ngram_jaccard_pairs",  # r05: length-ratio prefilter added (VERDICT item 3)
     "ngram_jaccard_capped",  # r05: same prefilter — re-verify with sibling
