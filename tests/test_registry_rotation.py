@@ -119,6 +119,7 @@ def test_window_front_is_staler_than_tail():
     if not paths:
         pytest.skip("no CORRECTNESS_r*.json yet (round 1)")
     newest_green: dict[str, int] = {}
+    oldest_green: dict[str, int] = {}
     for p in paths:
         rnd = int(re.search(r"r(\d+)", p).group(1))
         with open(p) as f:
@@ -126,6 +127,7 @@ def test_window_front_is_staler_than_tail():
         for name, row in rows.items():
             if row.get("hash_match"):
                 newest_green[name] = max(newest_green.get(name, 0), rnd)
+                oldest_green[name] = min(oldest_green.get(name, rnd), rnd)
     latest = _latest_round()
     qs = all_queries()
     ordered = list(qs)
@@ -139,8 +141,17 @@ def test_window_front_is_staler_than_tail():
         if qs[n].oracle is not None and newest_green.get(n, 0) <= latest - 2
     ]
     window_all_fresh = all(newest_green.get(n, 0) == latest for n in in_window)
-    assert not (stale_outside and window_all_fresh), (
-        f"rotation forgotten: the whole driver window is already green in "
-        f"round {latest} while {len(stale_outside)} out-of-window queries "
-        f"are ≥2 rounds stale: {stale_outside[:10]}"
+    # A window dominated by FIRST-EVER-green queries (a round that added
+    # more new operators than the window has slack) is the rotation doing
+    # its job — never-green entries outrank 2-round-stale union-green ones
+    # — not a forgotten rotation. Only flag when the freshly-green window
+    # re-verified queries that were ALL green in some earlier round.
+    window_has_first_green = any(
+        oldest_green.get(n) == latest for n in in_window
+    )
+    assert not (stale_outside and window_all_fresh and not window_has_first_green), (
+        f"rotation forgotten: the whole driver window was ALREADY green "
+        f"before round {latest} and is merely re-verified, while "
+        f"{len(stale_outside)} out-of-window queries are ≥2 rounds stale: "
+        f"{stale_outside[:10]}"
     )
