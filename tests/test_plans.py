@@ -189,6 +189,8 @@ def test_global_plan_hygiene_sweep(spark, queries):
         "split_leakage_audit",
         # 1-row corpus-total frame onto the prediction projection
         "lang_id_confusion",
+        # 1-row grand-total frame onto the per-bucket corpus shares
+        "media_phash_dedup",
     }
     for name, q in queries.items():
         if "streaming" in q.tags:
