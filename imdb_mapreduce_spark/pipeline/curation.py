@@ -739,8 +739,9 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: the split map is one projection of the doc table; tier
     pair sets reuse the exact-fingerprint join and the thresholded
     shingle join (the same tiers the dedup family runs); grading is two
-    broadcast-friendly joins onto the pair lists plus one rollup. The
-    1-row test-count frame rides a cross join."""
+    equi-joins onto the pair lists, rolled down to one row per tier
+    before anything is broadcast — only the 2-row tier list and the
+    1-row test-count frame ride broadcasts/cross joins."""
     docs = load_table(spark, "documents", sf_dir)
     from imdb_mapreduce_spark.pipeline.dedup import jaccard_pairs_min_threshold
     from imdb_mapreduce_spark.pipeline.text import SPLIT_TRAIN_END, SPLIT_VAL_END
@@ -769,30 +770,42 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = s.select(F.col("doc_id").alias("doc1"), F.col("split").alias("s1"))
     sb = s.select(F.col("doc_id").alias("doc2"), F.col("split").alias("s2"))
-    graded = pairs.join(F.broadcast(sa), "doc1").join(F.broadcast(sb), "doc2")
+    # Both the pair set and the split map grow with corpus size/dup rate,
+    # so neither side gets a forced broadcast — plain equi-joins (AQE may
+    # still broadcast at runtime when a side turns out small).
+    graded = pairs.join(sa, "doc1").join(sb, "doc2")
     tiers = spark.createDataFrame(
         [("raw_exact",), (f"jaccard_{LEAK_JACCARD}",)], ["tier"]
     )
     leaked_doc = F.when(
         (F.col("s1") == "test") & (F.col("s2") == "train"), F.col("doc1")
     ).when((F.col("s2") == "test") & (F.col("s1") == "train"), F.col("doc2"))
+    # Roll the (unbounded) pair set down to one row per tier FIRST, then
+    # attach the 2-row tier list and 1-row test count — only constant-size
+    # frames are ever broadcast.
+    per_tier = graded.groupBy("tier").agg(
+        F.count("doc1").cast("long").alias("n_pairs"),
+        F.sum(F.when(F.col("s1") != F.col("s2"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_cross_pairs"),
+        F.countDistinct(leaked_doc).cast("long").alias("n_test_docs_leaked"),
+    )
     return (
-        tiers.crossJoin(F.broadcast(test_n))
-        .join(F.broadcast(graded), "tier", "left")
-        .groupBy("tier")
-        .agg(
-            F.count("doc1").cast("long").alias("n_pairs"),
-            F.coalesce(
-                F.sum(F.when(F.col("s1") != F.col("s2"), 1).otherwise(0)),
-                F.lit(0),
-            )
+        tiers.join(F.broadcast(per_tier), "tier", "left")
+        .crossJoin(F.broadcast(test_n))
+        .select(
+            "tier",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_cross_pairs", F.lit(0))
             .cast("long")
             .alias("n_cross_pairs"),
-            F.countDistinct(leaked_doc).cast("long").alias("n_test_docs_leaked"),
-            F.any_value("n_test").alias("n_test_docs"),
+            F.coalesce("n_test_docs_leaked", F.lit(0))
+            .cast("long")
+            .alias("n_test_docs_leaked"),
+            F.col("n_test").alias("n_test_docs"),
             (
-                F.countDistinct(leaked_doc).cast("double")
-                / F.any_value("n_test").cast("double")
+                F.coalesce("n_test_docs_leaked", F.lit(0)).cast("double")
+                / F.col("n_test").cast("double")
             ).alias("test_leak_fraction"),
         )
     )
@@ -813,7 +826,8 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN k % 10 = 0 THEN (pc * 11) // 10 ELSE pc END AS pc
       FROM v1 WHERE k % 100 <> 0
       UNION ALL
-      SELECT k + 10000000, st, pc FROM v1 WHERE k % 250 = 0),
+      SELECT k + (SELECT MAX(o_orderkey) + 1 FROM orders), st, pc
+      FROM v1 WHERE k % 250 = 0),
     d AS (
       SELECT COALESCE(v2.k, v1.k) AS o_orderkey,
              CASE WHEN v1.k IS NULL THEN 'added'
@@ -841,14 +855,24 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     returned). The second version is derived deterministically from the
     first (every 10th re-priced via exact integer cents, every 100th
     deleted, every 250th cloned to a fresh key) so the oracle replays it
-    exactly; in production v2 is just the next snapshot directory.
+    exactly; in production v2 is just the next snapshot directory. Clone
+    keys are offset by MAX(o_orderkey)+1 — read from the parquet footer
+    statistics, zero Spark jobs — so they stay collision-free at any
+    scale factor (a fixed constant would collide once real keys pass it,
+    and keys start at 0, so the +1 keeps clone 0 off the max key itself).
 
     100 TB posture: one co-partitioned full-outer join on the key (with
     both snapshots bucketed by key — ``sources/storage.write_bucketed`` —
     it degenerates to a zip of co-located files, zero shuffle), and the
     output is proportional to the CHANGE volume, not the table. NULL
     sentinels ('', −1) keep the emission hash-portable."""
+    from imdb_mapreduce_spark.sources.star import parquet_column_max
+
     orders = load_table(spark, "orders", sf_dir)
+    key_offset = parquet_column_max(f"{sf_dir}/orders.parquet", "o_orderkey")
+    if key_offset is None:  # footer lacks stats → one scalar agg job
+        key_offset = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    key_offset = int(key_offset) + 1
     cents = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")
     v1 = orders.select(
         F.col("o_orderkey").alias("k"),
@@ -866,7 +890,7 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(
             v1.filter(F.col("k") % 250 == 0).select(
-                (F.col("k") + 10_000_000).alias("k"), "st", "pc"
+                (F.col("k") + F.lit(key_offset)).alias("k"), "st", "pc"
             )
         )
     )

@@ -1038,10 +1038,16 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     short doc fully embedded in a long one has tiny Jaccard but
     containment 1.0). Reports both directions per pair, kept when either
     crosses {CONTAIN_THR}. Deliberately NO length-ratio prefilter: unequal
-    lengths are exactly the pairs this operator exists to find — the
-    stop-shingle cap (tier 2's guard) is the scale control that applies
-    here, and the plan is the same single shingle equi-join + one pair
-    aggregation as the Jaccard tiers."""
+    lengths are exactly the pairs this operator exists to find, and the
+    OR over directions means shared >= thr*min(|A|,|B|) imposes no length
+    bound at all. That also means the shingle self-join here is UNCAPPED
+    (exact containment needs every shingle in the denominator, and a pair
+    can qualify through stop shingles alone, so tier 2's frequency cap
+    would change answers, not just prune) — this is the exact tier. At
+    100 TB run it the way tier 2/3 scale: cap-candidates-then-verify
+    (``ngram_jaccard_capped``'s plan with this query's ratio columns),
+    accepting that pairs overlapping ONLY in >{STOP_SHINGLE_MAX_FREQ}-doc
+    boilerplate are reported by the boilerplate detector, not this one."""
     sh = exploded_shingles(load_table(spark, "documents", sf_dir))
     a = sh.alias("a").hint("shuffle_hash")
     b = sh.alias("b")

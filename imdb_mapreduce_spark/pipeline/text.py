@@ -116,15 +116,28 @@ def _marker_count(words: tuple[str, ...]) -> Column:
     return F.expr(f"size(filter(split(text, ' '), x -> x IN ({lst})))")
 
 
-@register(
-    "lang_id_heuristic",
-    oracle=f"""
-    SELECT doc_id,
-           {_marker_count_sql(LANG_MARKERS["en"])} AS score_en,
-           {_marker_count_sql(LANG_MARKERS["de"])} AS score_de,
-           {_marker_count_sql(LANG_MARKERS["fr"])} AS score_fr,
-           {_marker_count_sql(LANG_MARKERS["es"])} AS score_es,
-           CASE
+def _guess_col() -> Column:
+    """THE language-guess expression — the single production predictor.
+    ``lang_id_heuristic`` ships it and ``lang_id_confusion`` evaluates
+    it; both import this helper (and its SQL twin ``_guess_sql``) so the
+    eval can never silently diverge from the shipped function."""
+    scores = {k: _marker_count(v) for k, v in LANG_MARKERS.items()}
+    return (
+        F.when(
+            scores["en"]
+            >= F.greatest(scores["de"], scores["fr"], scores["es"], F.lit(1)),
+            "en",
+        )
+        .when(scores["de"] >= F.greatest(scores["fr"], scores["es"], F.lit(1)), "de")
+        .when(scores["fr"] >= F.greatest(scores["es"], F.lit(1)), "fr")
+        .when(scores["es"] >= 1, "es")
+        .otherwise("unknown")
+    )
+
+
+def _guess_sql() -> str:
+    """DuckDB twin of ``_guess_col`` — used by BOTH lang oracles."""
+    return f"""CASE
              WHEN {_marker_count_sql(LANG_MARKERS["en"])} >= greatest(
                     {_marker_count_sql(LANG_MARKERS["de"])},
                     {_marker_count_sql(LANG_MARKERS["fr"])},
@@ -136,7 +149,18 @@ def _marker_count(words: tuple[str, ...]) -> Column:
                     {_marker_count_sql(LANG_MARKERS["es"])}, 1) THEN 'fr'
              WHEN {_marker_count_sql(LANG_MARKERS["es"])} >= 1 THEN 'es'
              ELSE 'unknown'
-           END AS lang_guess
+           END"""
+
+
+@register(
+    "lang_id_heuristic",
+    oracle=f"""
+    SELECT doc_id,
+           {_marker_count_sql(LANG_MARKERS["en"])} AS score_en,
+           {_marker_count_sql(LANG_MARKERS["de"])} AS score_de,
+           {_marker_count_sql(LANG_MARKERS["fr"])} AS score_fr,
+           {_marker_count_sql(LANG_MARKERS["es"])} AS score_es,
+           {_guess_sql()} AS lang_guess
     FROM documents
     """,
     tags=("text", "north-star", "lang"),
@@ -148,17 +172,7 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables; the plan shape (projection + CASE) is identical."""
     docs = load_table(spark, "documents", sf_dir)
     scores = {k: _marker_count(v) for k, v in LANG_MARKERS.items()}
-    guess = (
-        F.when(
-            scores["en"]
-            >= F.greatest(scores["de"], scores["fr"], scores["es"], F.lit(1)),
-            "en",
-        )
-        .when(scores["de"] >= F.greatest(scores["fr"], scores["es"], F.lit(1)), "de")
-        .when(scores["fr"] >= F.greatest(scores["es"], F.lit(1)), "fr")
-        .when(scores["es"] >= 1, "es")
-        .otherwise("unknown")
-    )
+    guess = _guess_col()
     return docs.select(
         "doc_id",
         scores["en"].cast("long").alias("score_en"),
@@ -776,22 +790,6 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _guess_sql() -> str:
-    return f"""CASE
-             WHEN {_marker_count_sql(LANG_MARKERS["en"])} >= greatest(
-                    {_marker_count_sql(LANG_MARKERS["de"])},
-                    {_marker_count_sql(LANG_MARKERS["fr"])},
-                    {_marker_count_sql(LANG_MARKERS["es"])}, 1) THEN 'en'
-             WHEN {_marker_count_sql(LANG_MARKERS["de"])} >= greatest(
-                    {_marker_count_sql(LANG_MARKERS["fr"])},
-                    {_marker_count_sql(LANG_MARKERS["es"])}, 1) THEN 'de'
-             WHEN {_marker_count_sql(LANG_MARKERS["fr"])} >= greatest(
-                    {_marker_count_sql(LANG_MARKERS["es"])}, 1) THEN 'fr'
-             WHEN {_marker_count_sql(LANG_MARKERS["es"])} >= 1 THEN 'es'
-             ELSE 'unknown'
-           END"""
-
-
 @register(
     "lang_id_confusion",
     oracle=f"""
@@ -823,18 +821,7 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a projection, not a model call), one (true, pred) rollup of at
     most |langs|² cells, 1-row total frame on a cross join."""
     docs = load_table(spark, "documents", sf_dir)
-    scores = {k: _marker_count(v) for k, v in LANG_MARKERS.items()}
-    guess = (
-        F.when(
-            scores["en"]
-            >= F.greatest(scores["de"], scores["fr"], scores["es"], F.lit(1)),
-            "en",
-        )
-        .when(scores["de"] >= F.greatest(scores["fr"], scores["es"], F.lit(1)), "de")
-        .when(scores["fr"] >= F.greatest(scores["es"], F.lit(1)), "fr")
-        .when(scores["es"] >= 1, "es")
-        .otherwise("unknown")
-    )
+    guess = _guess_col()
     n = docs.agg(F.count("*").cast("long").alias("total"))
     return (
         docs.select(F.col("lang").alias("true_lang"), guess.alias("pred_lang"))

@@ -94,16 +94,16 @@ def quantity_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     changes AS (
-      SELECT user_id, event_type, ts
+      SELECT user_id, event_type, ts, event_id
       FROM ordered
       WHERE prev_type IS NULL OR event_type <> prev_type),
     versioned AS (
       SELECT user_id, event_type,
              epoch_us(ts) AS valid_from_us,
              epoch_us(LEAD(ts) OVER (PARTITION BY user_id
-                                     ORDER BY ts)) AS valid_to_us,
+                                     ORDER BY ts, event_id)) AS valid_to_us,
              CAST(ROW_NUMBER() OVER (PARTITION BY user_id
-                                     ORDER BY ts) AS BIGINT) AS version
+                                     ORDER BY ts, event_id) AS BIGINT) AS version
       FROM changes)
     SELECT user_id, event_type, valid_from_us,
            COALESCE(valid_to_us, CAST(-1 AS BIGINT)) AS valid_to_us,
@@ -141,7 +141,11 @@ def user_state_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("event_type") != F.col("prev_type"))
         )
     )
-    w2 = Window.partitionBy("user_id").orderBy("ts")
+    # event_id tie-break keeps versions/intervals deterministic when a
+    # user has two state-changing events at the identical timestamp —
+    # without it LEAD/ROW_NUMBER order is engine-defined and the parity
+    # hash can flake (both windows share the one user_id exchange).
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return (
         changes.select(
             "user_id",

@@ -141,3 +141,35 @@ def parquet_num_rows(path: str) -> int:
             for f in _glob.glob(os.path.join(path, "*.parquet"))
         )
     return pq.ParquetFile(path).metadata.num_rows
+
+
+def parquet_column_max(path: str, column: str):
+    """Column MAX from parquet row-group STATISTICS only (pyarrow,
+    driver-side, zero Spark jobs) — the same footer-probe idiom as
+    ``parquet_num_rows``, for derivations that need a scale-proof scalar
+    (e.g. a guaranteed-fresh surrogate-key offset). Returns None if any
+    row group lacks statistics for the column (caller must fall back to
+    a real scan)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    files = (
+        _glob.glob(os.path.join(path, "*.parquet"))
+        if os.path.isdir(path)
+        else [path]
+    )
+    best = None
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        schema_names = [md.schema.column(i).name for i in range(md.num_columns)]
+        try:
+            ci = schema_names.index(column)
+        except ValueError:
+            return None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                return None
+            best = st.max if best is None else max(best, st.max)
+    return best

@@ -164,7 +164,7 @@ KMV_STATE_SCHEMA = StructType(
     ]
 )
 
-_KMV_STATE = "hashes ARRAY<LONG>, rows_seen LONG"
+_KMV_STATE = "hashes ARRAY<LONG>, users ARRAY<LONG>, rows_seen LONG"
 
 
 def _update_kmv(
@@ -178,28 +178,43 @@ def _update_kmv(
 
     The hash is the repo's portable md5 fragment — hashlib here computes
     the IDENTICAL value the Spark/DuckDB expression builds produce, so
-    the drained state hash-matches the batch oracle."""
+    the drained state hash-matches the batch oracle.
+
+    State holds (hash, user) PAIRS, not bare hash values: the batch side
+    (ROW_NUMBER over per-user hashes, m = COUNT(*)) keeps two distinct
+    users whose md5 prefixes collide as two sketch rows, so deduping by
+    hash alone would shift m/kth under a collision. Pair-keyed dedup is
+    exactly one-row-per-distinct-user, still bounded at k entries, and
+    the trim is monotone (kth only ever decreases, so a dropped pair can
+    never re-qualify)."""
     import hashlib
 
     import pandas as pd
 
     from imdb_mapreduce_spark.plans.quality import KMV_K
 
-    hashes, rows_seen = (
-        (list(state.get[0]), state.get[1]) if state.exists else ([], 0)
-    )
-    cur = set(hashes)
+    if state.exists:
+        hashes, users, rows_seen = (
+            list(state.get[0]),
+            list(state.get[1]),
+            state.get[2],
+        )
+    else:
+        hashes, users, rows_seen = [], [], 0
+    cur = set(zip(hashes, users))
     for pdf in batches:
         rows_seen += len(pdf)
         for u in pdf["user_id"]:
-            cur.add(int(hashlib.md5(str(int(u)).encode()).hexdigest()[:15], 16))
+            ui = int(u)
+            h = int(hashlib.md5(str(ui).encode()).hexdigest()[:15], 16)
+            cur.add((h, ui))
     keep = sorted(cur)[:KMV_K]
-    state.update((keep, rows_seen))
+    state.update(([h for h, _ in keep], [u for _, u in keep], rows_seen))
     yield pd.DataFrame(
         {
             "event_type": [key[0]],
             "rows_seen": [rows_seen],
-            "kth_hash": [keep[-1]],
+            "kth_hash": [keep[-1][0]],
             "m": [len(keep)],
         }
     )

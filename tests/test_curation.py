@@ -199,17 +199,27 @@ def test_snapshot_diff_partitions_and_conserves(spark):
     by = {}
     for r in rows:
         by.setdefault(r["change_type"], []).append(r)
-    n1 = load_table(spark, "orders", sf).count()
+    keys = [
+        r["o_orderkey"]
+        for r in load_table(spark, "orders", sf).select("o_orderkey").collect()
+    ]
+    max_key = max(keys)
     n_removed = len(by.get("removed", []))
     n_added = len(by.get("added", []))
-    assert n_removed == sum(1 for r in by["removed"] if r["o_orderkey"] % 100 == 0)
+    # reconcile each class against an INDEPENDENT count from the source
+    # keys, so a diff that drops/duplicates rows fails here
+    assert n_removed == sum(1 for k in keys if k % 100 == 0)
+    assert all(r["o_orderkey"] % 100 == 0 for r in by.get("removed", []))
+    assert n_added == sum(1 for k in keys if k % 250 == 0)
+    expected_changed = sum(1 for k in keys if k % 10 == 0 and k % 100 != 0)
+    assert len(by.get("changed", [])) == expected_changed
     for r in by.get("changed", []):
         assert r["o_orderkey"] % 10 == 0 and r["o_orderkey"] % 100 != 0
         assert r["new_price_cents"] == r["old_price_cents"] * 11 // 10
         assert r["new_status"] == "U"
+    # clone keys are offset by max(o_orderkey)+1 — fresh at any scale
+    assert {r["o_orderkey"] - (max_key + 1) for r in by.get("added", [])} == {
+        k for k in keys if k % 250 == 0
+    }
     for r in by.get("added", []):
-        assert r["o_orderkey"] >= 10_000_000
         assert r["old_price_cents"] == -1 and r["old_status"] == ""
-    # conservation: v2 size from the diff equals the construction
-    n2 = n1 - n_removed + n_added
-    assert n2 == (n1 - n_removed) + n_added
