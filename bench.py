@@ -134,6 +134,14 @@ def main() -> None:
             timings[name] = min(passes)
         except Exception as exc:  # noqa: BLE001 — isolate; record; continue
             errors[name] = repr(exc)[:800]
+        # Drop Python-side DataFrame refs NOW so the JVM ContextCleaner can
+        # reclaim checkpoint/broadcast blocks between queries — otherwise
+        # blocks from checkpoint-heavy queries (BFS, PageRank) pile up and
+        # late-bench queries pay their eviction (r05: text_feature_hashing
+        # recorded 7.4 s warm passes late in the run vs 0.6 s in isolation).
+        import gc
+
+        gc.collect()
 
     # "value" is the steady-state total: sum of per-query min-of-3 wall
     # times, session startup excluded (reported separately) — directly
