@@ -719,3 +719,75 @@ def test_split_leakage_raw_exact_is_zero_by_construction(spark):
     assert j["test_leak_fraction"] == (
         j["n_test_docs_leaked"] / j["n_test_docs"]
     )
+
+
+# ---------------------------------------------------------------------------
+# hll_distinct_users: portable HLL accuracy + register merge law
+# ---------------------------------------------------------------------------
+
+
+def test_hll_estimate_within_theoretical_error(spark):
+    from imdb_mapreduce_spark.plans.quality import HLL_M, hll_distinct_users
+
+    rows = hll_distinct_users(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    for r in rows:
+        # HLL std error ≈ 1.04/sqrt(m) ≈ 13% at m=64; allow 3 sigma.
+        # Small cardinalities route through linear counting, whose error
+        # is tighter, so one bound covers both branches.
+        rel = abs(r["est_distinct"] - r["n_exact"]) / max(r["n_exact"], 1)
+        assert rel < 3 * 1.04 / (HLL_M**0.5), (r["event_type"], rel)
+
+
+def test_hll_small_cardinality_uses_linear_counting(spark):
+    """sf0.001 has ~15 users per type — raw HLL overshoots badly there;
+    the linear-counting branch must engage (v_empty > 0) and land within
+    a few percent of exact."""
+    from imdb_mapreduce_spark.plans.quality import hll_distinct_users
+
+    rows = hll_distinct_users(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r["v_empty"] > 0
+        rel = abs(r["est_distinct"] - r["n_exact"]) / max(r["n_exact"], 1)
+        assert rel < 0.15, (r["event_type"], r["est_distinct"], r["n_exact"])
+
+
+def test_hll_register_file_is_mergeable(spark):
+    """The 100 TB claim: the register file merged across two halves of
+    the data (elementwise MAX) equals the whole-data register file — the
+    property that lets independent executors sketch then combine."""
+    from imdb_mapreduce_spark.plans.quality import HLL_M, _HLL_RHO_MAX
+    from imdb_mapreduce_spark.sources.star import load_table
+
+    e = load_table(spark, "events", "/root/testdata/sf0.01")
+
+    def registers(df):
+        reg = df.select(
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+            )
+            .cast("bigint")
+            .alias("h")
+        ).select(
+            F.pmod("h", F.lit(HLL_M)).alias("idx"),
+            F.expr(f"h div {HLL_M}").alias("rem"),
+        )
+        rho = reg.select(
+            "idx",
+            F.when(F.col("rem") == 0, F.lit(_HLL_RHO_MAX))
+            .otherwise(F.lit(_HLL_RHO_MAX) - F.length(F.bin("rem")))
+            .alias("rho"),
+        )
+        return {
+            r["idx"]: r["m"]
+            for r in rho.groupBy("idx").agg(F.max("rho").alias("m")).collect()
+        }
+
+    whole = registers(e)
+    lo = registers(e.filter(F.col("user_id") % 2 == 0))
+    hi = registers(e.filter(F.col("user_id") % 2 == 1))
+    merged = {
+        j: max(lo.get(j, 0), hi.get(j, 0)) for j in set(lo) | set(hi)
+    }
+    assert merged == whole
