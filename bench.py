@@ -81,6 +81,10 @@ HEADLINE = (
     "text_feature_hashing",
     "embedding_random_projection",
     "zone_map_prune_audit",
+    # added r05 session 3 (portable-register HLL; exact-substring span
+    # dedup — gram self-join + gaps-and-islands run merge)
+    "hll_distinct_users",
+    "duplicate_span_pairs",
 )
 
 

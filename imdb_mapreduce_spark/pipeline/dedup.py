@@ -1074,3 +1074,133 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("contain_2in1") >= CONTAIN_THR)
         )
     )
+
+
+# --- exact-substring duplicate spans (r05 session 3) -----------------------
+
+DUP_SPAN_GRAM = 20  # tokens per gram (the match unit)
+DUP_SPAN_MIN = 25  # report pairs with a shared run of >= this many tokens
+DUP_GRAM_MAX_FREQ = 50  # corpus-wide occurrence cap: beyond = boilerplate
+
+
+@register(
+    "duplicate_span_pairs",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    lists AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(1, greatest(len(t) - {DUP_SPAN_GRAM - 1}, 1)),
+               i -> {{'pos': i,
+                     'h': ('0x' || substring(md5(
+                            array_to_string(t[i:i+{DUP_SPAN_GRAM - 1}], ' ')),
+                            1, 15))::BIGINT}}) AS gl
+      FROM toks),
+    g AS (SELECT doc_id, unnest(gl, recursive := true) FROM lists),
+    kept AS (
+      SELECT * FROM (
+        SELECT doc_id, pos, h, COUNT(*) OVER (PARTITION BY h) AS f FROM g)
+      WHERE f <= {DUP_GRAM_MAX_FREQ}),
+    m AS (
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+             a.pos AS p1, a.pos - b.pos AS diag
+      FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id),
+    runs AS (
+      SELECT doc1, doc2, diag,
+             p1 - ROW_NUMBER() OVER (PARTITION BY doc1, doc2, diag
+                                     ORDER BY p1) AS isl
+      FROM m),
+    islands AS (
+      SELECT doc1, doc2, diag, isl, COUNT(*) AS run
+      FROM runs GROUP BY 1, 2, 3, 4)
+    SELECT doc1, doc2,
+           CAST(SUM(run) AS BIGINT) AS n_shared_grams,
+           CAST(COUNT(DISTINCT diag) AS BIGINT) AS n_diagonals,
+           CAST(MAX(run) + {DUP_SPAN_GRAM - 1} AS BIGINT) AS longest_span_tokens
+    FROM islands GROUP BY 1, 2
+    HAVING MAX(run) + {DUP_SPAN_GRAM - 1} >= {DUP_SPAN_MIN}
+    """,
+    tags=("dedup", "north-star", "substring", "scale"),
+)
+def duplicate_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-SUBSTRING duplicate spans (the Lee et al. 2021 'Deduplicating
+    Training Data Makes Language Models Better' method, re-expressed
+    relationally): find document pairs sharing a verbatim token run of >=
+    {DUP_SPAN_MIN} tokens — the duplication mode shingle-Jaccard blurs
+    away (two long docs sharing one copied paragraph have low Jaccard but
+    a long exact span). Instead of a suffix array: every {DUP_SPAN_GRAM}-
+    token gram is hashed to a portable 60-bit md5 int at its position;
+    matching grams across docs land on DIAGONALS (p1 - p2 = const), and a
+    gaps-and-islands pass (pos - ROW_NUMBER per diagonal) merges
+    consecutive matches into maximal runs: a shared run of L tokens is
+    L - {DUP_SPAN_GRAM} + 1 consecutive grams, so longest span = max run
+    + {DUP_SPAN_GRAM - 1}.
+
+    Scale posture: the gram self-join shuffles 8-byte hash ints, never
+    gram strings; the corpus-wide frequency cap ({DUP_GRAM_MAX_FREQ}
+    occurrences) bounds the f^2 blowup of boilerplate grams IN-PLAN and
+    is mirrored exactly by the oracle (capped grams are declared
+    boilerplate, a stated semantic, not silent pruning — at 20 tokens a
+    gram that frequent is never organic prose). The islands window keys
+    on (doc1, doc2, diag) — partitions are single runs, no skew."""
+    K = DUP_SPAN_GRAM
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    g = toks.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.size("t") - (K - 1), F.lit(1)))
+        ).alias("pos"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.conv(
+            F.substring(
+                F.md5(F.array_join(F.slice("t", F.col("pos"), K), " ")), 1, 15
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h"),
+    )
+    kept = (
+        g.withColumn("f", F.count("*").over(Window.partitionBy("h")))
+        .filter(F.col("f") <= DUP_GRAM_MAX_FREQ)
+        .drop("f")
+    )
+    a = kept.alias("a").hint("shuffle_hash")
+    b = kept.alias("b")
+    m = a.join(
+        b,
+        (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc1"),
+        F.col("b.doc_id").alias("doc2"),
+        F.col("a.pos").alias("p1"),
+        (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+    )
+    runs = m.select(
+        "doc1",
+        "doc2",
+        "diag",
+        (
+            F.col("p1")
+            - F.row_number().over(
+                Window.partitionBy("doc1", "doc2", "diag").orderBy("p1")
+            )
+        ).alias("isl"),
+    )
+    islands = runs.groupBy("doc1", "doc2", "diag", "isl").agg(
+        F.count("*").alias("run")
+    )
+    return (
+        islands.groupBy("doc1", "doc2")
+        .agg(
+            F.sum("run").cast("long").alias("n_shared_grams"),
+            F.countDistinct("diag").cast("long").alias("n_diagonals"),
+            (F.max("run") + F.lit(K - 1)).cast("long").alias("longest_span_tokens"),
+        )
+        .filter(F.col("longest_span_tokens") >= DUP_SPAN_MIN)
+    )

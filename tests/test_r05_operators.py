@@ -791,3 +791,65 @@ def test_hll_register_file_is_mergeable(spark):
         j: max(lo.get(j, 0), hi.get(j, 0)) for j in set(lo) | set(hi)
     }
     assert merged == whole
+
+
+# ---------------------------------------------------------------------------
+# duplicate_span_pairs: exact-substring span semantics
+# ---------------------------------------------------------------------------
+
+
+def test_duplicate_spans_bounded_by_doc_length(spark):
+    """A shared verbatim run can never exceed either document's token
+    count, and every reported pair must clear the span floor."""
+    from imdb_mapreduce_spark.pipeline.dedup import (
+        DUP_SPAN_MIN,
+        duplicate_span_pairs,
+    )
+    from imdb_mapreduce_spark.sources.star import load_table
+
+    sf = "/root/testdata/sf0.01"
+    lens = {
+        r["doc_id"]: r["n"]
+        for r in load_table(spark, "documents", sf)
+        .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+        .collect()
+    }
+    rows = duplicate_span_pairs(spark, sf).collect()
+    assert rows
+    for r in rows:
+        assert r["longest_span_tokens"] >= DUP_SPAN_MIN
+        assert r["longest_span_tokens"] <= min(lens[r["doc1"]], lens[r["doc2"]])
+        assert r["n_diagonals"] >= 1
+
+
+def test_duplicate_spans_find_exact_dups_full_length(spark):
+    """Byte-identical docs share their entire token stream: the reported
+    span for an exact-dup pair must equal the full doc length."""
+    from imdb_mapreduce_spark.pipeline.dedup import duplicate_span_pairs
+    from imdb_mapreduce_spark.sources.star import load_table
+
+    sf = "/root/testdata/sf0.01"
+    docs = load_table(spark, "documents", sf)
+    dup_pair = (
+        docs.alias("a")
+        .join(
+            docs.alias("b"),
+            (F.col("a.text") == F.col("b.text"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc1"),
+            F.col("b.doc_id").alias("doc2"),
+            F.size(F.split(F.col("a.text"), " ")).alias("n_tokens"),
+        )
+        .limit(1)
+        .collect()
+    )
+    if not dup_pair:  # corpus has no exact dups at this SF — vacuous
+        return
+    want = dup_pair[0]
+    spans = {
+        (r["doc1"], r["doc2"]): r["longest_span_tokens"]
+        for r in duplicate_span_pairs(spark, sf).collect()
+    }
+    assert spans[(want["doc1"], want["doc2"])] == want["n_tokens"]
