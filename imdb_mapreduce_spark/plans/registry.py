@@ -75,6 +75,9 @@ _HEAD: tuple[str, ...] = (
     # rows-only entries so each round refreshes their rows-only record.
     "pagerank_coparts",  # r05: exact-DECIMAL oracle conversion (VERDICT item 4)
     "simhash_near_dups",  # r05: portable md5 oracle conversion (VERDICT item 5)
+    # NEW r05 session 3 (no driver row yet):
+    "hll_distinct_users",  # portable-register HyperLogLog
+    "duplicate_span_pairs",  # exact-substring span dedup (diagonal runs)
     "ngram_jaccard_thresholded",  # NEW r05: length-prefiltered pairs — no row yet
     # NEW r05 operators (no driver row yet):
     "copurchase_triangles",  # triangle counting w/ a-priori min-support prune
