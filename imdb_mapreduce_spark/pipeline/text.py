@@ -837,3 +837,66 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cell_fraction"),
         )
     )
+
+
+# --- BPE merge induction (r05 session 3) -----------------------------------
+
+BPE_TOPK = 20
+
+
+@register(
+    "bpe_merge_candidates",
+    oracle=f"""
+    WITH words AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE length(w) >= 2
+      GROUP BY w),
+    pairs AS (
+      SELECT substring(w, i, 2) AS pair, freq
+      FROM words, LATERAL (
+        SELECT unnest(generate_series(1, length(w) - 1)) AS i) s),
+    counts AS (
+      SELECT pair, CAST(SUM(freq) AS BIGINT) AS n_occurrences,
+             CAST(COUNT(*) AS BIGINT) AS n_vocab_words
+      FROM pairs GROUP BY pair)
+    SELECT pair, n_occurrences, n_vocab_words
+    FROM counts
+    ORDER BY n_occurrences DESC, pair
+    LIMIT {BPE_TOPK}
+    """,
+    tags=("text", "north-star", "tokens", "bpe"),
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE ROUND of BPE vocabulary induction (Sennrich et al. 2016): the
+    corpus-weighted adjacent-symbol-pair counts whose argmax is the next
+    merge rule — the training half of the tokenizer whose inference half
+    is ``token_count_bpe``. Full BPE iterates this with re-segmentation;
+    the relational unit is one counting round, and THE scalable trick is
+    in the shape: pairs are extracted over the DISTINCT-WORD vocabulary
+    (thousands of rows) and weighted by word frequency, never over the
+    corpus token stream (billions) — the same vocab-vs-stream asymmetry
+    every production BPE trainer exploits.
+
+    Plan: one map-side-combining shuffle for word frequencies, a
+    sequence-explode over the vocab, one pair rollup, and a {BPE_TOPK}-row
+    TakeOrdered. Ties broken by pair string for a deterministic top-k."""
+    docs = load_table(spark, "documents", sf_dir)
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    pairs = words.select(
+        "freq",
+        F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"),
+        "w",
+    ).select(F.substring("w", F.col("i"), F.lit(2)).alias("pair"), "freq")
+    counts = pairs.groupBy("pair").agg(
+        F.sum("freq").cast("long").alias("n_occurrences"),
+        F.count("*").cast("long").alias("n_vocab_words"),
+    )
+    return counts.orderBy(
+        F.col("n_occurrences").desc(), F.col("pair")
+    ).limit(BPE_TOPK)

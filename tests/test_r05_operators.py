@@ -853,3 +853,25 @@ def test_duplicate_spans_find_exact_dups_full_length(spark):
         for r in duplicate_span_pairs(spark, sf).collect()
     }
     assert spans[(want["doc1"], want["doc2"])] == want["n_tokens"]
+
+
+def test_bpe_merge_candidates_are_valid_pairs(spark):
+    """Top merge candidates: 2-char pairs, descending count, and the count
+    of the winner must equal an independently computed corpus total."""
+    from imdb_mapreduce_spark.pipeline.text import bpe_merge_candidates
+    from imdb_mapreduce_spark.sources.star import load_table
+
+    sf = SF_SMALL
+    rows = bpe_merge_candidates(spark, sf).collect()
+    assert rows
+    assert all(len(r["pair"]) == 2 for r in rows)
+    counts = [r["n_occurrences"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    # independent recount of the winning pair, straight over the corpus
+    top = rows[0]["pair"]
+    total = 0
+    for (text,) in load_table(spark, "documents", sf).select("text").collect():
+        for w in text.split(" "):
+            if len(w) >= 2:
+                total += sum(1 for i in range(len(w) - 1) if w[i : i + 2] == top)
+    assert total == rows[0]["n_occurrences"]
