@@ -1170,8 +1170,18 @@ def duplicate_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("f") <= DUP_GRAM_MAX_FREQ)
         .drop("f")
     )
-    a = kept.alias("a").hint("shuffle_hash")
-    b = kept.alias("b")
+    return span_pairs_from_grams(kept, K, DUP_SPAN_MIN)
+
+
+def span_pairs_from_grams(
+    grams: DataFrame, gram_tokens: int, min_span: int
+) -> DataFrame:
+    """The span-merge core of ``duplicate_span_pairs`` over a prepared
+    (doc_id, pos, h) gram table: hash self-join -> diagonal gaps-and-
+    islands -> maximal-run rollup. Factored out so the scale smoke can
+    drive it with synthetic million-gram inputs."""
+    a = grams.alias("a").hint("shuffle_hash")
+    b = grams.alias("b")
     m = a.join(
         b,
         (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")),
@@ -1200,7 +1210,9 @@ def duplicate_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("run").cast("long").alias("n_shared_grams"),
             F.countDistinct("diag").cast("long").alias("n_diagonals"),
-            (F.max("run") + F.lit(K - 1)).cast("long").alias("longest_span_tokens"),
+            (F.max("run") + F.lit(gram_tokens - 1))
+            .cast("long")
+            .alias("longest_span_tokens"),
         )
-        .filter(F.col("longest_span_tokens") >= DUP_SPAN_MIN)
+        .filter(F.col("longest_span_tokens") >= min_span)
     )

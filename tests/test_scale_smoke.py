@@ -202,3 +202,99 @@ def test_scd2_compression_at_2m_events(spark):
     # exactly: per-user states are s=floor(t/3)%4 for t=0..39 -> changes
     # at t=0,3,6,...,39 -> 14 intervals per user
     assert agg["n_intervals"] == 50_000 * 14
+
+
+def test_hll_registers_at_2m_distinct(spark):
+    """Portable-HLL register build over 2M distinct keys in 4 groups: at
+    most 64 registers per group survive, and the raw estimate (the exact
+    BIGINT denominator path, computed distributed) lands within 3 sigma
+    (3*1.04/8 ≈ 39%) of truth for every group."""
+    from imdb_mapreduce_spark.plans.quality import HLL_M, _HLL_RHO_MAX, _HLL_ALPHA
+
+    n = 2_000_000
+    df = spark.range(n).select(
+        (F.col("id") % 4).alias("g"),
+        F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
+    reg = df.select(
+        "g",
+        F.pmod("h", F.lit(HLL_M)).alias("idx"),
+        F.expr(f"h div {HLL_M}").alias("rem"),
+    ).select(
+        "g",
+        "idx",
+        F.when(F.col("rem") == 0, F.lit(_HLL_RHO_MAX))
+        .otherwise(F.lit(_HLL_RHO_MAX) - F.length(F.bin("rem")))
+        .alias("rho"),
+    )
+    regs = reg.groupBy("g", "idx").agg(F.max("rho").alias("m_j"))
+    agg = regs.groupBy("g").agg(
+        F.sum(
+            F.expr(
+                f"cast(shiftleft(cast(1 as bigint), "
+                f"cast({_HLL_RHO_MAX} - m_j as int)) as bigint)"
+            )
+        ).alias("s_present"),
+        F.count("*").alias("n_present"),
+    )
+    rows = agg.collect()
+    assert len(rows) == 4
+    truth = n / 4
+    for r in rows:
+        assert r["n_present"] <= HLL_M
+        s = r["s_present"] + (HLL_M - r["n_present"]) * (1 << _HLL_RHO_MAX)
+        est = _HLL_ALPHA * HLL_M * HLL_M * float(1 << _HLL_RHO_MAX) / s
+        assert abs(est - truth) / truth < 3 * 1.04 / (HLL_M**0.5), (r["g"], est)
+
+
+def test_span_merge_at_1m_grams(spark):
+    """Diagonal run merging over 1M synthetic gram rows: 10k doc PAIRS
+    each sharing one aligned 50-gram run (plus a 3-gram decoy on another
+    diagonal) must come back as exactly one row per pair with the exact
+    span arithmetic — asserted with aggregates, nothing wide collected."""
+    from imdb_mapreduce_spark.pipeline.dedup import span_pairs_from_grams
+
+    pairs, run, decoy, K = 10_000, 50, 3, 20
+    base = spark.range(pairs * run).select(
+        (F.col("id") % pairs).alias("pair"),
+        (F.col("id") / pairs).cast("long").alias("i"),
+    )
+    # docs 2p and 2p+1 share grams at positions 1..run (same h), and a
+    # decoy match at positions 500+j vs 900+j for j<3 (diagonal -400)
+    shared = base.select(
+        "pair", (F.col("i") + 1).alias("pos"), (F.col("pair") * 1000 + F.col("i")).alias("h")
+    )
+    g_even = shared.select((F.col("pair") * 2).alias("doc_id"), "pos", "h")
+    g_odd = shared.select((F.col("pair") * 2 + 1).alias("doc_id"), "pos", "h")
+    d = spark.range(pairs * decoy).select(
+        (F.col("id") % pairs).alias("pair"),
+        (F.col("id") / pairs).cast("long").alias("j"),
+    )
+    d_even = d.select(
+        (F.col("pair") * 2).alias("doc_id"),
+        (F.col("j") + 500).alias("pos"),
+        (F.lit(10_000_000) + F.col("pair") * 10 + F.col("j")).alias("h"),
+    )
+    d_odd = d.select(
+        (F.col("pair") * 2 + 1).alias("doc_id"),
+        (F.col("j") + 900).alias("pos"),
+        (F.lit(10_000_000) + F.col("pair") * 10 + F.col("j")).alias("h"),
+    )
+    grams = g_even.unionByName(g_odd).unionByName(d_even).unionByName(d_odd)
+    out = span_pairs_from_grams(grams, K, min_span=K)
+    stats = out.agg(
+        F.count("*").alias("n"),
+        F.count_distinct("doc1", "doc2").alias("nd"),
+        F.min("longest_span_tokens").alias("lo"),
+        F.max("longest_span_tokens").alias("hi"),
+        F.min("n_shared_grams").alias("sg_lo"),
+        F.max("n_shared_grams").alias("sg_hi"),
+        F.min("n_diagonals").alias("d_lo"),
+        F.max("n_diagonals").alias("d_hi"),
+    ).collect()[0]
+    assert stats["n"] == pairs and stats["nd"] == pairs
+    assert stats["lo"] == stats["hi"] == run + K - 1
+    assert stats["sg_lo"] == stats["sg_hi"] == run + decoy
+    assert stats["d_lo"] == stats["d_hi"] == 2
