@@ -85,6 +85,7 @@ HEADLINE = (
     # dedup — gram self-join + gaps-and-islands run merge)
     "hll_distinct_users",
     "duplicate_span_pairs",
+    "bpe_merge_candidates",
 )
 
 
