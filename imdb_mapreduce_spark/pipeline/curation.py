@@ -912,3 +912,67 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("v2.pc"), F.lit(-1)).alias("new_price_cents"),
     )
     return d.filter(F.col("change_type") != "unchanged")
+
+
+# --- weighted deterministic sampling (r05 session 3) -----------------------
+
+WSAMPLE_CAP = 256  # weight cap: docs at/above this token count always kept
+WSAMPLE_UNIT = (1 << 60) // WSAMPLE_CAP  # exact hash-space per weight unit
+
+
+@register(
+    "weighted_sample_tokens",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, lang,
+             len(string_split(text, ' ')) AS n_tokens,
+             least(len(string_split(text, ' ')), {WSAMPLE_CAP}) AS wt,
+             ('0x' || substring(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM documents)
+    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(wt AS BIGINT) AS weight
+    FROM w
+    WHERE h < wt * CAST({WSAMPLE_UNIT} AS BIGINT)
+    """,
+    tags=("curation", "north-star", "sampling", "weighted"),
+)
+def weighted_sample_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED deterministic Bernoulli sampling: each document kept with
+    probability proportional to its token count (P = min(n_tokens,
+    {WSAMPLE_CAP})/{WSAMPLE_CAP}) — the token-budget-proportional
+    selection a pre-training mix uses so sampled TOKEN mass, not doc
+    count, tracks the corpus. Same determinism contract as the rest of
+    the sampling family (``content_sample``, ``stratified_sample_hash``):
+    no RNG anywhere — the keep decision is md5(doc_id) against an EXACT
+    integer threshold wt * (2^60 div {WSAMPLE_CAP}), so the sample is
+    reproducible on any engine, any partitioning, any run, and the
+    inclusion probabilities are exact rationals, not float comparisons.
+
+    Scale posture: pure projection + filter (no shuffle at all); the
+    salted 'ws:' hash domain is independent of the split/content hashes,
+    so this sample composes with the split assignment without
+    correlation."""
+    docs = load_table(spark, "documents", sf_dir)
+    n_tok = F.size(F.split("text", " "))
+    wt = F.least(n_tok, F.lit(WSAMPLE_CAP))
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            n_tok.cast("long").alias("n_tokens"),
+            wt.cast("long").alias("weight"),
+            h.alias("_h"),
+        )
+        .filter(F.col("_h") < F.col("weight") * F.lit(WSAMPLE_UNIT))
+        .drop("_h")
+    )

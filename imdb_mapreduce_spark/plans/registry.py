@@ -79,6 +79,7 @@ _HEAD: tuple[str, ...] = (
     "hll_distinct_users",  # portable-register HyperLogLog
     "duplicate_span_pairs",  # exact-substring span dedup (diagonal runs)
     "bpe_merge_candidates",  # BPE vocab-induction counting round
+    "weighted_sample_tokens",  # token-proportional deterministic Bernoulli
     "ngram_jaccard_thresholded",  # NEW r05: length-prefiltered pairs — no row yet
     # NEW r05 operators (no driver row yet):
     "copurchase_triangles",  # triangle counting w/ a-priori min-support prune

@@ -875,3 +875,38 @@ def test_bpe_merge_candidates_are_valid_pairs(spark):
             if len(w) >= 2:
                 total += sum(1 for i in range(len(w) - 1) if w[i : i + 2] == top)
     assert total == rows[0]["n_occurrences"]
+
+
+def test_weighted_sample_membership_is_exact(spark):
+    """Every document's keep/drop decision must equal the exact integer
+    threshold rule recomputed independently driver-side, and long docs
+    must be sampled at a higher empirical rate than short ones."""
+    import hashlib
+
+    from imdb_mapreduce_spark.pipeline.curation import (
+        WSAMPLE_CAP,
+        WSAMPLE_UNIT,
+        weighted_sample_tokens,
+    )
+    from imdb_mapreduce_spark.sources.star import load_table
+
+    sf = "/root/testdata/sf0.01"
+    docs = {
+        r["doc_id"]: len(r["text"].split(" "))
+        for r in load_table(spark, "documents", sf).collect()
+    }
+    expect = set()
+    for doc_id, n_tok in docs.items():
+        h = int(hashlib.md5(f"ws:{doc_id}".encode()).hexdigest()[:15], 16)
+        if h < min(n_tok, WSAMPLE_CAP) * WSAMPLE_UNIT:
+            expect.add(doc_id)
+    got = {r["doc_id"] for r in weighted_sample_tokens(spark, sf).collect()}
+    assert got == expect
+    # weighting sanity: empirical rate of the longest-doc half dominates
+    med = sorted(docs.values())[len(docs) // 2]
+    long_ids = {d for d, n in docs.items() if n >= med}
+    short_ids = set(docs) - long_ids
+    if short_ids and long_ids:
+        r_long = len(got & long_ids) / len(long_ids)
+        r_short = len(got & short_ids) / max(len(short_ids), 1)
+        assert r_long > r_short
