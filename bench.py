@@ -86,6 +86,7 @@ HEADLINE = (
     "hll_distinct_users",
     "duplicate_span_pairs",
     "bpe_merge_candidates",
+    "copurchase_sssp",
 )
 
 

@@ -910,3 +910,63 @@ def test_weighted_sample_membership_is_exact(spark):
         r_long = len(got & long_ids) / len(long_ids)
         r_short = len(got & short_ids) / max(len(short_ids), 1)
         assert r_long > r_short
+
+
+# ---------------------------------------------------------------------------
+# bounded_sssp: min-plus iterative operator semantics
+# ---------------------------------------------------------------------------
+
+
+def test_bounded_sssp_matches_driver_bellman_ford(spark):
+    """The delta-relaxing operator on a hand-built weighted graph must
+    equal a driver-side K-round Bellman-Ford, including the bounded-hop
+    semantics (a cheap long path beyond K hops must NOT win)."""
+    from imdb_mapreduce_spark.operators.sssp import bounded_sssp
+
+    #   0 -5-> 1 -5-> 2       direct heavy path
+    #   0 -1-> 3 -1-> 4 -1-> 5 -1-> 2   cheap 4-hop path
+    raw = [(0, 1, 5), (1, 2, 5), (0, 3, 1), (3, 4, 1), (4, 5, 1), (5, 2, 1)]
+    edges = spark.createDataFrame(raw, "src bigint, dst bigint, w bigint")
+
+    def bf(rounds):
+        dist = {0: 0}
+        for _ in range(rounds):
+            nd = dict(dist)
+            for s_, d_, w_ in raw:
+                if s_ in dist and dist[s_] + w_ < nd.get(d_, 1 << 60):
+                    nd[d_] = dist[s_] + w_
+            dist = nd
+        return dist
+
+    for rounds in (2, 3, 4):
+        got = {
+            r["node"]: r["dist"]
+            for r in bounded_sssp(edges, 0, rounds=rounds, checkpoint=False).collect()
+        }
+        assert got == bf(rounds), rounds
+    # at 2 rounds the heavy 2-hop path wins (10); by 4 the cheap one (4)
+    assert bf(2)[2] == 10 and bf(4)[2] == 4
+
+
+def test_bounded_sssp_early_exit_on_drained_frontier(spark):
+    """A graph that converges in 1 round must return identical results
+    for any larger round budget (the frontier drains; extra rounds are
+    no-ops, exercised with the broadcast gate forced off)."""
+    from imdb_mapreduce_spark.operators.sssp import bounded_sssp
+
+    edges = spark.createDataFrame(
+        [(0, 1, 2), (0, 2, 7)], "src bigint, dst bigint, w bigint"
+    )
+    one = {
+        r["node"]: r["dist"]
+        for r in bounded_sssp(
+            edges, 0, rounds=1, checkpoint=False, max_broadcast_rows=0
+        ).collect()
+    }
+    five = {
+        r["node"]: r["dist"]
+        for r in bounded_sssp(
+            edges, 0, rounds=5, checkpoint=False, max_broadcast_rows=0
+        ).collect()
+    }
+    assert one == five == {0: 0, 1: 2, 2: 7}
