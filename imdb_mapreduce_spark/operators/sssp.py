@@ -43,6 +43,7 @@ def bounded_sssp(
     dist = spark.createDataFrame([(int(source), 0)], "node bigint, dist bigint")
     frontier = dist
     frontier_rows = 1
+    dist_rows_bound = 1  # running upper bound: grows by ≤ frontier_rows/round
     for _ in range(rounds):
         # explicit aliases: the frontier's lineage includes the edge table
         # when checkpointing is off, so DataFrame-indexed column refs
@@ -58,9 +59,10 @@ def bounded_sssp(
         )
         cand = relaxed.groupBy("node").agg(F.min("d").alias("d"))
         old = dist.select("node", F.col("dist").alias("old_dist"))
-        if frontier_rows <= max_broadcast_rows:
-            # dist is at most |frontier-history| rows — small while the
-            # frontier is; past the gate AQE picks from runtime sizes
+        if dist_rows_bound <= max_broadcast_rows:
+            # gate on the DISTANCE TABLE's own size bound, not the
+            # frontier's — late rounds can have a tiny frontier over a
+            # huge reached set; past the gate AQE picks from runtime sizes
             old = F.broadcast(old)
         improved = (
             cand.join(old, "node", "left")
@@ -72,6 +74,7 @@ def bounded_sssp(
         frontier_rows = improved.count()
         if frontier_rows == 0:
             break
+        dist_rows_bound += frontier_rows
         frontier = improved
         dist = (
             dist.unionByName(improved)
