@@ -853,12 +853,12 @@ BPE_TOPK = 20
       WHERE length(w) >= 2
       GROUP BY w),
     pairs AS (
-      SELECT substring(w, i, 2) AS pair, freq
+      SELECT w, substring(w, i, 2) AS pair, freq
       FROM words, LATERAL (
         SELECT unnest(generate_series(1, length(w) - 1)) AS i) s),
     counts AS (
       SELECT pair, CAST(SUM(freq) AS BIGINT) AS n_occurrences,
-             CAST(COUNT(*) AS BIGINT) AS n_vocab_words
+             CAST(COUNT(DISTINCT w) AS BIGINT) AS n_vocab_words
       FROM pairs GROUP BY pair)
     SELECT pair, n_occurrences, n_vocab_words
     FROM counts
@@ -892,10 +892,15 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "freq",
         F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"),
         "w",
-    ).select(F.substring("w", F.col("i"), F.lit(2)).alias("pair"), "freq")
+    ).select(
+        "w", F.substring("w", F.col("i"), F.lit(2)).alias("pair"), "freq"
+    )
+    # n_vocab_words = DISTINCT words containing the pair (a word holding
+    # the pair at two offsets counts once — what the column name promises;
+    # a plain COUNT(*) would count positions)
     counts = pairs.groupBy("pair").agg(
         F.sum("freq").cast("long").alias("n_occurrences"),
-        F.count("*").cast("long").alias("n_vocab_words"),
+        F.countDistinct("w").cast("long").alias("n_vocab_words"),
     )
     return counts.orderBy(
         F.col("n_occurrences").desc(), F.col("pair")

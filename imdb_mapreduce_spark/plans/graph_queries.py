@@ -406,6 +406,17 @@ def copurchase_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Unlike the BFS's RAW edge scan (where a cache lost — r04), this is
     # a computed table, the case checkpointing exists for.
     edges = edges.localCheckpoint()
-    source = e0.agg(F.min("p")).collect()[0][0]
+    # source scalar from the parquet footer (zero Spark jobs); the scan
+    # fallback aggregates the RAW column map-side — never the distinct'd
+    # e0, whose Deduplicate exchange would run just to pick one id
+    from imdb_mapreduce_spark.sources.star import parquet_column_min
+
+    source = parquet_column_min(f"{sf_dir}/lineitem.parquet", "l_partkey")
+    if source is None:
+        source = (
+            load_table(spark, "lineitem", sf_dir)
+            .agg(F.min("l_partkey"))
+            .collect()[0][0]
+        )
     d = bounded_sssp(edges, source, rounds=SSSP_ROUNDS)
     return d.select(F.col("node").alias("part"), "dist")

@@ -143,13 +143,16 @@ def parquet_num_rows(path: str) -> int:
     return pq.ParquetFile(path).metadata.num_rows
 
 
-def parquet_column_max(path: str, column: str):
-    """Column MAX from parquet row-group STATISTICS only (pyarrow,
-    driver-side, zero Spark jobs) — the same footer-probe idiom as
-    ``parquet_num_rows``, for derivations that need a scale-proof scalar
-    (e.g. a guaranteed-fresh surrogate-key offset). Returns None if any
-    row group lacks statistics for the column (caller must fall back to
-    a real scan)."""
+# Physical types whose row-group min/max statistics are EXACT column
+# values. String/binary stats may be TRUNCATED bounds (writers cap the
+# stored prefix), so the footer probe refuses them rather than report a
+# value that is not in the column.
+_STATS_EXACT_TYPES = frozenset(
+    {"INT32", "INT64", "FLOAT", "DOUBLE", "BOOLEAN"}
+)
+
+
+def _parquet_column_stat(path: str, column: str, want_max: bool):
     import glob as _glob
 
     import pyarrow.parquet as pq
@@ -167,9 +170,31 @@ def parquet_column_max(path: str, column: str):
             ci = schema_names.index(column)
         except ValueError:
             return None
+        if str(md.schema.column(ci).physical_type) not in _STATS_EXACT_TYPES:
+            return None
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(ci).statistics
             if st is None or not st.has_min_max:
                 return None
-            best = st.max if best is None else max(best, st.max)
+            v = st.max if want_max else st.min
+            if best is None:
+                best = v
+            else:
+                best = max(best, v) if want_max else min(best, v)
     return best
+
+
+def parquet_column_max(path: str, column: str):
+    """Column MAX from parquet row-group STATISTICS only (pyarrow,
+    driver-side, zero Spark jobs) — the same footer-probe idiom as
+    ``parquet_num_rows``, for derivations that need a scale-proof scalar
+    (e.g. a guaranteed-fresh surrogate-key offset). Returns None — caller
+    must fall back to a real scan — if any row group lacks statistics OR
+    the column's physical type is one whose stats may be truncated
+    bounds rather than exact values (string/binary)."""
+    return _parquet_column_stat(path, column, want_max=True)
+
+
+def parquet_column_min(path: str, column: str):
+    """Column MIN twin of ``parquet_column_max`` — same exactness rules."""
+    return _parquet_column_stat(path, column, want_max=False)

@@ -164,6 +164,11 @@ KMV_STATE_SCHEMA = StructType(
     ]
 )
 
+# State schema v2 (r05 s3: added the parallel `users` array for pair-keyed
+# dedup). applyInPandasWithState has no state-migration hook, so a
+# checkpoint written under the v1 2-field schema cannot be restored by
+# this revision — discard the checkpoint and re-bootstrap the stream from
+# the source (the sketch is rebuilt from replayed data; rows_seen restarts).
 _KMV_STATE = "hashes ARRAY<LONG>, users ARRAY<LONG>, rows_seen LONG"
 
 

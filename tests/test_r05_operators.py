@@ -875,6 +875,17 @@ def test_bpe_merge_candidates_are_valid_pairs(spark):
             if len(w) >= 2:
                 total += sum(1 for i in range(len(w) - 1) if w[i : i + 2] == top)
     assert total == rows[0]["n_occurrences"]
+    # n_vocab_words counts DISTINCT words containing the pair, not pair
+    # positions (a word like 'coco' holds 'co' at two offsets but is one
+    # vocabulary word)
+    vocab = {
+        w
+        for (text,) in load_table(spark, "documents", sf).select("text").collect()
+        for w in text.split(" ")
+        if len(w) >= 2
+    }
+    n_words = sum(1 for w in vocab if top in w)
+    assert n_words == rows[0]["n_vocab_words"]
 
 
 def test_weighted_sample_membership_is_exact(spark):
