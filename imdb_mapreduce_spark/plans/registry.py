@@ -81,6 +81,7 @@ _HEAD: tuple[str, ...] = (
     "bpe_merge_candidates",  # BPE vocab-induction counting round
     "weighted_sample_tokens",  # token-proportional deterministic Bernoulli
     "copurchase_sssp",  # bounded weighted SSSP (min-plus iterative)
+    "user_state_asof",  # SCD2 read side: state as of a point in time
     "ngram_jaccard_thresholded",  # NEW r05: length-prefiltered pairs — no row yet
     # NEW r05 operators (no driver row yet):
     "copurchase_triangles",  # triangle counting w/ a-priori min-support prune

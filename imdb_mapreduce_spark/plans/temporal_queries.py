@@ -85,9 +85,7 @@ def quantity_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "user_state_scd2",
-    oracle="""
+_SCD2_ORACLE = """
     WITH ordered AS (
       SELECT user_id, event_type, ts, event_id,
              LAG(event_type) OVER w AS prev_type
@@ -110,7 +108,12 @@ def quantity_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            version,
            valid_to_us IS NULL AS is_current
     FROM versioned
-    """,
+"""
+
+
+@register(
+    "user_state_scd2",
+    oracle=_SCD2_ORACLE,
     tags=("temporal", "scd2", "window", "north-star"),
 )
 def user_state_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -163,3 +166,39 @@ def user_state_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vt").isNull().alias("is_current"),
         )
     )
+
+
+# Point-in-time probe for the AS-OF read: mid-range of the fixtures'
+# event-time domain (2024-01-15 00:00:00 UTC as epoch-µs). Any T works;
+# a constant keeps the query/oracle trivially aligned.
+ASOF_T_US = 1_705_276_800_000_000
+
+
+@register(
+    "user_state_asof",
+    oracle=f"""
+    SELECT user_id, event_type, version
+    FROM ({_SCD2_ORACLE}) s
+    WHERE valid_from_us <= {ASOF_T_US}
+      AND (valid_to_us = -1 OR valid_to_us > {ASOF_T_US})
+    """,
+    tags=("temporal", "scd2", "asof", "north-star"),
+)
+def user_state_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The READ side of the SCD2 story: every user's state AS OF a point
+    in time — the time-travel probe a feature store / reproducible
+    training snapshot runs against the validity intervals
+    ``user_state_scd2`` writes. Implemented as a filter OVER the interval
+    build (the plan literally composes the registered SCD2 query), so the
+    two queries cannot drift; exactly one row per user active at T (an
+    interval set partitions each user's timeline).
+
+    100 TB posture: in production the intervals are already materialized
+    (the SCD2 table), so this is a scan + filter with the predicate
+    pushed to parquet; composed inline here it adds one filter to the
+    SCD2 plan's single exchange."""
+    scd = user_state_scd2(spark, sf_dir)
+    return scd.filter(
+        (F.col("valid_from_us") <= ASOF_T_US)
+        & ((F.col("valid_to_us") == -1) | (F.col("valid_to_us") > ASOF_T_US))
+    ).select("user_id", "event_type", "version")

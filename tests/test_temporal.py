@@ -189,3 +189,28 @@ def test_asof_join_matches_pandas_with_null_payloads(spark):
         gt, gp = got[eid]
         assert gt == want_tag, f"event {eid}: tag {gt} != {want_tag}"
         assert gp == want_price, f"event {eid}: price {gp} != {want_price}"
+
+
+def test_asof_state_is_unique_per_user_and_within_interval(spark):
+    """AS-OF read invariants: at most one state per user (intervals
+    partition the timeline), and every returned row's interval must
+    actually contain T."""
+    from imdb_mapreduce_spark.plans.temporal_queries import (
+        ASOF_T_US,
+        user_state_asof,
+        user_state_scd2,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    rows = user_state_asof(spark, sf).collect()
+    assert rows
+    users = [r["user_id"] for r in rows]
+    assert len(users) == len(set(users))
+    ivals = {
+        (r["user_id"], r["version"]): r
+    for r in user_state_scd2(spark, sf).collect()}
+    for r in rows:
+        iv = ivals[(r["user_id"], r["version"])]
+        assert iv["event_type"] == r["event_type"]
+        assert iv["valid_from_us"] <= ASOF_T_US
+        assert iv["valid_to_us"] == -1 or iv["valid_to_us"] > ASOF_T_US
