@@ -981,3 +981,57 @@ def test_bounded_sssp_early_exit_on_drained_frontier(spark):
         ).collect()
     }
     assert one == five == {0: 0, 1: 2, 2: 7}
+
+
+def test_span_merge_matches_bruteforce_lcs_on_random_corpora(spark):
+    """Randomized (fixed-seed) ground-truth check: for small synthetic
+    corpora, the operator's longest_span_tokens per pair must equal the
+    longest common CONTIGUOUS token run computed by a brute-force driver
+    LCS, whenever that run reaches the gram size — across three seeds."""
+    import hashlib
+    import random
+
+    from imdb_mapreduce_spark.pipeline.dedup import span_pairs_from_grams
+
+    K = 5  # small gram for dense matches at toy sizes
+
+    def lcs_tokens(a, b):
+        best = 0
+        la, lb = len(a), len(b)
+        for i in range(la):
+            for j in range(lb):
+                run = 0
+                while i + run < la and j + run < lb and a[i + run] == b[j + run]:
+                    run += 1
+                best = max(best, run)
+        return best
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(12)]
+        docs = []
+        for d in range(8):
+            toks = [rng.choice(vocab) for _ in range(rng.randint(K, 40))]
+            docs.append(toks)
+        # a couple of planted copies: doc 8 embeds doc 0's middle run
+        planted = docs[1][:3] + docs[0][5:25] + docs[2][:4]
+        docs.append(planted)
+        rows = []
+        for d, toks in enumerate(docs):
+            n = len(toks)
+            for i in range(1, max(n - K + 1, 1) + 1):
+                gram = " ".join(toks[i - 1 : i - 1 + K])
+                h = int(hashlib.md5(gram.encode()).hexdigest()[:15], 16)
+                rows.append((d, i, h))
+        grams = spark.createDataFrame(rows, "doc_id bigint, pos bigint, h bigint")
+        got = {
+            (r["doc1"], r["doc2"]): r["longest_span_tokens"]
+            for r in span_pairs_from_grams(grams, K, min_span=K).collect()
+        }
+        want = {}
+        for a in range(len(docs)):
+            for b in range(a + 1, len(docs)):
+                run = lcs_tokens(docs[a], docs[b])
+                if run >= K:
+                    want[(a, b)] = run
+        assert got == want, (seed, got, want)
