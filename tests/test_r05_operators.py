@@ -1019,7 +1019,8 @@ def test_span_merge_matches_bruteforce_lcs_on_random_corpora(spark):
         rows = []
         for d, toks in enumerate(docs):
             n = len(toks)
-            for i in range(1, max(n - K + 1, 1) + 1):
+            assert n >= K  # ground truth below only records runs >= K
+            for i in range(1, n - K + 2):
                 gram = " ".join(toks[i - 1 : i - 1 + K])
                 h = int(hashlib.md5(gram.encode()).hexdigest()[:15], 16)
                 rows.append((d, i, h))

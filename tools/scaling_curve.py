@@ -40,14 +40,25 @@ DEFAULT = (
 )
 
 
+# Timing here is deliberately LIGHTER than bench.py's harness (min-of-2,
+# one shared-session warm-up) — bench.py stays the authoritative per-query
+# methodology; this tool only needs stable RATIOS between scale factors.
+# If bench.py's methodology changes, revisit whether the ratio harness
+# should follow.
 def main() -> None:
     names = tuple(sys.argv[1:]) or DEFAULT
-    from imdb_mapreduce_spark.session import get_spark
     import __spark_entry__ as entrymod
+
+    # validate names BEFORE paying Spark session startup
+    registered = entrymod.queries()
+    unknown = [n for n in names if n not in registered]
+    if unknown:
+        sys.exit(f"unknown queries: {unknown} — see tools/list_queries.py")
+    from imdb_mapreduce_spark.session import get_spark
 
     spark = get_spark("scaling-curve")
     spark.range(1).count()
-    qs = entrymod.queries()
+    qs = registered
     out: dict[str, dict] = {}
     for name in names:
         fn = qs[name]
@@ -63,8 +74,8 @@ def main() -> None:
                 best = el if best is None else min(best, el)
             times.append(round(best, 3))
             rows.append(n)
-        r1 = round(times[1] / times[0], 2) if times[0] > 0 else None
-        r2 = round(times[2] / times[1], 2) if times[1] > 0 else None
+        r1 = round(times[1] / times[0], 2) if times[0] > 0 else float("nan")
+        r2 = round(times[2] / times[1], 2) if times[1] > 0 else float("nan")
         out[name] = {
             "sec": times,
             "rows": rows,
