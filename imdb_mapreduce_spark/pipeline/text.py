@@ -905,3 +905,77 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.orderBy(
         F.col("n_occurrences").desc(), F.col("pair")
     ).limit(BPE_TOPK)
+
+
+SCRUB_MAX_FREQ = 1  # a window seen in >1 place corpus-wide is boilerplate
+
+
+@register(
+    "paragraph_scrub_rebuild",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    chunks AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(
+               t[(i*{PARA_TOKENS}+1):(i*{PARA_TOKENS}+{PARA_TOKENS})], ' ') AS chunk
+      FROM toks, LATERAL (
+        SELECT UNNEST(range(CAST(ceil(len(t) / {PARA_TOKENS}.0) AS BIGINT))) AS i) s),
+    freq AS (SELECT md5(chunk) AS ph, COUNT(*) AS cnt
+             FROM chunks GROUP BY 1),
+    graded AS (
+      SELECT c.doc_id, c.pos, c.chunk, f.cnt
+      FROM chunks c JOIN freq f ON f.ph = md5(c.chunk))
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_paragraphs,
+           CAST(SUM(CASE WHEN cnt <= {SCRUB_MAX_FREQ} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           COALESCE(string_agg(
+             CASE WHEN cnt <= {SCRUB_MAX_FREQ} THEN chunk END, ' '
+             ORDER BY pos), '') AS scrubbed_text
+    FROM graded GROUP BY doc_id
+    """,
+    tags=("text", "north-star", "dedup", "transform"),
+)
+def paragraph_scrub_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRANSFORM counterpart of ``paragraph_dedup_stats`` — the
+    C4/RefinedWeb scrub step that actually EMITS cleaned text: every
+    {PARA_TOKENS}-token window seen more than {SCRUB_MAX_FREQ} time(s)
+    corpus-wide is dropped, the survivors are reassembled IN ORDER into
+    ``scrubbed_text`` (empty string when everything was boilerplate — the
+    caller's drop signal). The whole rebuilt string is value-hashed
+    against the oracle, so the reassembly order and joining are verified
+    byte-for-byte, not just counted.
+
+    Plan shape: chunk explode (map-side), ONE fingerprint-frequency
+    shuffle, a fingerprint join (AQE broadcasts the frequency table when
+    it fits), then a doc-keyed rollup where collect_list(when(...))
+    drops boilerplate windows null-wise and array_sort on (pos, chunk)
+    structs restores document order without a window function."""
+    docs = load_table(spark, "documents", sf_dir)
+    chunk_arr = F.expr(
+        f"transform(sequence(0, cast(ceil(size(split(text, ' ')) / {PARA_TOKENS}.0)"
+        f" as int) - 1),"
+        f" i -> concat_ws(' ', slice(split(text, ' '), i*{PARA_TOKENS}+1, {PARA_TOKENS})))"
+    )
+    chunks = docs.select(
+        "doc_id", F.posexplode(chunk_arr).alias("pos", "chunk")
+    ).withColumn("ph", F.md5("chunk"))
+    freq = chunks.groupBy("ph").agg(F.count("*").alias("cnt"))
+    keep = F.col("cnt") <= SCRUB_MAX_FREQ
+    return (
+        chunks.join(freq, "ph")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_paragraphs"),
+            F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.when(keep, F.struct("pos", "chunk")))
+                    ),
+                    lambda x: x["chunk"],
+                ),
+            ).alias("scrubbed_text"),
+        )
+    )

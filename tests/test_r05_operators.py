@@ -1036,3 +1036,35 @@ def test_span_merge_matches_bruteforce_lcs_on_random_corpora(spark):
                 if run >= K:
                     want[(a, b)] = run
         assert got == want, (seed, got, want)
+
+
+def test_paragraph_scrub_identity_and_consistency(spark):
+    """Scrub invariants: a doc with zero boilerplate windows must rebuild
+    to its EXACT original text (chunk->reassemble roundtrip identity), and
+    kept-counts must reconcile with paragraph_dedup_stats
+    (kept = total - dup, since SCRUB_MAX_FREQ == 1)."""
+    from imdb_mapreduce_spark.pipeline.text import (
+        SCRUB_MAX_FREQ,
+        paragraph_scrub_rebuild,
+    )
+    from imdb_mapreduce_spark.pipeline.text import paragraph_dedup_stats
+    from imdb_mapreduce_spark.sources.star import load_table
+
+    assert SCRUB_MAX_FREQ == 1  # the reconciliation below depends on it
+    sf = "/root/testdata/sf0.01"
+    scrub = {r["doc_id"]: r for r in paragraph_scrub_rebuild(spark, sf).collect()}
+    stats = {r["doc_id"]: r for r in paragraph_dedup_stats(spark, sf).collect()}
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, "documents", sf).collect()
+    }
+    assert set(scrub) == set(stats) == set(texts)
+    n_identity = 0
+    for doc_id, r in scrub.items():
+        st = stats[doc_id]
+        assert r["n_paragraphs"] == st["n_paragraphs"]
+        assert r["n_kept"] == st["n_paragraphs"] - st["n_dup_paragraphs"]
+        if r["n_kept"] == r["n_paragraphs"]:
+            assert r["scrubbed_text"] == texts[doc_id]
+            n_identity += 1
+    assert n_identity > 0  # the identity branch is actually exercised
