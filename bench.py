@@ -87,6 +87,9 @@ HEADLINE = (
     "duplicate_span_pairs",
     "bpe_merge_candidates",
     "copurchase_sssp",
+    "weighted_sample_tokens",
+    "user_state_asof",
+    "paragraph_scrub_rebuild",
 )
 
 
