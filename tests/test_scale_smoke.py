@@ -298,3 +298,51 @@ def test_span_merge_at_1m_grams(spark):
     assert stats["lo"] == stats["hi"] == run + K - 1
     assert stats["sg_lo"] == stats["sg_hi"] == run + decoy
     assert stats["d_lo"] == stats["d_hi"] == 2
+
+
+def test_bounded_sssp_at_1m_edges(spark):
+    """Delta-relaxing SSSP over a 1M-edge layered graph whose exact
+    distances are known by construction: layer L sits at distance L*w_min
+    after L rounds. 100k nodes per layer, fan-in edges with two weights —
+    the min must win everywhere; asserted with aggregates only."""
+    from imdb_mapreduce_spark.operators.sssp import bounded_sssp
+
+    layer_n, layers = 100_000, 5
+    # node id = layer * 1_000_000 + i; edges connect layer L -> L+1:
+    # (L,i) -> (L+1, i) with w=2 and (L,i) -> (L+1, (i+1) % layer_n) w=3.
+    base = spark.range(layer_n * (layers - 1)).select(
+        (F.col("id") / layer_n).cast("long").alias("L"),
+        (F.col("id") % layer_n).alias("i"),
+    )
+    cheap = base.select(
+        (F.col("L") * 1_000_000 + F.col("i")).alias("src"),
+        ((F.col("L") + 1) * 1_000_000 + F.col("i")).alias("dst"),
+        F.lit(2).cast("bigint").alias("w"),
+    )
+    slow = base.select(
+        (F.col("L") * 1_000_000 + F.col("i")).alias("src"),
+        (
+            (F.col("L") + 1) * 1_000_000 + (F.col("i") + 1) % layer_n
+        ).alias("dst"),
+        F.lit(3).cast("bigint").alias("w"),
+    )
+    edges = cheap.unionByName(slow)
+    # source (0, 0): after `layers-1` rounds every layer is reached; the
+    # all-cheap path gives dist(L, i=0..L) = depends on which i — only
+    # i=0 (straight chain) and the +1-shifted diagonals are reachable
+    # from a single source. Assert per-layer MIN distance = 2*L (cheap
+    # chain) and MAX reached distance <= 3*L (all-slow diagonal).
+    d = bounded_sssp(edges, 0, rounds=layers - 1)
+    per_layer = (
+        d.select((F.col("node") / 1_000_000).cast("long").alias("L"), "dist")
+        .groupBy("L")
+        .agg(F.min("dist").alias("lo"), F.max("dist").alias("hi"), F.count("*").alias("n"))
+        .orderBy("L")
+        .collect()
+    )
+    assert len(per_layer) == layers
+    for r in per_layer:
+        L = r["L"]
+        assert r["lo"] == 2 * L, (L, r["lo"])
+        assert r["hi"] <= 3 * L
+        assert r["n"] == L + 1  # source reaches exactly L+1 nodes in layer L
