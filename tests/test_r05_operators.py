@@ -1068,3 +1068,47 @@ def test_paragraph_scrub_identity_and_consistency(spark):
             assert r["scrubbed_text"] == texts[doc_id]
             n_identity += 1
     assert n_identity > 0  # the identity branch is actually exercised
+
+
+# ---------------------------------------------------------------------------
+# bounded_sssp: hypothesis properties vs driver-side Bellman-Ford
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+_edges_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=6),  # src
+        st.integers(min_value=0, max_value=6),  # dst
+        st.integers(min_value=1, max_value=5),  # w
+    ),
+    min_size=1,
+    max_size=14,
+).filter(lambda es: any(s == 0 for s, _, _ in es))  # source has out-edges
+
+
+@given(raw=_edges_strategy, rounds=st.integers(min_value=1, max_value=4))
+@settings(max_examples=10, deadline=None)
+def test_sssp_equals_driver_bellman_ford_on_random_digraphs(
+    spark, raw, rounds
+):
+    """For arbitrary small digraphs (self-loops, parallel edges, cycles
+    included) the delta-relaxing operator must equal a driver-side
+    K-round full-relaxation Bellman-Ford exactly."""
+    from imdb_mapreduce_spark.operators.sssp import bounded_sssp
+
+    # parallel edges collapse to their min weight (the operator's join
+    # relaxes all of them; min wins) — mirror that in the ground truth
+    edges = spark.createDataFrame(raw, "src bigint, dst bigint, w bigint")
+    dist = {0: 0}
+    for _ in range(rounds):
+        nd = dict(dist)
+        for s_, d_, w_ in raw:
+            if s_ in dist and dist[s_] + w_ < nd.get(d_, 1 << 60):
+                nd[d_] = dist[s_] + w_
+        dist = nd
+    got = {
+        r["node"]: r["dist"]
+        for r in bounded_sssp(edges, 0, rounds=rounds, checkpoint=False).collect()
+    }
+    assert got == dist, (raw, rounds)
