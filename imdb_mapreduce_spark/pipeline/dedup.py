@@ -465,15 +465,12 @@ _PERM_VALUES_SQL = ", ".join(
 )
 
 
-@register(
-    "minhash_lsh_dups",
-    # Full relational replica of the portable-minhash pipeline: shingles →
-    # 28-bit md5-derived base hash → per-permutation min of (a·h+b) mod p
-    # → banded buckets → candidate self-join → exact-Jaccard verify.
-    # Portable because md5 and BIGINT arithmetic are bit-identical in both
-    # engines; the (i, a, b) VALUES literals below are generated from the
-    # same _PERM_CONSTS the Spark expressions use.
-    oracle=f"""
+# Shared CTE prefix for every minhash-LSH oracle: shingles -> portable
+# 28-bit md5 base hash -> permutation minima -> banded buckets -> distinct
+# candidate pairs. Deferred %-style formatting is NOT used — this is a
+# plain f-string evaluated at import, identical text in every consumer.
+def _minhash_cand_ctes() -> str:
+    return f"""
     WITH lists AS MATERIALIZED (
       SELECT doc_id,
              list_distinct(list_transform(
@@ -495,7 +492,18 @@ _PERM_VALUES_SQL = ", ".join(
     cand AS MATERIALIZED (
       SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
       FROM bnd a JOIN bnd b
-        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)"""
+
+
+@register(
+    "minhash_lsh_dups",
+    # Full relational replica of the portable-minhash pipeline: shingles →
+    # 28-bit md5-derived base hash → per-permutation min of (a·h+b) mod p
+    # → banded buckets → candidate self-join → exact-Jaccard verify.
+    # Portable because md5 and BIGINT arithmetic are bit-identical in both
+    # engines; the (i, a, b) VALUES literals below are generated from the
+    # same _PERM_CONSTS the Spark expressions use.
+    oracle=f"""{_minhash_cand_ctes()},
     j AS (
       SELECT c.doc1, c.doc2, COUNT(*) AS shared,
              ANY_VALUE(s1.n_shingles) AS n1, ANY_VALUE(s2.n_shingles) AS n2
@@ -1215,4 +1223,82 @@ def span_pairs_from_grams(
             .alias("longest_span_tokens"),
         )
         .filter(F.col("longest_span_tokens") >= min_span)
+    )
+
+
+# --- LSH candidate-quality eval (r05 session 3) -----------------------------
+
+MINHASH_EVAL_THR = 0.5  # ground truth: exact Jaccard >= this
+
+
+@register(
+    "minhash_eval_metrics",
+    oracle=f"""{_minhash_cand_ctes()},
+    truth AS (
+      SELECT doc1, doc2 FROM (
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS shared,
+               ANY_VALUE(a.n_shingles) AS n1, ANY_VALUE(b.n_shingles) AS n2
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      WHERE CAST(shared AS DOUBLE) / CAST(n1 + n2 - shared AS DOUBLE)
+            >= {MINHASH_EVAL_THR}),
+    lab AS (
+      SELECT doc1, doc2, MAX(in_cand) AS in_cand, MAX(in_true) AS in_true
+      FROM (
+        SELECT doc1, doc2, 1 AS in_cand, 0 AS in_true FROM cand
+        UNION ALL
+        SELECT doc1, doc2, 0 AS in_cand, 1 AS in_true FROM truth)
+      GROUP BY 1, 2)
+    SELECT CAST(SUM(in_cand) AS BIGINT) AS n_candidates,
+           CAST(SUM(in_true) AS BIGINT) AS n_true_pairs,
+           CAST(SUM(in_cand * in_true) AS BIGINT) AS n_hit,
+           CAST(SUM(in_cand * in_true) AS DOUBLE)
+             / CAST(SUM(in_cand) AS DOUBLE) AS lsh_precision,
+           CAST(SUM(in_cand * in_true) AS DOUBLE)
+             / CAST(SUM(in_true) AS DOUBLE) AS lsh_recall
+    FROM lab
+    """,
+    tags=("dedup", "north-star", "minhash", "audit"),
+)
+def minhash_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVAL of the LSH candidate generator against exact ground truth —
+    the dedup analog of ``lang_id_confusion``: band/bucket candidates vs
+    the exact-Jaccard >= {MINHASH_EVAL_THR} pair set, reported as
+    precision (how much verify work is wasted on sub-threshold pairs) and
+    recall (which true dup pairs the bands missed — the quantity the
+    banding parameters (b={LSH_BANDS}, r={MINHASH_PERMS // LSH_BANDS})
+    trade against candidate volume). Deterministic: the portable md5
+    signature makes the candidate set itself reproducible in both
+    engines, so even the sampling-free eval hash-matches.
+
+    One row. Shape: the candidate build is minhash_lsh_dups' own; truth
+    is tier 2's pair join; the label union + per-pair MAX + one global
+    rollup avoids any 1-row cross join."""
+    docs = load_table(spark, "documents", sf_dir)
+    cand = lsh_candidate_pairs_md5(minhash_signatures_arrow(docs))
+    truth = jaccard_pairs_min_threshold(docs, MINHASH_EVAL_THR).select(
+        "doc1", "doc2"
+    )
+    lab = (
+        cand.select("doc1", "doc2", F.lit(1).alias("in_cand"), F.lit(0).alias("in_true"))
+        .unionByName(
+            truth.select(
+                "doc1", "doc2", F.lit(0).alias("in_cand"), F.lit(1).alias("in_true")
+            )
+        )
+        .groupBy("doc1", "doc2")
+        .agg(F.max("in_cand").alias("in_cand"), F.max("in_true").alias("in_true"))
+    )
+    return lab.agg(
+        F.sum("in_cand").cast("long").alias("n_candidates"),
+        F.sum("in_true").cast("long").alias("n_true_pairs"),
+        F.sum(F.col("in_cand") * F.col("in_true")).cast("long").alias("n_hit"),
+        (
+            F.sum(F.col("in_cand") * F.col("in_true")).cast("double")
+            / F.sum("in_cand").cast("double")
+        ).alias("lsh_precision"),
+        (
+            F.sum(F.col("in_cand") * F.col("in_true")).cast("double")
+            / F.sum("in_true").cast("double")
+        ).alias("lsh_recall"),
     )

@@ -83,6 +83,7 @@ _HEAD: tuple[str, ...] = (
     "copurchase_sssp",  # bounded weighted SSSP (min-plus iterative)
     "user_state_asof",  # SCD2 read side: state as of a point in time
     "paragraph_scrub_rebuild",  # C4-style scrub emitting rebuilt text
+    "minhash_eval_metrics",  # LSH candidate precision/recall vs exact truth
     "ngram_jaccard_thresholded",  # NEW r05: length-prefiltered pairs — no row yet
     # NEW r05 operators (no driver row yet):
     "copurchase_triangles",  # triangle counting w/ a-priori min-support prune

@@ -1112,3 +1112,16 @@ def test_sssp_equals_driver_bellman_ford_on_random_digraphs(
         for r in bounded_sssp(edges, 0, rounds=rounds, checkpoint=False).collect()
     }
     assert got == dist, (raw, rounds)
+
+
+def test_minhash_eval_metrics_invariants(spark):
+    """Eval-metric sanity: hits bounded by both sides, ratios consistent
+    with the counts, and the LSH's exact-dup guarantee holds (a pair of
+    byte-identical docs has identical signatures, so candidates must
+    cover ALL exact-dup pairs -> if truth is exact-dup-only, recall=1)."""
+    from imdb_mapreduce_spark.pipeline.dedup import minhash_eval_metrics
+
+    r = minhash_eval_metrics(spark, "/root/testdata/sf0.01").collect()[0]
+    assert r["n_hit"] <= min(r["n_candidates"], r["n_true_pairs"])
+    assert abs(r["lsh_precision"] - r["n_hit"] / r["n_candidates"]) < 1e-12
+    assert abs(r["lsh_recall"] - r["n_hit"] / r["n_true_pairs"]) < 1e-12
