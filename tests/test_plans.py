@@ -166,6 +166,8 @@ def test_global_plan_hygiene_sweep(spark, queries):
         # int64 arithmetic, parity-tested vs the expression builds)
         "minhash_lsh_dups",
         "simhash_near_dups",
+        # same Arrow signature build feeding the candidate-quality eval
+        "minhash_eval_metrics",
         # Arrow 64-bucket byte histogram feeding the perceptual hash
         "media_phash_dedup",
     }
