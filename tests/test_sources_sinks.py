@@ -146,3 +146,26 @@ def test_json_snapshot_roundtrip_with_recast(spark, tmp_path):
     assert {tuple(r) for r in back.collect()} == {
         tuple(r) for r in src.select("r_regionkey", "r_name").collect()
     }
+
+
+def test_parquet_footer_stat_probes(spark, tmp_path):
+    """parquet_column_min/max: exact for integer columns, None for string
+    columns (whose row-group stats may be truncated bounds, not values),
+    None for missing columns — the contract snapshot_diff/copurchase_sssp
+    rely on for their scale-proof scalars."""
+    import pandas as pd
+
+    from imdb_mapreduce_spark.sources.star import (
+        parquet_column_max,
+        parquet_column_min,
+    )
+
+    p = str(tmp_path / "probe.parquet")
+    pd.DataFrame(
+        {"k": [5, 2, 9, 7], "s": ["aa", "zz", "mm", "bb"]}
+    ).to_parquet(p)
+    assert parquet_column_max(p, "k") == 9
+    assert parquet_column_min(p, "k") == 2
+    assert parquet_column_max(p, "s") is None  # string stats refused
+    assert parquet_column_min(p, "s") is None
+    assert parquet_column_max(p, "nope") is None  # missing column
