@@ -199,6 +199,82 @@ def bipartite_bfs(
     return BfsResult(root=root, node_type=node_col, edges=result_edges, vertices=vertices)
 
 
+def unipartite_bfs(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    root: str,
+    level: int = 2,
+    checkpoint: bool = True,
+    max_broadcast_rows: int = 1_000_000,
+) -> BfsResult:
+    """The same k-level BFS semantics as :func:`bipartite_bfs` (global
+    visited set, deterministic MIN-parent attachment, level k = k−1
+    rounds) over an already-PROJECTED unipartite edge list — the read
+    path for the silver co-purchase edge table
+    (``sources/silver.copurchase_edges``), where the two-hop via-join has
+    been amortized into storage and each round is a single
+    frontier⋈edges hop.
+
+    Equivalence to the bipartite form: with ``edges`` = the via-projected
+    graph (src—dst iff they share a via, src ≠ dst), round adjacency,
+    the dst-grouped min(src) attachment, and the visited anti-join are
+    identical relation-for-relation, so the result graph matches the
+    two-hop operator row-for-row (pinned by tests/test_silver.py).
+
+    Scale posture per round: the frontier broadcasts while its EXACT row
+    count (the checkpoint materializes it) stays under
+    ``max_broadcast_rows``; with the edge table bucketed on ``src_col``
+    the big side is never shuffled in any regime. Aggregate-before-
+    anti-join ordering as in :func:`bipartite_bfs` (keeps Catalyst from
+    pushing the anti-join into a full-table exchange)."""
+    spark = edges.sparkSession
+
+    frontier = spark.createDataFrame([(root,)], ["node"])
+    frontier_rows = 1
+    visited = frontier
+    visited_rows = 1
+    result_edges = spark.createDataFrame([], "src string, dst string, level int")
+
+    for lvl in range(1, level):
+        f = frontier.select(F.col("node").alias("src"))
+        if frontier_rows <= max_broadcast_rows:
+            f = F.broadcast(f)
+        e = edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("dst"))
+        pairs = (
+            f.join(e, F.col("src") == F.col("_s"), "inner")
+            .filter(F.col("src") != F.col("dst"))
+            .select("src", "dst")
+        )
+        anti = visited
+        if visited_rows <= max_broadcast_rows:
+            anti = F.broadcast(anti)
+        dedup = pairs.groupBy("dst").agg(F.min("src").alias("src"))
+        children = (
+            dedup.join(anti, dedup["dst"] == anti["node"], "left_anti")
+            .select("src", "dst")
+            .withColumn("level", F.lit(lvl))
+        )
+        if checkpoint:
+            children = children.localCheckpoint(eager=True)
+        frontier_rows = children.count()
+        if frontier_rows == 0:
+            break
+        result_edges = result_edges.unionByName(children)
+        new_nodes = children.select(F.col("dst").alias("node"))
+        visited = visited.unionByName(new_nodes)
+        visited_rows += frontier_rows
+        frontier = new_nodes
+
+    vertices = (
+        result_edges.select(F.col("src").alias("name"))
+        .unionByName(result_edges.select(F.col("dst").alias("name")))
+        .unionByName(spark.createDataFrame([(root,)], ["name"]))
+        .distinct()
+    )
+    return BfsResult(root=root, node_type=src_col, edges=result_edges, vertices=vertices)
+
+
 def costar_bfs(
     cast_edges: DataFrame,
     name: str,

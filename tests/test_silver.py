@@ -95,6 +95,107 @@ def test_materialized_recovers_from_torn_meta_and_deleted_data(spark, tmp_path):
     assert {r["x"] for r in got.collect()} == {1, 2, 3, 4}
 
 
+def test_copurchase_pair_cap_is_inert_below_cap_and_drops_hot_baskets(spark):
+    """The a-priori basket cap (VERDICT r05 item 1): cap-on ≡ cap-off while
+    every basket stays under the cap, and an oversized basket is dropped
+    WHOLE before the quadratic self-join (so its Σ basket² pair fan never
+    materializes)."""
+    from imdb_mapreduce_spark.sources.silver import build_copurchase_pairs
+
+    rows = [
+        # two bounded baskets: {1,2,3} and {2,3}
+        (10, 1), (10, 2), (10, 3),
+        (20, 2), (20, 3),
+        # one hot basket of 5 distinct parts
+        (30, 1), (30, 2), (30, 3), (30, 4), (30, 5),
+    ]
+    e0 = spark.createDataFrame(rows, "o bigint, p bigint")
+
+    uncapped = {
+        (r["p1"], r["p2"]): r["support"]
+        for r in build_copurchase_pairs(e0, max_basket=None).collect()
+    }
+    # cap above every basket: identical to uncapped (the inertness contract
+    # the registered queries rely on — DuckDB oracles are cap-free)
+    capped_loose = {
+        (r["p1"], r["p2"]): r["support"]
+        for r in build_copurchase_pairs(e0, max_basket=5).collect()
+    }
+    assert capped_loose == uncapped
+
+    # cap at 4: basket 30 (5 parts) is dropped whole — only pairs from the
+    # bounded baskets remain, with supports counted WITHOUT basket 30
+    capped = {
+        (r["p1"], r["p2"]): r["support"]
+        for r in build_copurchase_pairs(e0, max_basket=4).collect()
+    }
+    assert capped == {(1, 2): 1, (1, 3): 1, (2, 3): 2}
+    # and the hot basket's exclusive pairs (anything touching 4/5) are gone
+    assert not any(4 in k or 5 in k for k in capped)
+
+
+def test_unipartite_bfs_matches_bipartite_on_projected_graph(spark):
+    """The silver BFS read path (unipartite over the projected co-purchase
+    edges) must reproduce the two-hop bipartite operator row-for-row —
+    same levels, same min-parent attachment, same visited semantics."""
+    from imdb_mapreduce_spark.operators.graph import bipartite_bfs, unipartite_bfs
+    from imdb_mapreduce_spark.sources.silver import copurchase_edges
+    from imdb_mapreduce_spark.sources.star import load_table
+
+    sf = "/root/testdata/sf0.001"
+    l = load_table(spark, "lineitem", sf)
+    bip_edges = l.select(
+        F.col("l_partkey").cast("string").alias("node"),
+        F.col("l_orderkey").alias("via"),
+    )
+    root = str(l.agg(F.min("l_partkey")).collect()[0][0])
+    uni_edges = copurchase_edges(spark, sf).select(
+        F.col("src").cast("string").alias("src"),
+        F.col("dst").cast("string").alias("dst"),
+    )
+    for level in (2, 3):
+        a = bipartite_bfs(bip_edges, "node", "via", root, level=level)
+        b = unipartite_bfs(uni_edges, "src", "dst", root, level=level)
+        rows_a = {tuple(r) for r in a.edges.collect()}
+        rows_b = {tuple(r) for r in b.edges.collect()}
+        assert rows_a == rows_b
+
+
+def test_copurchase_edges_scan_is_bucketed_and_reregisters(spark):
+    """The silver symmetric edge table reads back as a BUCKETED scan (so
+    per-round src joins never re-shuffle the edge side), and a fresh
+    catalog (new session) re-registers the table from the stored DDL
+    without rewriting data."""
+    from imdb_mapreduce_spark.sources import silver
+
+    sf = "/root/testdata/sf0.001"
+    t = silver.copurchase_edges(spark, sf)
+
+    def join_plan(df):
+        other = spark.range(50).select(F.col("id").alias("src"))
+        j = df.join(other.hint("merge"), "src")
+        return j._jdf.queryExecution().executedPlan().toString()
+
+    plan = join_plan(t)
+    # the edge side reads its bucketed layout; ONLY the other side exchanges
+    assert "Bucketed: true" in plan
+    assert plan.count("Exchange") == 1
+
+    # fingerprint meta vouches for the data; simulate a fresh session by
+    # dropping the catalog entry — the next call must re-CREATE over the
+    # existing files (meta mtime unchanged → no rebuild)
+    base = os.path.join(
+        silver.silver_root(), "sf0.001", "copurchase_edges_by_src"
+    )
+    meta = os.path.join(base, "_meta.json")
+    mtime = os.stat(meta).st_mtime_ns
+    spark.sql("DROP TABLE IF EXISTS silver_copurchase_edges_by_src_sf0_001")
+    t2 = silver.copurchase_edges(spark, sf)
+    assert os.stat(meta).st_mtime_ns == mtime  # re-registered, not rebuilt
+    assert "Bucketed: true" in join_plan(t2)
+    assert t2.count() == t.count()
+
+
 def test_cached_query_result_builds_once_and_invalidates(spark, tmp_path):
     """Result cache for a registry query: second call reads parquet (no
     recompute), source change rebuilds, content always equals the live
