@@ -89,13 +89,25 @@ class ImdbEngine:
 
     # -- queries (the reference's full interactive surface) ----------------
 
+    # Service-grade request budget (VERDICT r05 item 8): the traversal
+    # aborts between rounds once it has reached this many vertices — the
+    # bounded-failure analog of the reference master's 10 s pcall timeout
+    # (master.erl:240). A request that would collect an unbounded graph
+    # fails fast with a clear error instead of stalling the service.
+    REQUEST_MAX_VERTICES = 100_000
+
     def request(
-        self, name: str, node_type: str = "actor", level: int = 2
+        self,
+        name: str,
+        node_type: str = "actor",
+        level: int = 2,
+        max_vertices: int | None = REQUEST_MAX_VERTICES,
     ) -> tuple[list[str], list[tuple[str, str, int]]]:
         """The flagship query, reference reply shape ``{Vertices, Edges}``
         (``master.erl:263``): display-sorted vertices + (src, dst, level)
-        edges. Collects — the result is bounded by construction."""
-        res = self.request_df(name, node_type, level)
+        edges. Collects — the result is bounded by the ``max_vertices``
+        budget (pass ``None`` for an explicitly unbounded batch use)."""
+        res = self.request_df(name, node_type, level, max_vertices)
         vertices = graph_export.sorted_vertices(res)
         edges = [
             (r["src"], r["dst"], r["level"])
@@ -103,9 +115,19 @@ class ImdbEngine:
         ]
         return vertices, edges
 
-    def request_df(self, name: str, node_type: str = "actor", level: int = 2) -> BfsResult:
-        """Same query, distributed result (no collect) for composition."""
-        return costar_bfs(self.cast_edges, name, node_type, level)
+    def request_df(
+        self,
+        name: str,
+        node_type: str = "actor",
+        level: int = 2,
+        max_vertices: int | None = None,
+    ) -> BfsResult:
+        """Same query, distributed result (no collect) for composition —
+        unbudgeted by default (a DataFrame consumer composes further
+        instead of collecting)."""
+        return costar_bfs(
+            self.cast_edges, name, node_type, level, max_vertices=max_vertices
+        )
 
     def cast_of(self, title: str) -> DataFrame:
         return cast_of(self.cast_edges, title)

@@ -42,6 +42,25 @@ MOVIE = "movie"
 ACTOR = "actor"
 
 
+class BfsBudgetExceeded(RuntimeError):
+    """A traversal outgrew its caller's result budget mid-round — the
+    service-grade guard mirroring the reference master's 10 s pcall
+    timeout (``master.erl:240``): an interactive request must fail fast
+    with a bounded error instead of materializing an unbounded graph.
+
+    Raised BETWEEN rounds (each round's frontier count is already
+    materialized by the checkpoint, so the check is free) — the traversal
+    aborts before the next expansion join is even planned."""
+
+    def __init__(self, visited: int, budget: int, level: int) -> None:
+        self.visited, self.budget, self.level = visited, budget, level
+        super().__init__(
+            f"BFS budget exceeded: {visited} vertices reached at level "
+            f"{level} > max_vertices={budget}; narrow the query (lower "
+            "level) or raise the budget"
+        )
+
+
 @dataclass
 class BfsResult:
     """Mirror of the reference's reply ``{Vertices, Edges}``
@@ -108,6 +127,7 @@ def bipartite_bfs(
     checkpoint: bool = True,
     max_broadcast_rows: int = 1_000_000,
     edges_inverted: DataFrame | None = None,
+    max_vertices: int | None = None,
 ) -> BfsResult:
     """Generic k-level same-type expansion over any bipartite edge table
     (G1+G2, J4, J5, A4). ``node_col`` is the queried entity type, ``via_col``
@@ -188,6 +208,8 @@ def bipartite_bfs(
         new_nodes = children.select(F.col("dst").alias("node"))
         visited = visited.unionByName(new_nodes)
         visited_rows += frontier_rows
+        if max_vertices is not None and visited_rows > max_vertices:
+            raise BfsBudgetExceeded(visited_rows, max_vertices, lvl)
         frontier = new_nodes
 
     vertices = (
@@ -282,6 +304,7 @@ def costar_bfs(
     level: int = 2,
     checkpoint: bool = True,
     max_broadcast_rows: int = 1_000_000,
+    max_vertices: int | None = None,
 ) -> BfsResult:
     """k-level co-star / shared-cast-movie graph — the reference's flagship
     query (``master.erl:251-288``). ``cast_edges`` is the silver
@@ -298,6 +321,13 @@ def costar_bfs(
 
     node_col, via_col = ("actor", "title") if node_type == ACTOR else ("title", "actor")
     res = bipartite_bfs(
-        cast_edges, node_col, via_col, name, level, checkpoint, max_broadcast_rows
+        cast_edges,
+        node_col,
+        via_col,
+        name,
+        level,
+        checkpoint,
+        max_broadcast_rows,
+        max_vertices=max_vertices,
     )
     return BfsResult(root=name, node_type=node_type, edges=res.edges, vertices=res.vertices)

@@ -17,6 +17,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from imdb_mapreduce_spark.pipeline.text import SPLIT_TRAIN_END, SPLIT_VAL_END
 from imdb_mapreduce_spark.plans.registry import register
 from imdb_mapreduce_spark.sources.star import load_table
 
@@ -662,8 +663,8 @@ LEAK_JACCARD = 0.3  # near-dup floor for the cross-split leakage tier
     oracle=f"""
     WITH s AS (
       SELECT doc_id,
-             CASE WHEN md5(text) < 'c' THEN 'train'
-                  WHEN md5(text) < 'e' THEN 'val'
+             CASE WHEN md5(text) < '{SPLIT_TRAIN_END}' THEN 'train'
+                  WHEN md5(text) < '{SPLIT_VAL_END}' THEN 'val'
                   ELSE 'test' END AS split,
              md5(text) AS raw_fp
       FROM documents),
@@ -744,7 +745,6 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row test-count frame ride broadcasts/cross joins."""
     docs = load_table(spark, "documents", sf_dir)
     from imdb_mapreduce_spark.pipeline.dedup import jaccard_pairs_min_threshold
-    from imdb_mapreduce_spark.pipeline.text import SPLIT_TRAIN_END, SPLIT_VAL_END
 
     s = docs.select(
         "doc_id",

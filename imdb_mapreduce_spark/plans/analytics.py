@@ -544,21 +544,26 @@ Z_FILE_SHIFT = 8
 EPOCH = "1970-01-01"
 
 
-def _z_terms(a: str, b: str, bits: int) -> list[str]:
+def _z_terms(a: str, b: str, bits: int, div: str = "//") -> list[str]:
     """Shared spec of the bit-interleave: one arithmetic term per bit, in
     plain SQL that parses identically in Spark SQL and DuckDB (shiftright
     via integer division, shiftleft via multiplication — no engine-specific
     bit operators). Generating BOTH engines' expressions from this one
-    list makes the oracle symmetric by construction."""
+    list makes the oracle symmetric by construction. ``div`` is the
+    integer-division token — the single dialect difference — passed as a
+    parameter (``//`` for DuckDB, ``DIV`` for Spark SQL) so each engine's
+    expression is GENERATED, never text-patched after the fact (ADVICE
+    r05 item 4: a ``replace('//', ...)`` would silently corrupt the
+    expression if ``//`` ever appeared in another context)."""
     terms = []
     for i in range(bits):
-        terms.append(f"(({a} // {1 << i}) % 2) * {1 << (2 * i)}")
-        terms.append(f"(({b} // {1 << i}) % 2) * {1 << (2 * i + 1)}")
+        terms.append(f"(({a} {div} {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"(({b} {div} {1 << i}) % 2) * {1 << (2 * i + 1)}")
     return terms
 
 
-def _z_sql(a: str, b: str, bits: int) -> str:
-    return " + ".join(_z_terms(a, b, bits))
+def _z_sql(a: str, b: str, bits: int, div: str = "//") -> str:
+    return " + ".join(_z_terms(a, b, bits, div))
 
 
 @register(
@@ -593,9 +598,9 @@ def zorder_layout_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern as ``training_shuffle_order``. Both engines' expressions are
     generated from the same term list (``_z_terms``), so the oracle is
     symmetric by construction; integer div/mod only, exactly portable."""
-    # Spark SQL parses the same arithmetic: `//` is not Spark syntax, so
-    # swap it for DIV (integer division) — the single dialect difference.
-    z_expr = _z_sql("ca", "da", Z_BITS).replace("//", "DIV")
+    # Spark SQL spells integer division DIV; generate the Spark dialect
+    # directly from the shared term list (no text patching).
+    z_expr = _z_sql("ca", "da", Z_BITS, div="DIV")
     o = load_table(spark, "orders", sf_dir)
     dims = o.select(
         "o_orderkey",
@@ -816,7 +821,7 @@ def zone_map_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB the zone maps already exist in footers, so only the tiny
     probe × file grid remains."""
     o = load_table(spark, "orders", sf_dir)
-    z_expr = _z_sql("ca", "da", Z_BITS).replace("//", "DIV")
+    z_expr = _z_sql("ca", "da", Z_BITS, div="DIV")
     raw = o.select(
         "o_orderkey",
         "o_custkey",

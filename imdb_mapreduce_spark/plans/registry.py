@@ -109,14 +109,13 @@ _HEAD: tuple[str, ...] = (
     # union-green r03 refreshes below:
     "ann_lsh_topk",  # r05: oracle conversion (bucket fold + brute scoring,
     # both bit-identical primitives proven in r03/r04) — no hash row yet
-    # THE permanent rows-only entry (oracle=None → can never earn hash
-    # green; staying in _HEAD guarantees a fresh rows-only row every
-    # round). KMeans cell assignment is an iterative float fixpoint over
-    # mean vectors — not portable to SQL without losing the very thing
-    # being tested; its correctness evidence is the recall pytest suite.
-    "ann_ivf_topk",
-    # NEW r05: deterministic-pivot IVF — the hash-verifiable sibling of
-    # ann_ivf_topk (same probe/search path, md5-anchored cells) — no row yet
+    # r06 (VERDICT r05 item 3): ann_ivf_topk — the one permanent rows-only
+    # entry through r05 — is DEREGISTERED: the registered IVF query is its
+    # deterministic-pivot sibling below (same probe/search path, md5-
+    # anchored cells, full DuckDB oracle); the KMeans-trained quantizer
+    # stays as a library function whose correctness is pytest-pinned
+    # (exact-within-probed-cells + full-probe ≡ brute force). The registry
+    # is now 100% oracle-backed.
     "ann_ivf_det_topk",
     # NEW r05 (session 2): portable sketch/pruning/history operators — no rows yet
     "cm_sketch_heavy_hitters",  # count-min with one-sided-error audit

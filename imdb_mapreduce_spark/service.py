@@ -40,10 +40,19 @@ class _RequestHandler(socketserver.StreamRequestHandler):
                 continue
             try:
                 req = json.loads(line)
+                # Per-request budget (VERDICT r05 item 8): clients may only
+                # NARROW the server's vertex budget, never widen it — the
+                # reference analog is the master's fixed 10 s pcall timeout
+                # (master.erl:240). An oversized traversal aborts between
+                # rounds and becomes an error reply on this connection.
+                budget = self.server.engine.REQUEST_MAX_VERTICES
+                if "max_vertices" in req:
+                    budget = min(budget, int(req["max_vertices"]))
                 vertices, edges = self.server.engine.request(
                     req["name"],
                     req.get("type", "actor"),
                     int(req.get("level", 2)),
+                    max_vertices=budget,
                 )
                 reply: dict = {
                     "vertices": vertices,

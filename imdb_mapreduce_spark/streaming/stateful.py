@@ -18,6 +18,7 @@ from typing import TYPE_CHECKING, Any
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    BooleanType,
     DoubleType,
     LongType,
     StringType,
@@ -76,6 +77,97 @@ def running_user_stats(events: DataFrame) -> DataFrame:
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# --- watermark-driven state TTL (r06, VERDICT r05 item 7) -------------------
+
+TTL_STATS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("max_value", DoubleType()),
+        StructField("evicted", BooleanType()),
+    ]
+)
+
+_TTL_STATE = "n_events LONG, total_value DOUBLE, max_value DOUBLE"
+
+
+def _make_ttl_update(ttl_ms: int):
+    def update(
+        key: tuple[Any, ...],
+        batches: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        if state.hasTimedOut:
+            # watermark passed last-seen + TTL with no new data: emit the
+            # final accumulated row flagged as evicted, then DROP the state
+            # — the unbounded-key-space guard (state size tracks the ACTIVE
+            # key set, not the lifetime key set).
+            n, total, vmax = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                    "max_value": [vmax],
+                    "evicted": [True],
+                }
+            )
+            return
+        n, total, vmax = state.get if state.exists else (0, 0.0, float("-inf"))
+        max_ts_ms = 0
+        for pdf in batches:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            vmax = max(vmax, float(pdf["value"].max()))
+            batch_max = int(pdf["ts"].max().value // 1_000_000)  # ns → ms
+            max_ts_ms = max(max_ts_ms, batch_max)
+        state.update((n, total, vmax))
+        # Timeout must sit strictly beyond the current watermark; anchor on
+        # the newer of (this key's newest event, the watermark itself).
+        anchor = max(max_ts_ms, state.getCurrentWatermarkMs() + 1)
+        state.setTimeoutTimestamp(anchor + ttl_ms)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total],
+                "max_value": [vmax],
+                "evicted": [False],
+            }
+        )
+
+    return update
+
+
+def running_user_stats_ttl(events: DataFrame, ttl_minutes: int = 60) -> DataFrame:
+    """Per-user running stats with WATERMARK-DRIVEN STATE TTL (VERDICT r05
+    item 7): a key idle for ``ttl_minutes`` of EVENT time beyond the
+    watermark emits one final ``evicted=true`` row and its state is
+    removed — a key reappearing later restarts from zero (pinned by
+    tests/test_stateful_streaming.py). ``events`` must carry a watermark
+    on ``ts`` (``withWatermark``) — event-time timeouts are undefined
+    without one, and Spark rejects the query.
+
+    This is the 100 TB posture for stateful streams over unbounded key
+    spaces (user ids, session ids): without eviction, state grows with
+    every key EVER seen; with it, state tracks only keys active inside
+    the TTL horizon. The KMV/CM sketch states (below) deliberately stay
+    ``NoTimeout``: they are keyed by event TYPE — a tiny, closed key set
+    whose per-key state is already constant-size, where eviction would
+    discard the sketch a drained stream is about to report."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _make_ttl_update(ttl_minutes * 60_000),
+        outputStructType=TTL_STATS_SCHEMA,
+        stateStructType=_TTL_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
 
 
@@ -164,12 +256,31 @@ KMV_STATE_SCHEMA = StructType(
     ]
 )
 
-# State schema v2 (r05 s3: added the parallel `users` array for pair-keyed
-# dedup). applyInPandasWithState has no state-migration hook, so a
-# checkpoint written under the v1 2-field schema cannot be restored by
-# this revision — discard the checkpoint and re-bootstrap the stream from
-# the source (the sketch is rebuilt from replayed data; rows_seen restarts).
-_KMV_STATE = "hashes ARRAY<LONG>, users ARRAY<LONG>, rows_seen LONG"
+# KMV state schema history: v1 = 2 fields (hashes, rows_seen); v2 = r05 s3
+# added the parallel `users` array for pair-keyed dedup; v3 = r06 added the
+# leading VERSION MARKER (ADVICE r05 item 3). applyInPandasWithState has no
+# state-migration hook, so restoring a checkpoint written under a different
+# state SHAPE fails in the state-store deserializer regardless — but with
+# the marker, any future same-shape semantic change bumps the constant and
+# an incompatible restore now fails with an actionable KmvStateVersionError
+# naming both versions, instead of an opaque Arrow/state cast error.
+# Recovery is always: discard the checkpoint and re-bootstrap the stream
+# from the source (the sketch rebuilds from replayed data; rows_seen
+# restarts).
+KMV_STATE_VERSION = 3
+_KMV_STATE = "v LONG, hashes ARRAY<LONG>, users ARRAY<LONG>, rows_seen LONG"
+
+
+class KmvStateVersionError(RuntimeError):
+    """A KMV streaming checkpoint holds state from an incompatible schema
+    revision. Discard the checkpoint directory and re-run from the source."""
+
+    def __init__(self, found: int) -> None:
+        super().__init__(
+            f"KMV streaming state version {found} is incompatible with this "
+            f"revision (expects {KMV_STATE_VERSION}); discard the checkpoint "
+            "and re-bootstrap the stream from the source"
+        )
 
 
 def _update_kmv(
@@ -199,10 +310,13 @@ def _update_kmv(
     from imdb_mapreduce_spark.plans.quality import KMV_K
 
     if state.exists:
+        ver = state.get[0]
+        if ver != KMV_STATE_VERSION:
+            raise KmvStateVersionError(ver)
         hashes, users, rows_seen = (
-            list(state.get[0]),
             list(state.get[1]),
-            state.get[2],
+            list(state.get[2]),
+            state.get[3],
         )
     else:
         hashes, users, rows_seen = [], [], 0
@@ -214,7 +328,9 @@ def _update_kmv(
             h = int(hashlib.md5(str(ui).encode()).hexdigest()[:15], 16)
             cur.add((h, ui))
     keep = sorted(cur)[:KMV_K]
-    state.update(([h for h, _ in keep], [u for _, u in keep], rows_seen))
+    state.update(
+        (KMV_STATE_VERSION, [h for h, _ in keep], [u for _, u in keep], rows_seen)
+    )
     yield pd.DataFrame(
         {
             "event_type": [key[0]],

@@ -100,6 +100,56 @@ def test_ann_ivf_recall_vs_bruteforce(spark):
     assert len(ivf & exact) > 0  # real neighbors survive cell restriction
 
 
+def test_ann_ivf_full_probe_equals_brute_force(spark):
+    """Registry-delegation evidence (r06, VERDICT r05 item 3): the KMeans
+    IVF library path with nprobe = k (every cell probed) must equal the
+    brute-force cosine top-k EXACTLY — pairs, scores, and ranks. With the
+    cell restriction removed, any residual difference would be a bug in
+    the probe/scoring/ranking machinery, which is the part the registered
+    (oracle-backed) ann_ivf_det_topk shares with this variant."""
+    from imdb_mapreduce_spark.pipeline.similarity import (
+        ann_cosine_topk,
+        ann_ivf_topk,
+    )
+
+    exact = {
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rnk"])
+        for r in ann_cosine_topk(spark, SF).collect()
+    }
+    full = {
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rnk"])
+        for r in ann_ivf_topk(spark, SF, nprobe=8).collect()
+    }
+    assert full == exact
+
+
+def test_cosine_pairs_arrow_rejects_null_and_ragged(spark):
+    """ADVICE r05 item 5: a null or ragged embedding must fail loudly at
+    the batch boundary, not silently misalign every pair after it in the
+    reshape."""
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from imdb_mapreduce_spark.pipeline.similarity import cosine_pairs_arrow
+
+    schema = (
+        "vec1 long, vec2 long, e1 array<float>, e2 array<float>, "
+        "n1 double, n2 double"
+    )
+    ok = [(1, 2, [1.0, 0.0], [0.0, 1.0], 1.0, 1.0)]
+    assert cosine_pairs_arrow(spark.createDataFrame(ok, schema)).collect()[0][
+        "cosine"
+    ] == 0.0
+
+    ragged = ok + [(3, 4, [1.0, 0.0, 0.0], [0.0, 1.0], 1.0, 1.0)]
+    with _pytest.raises(PythonException, match="ragged embeddings"):
+        cosine_pairs_arrow(spark.createDataFrame(ragged, schema)).collect()
+
+    withnull = ok + [(5, 6, None, [0.0, 1.0], 1.0, 1.0)]
+    with _pytest.raises(PythonException, match="null embedding"):
+        cosine_pairs_arrow(spark.createDataFrame(withnull, schema)).collect()
+
+
 def test_media_stub_and_fake_decode(spark):
     try:
         import PIL  # noqa: F401

@@ -158,6 +158,28 @@ def test_service_round_trip_matches_in_process_request(engine):
             err = json.loads(f.readline())
             assert "error" in err and "non-empty" in err["error"]
 
+            # oversized traversal (VERDICT r05 item 8): a request whose
+            # result outgrows its vertex budget aborts between rounds and
+            # becomes an error reply — the service analog of the reference
+            # master's 10 s pcall timeout (master.erl:240)
+            f.write(
+                (
+                    json.dumps(
+                        {
+                            "name": busiest,
+                            "type": "actor",
+                            "level": 2,
+                            "max_vertices": 1,
+                        }
+                    )
+                    + "\n"
+                ).encode()
+            )
+            f.flush()
+            budget_err = json.loads(f.readline())
+            assert "error" in budget_err
+            assert "budget exceeded" in budget_err["error"]
+
             # connection still usable after the error
             f.write(
                 (json.dumps({"name": busiest, "type": "actor", "level": 1}) + "\n").encode()

@@ -57,6 +57,67 @@ def test_stateful_user_stats_converge_to_batch(spark):
         assert got["max_value"] == row["max_value"]
 
 
+def test_state_ttl_evicts_idle_keys_and_restarts(spark, tmp_path):
+    """VERDICT r05 item 7: watermark-driven state TTL. Key B goes idle;
+    once the watermark passes B's last event + TTL, B emits one final
+    evicted=true row and its state is dropped — when B reappears, its
+    counts RESTART from zero instead of resuming. Key A stays active the
+    whole time and accumulates normally."""
+    import os
+    import pandas as pd
+
+    from imdb_mapreduce_spark.streaming.jobs import run_stream_to_memory
+    from imdb_mapreduce_spark.streaming.stateful import running_user_stats_ttl
+
+    d = tmp_path / "stream_in"
+    d.mkdir()
+    t0 = pd.Timestamp("2026-01-01 00:00:00")
+    h = pd.Timedelta(hours=1)
+    batches = [
+        # batch 1: A and B
+        [(1, 10.0, t0), (2, 5.0, t0)],
+        # batch 2: A only, 3h later → watermark (−10 min) passes B's
+        # last-seen + 1h TTL
+        [(1, 20.0, t0 + 3 * h)],
+        # batch 3: A only — B has no data and is timed out → evicted row
+        [(1, 30.0, t0 + 3 * h + pd.Timedelta(minutes=1))],
+        # batch 4: B reappears → must restart from zero
+        [(2, 7.0, t0 + 3 * h + pd.Timedelta(minutes=2))],
+    ]
+    for i, rows in enumerate(batches):
+        pdf = pd.DataFrame(rows, columns=["user_id", "value", "ts"])
+        path = str(d / f"b{i}.parquet")
+        # µs timestamps: Spark's vectorized reader rejects pandas' default
+        # nanosecond INT64 physical type
+        pdf.to_parquet(path, coerce_timestamps="us", allow_truncated_timestamps=True)
+        os.utime(path, (1_000_000 + i, 1_000_000 + i))  # stable batch order
+
+    stream = (
+        spark.readStream.schema("user_id long, value double, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+        .withWatermark("ts", "10 minutes")
+    )
+    log = run_stream_to_memory(
+        running_user_stats_ttl(stream, ttl_minutes=60), "update"
+    ).toPandas()
+
+    b_rows = log[log["user_id"] == 2].reset_index(drop=True)
+    # B: initial row (n=1), the eviction emission (n=1, evicted), then the
+    # restarted row (n=1, value 7.0 — NOT 12.0, which would mean state
+    # survived eviction)
+    assert list(b_rows["evicted"]) == [False, True, False]
+    assert list(b_rows["n_events"]) == [1, 1, 1]
+    assert b_rows.loc[2, "total_value"] == 7.0
+    assert b_rows.loc[2, "max_value"] == 7.0
+
+    a_rows = log[log["user_id"] == 1].reset_index(drop=True)
+    # A never idles past the TTL: no eviction, counts accumulate 1→2→3
+    assert not a_rows["evicted"].any()
+    assert list(a_rows["n_events"]) == [1, 2, 3]
+    assert a_rows.loc[2, "total_value"] == 60.0
+
+
 def test_twsip_totals_equal_batch(spark):
     """transformWithStateInPandas (Spark 4 typed-state API): final per-user
     totals must equal the batch DECIMAL aggregate exactly. Skips where the
