@@ -90,6 +90,10 @@ HEADLINE = (
     "weighted_sample_tokens",
     "user_state_asof",
     "paragraph_scrub_rebuild",
+    # added r06: the graph family now amortizes one shared silver edge
+    # build; PageRank (10 integer power iterations) joins the headline so
+    # the iterative-join family is perf-tracked end to end
+    "pagerank_coparts",
 )
 
 

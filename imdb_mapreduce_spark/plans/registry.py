@@ -68,75 +68,29 @@ def register(
 # Rotate these lists each round so coverage accumulates. See COVERAGE.md
 # ("Driver correctness window") for the per-round rotation record.
 _HEAD: tuple[str, ...] = (
-    # r05 rotation: queries whose hash-verification work lands THIS round go
-    # first (oracle conversions that have never had an oracle-backed driver
-    # row), then the 37 queries whose newest green row is r03 (they sat in
-    # _TAIL through r04 by design of the 50-row window), then the permanent
-    # rows-only entries so each round refreshes their rows-only record.
-    "pagerank_coparts",  # r05: exact-DECIMAL oracle conversion (VERDICT item 4)
-    "simhash_near_dups",  # r05: portable md5 oracle conversion (VERDICT item 5)
-    # NEW r05 session 3 (no driver row yet):
-    "hll_distinct_users",  # portable-register HyperLogLog
-    "duplicate_span_pairs",  # exact-substring span dedup (diagonal runs)
-    "bpe_merge_candidates",  # BPE vocab-induction counting round
-    "weighted_sample_tokens",  # token-proportional deterministic Bernoulli
-    "copurchase_sssp",  # bounded weighted SSSP (min-plus iterative)
-    "user_state_asof",  # SCD2 read side: state as of a point in time
-    "paragraph_scrub_rebuild",  # C4-style scrub emitting rebuilt text
-    "minhash_eval_metrics",  # LSH candidate precision/recall vs exact truth
-    "ngram_jaccard_thresholded",  # NEW r05: length-prefiltered pairs — no row yet
-    # NEW r05 operators (no driver row yet):
-    "copurchase_triangles",  # triangle counting w/ a-priori min-support prune
-    "paragraph_dedup_stats",  # sub-document boilerplate dedup profile
-    "table_profile_orders",  # one-scan column profiler
-    "quality_decile_filter",  # per-source NTILE quality gate
-    "user_retention_cohorts",  # weekly cohort retention matrix
-    "training_shuffle_order",  # seeded scalable global shuffle rank
-    "zorder_layout_plan",  # Morton clustering key + file assignment
-    "streaming_segment_purchase_totals",  # stream-static dim enrichment
-    "kmv_distinct_users",  # portable mergeable cardinality sketch
-    "props_redaction_stats",  # regex PII-masking audit
-    "event_funnel_conversion",  # strictly-sequenced conversion funnel
-    "event_transition_bigrams",  # behavioral Markov-chain rollup
-    "incremental_priority_rollup",  # IVM: base ⊕ delta vs full recompute
-    "corpus_build_manifest",  # END-TO-END: keep → shuffle → pack, one plan
-    "event_value_anomalies",  # MAD-based robust outlier flags
-    "embedding_label_centroids",  # exact-DECIMAL distributed centroid build
-    "shipping_lag_stats",  # fact-fact join + integer-lag percentiles
-    "packed_training_rows",  # byte-exact packed text artifacts
-    # never-green entries must stay inside the 50-row window (guarded by
-    # test_out_of_window_queries_union_green), so they precede the
-    # union-green r03 refreshes below:
-    "ann_lsh_topk",  # r05: oracle conversion (bucket fold + brute scoring,
-    # both bit-identical primitives proven in r03/r04) — no hash row yet
-    # r06 (VERDICT r05 item 3): ann_ivf_topk — the one permanent rows-only
-    # entry through r05 — is DEREGISTERED: the registered IVF query is its
-    # deterministic-pivot sibling below (same probe/search path, md5-
-    # anchored cells, full DuckDB oracle); the KMeans-trained quantizer
-    # stays as a library function whose correctness is pytest-pinned
-    # (exact-within-probed-cells + full-probe ≡ brute force). The registry
-    # is now 100% oracle-backed.
-    "ann_ivf_det_topk",
-    # NEW r05 (session 2): portable sketch/pruning/history operators — no rows yet
-    "cm_sketch_heavy_hitters",  # count-min with one-sided-error audit
-    "bloom_filter_prune",  # bit-packed bloom semi-join prune + confusion audit
-    "user_state_scd2",  # SCD Type-2 validity-interval history build
-    "kmv_set_ops",  # theta-style intersection/union estimates on KMV sketches
-    "embedding_random_projection",  # JL 64d->16d sketch, norm audit
-    "text_feature_hashing",  # vocabulary-free signed hashed bag-of-words
-    "zone_map_prune_audit",  # file-skipping payoff of the zorder layout
-    "ngram_containment_pairs",  # asymmetric quote/near-superset detection
-    "split_leakage_audit",  # cross-split near-dup eval-integrity audit
-    "lang_id_confusion",  # confusion-matrix eval of the lang-ID heuristic
-    "media_phash_dedup",  # perceptual-hash near-dup pairs over binary payloads
-    "streaming_cm_sketch_cells",  # the CM sketch as live streaming state
-    "streaming_kmv_distinct",  # KMV as custom applyInPandasWithState state
-    "snapshot_diff",  # change-data-feed diff of two table versions
-    "ab_experiment_metrics",  # md5-arm experiment readout, exact money
-    # r03-green, stalest first (all pushed out of the r04 window)
-    "ngram_jaccard_pairs",  # r05: length-ratio prefilter added (VERDICT item 3)
-    "ngram_jaccard_capped",  # r05: same prefilter — re-verify with sibling
-    "dedup_exact_survivors",
+    # r06 rotation (VERDICT r05 item 2; COVERAGE.md "Driver correctness
+    # window" has the per-round record). Composition of the 50-slot window:
+    #   1) 10 queries whose CODE or ORACLE changed this round, re-verified
+    #      in-window (the graph family now reading the silver co-purchase
+    #      tables; embedding_lsh_dups' Arrow guard; the interpolated
+    #      leakage-audit oracle; the generated-dialect z-order pair; the
+    #      v3 KMV streaming state);
+    #   2) all 33 remaining queries whose newest green row is r03 (the
+    #      stalest in the union — every r03-green displaced query from the
+    #      r05 sessions is promoted here, closing that queue);
+    #   3) 7 stalest r04-green entries.
+    # No never-green entries exist: the registry is 100% union-green and
+    # (since r06) 100% oracle-backed.
+    "copurchase_bfs_l3",
+    "copart_pairs_topk",
+    "pagerank_coparts",
+    "copurchase_triangles",
+    "copurchase_sssp",
+    "embedding_lsh_dups",
+    "split_leakage_audit",
+    "zorder_layout_plan",
+    "zone_map_prune_audit",
+    "streaming_kmv_distinct",
     "rollup_grouping_flags",
     "events_json_struct",
     "embedding_label_dups",
@@ -160,7 +114,6 @@ _HEAD: tuple[str, ...] = (
     "dedup_clusters",
     "parts_above_brand_avg",
     "doc_embedding_profile",
-    "copart_pairs_topk",
     "supplier_part_facts",
     "events_hourly",
     "order_price_quantiles",
@@ -171,22 +124,18 @@ _HEAD: tuple[str, ...] = (
     "tfidf_top_terms",
     "part_expr_catalog",
     "events_cube",
-)
-_TAIL: tuple[str, ...] = (
-    # The 46 queries hash-green in CORRECTNESS_r04.json. The first ~9 still
-    # land inside the driver's 50-row window (window − |_HEAD| slots), so the
-    # most-valuable refreshes go first: queries whose code changes this round
-    # or whose r04 bench moved.
-    "event_value_histogram",  # r05: HIST_LO_CENTS offset fix (ADVICE item 1)
-    "copurchase_bfs_l3",  # r05: distinct-edges measurement (VERDICT item 2)
-    "user_sessions",  # r04 bench regression — re-confirm post NTZ layer
-    "events_json_stats",  # r04 bench regression — re-confirm post NTZ layer
+    "event_value_histogram",
+    "user_sessions",
+    "events_json_stats",
     "user_value_trend",
-    "benchmark_decontam",  # r05: broadcast size gate (ADVICE item 4)
-    "embedding_lsh_dups",
+    "benchmark_decontam",
     "streaming_dedup_10min_counts",
     "dedup_exact_groups",
-    # beyond the window — all r04-green, each family keeps an in-window sibling
+)
+_TAIL: tuple[str, ...] = (
+    # beyond the window: 37 r04-green then 42 r05-green entries — every one
+    # union-green, each family keeping an in-window sibling; they rotate
+    # forward in r07 stalest-first.
     "streaming_click_attribution",
     "streaming_10min_counts",
     "orders_per_customer",
@@ -224,6 +173,48 @@ _TAIL: tuple[str, ...] = (
     "local_supplier_revenue",
     "quantity_band_stats",
     "ann_cosine_topk",
+    "simhash_near_dups",
+    "hll_distinct_users",
+    "duplicate_span_pairs",
+    "bpe_merge_candidates",
+    "weighted_sample_tokens",
+    "user_state_asof",
+    "paragraph_scrub_rebuild",
+    "minhash_eval_metrics",
+    "ngram_jaccard_thresholded",
+    "paragraph_dedup_stats",
+    "table_profile_orders",
+    "quality_decile_filter",
+    "user_retention_cohorts",
+    "training_shuffle_order",
+    "streaming_segment_purchase_totals",
+    "kmv_distinct_users",
+    "props_redaction_stats",
+    "event_funnel_conversion",
+    "event_transition_bigrams",
+    "incremental_priority_rollup",
+    "corpus_build_manifest",
+    "event_value_anomalies",
+    "embedding_label_centroids",
+    "shipping_lag_stats",
+    "packed_training_rows",
+    "ann_lsh_topk",
+    "ann_ivf_det_topk",
+    "cm_sketch_heavy_hitters",
+    "bloom_filter_prune",
+    "user_state_scd2",
+    "kmv_set_ops",
+    "embedding_random_projection",
+    "text_feature_hashing",
+    "ngram_containment_pairs",
+    "lang_id_confusion",
+    "media_phash_dedup",
+    "streaming_cm_sketch_cells",
+    "snapshot_diff",
+    "ab_experiment_metrics",
+    "ngram_jaccard_pairs",
+    "ngram_jaccard_capped",
+    "dedup_exact_survivors",
 )
 
 

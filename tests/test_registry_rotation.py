@@ -141,30 +141,38 @@ def test_window_front_is_staler_than_tail():
         if qs[n].oracle is not None and newest_green.get(n, 0) <= latest - 2
     ]
     window_all_fresh = all(newest_green.get(n, 0) == latest for n in in_window)
-    # Window slots spent on FIRST-EVER-green queries are the rotation doing
-    # its job (never-green entries outrank stale union-green ones). Slots
-    # spent RE-VERIFYING already-green queries are legitimate only up to a
-    # bounded head of _TAIL (entries whose code changed this round —
-    # COVERAGE.md documents ~9 such slots per round). ADVICE r05 item 1:
-    # an unscoped any-first-green escape would suppress the alarm every
-    # round (every round registers new queries), so count re-verified
-    # slots against that explicit allowance instead — more than
-    # ALLOWED_REVERIFY re-verification slots while ≥2-round-stale queries
-    # sit outside the window means the rotation was (at least partly)
-    # forgotten.
+    # ADVICE r05 item 1: the old any-first-green escape suppressed the
+    # alarm every round (every round registers new queries). The scoped
+    # rule counts WASTED slots instead: a window slot is wasted when it
+    # re-verifies a query that was already green in the immediately
+    # preceding round (pre-round staleness ≤ 1) — with a registry ~2.6×
+    # the window, stalest-first rotation never needs to do that beyond a
+    # bounded allowance of code-changed-this-round re-verifies (~10,
+    # documented per round in COVERAGE.md). First-green entries and
+    # promoted ≥2-round-stale entries are never wasted, so a properly
+    # rotated consolidation round stays silent, while a forgotten
+    # rotation (the window still holding last round's freshly-green head)
+    # trips the allowance immediately.
     ALLOWED_REVERIFY = 12
-    reverified_slots = sum(
-        1
-        for n in in_window
-        if newest_green.get(n, 0) == latest and oldest_green.get(n) != latest
+    pre_newest: dict[str, int] = {}
+    for p in paths:
+        rnd = int(re.search(r"r(\d+)", p).group(1))
+        if rnd >= latest:
+            continue
+        with open(p) as f:
+            rows = json.load(f)
+        for name, row in rows.items():
+            if row.get("hash_match"):
+                pre_newest[name] = max(pre_newest.get(name, 0), rnd)
+    wasted_slots = sum(
+        1 for n in in_window if pre_newest.get(n, 0) >= latest - 1
     )
     assert not (
-        stale_outside
-        and window_all_fresh
-        and reverified_slots > ALLOWED_REVERIFY
+        stale_outside and window_all_fresh and wasted_slots > ALLOWED_REVERIFY
     ), (
-        f"rotation forgotten: {reverified_slots} driver-window slots went to "
-        f"re-verifying queries already green before round {latest} (allowance "
-        f"{ALLOWED_REVERIFY}), while {len(stale_outside)} out-of-window "
-        f"queries are ≥2 rounds stale: {stale_outside[:10]}"
+        f"rotation forgotten: {wasted_slots} driver-window slots went to "
+        f"re-verifying queries already green in round {latest - 1} "
+        f"(allowance {ALLOWED_REVERIFY} for code-changed re-verifies), while "
+        f"{len(stale_outside)} out-of-window queries are ≥2 rounds stale: "
+        f"{stale_outside[:10]}"
     )

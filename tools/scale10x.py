@@ -1,0 +1,200 @@
+"""Fourth scaling decade for the dedup/similarity family (VERDICT r05
+item 6): synthesize a 10×-sf0.1 documents+embeddings corpus with the SAME
+distributional shape as the driver testdata (vocabulary and word-frequency
+profile sampled from sf0.1, matched words-per-doc range, matched exact-dup
+rate; per-label Gaussian embedding clusters with centers/σ estimated from
+sf0.1), then time the pair-join/LSH operators on the extra 10× step.
+
+The corpus is deliberately NOT ten perturbed copies of sf0.1 — that would
+multiply near-dup density tenfold and make the pair joins blow up for data
+reasons, telling us nothing about plan scaling. Matching the generative
+process keeps dup density comparable so the measured ratio isolates the
+ENGINE's behaviour on 10× rows.
+
+Deterministic (seed below), build-once (fingerprint-keyed like
+sources/silver.py), written under spark-warehouse/ (gitignored).
+
+Usage:  python tools/scale10x.py [query ...]
+        (default: minhash_lsh_dups duplicate_span_pairs embedding_lsh_dups
+         simhash_near_dups)
+Prints one JSON line with per-query [sf0.1 s, 10x s] min-of-2 and the
+ratio; pretty lines to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SRC = "/root/testdata/sf0.1"
+OUT = os.path.join(REPO, "spark-warehouse", "scale10x")
+FACTOR = 10
+SEED = 20260814
+
+DEFAULT = (
+    "minhash_lsh_dups",
+    "duplicate_span_pairs",
+    "embedding_lsh_dups",
+    "simhash_near_dups",
+)
+
+
+def _fingerprint() -> dict:
+    fp = {"factor": FACTOR, "seed": SEED, "v": 2}
+    for t in ("documents", "embeddings"):
+        st = os.stat(os.path.join(SRC, f"{t}.parquet"))
+        fp[t] = [st.st_mtime_ns, st.st_size]
+    return fp
+
+
+def build_corpus() -> str:
+    """Build (iff absent/stale) the 10× documents+embeddings parquet dir."""
+    meta_path = os.path.join(OUT, "_meta.json")
+    fp = _fingerprint()
+    if os.path.exists(meta_path):
+        try:
+            with open(meta_path) as f:
+                if json.load(f) == fp and all(
+                    os.path.exists(os.path.join(OUT, f"{t}.parquet"))
+                    for t in ("documents", "embeddings")
+                ):
+                    return OUT
+        except (json.JSONDecodeError, OSError):
+            pass
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(SEED)
+    os.makedirs(OUT, exist_ok=True)
+
+    # --- documents: empirical vocab/frequency/length profile from sf0.1 ---
+    src_docs = pq.read_table(os.path.join(SRC, "documents.parquet"))
+    texts = src_docs.column("text").to_pylist()
+    langs = src_docs.column("lang").to_pylist()
+    sources = src_docs.column("source").to_pylist()
+    words: list[str] = []
+    lens: list[int] = []
+    for t in texts:
+        ws = t.split(" ")
+        words.extend(ws)
+        lens.append(len(ws))
+    vocab, counts = np.unique(np.array(words), return_counts=True)
+    word_p = counts / counts.sum()
+    lens_arr = np.array(lens)
+    lang_vals, lang_counts = np.unique(np.array(langs), return_counts=True)
+    lang_p = lang_counts / lang_counts.sum()
+    src_vals, src_counts = np.unique(np.array(sources), return_counts=True)
+    src_p = src_counts / src_counts.sum()
+
+    n_docs = len(texts) * FACTOR
+    # exact-dup rate matched to source (sf0.1: 8 dup docs / 5000)
+    n_dups = (len(texts) - len(set(texts))) * FACTOR
+    doc_lens = rng.choice(lens_arr, size=n_docs)
+    # SHARDED vocabulary: each 10× segment gets its own disjoint copy of
+    # the vocab (shard 0 = the original words). A faithful bigger corpus
+    # has more TOPICS at the same within-topic density, not 10× more docs
+    # drawn from one 31-word topic — the latter makes near-dup pair counts
+    # quadratic in corpus size by construction (measured: simhash pairs
+    # ×92 for ×10 docs) and would measure the data, not the engine.
+    # Cross-shard docs share no words, so shingle/simhash/minhash pair
+    # candidates stay within shards and density per doc is preserved.
+    shard_of_doc = rng.integers(0, FACTOR, size=n_docs)
+    out_texts: list[str] = []
+    for i in range(n_docs):
+        if i >= n_docs - n_dups and out_texts:
+            out_texts.append(out_texts[int(rng.integers(0, len(out_texts)))])
+        else:
+            ws = rng.choice(vocab, size=int(doc_lens[i]), p=word_p)
+            s = int(shard_of_doc[i])
+            if s:
+                ws = [f"{w}{s}" for w in ws]
+            out_texts.append(" ".join(ws))
+    docs_tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n_docs), pa.int64()),
+            "text": pa.array(out_texts, pa.string()),
+            "lang": pa.array(rng.choice(lang_vals, size=n_docs, p=lang_p)),
+            "source": pa.array(rng.choice(src_vals, size=n_docs, p=src_p)),
+            "n_chars": pa.array([len(t) for t in out_texts], pa.int64()),
+        }
+    )
+    pq.write_table(docs_tbl, os.path.join(OUT, "documents.parquet"))
+
+    # --- embeddings: per-label Gaussian clusters estimated from sf0.1 ---
+    src_emb = pq.read_table(os.path.join(SRC, "embeddings.parquet"))
+    emb = np.array(src_emb.column("embedding").to_pylist(), dtype="float64")
+    lab = np.array(src_emb.column("label").to_pylist())
+    lab_vals, lab_counts = np.unique(lab, return_counts=True)
+    lab_p = lab_counts / lab_counts.sum()
+    centers = {int(v): emb[lab == v].mean(axis=0) for v in lab_vals}
+    sigma = float(np.mean([emb[lab == v].std() for v in lab_vals]))
+    n_vecs = len(emb) * FACTOR
+    out_lab = rng.choice(lab_vals, size=n_vecs, p=lab_p)
+    vecs = np.stack([centers[int(v)] for v in out_lab]) + rng.normal(
+        0.0, sigma, size=(n_vecs, emb.shape[1])
+    )
+    emb_tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n_vecs), pa.int64()),
+            "embedding": pa.array(
+                vecs.astype("float32").tolist(), pa.list_(pa.float32())
+            ),
+            "label": pa.array(out_lab.astype("int32"), pa.int32()),
+        }
+    )
+    pq.write_table(emb_tbl, os.path.join(OUT, "embeddings.parquet"))
+
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(fp, f)
+    os.replace(tmp, meta_path)
+    return OUT
+
+
+def main() -> None:
+    names = tuple(sys.argv[1:]) or DEFAULT
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    unknown = [n for n in names if n not in qs]
+    if unknown:
+        sys.exit(f"unknown queries: {unknown}")
+    out_dir = build_corpus()
+    from imdb_mapreduce_spark.session import get_spark
+
+    spark = get_spark("scale10x")
+    spark.range(1).count()
+    results: dict[str, dict] = {}
+    for name in names:
+        fn = qs[name]
+        times = []
+        rows = []
+        for sf_dir in (SRC, out_dir):
+            best = None
+            n = 0
+            for _ in range(2):  # min-of-2, matching tools/scaling_curve.py
+                t = time.time()
+                n = len(fn(spark, sf_dir).collect())
+                el = time.time() - t
+                best = el if best is None else min(best, el)
+            times.append(round(best, 3))
+            rows.append(n)
+        ratio = round(times[1] / times[0], 2) if times[0] > 0 else float("nan")
+        results[name] = {"sec": times, "rows": rows, "ratio_10x_c": ratio}
+        print(
+            f"{name:28s} sf0.1 {times[0]:7.2f}s  10x {times[1]:7.2f}s  "
+            f"x{ratio:<6} rows {rows[0]} -> {rows[1]}",
+            file=sys.stderr,
+        )
+    print(json.dumps({"step": "sf0.1 -> 10x-sf0.1", "queries": results}))
+
+
+if __name__ == "__main__":
+    main()
