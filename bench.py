@@ -94,6 +94,16 @@ HEADLINE = (
     # build; PageRank (10 integer power iterations) joins the headline so
     # the iterative-join family is perf-tracked end to end
     "pagerank_coparts",
+    # added r06 session 4: SemDeDup (centroid-blocked embedding dedup),
+    # batch-vs-corpus incremental dedup, unigram-LM rarity scoring, and
+    # cross-label hard-negative mining — the new-coverage queries with
+    # nontrivial cost (streaming queries stay out of the bench by
+    # convention: their wall time is trigger/checkpoint overhead, not
+    # operator throughput)
+    "semdedup_clusters",
+    "incremental_dedup_verdicts",
+    "doc_rarity_scores",
+    "hard_negative_mining",
 )
 
 

@@ -976,3 +976,137 @@ def weighted_sample_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_h") < F.col("weight") * F.lit(WSAMPLE_UNIT))
         .drop("_h")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new batch vs existing corpus (r06)
+# ---------------------------------------------------------------------------
+
+INCR_BATCH_MOD = 10  # doc_id % 10 == 0 plays the "newly arrived" batch
+INCR_JACCARD_THR = 0.1
+
+
+def _incr_dedup_oracle() -> str:
+    from imdb_mapreduce_spark.pipeline.dedup import SHINGLE_WORDS
+
+    return f"""
+    WITH batch AS (SELECT * FROM documents WHERE doc_id % {INCR_BATCH_MOD} = 0),
+    corpus AS (SELECT * FROM documents WHERE doc_id % {INCR_BATCH_MOD} <> 0),
+    exact AS (
+      SELECT DISTINCT b.doc_id
+      FROM batch b JOIN corpus c
+        ON md5(lower(trim(b.text))) = md5(lower(trim(c.text)))),
+    blists AS MATERIALIZED (
+      SELECT doc_id,
+             list_distinct(list_transform(
+                 generate_series(1, greatest(len(string_split(text, ' ')) - {SHINGLE_WORDS - 1}, 1)),
+                 i -> array_to_string((string_split(text, ' '))[i:i+{SHINGLE_WORDS - 1}], ' '))) AS shl
+      FROM batch),
+    clists AS MATERIALIZED (
+      SELECT doc_id,
+             list_distinct(list_transform(
+                 generate_series(1, greatest(len(string_split(text, ' ')) - {SHINGLE_WORDS - 1}, 1)),
+                 i -> array_to_string((string_split(text, ' '))[i:i+{SHINGLE_WORDS - 1}], ' '))) AS shl
+      FROM corpus),
+    bsh AS (SELECT doc_id, len(shl) AS n_sh, unnest(shl) AS sh FROM blists),
+    csh AS (SELECT doc_id, len(shl) AS n_sh, unnest(shl) AS sh FROM clists),
+    near AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT b.doc_id, c.doc_id AS c_id,
+               CAST(COUNT(*) AS DOUBLE)
+                 / CAST(ANY_VALUE(b.n_sh) + ANY_VALUE(c.n_sh) - COUNT(*) AS DOUBLE)
+                 AS jaccard
+        FROM bsh b JOIN csh c ON b.sh = c.sh
+        GROUP BY b.doc_id, c.doc_id) t
+      WHERE jaccard >= {INCR_JACCARD_THR})
+    SELECT b.doc_id,
+           CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+                WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+                ELSE 'new' END AS verdict
+    FROM batch b
+    LEFT JOIN exact e ON e.doc_id = b.doc_id
+    LEFT JOIN near n ON n.doc_id = b.doc_id
+    """
+
+
+@register(
+    "incremental_dedup_verdicts",
+    oracle=_incr_dedup_oracle(),
+    tags=("curation", "dedup", "north-star", "incremental"),
+)
+def incremental_dedup_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the shape every continuously-crawled corpus
+    needs: a NEWLY ARRIVED batch is checked against the EXISTING corpus
+    (not against itself), each new doc labeled ``exact_dup`` (fingerprint
+    already present), ``near_dup`` (word-shingle Jaccard >= {thr} with
+    some existing doc), or ``new``. Batch = ``doc_id % {mod} == 0`` so the
+    oracle can replay the split.
+
+    Scale posture: the exact tier is a fingerprint left-semi join (the
+    corpus side reduces to distinct fingerprints — at 100 TB a bucketed
+    silver fingerprint table, making arrival checks shuffle-free); the
+    near tier joins batch shingles against corpus shingles — linear in
+    shared-shingle pairs and BLOCKED by the batch being small relative to
+    the corpus (the asymmetry is the whole point: cost ~ |batch| x
+    avg-postings, never corpus x corpus). Verdict assembly is two
+    left joins against distinct bounded id sets."""
+    from imdb_mapreduce_spark.pipeline.dedup import (
+        exploded_shingles,
+        fingerprint,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    batch = docs.filter(F.col("doc_id") % INCR_BATCH_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % INCR_BATCH_MOD != 0)
+
+    corpus_fps = corpus.select(fingerprint().alias("fp")).distinct()
+    exact = (
+        batch.select("doc_id", fingerprint().alias("fp"))
+        .join(corpus_fps, "fp", "left_semi")
+        .select("doc_id")
+    )
+
+    bsh = exploded_shingles(batch)
+    csh = exploded_shingles(corpus).select(
+        F.col("doc_id").alias("c_id"),
+        F.col("n_shingles").alias("c_n_sh"),
+        F.col("sh"),
+    )
+    near = (
+        bsh.join(csh, "sh")
+        .groupBy("doc_id", "c_id")
+        .agg(
+            F.count(F.lit(1)).alias("shared"),
+            F.first("n_shingles").alias("b_n"),
+            F.first("c_n_sh").alias("c_n"),
+        )
+        .filter(
+            F.col("shared").cast("double")
+            / (F.col("b_n") + F.col("c_n") - F.col("shared")).cast("double")
+            >= INCR_JACCARD_THR
+        )
+        .select("doc_id")
+        .distinct()
+    )
+
+    return (
+        batch.select("doc_id")
+        .join(
+            F.broadcast(exact.withColumn("_ex", F.lit(True))), "doc_id", "left"
+        )
+        .join(
+            F.broadcast(near.withColumn("_nr", F.lit(True))), "doc_id", "left"
+        )
+        .select(
+            "doc_id",
+            F.when(F.col("_ex"), F.lit("exact_dup"))
+            .when(F.col("_nr"), F.lit("near_dup"))
+            .otherwise(F.lit("new"))
+            .alias("verdict"),
+        )
+    )
+
+
+incremental_dedup_verdicts.__doc__ = incremental_dedup_verdicts.__doc__.format(
+    thr=INCR_JACCARD_THR, mod=INCR_BATCH_MOD
+)

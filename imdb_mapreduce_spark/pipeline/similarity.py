@@ -1340,3 +1340,174 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(pnorm).alias("proj_norm"),
         (F.sqrt(pnorm) / F.col("orig_norm")).alias("norm_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: centroid-blocked semantic dedup (r06)
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_K = 16  # coarse cells; at scale k grows with n so cells stay bounded
+SEMDEDUP_TAU = 0.3  # within-cell cosine at/above this = semantic duplicate
+
+
+def _semdedup_oracle() -> str:
+    cos = (
+        f"{_sql_dot_unrolled('a.embedding', 'b.embedding')}"
+        f" / (sqrt({_sql_dot_unrolled('a.embedding', 'a.embedding')})"
+        f" * sqrt({_sql_dot_unrolled('b.embedding', 'b.embedding')}))"
+    )
+    d2 = _sql_d2_unrolled("e.embedding", "p.pe")
+    return f"""
+    WITH pivots AS MATERIALIZED (
+      SELECT CAST(ROW_NUMBER() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INT) - 1 AS cell,
+             embedding AS pe
+      FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT {SEMDEDUP_K}),
+    assign AS MATERIALIZED (
+      SELECT e.vec_id, e.embedding, p.cell, {d2} AS d2
+      FROM embeddings e CROSS JOIN pivots p),
+    cells AS MATERIALIZED (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT vec_id, embedding, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        FROM assign) t
+      WHERE rn = 1),
+    removed AS (
+      SELECT DISTINCT b.vec_id
+      FROM cells a JOIN cells b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE {cos} >= {SEMDEDUP_TAU})
+    SELECT c.vec_id, c.cell,
+           (r.vec_id IS NULL) AS is_kept
+    FROM cells c LEFT JOIN removed r ON r.vec_id = c.vec_id
+    """
+
+
+@register(
+    "semdedup_clusters",
+    oracle=_semdedup_oracle(),
+    tags=("similarity", "dedup", "north-star", "semdedup"),
+)
+def semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup by clustering embeddings
+    into k coarse cells, then removing all-but-one of every within-cell
+    near-duplicate group — the embedding-space sibling of MinHash-LSH that
+    catches paraphrases exact n-grams miss. The reference engine has no
+    counterpart; this is part of the added LLM-pipeline surface
+    (SURVEY.md §2 [NORTH-STAR]).
+
+    Determinism: cells come from the md5-ranked pivot quantizer shared with
+    :func:`ann_ivf_det_topk` (k = {k}) — no RNG, no training fixpoint — and
+    the drop rule is "remove v iff SOME same-cell vector with a smaller
+    vec_id has cosine >= tau", the greedy keep-first sweep, so the verdict
+    column is bit-replicable in the oracle.
+
+    Plan shape at 100 TB: assignment is one narrow projection per row
+    (k literal-distance folds, no shuffle); the quadratic cosine check is
+    confined within cells, so the worst block is |cell|^2, bounded by
+    growing k with corpus size (SemDeDup's own recipe: k ~ n/target_cell);
+    the removed set joins back as a broadcast-able distinct-id relation.
+    """
+    emb = load_table(spark, "embeddings", sf_dir)
+    pivots = ivf_det_pivots(spark, sf_dir, k=SEMDEDUP_K)
+    ranked = _ivf_det_ranked(pivots)
+    cells = emb.select(
+        "vec_id", "embedding", ranked[0]["cell"].alias("cell")
+    )
+    a = cells.select(
+        F.col("cell"),
+        F.col("vec_id").alias("_va"),
+        F.col("embedding").alias("_ea"),
+    )
+    b = cells.select(
+        F.col("cell"),
+        F.col("vec_id").alias("_vb"),
+        F.col("embedding").alias("_eb"),
+    )
+    removed = (
+        a.join(b, "cell")
+        .filter(F.col("_va") < F.col("_vb"))
+        .filter(
+            (dot("_ea", "_eb") / (norm("_ea") * norm("_eb"))) >= SEMDEDUP_TAU
+        )
+        .select(F.col("_vb").alias("vec_id"))
+        .distinct()
+    )
+    return cells.join(
+        F.broadcast(removed.withColumn("_rm", F.lit(True))), "vec_id", "left"
+    ).select(
+        "vec_id",
+        "cell",
+        F.coalesce(~F.col("_rm"), F.lit(True)).alias("is_kept"),
+    )
+
+
+semdedup_clusters.__doc__ = semdedup_clusters.__doc__.format(k=SEMDEDUP_K)
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining for contrastive training (r06)
+# ---------------------------------------------------------------------------
+
+HARD_NEG_K = 5
+
+
+@register(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, label, embedding FROM embeddings
+               WHERE vec_id < {{nq}}),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS negative_id, c.label AS neg_label,
+             {_SQL_DOT.format(a="q.embedding", b="c.embedding")}
+               / (sqrt({_SQL_DOT.format(a="q.embedding", b="q.embedding")})
+                  * sqrt({_SQL_DOT.format(a="c.embedding", b="c.embedding")})) AS cosine
+      FROM q JOIN embeddings c ON c.label <> q.label)
+    SELECT query_id, negative_id, neg_label, cosine, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, negative_id) AS rnk
+      FROM scored) t
+    WHERE rnk <= {{k}}
+    """.format(nq=N_QUERIES, k=HARD_NEG_K),
+    tags=("similarity", "north-star", "training-data"),
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard negatives for contrastive/embedding training: for each query
+    vector, the top-k most-similar vectors carrying a DIFFERENT label —
+    the mining step behind retrieval training sets (DPR/Contriever style),
+    where "close but wrong" examples teach the margin. Same broadcast ×
+    corpus-scan plan as :func:`ann_cosine_topk` (the label filter rides the
+    scan; at 100 TB the brute scorer swaps for the IVF/LSH candidate path
+    with the identical filter), so per-query cost is one corpus pass."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("qe"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("negative_id"),
+        F.col("label").alias("neg_label"),
+        F.col("embedding").alias("ce"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("neg_label") != F.col("q_label"))
+        .select(
+            "query_id",
+            "negative_id",
+            "neg_label",
+            (dot("qe", "ce") / (norm("qe") * norm("ce"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("negative_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= HARD_NEG_K)
+        .select("query_id", "negative_id", "neg_label", "cosine", "rnk")
+    )

@@ -979,3 +979,58 @@ def paragraph_scrub_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("scrubbed_text"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM rarity score (r06): the CCNet-style LM quality filter shape
+# ---------------------------------------------------------------------------
+
+RARITY_SCALE = 1_000_000_000  # integer surprisal unit: floor(SCALE / df)
+
+
+@register(
+    "doc_rarity_scores",
+    oracle=f"""
+    WITH types AS MATERIALIZED (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word
+      FROM documents),
+    df AS (SELECT word, COUNT(*) AS df FROM types GROUP BY word)
+    SELECT t.doc_id,
+           COUNT(*) AS n_types,
+           SUM({RARITY_SCALE} // df.df) AS rarity_score
+    FROM types t JOIN df ON df.word = t.word
+    GROUP BY t.doc_id
+    """,
+    tags=("text", "north-star", "quality", "lm-score"),
+)
+def doc_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM rarity scoring — the integer-exact stand-in for the
+    perplexity filter every LLM corpus pipeline runs (CCNet trains a LM and
+    buckets documents by score; here the LM is the corpus's own unigram
+    document-frequency table and the per-document score is
+    sum(floor(SCALE / df(word))) over the document's DISTINCT words:
+    monotone in word rarity, all-integer so both engines agree bit-for-bit
+    (float log/exp are NOT portable cross-engine; an integer surprisal
+    proxy ranks documents the same way).
+
+    Scale posture: the df table is one map-side-combining groupBy over
+    (doc, word) pairs; the score join fans each distinct word back to its
+    docs — shuffle keyed on word, where stopword keys are hot but each
+    carries only an 8-byte df, and AQE splits skewed reduce partitions;
+    the final per-doc sum combines map-side. At 100 TB the df table is a
+    reusable silver artifact (computed once per corpus snapshot), exactly
+    like the real pipeline's trained LM."""
+    docs = load_table(spark, "documents", sf_dir)
+    types = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("word"),
+    )
+    df = types.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        types.join(df, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(F.expr(f"{RARITY_SCALE} div df")).alias("rarity_score"),
+        )
+    )

@@ -79,8 +79,16 @@ _HEAD: tuple[str, ...] = (
     #      stalest in the union — every r03-green displaced query from the
     #      r05 sessions is promoted here, closing that queue);
     #   3) 7 stalest r04-green entries.
-    # No never-green entries exist: the registry is 100% union-green and
-    # (since r06) 100% oracle-backed.
+    # r06 session 4 adds 5 NEW queries (never-green by definition → head of
+    # the window per the rotation contract): SemDeDup, hard-negative
+    # mining, incremental batch-vs-corpus dedup, unigram rarity scoring,
+    # and the foreachBatch exactly-once upsert. They displace the last 5
+    # of the "stalest r04-green" refreshes (all union-green; roll to r07).
+    "semdedup_clusters",
+    "hard_negative_mining",
+    "incremental_dedup_verdicts",
+    "doc_rarity_scores",
+    "streaming_foreachbatch_upsert",
     "copurchase_bfs_l3",
     "copart_pairs_topk",
     "pagerank_coparts",

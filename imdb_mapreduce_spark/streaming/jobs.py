@@ -506,3 +506,104 @@ def streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .select("event_type", "rows_seen", "kth_hash", "m")
     )
+
+
+# ---------------------------------------------------------------------------
+# foreachBatch idempotent upsert — the exactly-once sink pattern (r06)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_foreachbatch_upsert",
+    oracle="""
+    SELECT user_id, ts AS last_ts, event_type AS last_type, value AS last_value
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) t
+    WHERE rn = 1
+    """,
+    tags=("streaming", "north-star", "foreachBatch", "exactly-once"),
+)
+def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once keyed upsert through ``foreachBatch`` — the canonical
+    pattern for sinks with no native streaming writer (JDBC, warehouses,
+    key-value stores): each micro-batch MERGEs into per-key latest state,
+    and because the merge is an idempotent set-max (keep the row with max
+    (ts, event_id) per user), replayed input cannot change the result.
+
+    The harness makes the at-least-once delivery REAL: the source events
+    are split into 4 files streamed one per micro-batch
+    (``maxFilesPerTrigger=1``), plus one file DUPLICATED outright — five
+    deliveries of four files' data. The oracle is the batch latest-row
+    query over the ORIGINAL events, so a hash-green row proves both the
+    incremental merge and its replay-immunity.
+
+    State is versioned per batch (write v{n}, read v{n-1}) — a restarted
+    batch rewrites its own version from its predecessor, never compounds,
+    which is exactly how foreachBatch achieves effective exactly-once on
+    top of Spark's at-least-once batch replay contract. The per-key merge
+    is a window rank over prev-state ∪ batch: state size is |keys|, not
+    stream length, and the set-max is order-independent so file arrival
+    order cannot matter."""
+    import glob as _glob
+    import os
+    import shutil
+
+    from imdb_mapreduce_spark.sources.star import load_table
+
+    events = load_table(spark, "events", sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "src")
+        events.repartitionByRange(4, "event_id").write.parquet(src)
+        parts = sorted(_glob.glob(os.path.join(src, "part-*.parquet")))
+        # Replay: re-deliver the first file verbatim (at-least-once source).
+        shutil.copy(parts[0], os.path.join(src, "zz-replay.parquet"))
+        state_root = os.path.join(d, "state")
+
+        def merge(batch_df: DataFrame, batch_id: int) -> None:
+            from pyspark.sql.window import Window
+
+            prev_dir = os.path.join(state_root, f"v{batch_id - 1}")
+            cur = batch_df.select(
+                "user_id",
+                F.col("ts").alias("last_ts"),
+                F.col("event_type").alias("last_type"),
+                F.col("value").alias("last_value"),
+                "event_id",
+            )
+            if os.path.exists(os.path.join(prev_dir, "_SUCCESS")):
+                cur = spark.read.parquet(prev_dir).unionByName(cur)
+            w = Window.partitionBy("user_id").orderBy(
+                F.col("last_ts").desc(), F.col("event_id").desc()
+            )
+            merged = (
+                cur.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+            merged.write.mode("overwrite").parquet(
+                os.path.join(state_root, f"v{batch_id}")
+            )
+
+        stream = spark.readStream.schema(events.schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+        ckpt = os.path.join(d, "ckpt")
+        q = (
+            stream.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        versions = sorted(
+            _glob.glob(os.path.join(state_root, "v*")),
+            key=lambda p: int(os.path.basename(p)[1:]),
+        )
+        final = spark.read.parquet(versions[-1]).select(
+            "user_id", "last_ts", "last_type", "last_value"
+        )
+        # Materialize before the tempdir vanishes (bounded: one row per key).
+        return final.localCheckpoint(eager=True)

@@ -174,6 +174,9 @@ def test_global_plan_hygiene_sweep(spark, queries):
     ALLOW_BNLJ = {
         "quantity_band_stats",
         "ann_cosine_topk",
+        # same deliberate broadcast-queries × corpus-scan shape as
+        # ann_cosine_topk, with the cross-label filter riding the scan
+        "hard_negative_mining",
         # deliberate tiny cross joins: 1-row agg × 1-row agg (attach the
         # table rowcount to the FK check) and hour-grid × type-list (both
         # bounded by calendar/domain size, never by fact volume)

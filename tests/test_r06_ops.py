@@ -1,0 +1,163 @@
+"""Semantic tests for the r06 session-4 operators: SemDeDup,
+hard-negative mining, incremental batch-vs-corpus dedup, unigram rarity
+scoring, and the foreachBatch exactly-once upsert.
+
+Cross-engine value equality is covered by the DuckDB gate
+(tools/check_correctness.py — all five are hash-green at sf0.001/0.01/0.1);
+these tests pin the SEMANTIC invariants a hash can't express: the dedup
+drop rule, label disjointness, verdict soundness, score reconstruction,
+and replay-immunity.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _embeddings(spark) -> pd.DataFrame:
+    from imdb_mapreduce_spark.sources.star import load_table
+
+    return load_table(spark, "embeddings", SF).toPandas()
+
+
+def _cosine_matrix(emb: pd.DataFrame) -> np.ndarray:
+    m = np.array(emb["embedding"].tolist(), dtype=np.float64)
+    n = m / np.linalg.norm(m, axis=1, keepdims=True)
+    return n @ n.T
+
+
+def test_semdedup_drop_rule(spark):
+    """Every vector appears once; no two KEPT vectors in the same cell are
+    near-duplicates; every REMOVED vector has a smaller-id same-cell dup."""
+    from imdb_mapreduce_spark.pipeline.similarity import (
+        SEMDEDUP_TAU,
+        semdedup_clusters,
+    )
+
+    res = semdedup_clusters(spark, SF).toPandas()
+    emb = _embeddings(spark)
+    assert sorted(res["vec_id"]) == sorted(emb["vec_id"])
+    cos = _cosine_matrix(emb.sort_values("vec_id").reset_index(drop=True))
+    by_id = res.set_index("vec_id")
+    for cell, grp in res.groupby("cell"):
+        ids = sorted(grp["vec_id"])
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                dup = cos[a, b] >= SEMDEDUP_TAU
+                if dup:
+                    # greedy keep-first: the larger id must be removed
+                    assert not by_id.loc[b, "is_kept"]
+    # every removed vector can point at a smaller same-cell dup
+    for _, row in res[~res["is_kept"]].iterrows():
+        ids = res[(res["cell"] == row["cell"]) & (res["vec_id"] < row["vec_id"])][
+            "vec_id"
+        ]
+        assert any(cos[int(a), int(row["vec_id"])] >= SEMDEDUP_TAU for a in ids)
+    # non-degenerate on this corpus: both verdicts occur
+    assert res["is_kept"].any() and (~res["is_kept"]).any()
+
+
+def test_hard_negatives_cross_label_and_match_bruteforce(spark):
+    from imdb_mapreduce_spark.pipeline.similarity import (
+        HARD_NEG_K,
+        N_QUERIES,
+        hard_negative_mining,
+    )
+
+    res = hard_negative_mining(spark, SF).toPandas()
+    emb = _embeddings(spark).sort_values("vec_id").reset_index(drop=True)
+    labels = emb.set_index("vec_id")["label"]
+    assert set(res["query_id"]) == set(range(N_QUERIES))
+    for _, r in res.iterrows():
+        assert labels[r["query_id"]] != labels[r["negative_id"]]
+        assert labels[r["negative_id"]] == r["neg_label"]
+    cos = _cosine_matrix(emb)
+    for qid, grp in res.groupby("query_id"):
+        grp = grp.sort_values("rnk")
+        assert list(grp["rnk"]) == list(range(1, HARD_NEG_K + 1))
+        mask = (labels != labels[qid]).values
+        order = sorted(
+            (i for i in emb["vec_id"] if mask[i]),
+            key=lambda i: (-cos[qid, i], i),
+        )
+        assert list(grp["negative_id"]) == order[:HARD_NEG_K]
+
+
+def test_incremental_dedup_verdict_soundness(spark):
+    from imdb_mapreduce_spark.pipeline.curation import (
+        INCR_BATCH_MOD,
+        incremental_dedup_verdicts,
+    )
+    from imdb_mapreduce_spark.sources.star import load_table
+
+    res = incremental_dedup_verdicts(spark, SF).toPandas()
+    docs = load_table(spark, "documents", SF).toPandas()
+    batch_ids = set(docs[docs["doc_id"] % INCR_BATCH_MOD == 0]["doc_id"])
+    assert set(res["doc_id"]) == batch_ids
+    norm = docs.set_index("doc_id")["text"].str.strip().str.lower()
+    corpus_texts = set(norm[docs.set_index("doc_id").index % INCR_BATCH_MOD != 0])
+    for _, r in res.iterrows():
+        is_exact = norm[r["doc_id"]] in corpus_texts
+        if r["verdict"] == "exact_dup":
+            assert is_exact
+        else:
+            assert not is_exact
+    assert set(res["verdict"]) <= {"exact_dup", "near_dup", "new"}
+
+
+def test_doc_rarity_matches_pandas(spark):
+    from imdb_mapreduce_spark.pipeline.text import RARITY_SCALE, doc_rarity_scores
+    from imdb_mapreduce_spark.sources.star import load_table
+
+    res = (
+        doc_rarity_scores(spark, SF).toPandas().set_index("doc_id").sort_index()
+    )
+    docs = load_table(spark, "documents", SF).toPandas()
+    types = (
+        docs.assign(word=docs["text"].str.split(" ").map(lambda ws: sorted(set(ws))))
+        .explode("word")[["doc_id", "word"]]
+    )
+    df = types.groupby("word").size()
+    types["surprisal"] = types["word"].map(lambda w: RARITY_SCALE // int(df[w]))
+    expect = types.groupby("doc_id").agg(
+        n_types=("word", "size"), rarity_score=("surprisal", "sum")
+    )
+    assert res["n_types"].tolist() == expect["n_types"].tolist()
+    assert res["rarity_score"].tolist() == expect["rarity_score"].tolist()
+
+
+def test_foreachbatch_upsert_equals_batch_latest_and_is_replay_immune(spark):
+    from imdb_mapreduce_spark.sources.star import load_table
+    from imdb_mapreduce_spark.streaming.jobs import streaming_foreachbatch_upsert
+
+    res = (
+        streaming_foreachbatch_upsert(spark, SF)
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    events = load_table(spark, "events", SF).toPandas()
+    latest = (
+        events.sort_values(["ts", "event_id"])
+        .groupby("user_id")
+        .last()
+        .reset_index()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert res["user_id"].tolist() == latest["user_id"].tolist()
+    assert res["last_type"].tolist() == latest["event_type"].tolist()
+    assert res["last_value"].tolist() == latest["value"].tolist()
+    # determinism across full re-runs (fresh split, fresh replay file)
+    res2 = (
+        streaming_foreachbatch_upsert(spark, SF)
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(res, res2)
