@@ -104,6 +104,10 @@ HEADLINE = (
     "incremental_dedup_verdicts",
     "doc_rarity_scores",
     "hard_negative_mining",
+    # added r06 session 4 batch 2: a-priori rule readout over the silver
+    # pair table; per-dimension normalization stats
+    "basket_association_rules",
+    "embedding_dim_profile",
 )
 
 

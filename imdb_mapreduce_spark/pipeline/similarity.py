@@ -1511,3 +1511,77 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= HARD_NEG_K)
         .select("query_id", "negative_id", "neg_label", "cosine", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension feature profile (r06): normalization stats for training
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_dim_profile",
+    oracle="""
+    WITH ex AS (
+      SELECT unnest(generate_series(1, len(embedding))) AS dim,
+             unnest(list_transform(generate_series(1, len(embedding)),
+                    i -> CAST(embedding[i] AS DOUBLE))) AS v
+      FROM embeddings),
+    agg AS (
+      SELECT dim,
+             COUNT(*) AS n_vals,
+             CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(v * v AS DECIMAL(38,6))) AS DOUBLE) AS ss,
+             MIN(v) AS min_val,
+             MAX(v) AS max_val
+      FROM ex GROUP BY dim)
+    SELECT dim, n_vals,
+           s / CAST(n_vals AS DOUBLE) AS mean,
+           sqrt(greatest(
+             ss / CAST(n_vals AS DOUBLE)
+               - (s / CAST(n_vals AS DOUBLE)) * (s / CAST(n_vals AS DOUBLE)),
+             CAST(0 AS DOUBLE))) AS std,
+           min_val, max_val
+    FROM agg
+    """,
+    tags=("similarity", "north-star", "feature-stats"),
+)
+def embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DIMENSION feature statistics over the embedding column (mean /
+    std / min / max for each of the 64 dims) — the normalization table
+    every training pipeline computes before standardizing features or
+    whitening embeddings.
+
+    Parity: sums go through exact DECIMAL(38,6) (order-independent), and
+    mean/std are then the IDENTICAL double expression in both engines
+    (sqrt(greatest(E[x²]−E[x]², 0))), so the floats match bitwise. Plan
+    shape: posexplode → one map-side-combining groupBy on a 64-value key —
+    a single exchange of 64·partitions partial rows regardless of corpus
+    size (the textbook associative-agg scaling shape)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    from imdb_mapreduce_spark.plans.parity import DEC
+
+    ex = emb.select(F.posexplode("embedding").alias("pos", "vf")).select(
+        (F.col("pos") + 1).alias("dim"), F.col("vf").cast("double").alias("v")
+    )
+    agg = ex.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n_vals"),
+        F.sum(F.col("v").cast(DEC)).cast("double").alias("s"),
+        F.sum((F.col("v") * F.col("v")).cast(DEC)).cast("double").alias("ss"),
+        F.min("v").alias("min_val"),
+        F.max("v").alias("max_val"),
+    )
+    nd = F.col("n_vals").cast("double")
+    mean = F.col("s") / nd
+    return agg.select(
+        "dim",
+        "n_vals",
+        mean.alias("mean"),
+        F.sqrt(
+            F.greatest(
+                F.col("ss") / nd - (F.col("s") / nd) * (F.col("s") / nd),
+                F.lit(0.0),
+            )
+        ).alias("std"),
+        "min_val",
+        "max_val",
+    )

@@ -358,3 +358,93 @@ def copurchase_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     d = bounded_sssp(edges, source, rounds=SSSP_ROUNDS)
     return d.select(F.col("node").alias("part"), "dist")
+
+
+RULE_MIN_SUPPORT = 2  # pair must recur in >= 2 baskets to form a rule
+RULE_TOPK = 50
+
+
+@register(
+    "basket_association_rules",
+    oracle=f"""
+    WITH e0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    item AS (SELECT p, COUNT(*) AS s FROM e0 GROUP BY p),
+    n AS (SELECT COUNT(DISTINCT o) AS n_orders FROM e0),
+    pairs AS (
+      SELECT a.p AS p1, b.p AS p2, COUNT(*) AS s12
+      FROM e0 a JOIN e0 b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {RULE_MIN_SUPPORT}),
+    rules AS (
+      SELECT p1 AS antecedent, p2 AS consequent, s12 FROM pairs
+      UNION ALL
+      SELECT p2, p1, s12 FROM pairs)
+    SELECT antecedent, consequent, s12 AS pair_support,
+           i1.s AS ante_support,
+           CAST(s12 AS DOUBLE) / CAST(i1.s AS DOUBLE) AS confidence,
+           (CAST(s12 AS DOUBLE) * CAST((SELECT n_orders FROM n) AS DOUBLE))
+             / (CAST(i1.s AS DOUBLE) * CAST(i2.s AS DOUBLE)) AS lift
+    FROM rules
+    JOIN item i1 ON i1.p = rules.antecedent
+    JOIN item i2 ON i2.p = rules.consequent
+    ORDER BY lift DESC, antecedent, consequent
+    LIMIT {RULE_TOPK}
+    """,
+    tags=("graph", "analytics", "association-rules", "north-star"),
+)
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules from the co-purchase pairs — the a-priori
+    market-basket readout (confidence + lift per directed rule, top-k by
+    lift) that turns the graph family's edge table into recommendations.
+
+    r06 consolidation: pair supports come from the SHARED silver pair
+    table (one Σ basket² build per corpus version, basket-capped); item
+    supports and the basket count are one distinct-projection aggregate
+    over the fact table. Confidence/lift are per-row double expressions
+    (no float aggregation), mirrored token-for-token in the oracle, so
+    they are bit-identical across engines; ORDER BY carries the
+    (antecedent, consequent) tiebreak. At 100 TB the rule join is
+    pair-table ⋈ item-supports on the part key — both sides partition on
+    it, and the top-k is a TakeOrdered, never a global sort."""
+    pairs = copurchase_pairs(spark, sf_dir).filter(
+        F.col("support") >= RULE_MIN_SUPPORT
+    )
+    e0 = (
+        load_table(spark, "lineitem", sf_dir)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    item = e0.groupBy("p").agg(F.count(F.lit(1)).alias("s"))
+    n_orders = e0.select("o").distinct().count()  # bounded driver scalar
+    rules = pairs.select(
+        F.col("p1").alias("antecedent"),
+        F.col("p2").alias("consequent"),
+        F.col("support").alias("s12"),
+    ).unionByName(
+        pairs.select(
+            F.col("p2").alias("antecedent"),
+            F.col("p1").alias("consequent"),
+            F.col("support").alias("s12"),
+        )
+    )
+    i1 = item.select(F.col("p").alias("antecedent"), F.col("s").alias("ante_support"))
+    i2 = item.select(F.col("p").alias("consequent"), F.col("s").alias("_s2"))
+    return (
+        rules.join(i1, "antecedent")
+        .join(i2, "consequent")
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("s12").alias("pair_support"),
+            "ante_support",
+            (F.col("s12").cast("double") / F.col("ante_support").cast("double")).alias(
+                "confidence"
+            ),
+            (
+                (F.col("s12").cast("double") * F.lit(float(n_orders)))
+                / (F.col("ante_support").cast("double") * F.col("_s2").cast("double"))
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "antecedent", "consequent")
+        .limit(RULE_TOPK)
+    )

@@ -84,6 +84,10 @@ _HEAD: tuple[str, ...] = (
     # mining, incremental batch-vs-corpus dedup, unigram rarity scoring,
     # and the foreachBatch exactly-once upsert. They displace the last 5
     # of the "stalest r04-green" refreshes (all union-green; roll to r07).
+    # (batch 2: association rules over the silver pair table; per-dim
+    # embedding normalization stats)
+    "basket_association_rules",
+    "embedding_dim_profile",
     "semdedup_clusters",
     "hard_negative_mining",
     "incremental_dedup_verdicts",

@@ -161,3 +161,54 @@ def test_foreachbatch_upsert_equals_batch_latest_and_is_replay_immune(spark):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(res, res2)
+
+
+def test_association_rules_semantics(spark):
+    """Both directions of every qualifying pair; confidence in (0,1];
+    spot-check confidence/lift arithmetic against a pandas recompute."""
+    from imdb_mapreduce_spark.plans.graph_queries import (
+        RULE_MIN_SUPPORT,
+        basket_association_rules,
+    )
+    from imdb_mapreduce_spark.sources.star import load_table
+
+    res = basket_association_rules(spark, SF).toPandas()
+    assert len(res) > 0
+    assert ((res["confidence"] > 0) & (res["confidence"] <= 1)).all()
+    assert (res["pair_support"] >= RULE_MIN_SUPPORT).all()
+    li = load_table(spark, "lineitem", SF).toPandas()
+    e0 = li[["l_orderkey", "l_partkey"]].drop_duplicates()
+    n_orders = e0["l_orderkey"].nunique()
+    item = e0.groupby("l_partkey").size()
+    pair_support = {}
+    for _, grp in e0.groupby("l_orderkey"):
+        ps = sorted(grp["l_partkey"])
+        for i, a in enumerate(ps):
+            for b in ps[i + 1 :]:
+                pair_support[(a, b)] = pair_support.get((a, b), 0) + 1
+    for _, r in res.iterrows():
+        a, c = int(r["antecedent"]), int(r["consequent"])
+        s12 = pair_support[(min(a, c), max(a, c))]
+        assert s12 == r["pair_support"]
+        assert r["ante_support"] == item[a]
+        assert r["confidence"] == pytest.approx(s12 / item[a], rel=1e-12)
+        assert r["lift"] == pytest.approx(
+            s12 * n_orders / (item[a] * item[c]), rel=1e-12
+        )
+    # lift-sorted with deterministic tiebreaks
+    key = list(zip(-res["lift"], res["antecedent"], res["consequent"]))
+    assert key == sorted(key)
+
+
+def test_embedding_dim_profile_matches_numpy(spark):
+    from imdb_mapreduce_spark.pipeline.similarity import embedding_dim_profile
+
+    res = embedding_dim_profile(spark, SF).toPandas().sort_values("dim")
+    emb = _embeddings(spark)
+    m = np.array(emb["embedding"].tolist(), dtype=np.float64)
+    assert res["dim"].tolist() == list(range(1, m.shape[1] + 1))
+    assert (res["n_vals"] == m.shape[0]).all()
+    np.testing.assert_allclose(res["mean"], m.mean(axis=0), rtol=0, atol=1e-5)
+    np.testing.assert_allclose(res["std"], m.std(axis=0), rtol=0, atol=1e-5)
+    np.testing.assert_array_equal(res["min_val"], m.min(axis=0))
+    np.testing.assert_array_equal(res["max_val"], m.max(axis=0))
