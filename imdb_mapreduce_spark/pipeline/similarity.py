@@ -164,10 +164,20 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     side, WindowGroupLimit top-k pushdown (partial per-partition + final),
     and a single Exchange on query_id."""
     emb = load_table(spark, "embeddings", sf_dir)
+    # Norms are computed ONCE PER VECTOR in the scan projections (r06:
+    # previously both norms were re-folded inside every pair row — 3 folds
+    # per pair instead of 1). sqrt(q)*sqrt(c) then divide is the identical
+    # double sequence, so the cosine stays bit-identical to the oracle.
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        norm("embedding").alias("qn"),
     )
-    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        norm("embedding").alias("cn"),
+    )
     scored = (
         F.broadcast(q)
         .crossJoin(c)
@@ -175,7 +185,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            (dot("qe", "ce") / (norm("qe") * norm("ce"))).alias("cosine"),
+            (dot("qe", "ce") / (F.col("qn") * F.col("cn"))).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
@@ -209,14 +219,14 @@ def embedding_label_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     for arbitrary corpora is :func:`embedding_lsh_dups`, which blocks on
     data-independent LSH buckets instead."""
     emb = load_table(spark, "embeddings", sf_dir)
-    a = emb.alias("a")
-    b = emb.alias("b")
-    cos = (
-        F.expr(_DOT.format(a="a.embedding", b="b.embedding"))
-        / (
-            F.sqrt(F.expr(_DOT.format(a="a.embedding", b="a.embedding")))
-            * F.sqrt(F.expr(_DOT.format(a="b.embedding", b="b.embedding")))
-        )
+    # r06: one norm fold per VECTOR in the scan projection, one dot fold
+    # per PAIR in the join output (was 3 folds per pair). Same double
+    # sequence — sqrt(a)*sqrt(b) then divide — so bit-identical cosines.
+    withn = emb.select("vec_id", "label", "embedding", norm("embedding").alias("nrm"))
+    a = withn.alias("a")
+    b = withn.alias("b")
+    cos = F.expr(_DOT.format(a="a.embedding", b="b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
     )
     return (
         a.join(
@@ -587,7 +597,11 @@ def ann_ivf_topk(
     probes = spark.createDataFrame(probe_pairs, "query_id bigint, qc int")
     q = (
         emb.filter(F.col("vec_id") < N_QUERIES)
-        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            norm("embedding").alias("qn"),
+        )
         .join(F.broadcast(probes), "query_id")
     )
     cells_needed = sorted({c for _, c in probe_pairs})
@@ -595,10 +609,12 @@ def ann_ivf_topk(
         spark.read.parquet(f"{idx}/cells")
         # literal IN-list → PartitionFilters → only probed directories read
         .filter(F.col("cell").isin(cells_needed))
+        # r06: norm folds once per scanned corpus vector, not per candidate
         .select(
             F.col("vec_id").alias("neighbor_id"),
             F.col("embedding").alias("ce"),
             F.col("cell").alias("cc"),
+            norm("embedding").alias("cn"),
         )
     )
     scored = (
@@ -615,7 +631,7 @@ def ann_ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            (dot("qe", "ce") / (norm("qe") * norm("ce"))).alias("cosine"),
+            (dot("qe", "ce") / (F.col("qn") * F.col("cn"))).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
@@ -716,17 +732,23 @@ def ann_lsh_topk(
     qside = bucketed.filter(F.col("vec_id") < N_QUERIES)
     if multiprobe:
         qside = multiprobe_query_buckets(qside, multiprobe)
+    # r06: norms fold once per (vector, table) row here — bounded by
+    # 12·|corpus| — instead of twice per scored candidate pair (strictly
+    # fewer folds whenever buckets collide at all). Same double sequence,
+    # so cosines stay bit-identical to the oracle.
     q = qside.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
         F.col("table").alias("qt"),
         F.col("bucket").alias("qb"),
+        norm("embedding").alias("qn"),
     )
     c = bucketed.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("ce"),
         F.col("table").alias("ct"),
         F.col("bucket").alias("cb"),
+        norm("embedding").alias("cn"),
     )
     scored = (
         F.broadcast(q)
@@ -742,7 +764,7 @@ def ann_lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            (dot("qe", "ce") / (norm("qe") * norm("ce"))).alias("cosine"),
+            (dot("qe", "ce") / (F.col("qn") * F.col("cn"))).alias("cosine"),
         )
         .distinct()
     )
@@ -1188,19 +1210,23 @@ def ann_ivf_det_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     pivots = ivf_det_pivots(spark, sf_dir)
     ranked = _ivf_det_ranked(pivots)
+    # r06: norms fold once per vector in these projections, not per
+    # candidate pair (same double sequence → bit-identical cosines).
     assigned = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("ce"),
         ranked[0]["cell"].alias("cell"),
+        norm("embedding").alias("cn"),
     )
     probes = (
         emb.filter(F.col("vec_id") < N_QUERIES)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qe"),
+            norm("embedding").alias("qn"),
             F.explode(F.slice(ranked, 1, IVF_DET_NPROBE)).alias("pr"),
         )
-        .select("query_id", "qe", F.col("pr.cell").alias("cell"))
+        .select("query_id", "qe", "qn", F.col("pr.cell").alias("cell"))
     )
     scored = (
         F.broadcast(probes)
@@ -1211,7 +1237,7 @@ def ann_ivf_det_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            (dot("qe", "ce") / (norm("qe") * norm("ce"))).alias("cosine"),
+            (dot("qe", "ce") / (F.col("qn") * F.col("cn"))).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -1413,24 +1439,33 @@ def semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     pivots = ivf_det_pivots(spark, sf_dir, k=SEMDEDUP_K)
     ranked = _ivf_det_ranked(pivots)
+    # Per-vector norm computed ONCE here (r06): the within-cell pair join
+    # then folds a single dot per pair instead of re-deriving both norms
+    # pair-side — sqrt(a)*sqrt(b) then divide is the same double sequence,
+    # so the thresholded cosine stays bit-identical to the oracle.
     cells = emb.select(
-        "vec_id", "embedding", ranked[0]["cell"].alias("cell")
+        "vec_id",
+        "embedding",
+        ranked[0]["cell"].alias("cell"),
+        norm("embedding").alias("nrm"),
     )
     a = cells.select(
         F.col("cell"),
         F.col("vec_id").alias("_va"),
         F.col("embedding").alias("_ea"),
+        F.col("nrm").alias("_na"),
     )
     b = cells.select(
         F.col("cell"),
         F.col("vec_id").alias("_vb"),
         F.col("embedding").alias("_eb"),
+        F.col("nrm").alias("_nb"),
     )
     removed = (
         a.join(b, "cell")
         .filter(F.col("_va") < F.col("_vb"))
         .filter(
-            (dot("_ea", "_eb") / (norm("_ea") * norm("_eb"))) >= SEMDEDUP_TAU
+            (dot("_ea", "_eb") / (F.col("_na") * F.col("_nb"))) >= SEMDEDUP_TAU
         )
         .select(F.col("_vb").alias("vec_id"))
         .distinct()
@@ -1486,11 +1521,13 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("q_label"),
         F.col("embedding").alias("qe"),
+        norm("embedding").alias("qn"),
     )
     c = emb.select(
         F.col("vec_id").alias("negative_id"),
         F.col("label").alias("neg_label"),
         F.col("embedding").alias("ce"),
+        norm("embedding").alias("cn"),
     )
     scored = (
         F.broadcast(q)
@@ -1500,7 +1537,7 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "negative_id",
             "neg_label",
-            (dot("qe", "ce") / (norm("qe") * norm("ce"))).alias("cosine"),
+            (dot("qe", "ce") / (F.col("qn") * F.col("cn"))).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
