@@ -987,7 +987,10 @@ INCR_JACCARD_THR = 0.1
 
 
 def _incr_dedup_oracle() -> str:
-    from imdb_mapreduce_spark.pipeline.dedup import SHINGLE_WORDS
+    from imdb_mapreduce_spark.pipeline.dedup import (
+        SHINGLE_WORDS,
+        STOP_SHINGLE_MAX_FREQ,
+    )
 
     return f"""
     WITH batch AS (SELECT * FROM documents WHERE doc_id % {INCR_BATCH_MOD} = 0),
@@ -1009,7 +1012,11 @@ def _incr_dedup_oracle() -> str:
                  i -> array_to_string((string_split(text, ' '))[i:i+{SHINGLE_WORDS - 1}], ' '))) AS shl
       FROM corpus),
     bsh AS (SELECT doc_id, len(shl) AS n_sh, unnest(shl) AS sh FROM blists),
-    csh AS (SELECT doc_id, len(shl) AS n_sh, unnest(shl) AS sh FROM clists),
+    csh_all AS (SELECT doc_id, len(shl) AS n_sh, unnest(shl) AS sh FROM clists),
+    keep AS (
+      SELECT sh FROM csh_all GROUP BY sh
+      HAVING COUNT(*) <= {STOP_SHINGLE_MAX_FREQ}),
+    csh AS (SELECT c.* FROM csh_all c SEMI JOIN keep k ON c.sh = k.sh),
     near AS (
       SELECT DISTINCT doc_id FROM (
         SELECT b.doc_id, c.doc_id AS c_id,
@@ -1048,9 +1055,15 @@ def incremental_dedup_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     near tier joins batch shingles against corpus shingles — linear in
     shared-shingle pairs and BLOCKED by the batch being small relative to
     the corpus (the asymmetry is the whole point: cost ~ |batch| x
-    avg-postings, never corpus x corpus). Verdict assembly is two
-    left joins against distinct bounded id sets."""
+    avg-postings, never corpus x corpus), with the corpus postings under
+    the same stop-shingle frequency cap as ``ngram_jaccard_capped`` (a
+    boilerplate shingle in f corpus docs would fan each batch occurrence
+    into f rows; dropping capped shingles makes the score a Jaccard LOWER
+    bound — precision-preserving, the documented 100 TB guard, mirrored
+    in the oracle). Verdict assembly is two left joins against distinct
+    bounded id sets."""
     from imdb_mapreduce_spark.pipeline.dedup import (
+        STOP_SHINGLE_MAX_FREQ,
         exploded_shingles,
         fingerprint,
     )
@@ -1067,10 +1080,17 @@ def incremental_dedup_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     bsh = exploded_shingles(batch)
-    csh = exploded_shingles(corpus).select(
-        F.col("doc_id").alias("c_id"),
-        F.col("n_shingles").alias("c_n_sh"),
-        F.col("sh"),
+    # Stop-shingle cap on the corpus postings (window form — one exchange,
+    # the measured-cheaper shape from ngram_jaccard_capped).
+    csh = (
+        exploded_shingles(corpus)
+        .withColumn("_f", F.count("*").over(Window.partitionBy("sh")))
+        .filter(F.col("_f") <= STOP_SHINGLE_MAX_FREQ)
+        .select(
+            F.col("doc_id").alias("c_id"),
+            F.col("n_shingles").alias("c_n_sh"),
+            F.col("sh"),
+        )
     )
     near = (
         bsh.join(csh, "sh")
