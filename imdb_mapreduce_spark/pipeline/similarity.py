@@ -1372,8 +1372,97 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SemDeDup: centroid-blocked semantic dedup (r06)
 # ---------------------------------------------------------------------------
 
-SEMDEDUP_K = 16  # coarse cells; at scale k grows with n so cells stay bounded
+SEMDEDUP_K = 16  # minimum cell count (= the cell count at every driver SF)
 SEMDEDUP_TAU = 0.3  # within-cell cosine at/above this = semantic duplicate
+SEMDEDUP_TARGET_CELL = 125  # grow k to hold ~this many vectors per cell
+
+
+def semdedup_k(n_vectors: int | None) -> int:
+    """SemDeDup's cell-count rule: k = max(K_MIN, ceil(n / target_cell)).
+
+    The within-cell pair stage does Σ|cell|² work — with FIXED k it grows
+    quadratically in corpus size (measured: ×76 time on a ×10 corpus step
+    before this rule, r06 scale10x). Holding |cell| ≈ target constant makes
+    it linear (×10 corpus → ×10 cells of the same size), at the standard
+    IVF price of n·k assignment folds — the knob real systems tune with
+    hierarchical quantizers.
+
+    The driver correctness SFs all land exactly at k = {k} (500, 500 and
+    2000 vectors with target {t}), which is what lets the static DuckDB
+    oracle pin the pivot count; tests/test_r06_ops.py asserts both that
+    anchoring and the growth past it."""
+    if n_vectors is None:
+        return SEMDEDUP_K
+    return max(SEMDEDUP_K, -(-n_vectors // SEMDEDUP_TARGET_CELL))
+
+
+semdedup_k.__doc__ = semdedup_k.__doc__.format(
+    k=SEMDEDUP_K, t=SEMDEDUP_TARGET_CELL
+)
+
+
+LITERAL_QUANTIZER_MAX_K = 32  # above this the single-expression path chokes
+
+
+def _assigned_cells(emb: DataFrame, pivots) -> DataFrame:
+    """(vec_id, embedding, cell): each vector's nearest pivot, by the
+    bit-portable (d2, cell) argmin.
+
+    Two plans, one result (equality pytest-pinned at k=16):
+    - k <= {maxk}: the LITERAL path — all k distance folds in one
+      projection expression, zero shuffle (the driver-SF shape, shared
+      with ann_ivf_det_topk).
+    - k > {maxk}: the JOIN path — a broadcast (cell, pe) pivot frame
+      cross-joined with one fold per (vector, pivot) ROW, then a
+      map-side-combining min(struct(d2, cell)) per vector and a join
+      back on vec_id. A 160-fold single expression sends Catalyst
+      analysis/codegen superlinear (measured: the ×10 corpus step ran
+      ×55 with the literal path at k=160 vs near-linear with this one —
+      the same blowup :func:`_bucket_col` documents); n·k scalar rows
+      through a partial-aggregating shuffle is the shape that scales.
+
+    Both paths compute the identical fold (pivot floats are exact doubles
+    either way), so the argmin — and every hash downstream — matches."""
+    if len(pivots) <= LITERAL_QUANTIZER_MAX_K:
+        ranked = _ivf_det_ranked(pivots)
+        return emb.select("vec_id", "embedding", ranked[0]["cell"].alias("cell"))
+    spark = emb.sparkSession
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    pv = spark.createDataFrame(
+        [(c, v) for c, v in pivots],
+        StructType(
+            [
+                StructField("cell", IntegerType()),
+                StructField("pe", ArrayType(DoubleType())),
+            ]
+        ),
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(embedding, pe,"
+        " (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
+        " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    best = (
+        emb.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(pv))
+        .select("vec_id", F.struct(d2.alias("d2"), F.col("cell")).alias("dc"))
+        .groupBy("vec_id")
+        .agg(F.min("dc").alias("dc"))
+        .select("vec_id", F.col("dc.cell").alias("cell"))
+    )
+    return emb.select("vec_id", "embedding").join(best, "vec_id")
+
+
+_assigned_cells.__doc__ = _assigned_cells.__doc__.format(
+    maxk=LITERAL_QUANTIZER_MAX_K
+)
 
 
 def _semdedup_oracle() -> str:
@@ -1432,22 +1521,27 @@ def semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape at 100 TB: assignment is one narrow projection per row
     (k literal-distance folds, no shuffle); the quadratic cosine check is
-    confined within cells, so the worst block is |cell|^2, bounded by
-    growing k with corpus size (SemDeDup's own recipe: k ~ n/target_cell);
-    the removed set joins back as a broadcast-able distinct-id relation.
+    confined within cells, and k GROWS with the corpus
+    (:func:`semdedup_k`, cell target {t} — a parquet-footer row count
+    picks k with zero Spark jobs) so the worst block stays ~constant and
+    total pair work scales linearly — the rule that took the measured
+    ×10-corpus step from ×76 to near-linear (SCALING.md r06). The removed
+    set joins back as a broadcast-able distinct-id relation.
     """
+    from imdb_mapreduce_spark.sources.star import parquet_num_rows
+
     emb = load_table(spark, "embeddings", sf_dir)
-    pivots = ivf_det_pivots(spark, sf_dir, k=SEMDEDUP_K)
-    ranked = _ivf_det_ranked(pivots)
+    try:
+        n_vec = parquet_num_rows(f"{sf_dir}/embeddings.parquet")
+    except (OSError, ValueError):
+        n_vec = None
+    pivots = ivf_det_pivots(spark, sf_dir, k=semdedup_k(n_vec))
     # Per-vector norm computed ONCE here (r06): the within-cell pair join
     # then folds a single dot per pair instead of re-deriving both norms
     # pair-side — sqrt(a)*sqrt(b) then divide is the same double sequence,
     # so the thresholded cosine stays bit-identical to the oracle.
-    cells = emb.select(
-        "vec_id",
-        "embedding",
-        ranked[0]["cell"].alias("cell"),
-        norm("embedding").alias("nrm"),
+    cells = _assigned_cells(emb, pivots).select(
+        "vec_id", "embedding", "cell", norm("embedding").alias("nrm")
     )
     a = cells.select(
         F.col("cell"),
@@ -1479,7 +1573,9 @@ def semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-semdedup_clusters.__doc__ = semdedup_clusters.__doc__.format(k=SEMDEDUP_K)
+semdedup_clusters.__doc__ = semdedup_clusters.__doc__.format(
+    k=SEMDEDUP_K, t=SEMDEDUP_TARGET_CELL
+)
 
 
 # ---------------------------------------------------------------------------

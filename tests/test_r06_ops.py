@@ -212,3 +212,51 @@ def test_embedding_dim_profile_matches_numpy(spark):
     np.testing.assert_allclose(res["std"], m.std(axis=0), rtol=0, atol=1e-5)
     np.testing.assert_array_equal(res["min_val"], m.min(axis=0))
     np.testing.assert_array_equal(res["max_val"], m.max(axis=0))
+
+
+def test_semdedup_k_rule_anchors_driver_sfs_and_scales():
+    """The adaptive cell count must equal the oracle's fixed k at every
+    driver SF (500/500/2000 vectors) and grow linearly past the target."""
+    from imdb_mapreduce_spark.pipeline.similarity import (
+        SEMDEDUP_K,
+        SEMDEDUP_TARGET_CELL,
+        semdedup_k,
+    )
+
+    for n in (500, 500, 2000):  # sf0.001 / sf0.01 / sf0.1 embeddings counts
+        assert semdedup_k(n) == SEMDEDUP_K
+    assert semdedup_k(None) == SEMDEDUP_K
+    assert semdedup_k(20_000) == 160  # the scale10x decade
+    # linear growth: cells track corpus size at fixed cell target
+    assert semdedup_k(1_000_000) == 1_000_000 // SEMDEDUP_TARGET_CELL
+
+
+def test_quantizer_join_path_matches_literal_path(spark):
+    """The large-k join quantizer and the small-k literal-expression
+    quantizer must assign identical cells (bit-identical argmin)."""
+    from imdb_mapreduce_spark.pipeline.similarity import (
+        _assigned_cells,
+        ivf_det_pivots,
+    )
+    from imdb_mapreduce_spark.sources.star import load_table
+
+    emb = load_table(spark, "embeddings", SF)
+    pivots = ivf_det_pivots(spark, SF, k=16)
+    lit = {
+        r["vec_id"]: r["cell"]
+        for r in _assigned_cells(emb, pivots).collect()
+    }
+    # pad the pivot list reference so the join branch runs on the SAME 16
+    # pivots: force the branch by monkeypatching the threshold
+    import imdb_mapreduce_spark.pipeline.similarity as sim
+
+    old = sim.LITERAL_QUANTIZER_MAX_K
+    sim.LITERAL_QUANTIZER_MAX_K = 0
+    try:
+        joined = {
+            r["vec_id"]: r["cell"]
+            for r in _assigned_cells(emb, pivots).collect()
+        }
+    finally:
+        sim.LITERAL_QUANTIZER_MAX_K = old
+    assert lit == joined
