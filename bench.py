@@ -108,6 +108,8 @@ HEADLINE = (
     # pair table; per-dimension normalization stats
     "basket_association_rules",
     "embedding_dim_profile",
+    # added r06 session 4 batch 3: the bucket-bounded hard-negative miner
+    "hard_negative_lsh",
 )
 
 

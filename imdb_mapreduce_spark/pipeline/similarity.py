@@ -1718,3 +1718,117 @@ def embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_val",
         "max_val",
     )
+
+
+def _hard_neg_lsh_oracle() -> str:
+    """The ``_ann_lsh_oracle`` shape with the cross-label filter riding the
+    candidate join — same plane literals, same folds, label columns from
+    the embeddings table."""
+    planes = _hyperplanes(LSH_TABLES, LSH_PLANES)
+    buckets = ",\n             ".join(
+        f"{_bucket_sql(p)} AS b{t}" for t, p in enumerate(planes)
+    )
+    per_table = "\n        UNION ALL ".join(
+        f"SELECT a.vec_id AS query_id, b.vec_id AS negative_id\n"
+        f"         FROM buck a JOIN buck b ON a.b{t} = b.b{t}\n"
+        f"         WHERE a.vec_id < {N_QUERIES} AND b.vec_id <> a.vec_id"
+        for t in range(LSH_TABLES)
+    )
+    cos = (
+        f"{_sql_dot_unrolled('q.embedding', 'c.embedding')}"
+        f" / (sqrt({_sql_dot_unrolled('q.embedding', 'q.embedding')})"
+        f" * sqrt({_sql_dot_unrolled('c.embedding', 'c.embedding')}))"
+    )
+    return f"""
+    WITH buck AS MATERIALIZED (
+      SELECT vec_id,
+             {buckets}
+      FROM embeddings),
+    cand AS (
+      SELECT DISTINCT query_id, negative_id FROM (
+        {per_table}) u),
+    scored AS (
+      SELECT p.query_id, p.negative_id, c.label AS neg_label, {cos} AS cosine
+      FROM cand p
+      JOIN embeddings q ON q.vec_id = p.query_id
+      JOIN embeddings c ON c.vec_id = p.negative_id
+      WHERE c.label <> q.label)
+    SELECT query_id, negative_id, neg_label, cosine, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, negative_id) AS rnk
+      FROM scored) t
+    WHERE rnk <= {HARD_NEG_K}
+    """
+
+
+@register(
+    "hard_negative_lsh",
+    oracle=_hard_neg_lsh_oracle(),
+    tags=("similarity", "north-star", "training-data", "lsh"),
+)
+def hard_negative_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path for :func:`hard_negative_mining`: candidates come
+    from the sign-LSH bucket collisions (sub-linear per query — the
+    ``ann_lsh_topk`` machinery) and the cross-label filter rides the
+    candidate set, so per-query cost is bucket-bounded instead of one
+    full corpus scan. Recall against the brute-force miner is measured in
+    tests (same regime as the ANN recall pytest — identical knobs).
+
+    Plan: Arrow-exact bucket build (one per-vector cost), bucket-equi
+    candidate join with the tiny query side broadcast, labels attached as
+    (a) a broadcast of the N_QUERIES query labels and (b) a key join of
+    the candidate list against the corpus label projection (candidates ≪
+    corpus at production knobs; AQE picks the strategy from runtime
+    sizes), then the per-query top-k window over scored survivors."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    bucketed = random_hyperplane_buckets_arrow(emb, exact=True)
+    q_labels = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
+    )
+    q = (
+        bucketed.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("table").alias("qt"),
+            F.col("bucket").alias("qb"),
+            norm("embedding").alias("qn"),
+        )
+        .join(F.broadcast(q_labels), "query_id")
+    )
+    c = bucketed.select(
+        F.col("vec_id").alias("negative_id"),
+        F.col("embedding").alias("ce"),
+        F.col("table").alias("ct"),
+        F.col("bucket").alias("cb"),
+        norm("embedding").alias("cn"),
+    )
+    labels = emb.select(
+        F.col("vec_id").alias("negative_id"), F.col("label").alias("neg_label")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(
+            c,
+            (F.col("qt") == F.col("ct"))
+            & (F.col("qb") == F.col("cb"))
+            & (F.col("negative_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            "q_label",
+            "negative_id",
+            (dot("qe", "ce") / (F.col("qn") * F.col("cn"))).alias("cosine"),
+        )
+        .distinct()
+        .join(labels, "negative_id")
+        .filter(F.col("neg_label") != F.col("q_label"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("negative_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= HARD_NEG_K)
+        .select("query_id", "negative_id", "neg_label", "cosine", "rnk")
+    )

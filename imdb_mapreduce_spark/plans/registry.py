@@ -88,6 +88,8 @@ _HEAD: tuple[str, ...] = (
     # embedding normalization stats)
     "basket_association_rules",
     "embedding_dim_profile",
+    # (batch 3: the LSH-candidate scale path for the hard-negative miner)
+    "hard_negative_lsh",
     "semdedup_clusters",
     "hard_negative_mining",
     "incremental_dedup_verdicts",

