@@ -1412,57 +1412,127 @@ def _assigned_cells(emb: DataFrame, pivots) -> DataFrame:
     - k <= {maxk}: the LITERAL path — all k distance folds in one
       projection expression, zero shuffle (the driver-SF shape, shared
       with ann_ivf_det_topk).
-    - k > {maxk}: the JOIN path — a broadcast (cell, pe) pivot frame
-      cross-joined with one fold per (vector, pivot) ROW, then a
-      map-side-combining min(struct(d2, cell)) per vector and a join
-      back on vec_id. A 160-fold single expression sends Catalyst
-      analysis/codegen superlinear (measured: the ×10 corpus step ran
-      ×55 with the literal path at k=160 vs near-linear with this one —
-      the same blowup :func:`_bucket_col` documents); n·k scalar rows
-      through a partial-aggregating shuffle is the shape that scales.
+    - k > {maxk}: the ARROW path — pivots ride the task closure as a
+      (k × dim) float64 constant; each batch computes all n·k distances
+      in numpy with dimension-major left-associated accumulation (the
+      ``cosine_pairs_arrow`` discipline) and takes the (d2, cell) argmin.
+      The expression alternatives both fail at scale, measured on the
+      ×10 corpus at k=160: one giant k-fold projection sends Catalyst
+      analysis/codegen superlinear (×55 step, the :func:`_bucket_col`
+      blowup), and a broadcast-pivot crossJoin pays an interpreted
+      ~7 µs lambda fold per (vector, pivot) row — 23 s of the 28 s query
+      for 3.2M folds (hidden from `.count()` probes, which prune the
+      fold away).
 
-    Both paths compute the identical fold (pivot floats are exact doubles
-    either way), so the argmin — and every hash downstream — matches."""
+    Both paths compute the identical arithmetic (pivot floats are exact
+    doubles either way; numpy accumulates per pair in the same order as
+    the fold), so the argmin — and every hash downstream — matches
+    (path-equality pytest)."""
     if len(pivots) <= LITERAL_QUANTIZER_MAX_K:
         ranked = _ivf_det_ranked(pivots)
         return emb.select("vec_id", "embedding", ranked[0]["cell"].alias("cell"))
-    spark = emb.sparkSession
+    import numpy as np
     from pyspark.sql.types import (
         ArrayType,
-        DoubleType,
+        FloatType,
         IntegerType,
+        LongType,
         StructField,
         StructType,
     )
 
-    pv = spark.createDataFrame(
-        [(c, v) for c, v in pivots],
-        StructType(
-            [
-                StructField("cell", IntegerType()),
-                StructField("pe", ArrayType(DoubleType())),
-            ]
-        ),
+    pmat = np.array([v for _, v in pivots], dtype="float64")  # (k, dim)
+    cell_ids = np.array([c for c, _ in pivots], dtype="int64")
+    out_schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+            StructField("cell", IntegerType()),
+        ]
     )
-    d2 = F.expr(
-        "aggregate(zip_with(embedding, pe,"
-        " (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
-        " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-    )
-    best = (
-        emb.select("vec_id", "embedding")
-        .crossJoin(F.broadcast(pv))
-        .select("vec_id", F.struct(d2.alias("d2"), F.col("cell")).alias("dc"))
-        .groupBy("vec_id")
-        .agg(F.min("dc").alias("dc"))
-        .select("vec_id", F.col("dc.cell").alias("cell"))
-    )
-    return emb.select("vec_id", "embedding").join(best, "vec_id")
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            n, dim = x.shape
+            d2 = np.zeros((n, pmat.shape[0]))
+            for d in range(dim):  # dimension-major: the fold's exact order
+                diff = x[:, d : d + 1] - pmat[None, :, d]
+                d2 += diff * diff
+            # argmin returns the FIRST minimum; pivot columns are in
+            # ascending cell order, so ties resolve to the smaller cell —
+            # the (d2, cell) ordering both engines use.
+            best = cell_ids[np.argmin(d2, axis=1)]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "embedding": pdf["embedding"],
+                    "cell": best.astype("int32"),
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(assign, out_schema)
 
 
 _assigned_cells.__doc__ = _assigned_cells.__doc__.format(
     maxk=LITERAL_QUANTIZER_MAX_K
 )
+
+
+SEMDEDUP_BLOCK_CHUNK = 1024  # i-rows per chunk: bounds block memory at m·chunk
+
+
+def _semdedup_removed_blocked(cells: DataFrame) -> DataFrame:
+    """(vec_id) of every vector with a smaller-id near-duplicate in its
+    cell — the SemDeDup drop set, computed per-cell in numpy.
+
+    Input: (vec_id, embedding, cell, nrm). Each cell's m vectors arrive as
+    ONE pandas group (`groupBy(cell).applyInPandas`), so pair rows never
+    materialize: the exchange carries n vector rows, each block computes
+    its m×m cosines in-process and emits only removed ids (output bounded
+    by the dup count). Dots accumulate dimension-major left-associated
+    (acc starts 0, adds a_d·b_d one dimension at a time, vectorized across
+    the block) and divide by the JVM-computed norms — the identical double
+    sequence as the expression fold, so verdicts stay bit-identical to
+    the DuckDB oracle. Chunked over i-rows: peak memory is
+    SEMDEDUP_BLOCK_CHUNK·m doubles, not m²."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType([StructField("vec_id", LongType())])
+
+    def block(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame({"vec_id": np.array([], dtype="int64")})
+        a = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+        nrm = pdf["nrm"].to_numpy()
+        ids = pdf["vec_id"].to_numpy()
+        removed = np.zeros(m, dtype=bool)
+        dim = a.shape[1]
+        for i0 in range(0, m, SEMDEDUP_BLOCK_CHUNK):
+            i1 = min(i0 + SEMDEDUP_BLOCK_CHUNK, m)
+            acc = np.zeros((i1 - i0, m))
+            for d in range(dim):
+                acc += a[i0:i1, d : d + 1] * a[None, :, d]
+            cos = acc / (nrm[i0:i1, None] * nrm[None, :])
+            # pair (i, j) with i < j (ids ascending) and cos >= tau → j out
+            hit = cos >= SEMDEDUP_TAU
+            # mask out j <= i (lower triangle incl. diagonal, global index)
+            jj = np.arange(m)[None, :]
+            ii = np.arange(i0, i1)[:, None]
+            hit &= jj > ii
+            removed |= hit.any(axis=0)
+        return pd.DataFrame({"vec_id": ids[removed]})
+
+    return cells.groupBy("cell").applyInPandas(block, out_schema)
 
 
 def _semdedup_oracle() -> str:
@@ -1543,27 +1613,23 @@ def semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = _assigned_cells(emb, pivots).select(
         "vec_id", "embedding", "cell", norm("embedding").alias("nrm")
     )
-    a = cells.select(
-        F.col("cell"),
-        F.col("vec_id").alias("_va"),
-        F.col("embedding").alias("_ea"),
-        F.col("nrm").alias("_na"),
-    )
-    b = cells.select(
-        F.col("cell"),
-        F.col("vec_id").alias("_vb"),
-        F.col("embedding").alias("_eb"),
-        F.col("nrm").alias("_nb"),
-    )
-    removed = (
-        a.join(b, "cell")
-        .filter(F.col("_va") < F.col("_vb"))
-        .filter(
-            (dot("_ea", "_eb") / (F.col("_na") * F.col("_nb"))) >= SEMDEDUP_TAU
-        )
-        .select(F.col("_vb").alias("vec_id"))
-        .distinct()
-    )
+    # Materialize the assignment: it is consumed twice (block scoring +
+    # the verdict join), and letting the grouped-map exchange re-derive
+    # it re-ran the whole quantizer join at 10× (measured 27 s vs 2.3 s
+    # on the materialized frame). This is the persisted-IVF-index move —
+    # at production scale `cells` IS the index you keep on disk
+    # (ann_ivf's PartitionFilters read path), not a per-query recompute.
+    cells = cells.localCheckpoint(eager=True)
+    # Within-cell scoring as per-CELL block compute (applyInPandas): the
+    # r06 decade profile showed the pair-row join itself — 3.6M rows each
+    # carrying two 64-float arrays, ~2 GB materialized — costing 26 s of
+    # the 33 s query, with scoring nearly free. Grouping by cell ships
+    # each vector ONCE (n narrow rows through one exchange), scores the
+    # m×m block in numpy with the same dimension-major left-associated
+    # accumulation as cosine_pairs_arrow (bit-identical cosines), and
+    # emits only the removed ids. Row-chunked so a pathological mega-cell
+    # is bounded-memory instead of an m² allocation.
+    removed = _semdedup_removed_blocked(cells).distinct()
     return cells.join(
         F.broadcast(removed.withColumn("_rm", F.lit(True))), "vec_id", "left"
     ).select(
@@ -1832,3 +1898,102 @@ def hard_negative_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= HARD_NEG_K)
         .select("query_id", "negative_id", "neg_label", "cosine", "rnk")
     )
+
+
+def assigned_cells_two_level(emb: DataFrame, pivots) -> DataFrame:
+    """Two-level (hierarchical) coarse quantizer — the production fix for
+    the n·k assignment term SCALING.md documents: route each vector to its
+    nearest TWO super-pivots (≈√k supers; top-2 multiprobe routing, the
+    standard recall fix), then argmin over only the fine pivots owned by
+    those super-cells. Fold-rows per vector drop from k to ≈3√k; at k=160
+    that is 13 + ~24 instead of 160.
+
+    APPROXIMATE by design (the industry-standard tradeoff): a vector whose
+    true nearest fine pivot lives in a different super-cell is routed to
+    its second-best — agreement with the flat argmin is corpus-dependent
+    and pytest-floored (test_r06_ops). Not oracle-portable, hence a
+    library path: the registered query keeps the exact quantizer.
+
+    Plan: two broadcast joins + two map-side-combining argmin aggregations
+    + a join back on vec_id — every stage linear in n."""
+    import math
+
+    spark = emb.sparkSession
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    k = len(pivots)
+    sk = max(1, int(math.isqrt(k - 1)) + 1)  # ceil(sqrt(k))
+    supers = pivots[::sk][:sk]  # every sk-th pivot in md5 rank order
+    # driver-side (k × sk small): each fine pivot joins its nearest super
+    def _d2(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return acc
+
+    owner = {
+        cell: min(
+            range(len(supers)),
+            key=lambda s: (_d2(vec, supers[s][1]), s),
+        )
+        for cell, vec in pivots
+    }
+    sp_schema = StructType(
+        [
+            StructField("sc", IntegerType()),
+            StructField("spe", ArrayType(DoubleType())),
+        ]
+    )
+    sp = spark.createDataFrame(
+        [(s, list(supers[s][1])) for s in range(len(supers))], sp_schema
+    )
+    fp_schema = StructType(
+        [
+            StructField("sc", IntegerType()),
+            StructField("cell", IntegerType()),
+            StructField("pe", ArrayType(DoubleType())),
+        ]
+    )
+    fp = spark.createDataFrame(
+        [(owner[cell], cell, list(vec)) for cell, vec in pivots], fp_schema
+    )
+    d2s = F.expr(
+        "aggregate(zip_with(embedding, spe,"
+        " (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
+        " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    # Multiprobe routing: keep the TOP-2 super-cells per vector (collect
+    # of ≤sk structs, map-side combining) — the standard recall fix for
+    # hierarchical quantizers; fold-rows stay ~n·(√k + 2√k).
+    routed = (
+        emb.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(sp))
+        .select("vec_id", F.struct(d2s.alias("d2"), F.col("sc")).alias("dsc"))
+        .groupBy("vec_id")
+        .agg(
+            F.slice(F.sort_array(F.collect_list("dsc")), 1, 2).alias("top")
+        )
+        .select("vec_id", F.explode("top").alias("dsc"))
+        .select("vec_id", F.col("dsc.sc").alias("sc"))
+    )
+    d2f = F.expr(
+        "aggregate(zip_with(embedding, pe,"
+        " (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
+        " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    best = (
+        emb.select("vec_id", "embedding")
+        .join(routed, "vec_id")
+        .join(F.broadcast(fp), "sc")
+        .select("vec_id", F.struct(d2f.alias("d2"), F.col("cell")).alias("dc"))
+        .groupBy("vec_id")
+        .agg(F.min("dc").alias("dc"))
+        .select("vec_id", F.col("dc.cell").alias("cell"))
+    )
+    return emb.select("vec_id", "embedding").join(best, "vec_id")

@@ -169,6 +169,8 @@ def test_global_plan_hygiene_sweep(spark, queries):
         "simhash_near_dups",
         # same Arrow signature build feeding the candidate-quality eval
         "minhash_eval_metrics",
+        # Arrow pair scoring (cosine_pairs_arrow) over within-cell pairs
+        "semdedup_clusters",
         # Arrow 64-bucket byte histogram feeding the perceptual hash
         "media_phash_dedup",
     }
