@@ -7,11 +7,14 @@ shuffling on the node key — the minimal shuffle set for distributed
 PageRank. Lineage is truncated with ``localCheckpoint`` every few rounds
 (the same discipline as BFS/components: an unbounded iterative plan DAG is
 what kills iterative Spark jobs at scale, not the math). Cadence measured
-r06 over 10 iterations at sf0.1 (min-of-3): every 1/2/3/5/10 rounds =
-5.0/4.3/4.1/3.8/5.3 s — a shallow optimum at 5 (materialization cost vs
-re-planning nested segments), so 5 is the default; the right cadence at
-cluster scale still trades executor-memory block pressure against plan
-depth and belongs to the caller.
+r06 over 10 iterations at sf0.1: ISOLATED min-of-3 ranks every-5 best
+(1/2/3/5/10 → 5.0/4.3/4.1/3.8/5.3 s), but inside the 59-query bench —
+where other queries' cached blocks pressure the storage memory —
+every-5 regressed to 5.4 s while every-3 held 4.0 s: longer segments
+keep more recomputable lineage alive exactly when eviction is likely.
+Default is 3, the pressured-context winner; the right cadence on a real
+cluster still trades block pressure against plan depth and belongs to
+the caller.
 
 100 TB posture:
 - the edge table is degree-annotated ONCE and cached — per-iteration work
@@ -35,7 +38,7 @@ def pagerank(
     dst: str = "dst",
     iterations: int = 10,
     damping: float = 0.85,
-    checkpoint_every: int = 5,
+    checkpoint_every: int = 3,
     max_broadcast_rows: int = 1_000_000,
 ) -> DataFrame:
     """Ranks after a FIXED number of power iterations (deterministic runs
@@ -104,7 +107,7 @@ def pagerank_exact(
     damping_num: int = 85,
     damping_den: int = 100,
     scale: int = 10**15,
-    checkpoint_every: int = 5,
+    checkpoint_every: int = 3,
     max_broadcast_rows: int = 1_000_000,
 ) -> DataFrame:
     """Fixed-point PageRank in SCALED INTEGER arithmetic — every operation
