@@ -1630,8 +1630,12 @@ def semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # emits only the removed ids. Row-chunked so a pathological mega-cell
     # is bounded-memory instead of an m² allocation.
     removed = _semdedup_removed_blocked(cells).distinct()
+    # No broadcast hint on the removed set: on a dup-heavy corpus it
+    # approaches |corpus| rows, so the verdict join must be allowed to
+    # shuffle — AQE broadcasts it from runtime size when it is small
+    # (every test SF), and falls back safely when it is not.
     return cells.join(
-        F.broadcast(removed.withColumn("_rm", F.lit(True))), "vec_id", "left"
+        removed.withColumn("_rm", F.lit(True)), "vec_id", "left"
     ).select(
         "vec_id",
         "cell",
@@ -1913,6 +1917,12 @@ def assigned_cells_two_level(emb: DataFrame, pivots) -> DataFrame:
     its second-best — agreement with the flat argmin is corpus-dependent
     and pytest-floored (test_r06_ops). Not oracle-portable, hence a
     library path: the registered query keeps the exact quantizer.
+
+    This is the ALGORITHM-SHAPE reference (expression folds, readable,
+    bit-auditable); the practical k ≤ ~10⁴ regime is served faster by the
+    flat Arrow path in :func:`_assigned_cells` (measured 0.3 s vs 2.7 s
+    at k=160), so production use at k ≫ 10³ should Arrow-ize these two
+    stages the same way before reaching for it.
 
     Plan: two broadcast joins + two map-side-combining argmin aggregations
     + a join back on vec_id — every stage linear in n."""
