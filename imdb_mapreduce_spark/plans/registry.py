@@ -88,8 +88,10 @@ _HEAD: tuple[str, ...] = (
     # embedding normalization stats)
     "basket_association_rules",
     "embedding_dim_profile",
-    # (batch 3: the LSH-candidate scale path for the hard-negative miner)
+    # (batch 3: the LSH-candidate scale path for the hard-negative miner;
+    # the semdedup family's bounded-sample recall audit)
     "hard_negative_lsh",
+    "semdedup_eval_metrics",
     "semdedup_clusters",
     "hard_negative_mining",
     "incremental_dedup_verdicts",

@@ -180,6 +180,9 @@ def test_global_plan_hygiene_sweep(spark, queries):
         # same deliberate broadcast-queries × corpus-scan shape as
         # ann_cosine_topk, with the cross-label filter riding the scan
         "hard_negative_mining",
+        # sample-bounded all-pairs truth (<=500 ids by construction) —
+        # the audit that meters the cell-blocked scale path's recall
+        "semdedup_eval_metrics",
         # deliberate tiny cross joins: 1-row agg × 1-row agg (attach the
         # table rowcount to the FK check) and hour-grid × type-list (both
         # bounded by calendar/domain size, never by fact volume)

@@ -314,3 +314,39 @@ def test_two_level_quantizer_agreement_and_linear_shape(spark):
     # near-orthogonal corpus = the hard routing regime; production corpora
     # (clustered) agree far higher. Floor catches structural breakage.
     assert agree >= 0.6, agree
+
+
+def test_semdedup_eval_metrics_reconciles(spark):
+    """The audit's counts must reconcile against a numpy recompute of the
+    bounded-sample truth and the cell assignment."""
+    from imdb_mapreduce_spark.pipeline.similarity import (
+        SEMDEDUP_EVAL_N,
+        SEMDEDUP_TAU,
+        _assigned_cells,
+        ivf_det_pivots,
+        semdedup_eval_metrics,
+    )
+    from imdb_mapreduce_spark.sources.star import load_table
+
+    row = semdedup_eval_metrics(spark, SF).collect()[0]
+    emb = _embeddings(spark)
+    samp = emb[emb["vec_id"] < SEMDEDUP_EVAL_N].sort_values("vec_id")
+    assert row["n_sample"] == len(samp)
+    cos = _cosine_matrix(samp.reset_index(drop=True))
+    sdf = load_table(spark, "embeddings", SF).filter(
+        f"vec_id < {SEMDEDUP_EVAL_N}"
+    )
+    pivots = ivf_det_pivots(spark, SF, k=16)
+    cell = {
+        r["vec_id"]: r["cell"] for r in _assigned_cells(sdf, pivots).collect()
+    }
+    ids = samp["vec_id"].tolist()
+    truth = det = 0
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if cos[a, b] >= SEMDEDUP_TAU:
+                truth += 1
+                det += cell[a] == cell[b]
+    assert row["n_truth_pairs"] == truth
+    assert row["n_detected_pairs"] == det
+    assert row["recall_scaled"] == 1_000_000 * det // max(truth, 1)
