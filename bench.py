@@ -108,8 +108,10 @@ HEADLINE = (
     # pair table; per-dimension normalization stats
     "basket_association_rules",
     "embedding_dim_profile",
-    # added r06 session 4 batch 3: the bucket-bounded hard-negative miner
+    # added r06 session 4 batch 3: the bucket-bounded hard-negative miner;
+    # the semdedup family's bounded-sample recall audit
     "hard_negative_lsh",
+    "semdedup_eval_metrics",
 )
 
 

@@ -1457,8 +1457,15 @@ def _assigned_cells(emb: DataFrame, pivots) -> DataFrame:
         for pdf in batches:
             if not len(pdf):
                 continue
+            if pdf["embedding"].isna().any():
+                raise ValueError("_assigned_cells: null embedding in batch")
             x = np.stack(pdf["embedding"].to_numpy()).astype("float64")
             n, dim = x.shape
+            if dim != pmat.shape[1]:
+                raise ValueError(
+                    f"_assigned_cells: embedding dim {dim} != pivot dim "
+                    f"{pmat.shape[1]}"
+                )
             d2 = np.zeros((n, pmat.shape[0]))
             for d in range(dim):  # dimension-major: the fold's exact order
                 diff = x[:, d : d + 1] - pmat[None, :, d]
@@ -1512,6 +1519,8 @@ def _semdedup_removed_blocked(cells: DataFrame) -> DataFrame:
         m = len(pdf)
         if m < 2:
             return pd.DataFrame({"vec_id": np.array([], dtype="int64")})
+        if pdf["embedding"].isna().any():
+            raise ValueError("semdedup block: null embedding in cell")
         a = np.stack(pdf["embedding"].to_numpy()).astype("float64")
         nrm = pdf["nrm"].to_numpy()
         ids = pdf["vec_id"].to_numpy()
@@ -2010,6 +2019,7 @@ def assigned_cells_two_level(emb: DataFrame, pivots) -> DataFrame:
 
 
 SEMDEDUP_EVAL_N = 500  # truth sample bound: all-pairs stays 125k at ANY SF
+RECALL_SCALE = 1_000_000  # integer recall unit, shared by Spark expr + oracle
 
 
 def _semdedup_eval_oracle() -> str:
@@ -2046,7 +2056,7 @@ def _semdedup_eval_oracle() -> str:
            CAST(COUNT(*) AS BIGINT) AS n_truth_pairs,
            CAST(SUM(CASE WHEN ca = cb THEN 1 ELSE 0 END) AS BIGINT)
              AS n_detected_pairs,
-           CAST((1000000 * SUM(CASE WHEN ca = cb THEN 1 ELSE 0 END))
+           CAST(({RECALL_SCALE} * SUM(CASE WHEN ca = cb THEN 1 ELSE 0 END))
                 // greatest(COUNT(*), 1) AS BIGINT) AS recall_scaled
     FROM truth
     """
@@ -2112,7 +2122,7 @@ def semdedup_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_truth_pairs"),
         det.cast("long").alias("n_detected_pairs"),
         F.expr(
-            "CAST((1000000 * SUM(CASE WHEN ca = cb THEN 1 ELSE 0 END))"
+            f"CAST(({RECALL_SCALE} * SUM(CASE WHEN ca = cb THEN 1 ELSE 0 END))"
             " div greatest(COUNT(1), 1) AS BIGINT)"
         ).alias("recall_scaled"),
     )

@@ -602,6 +602,12 @@ def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
             _glob.glob(os.path.join(state_root, "v*")),
             key=lambda p: int(os.path.basename(p)[1:]),
         )
+        if not versions:  # empty source → no batches → empty state
+            return spark.createDataFrame(
+                [],
+                "user_id bigint, last_ts timestamp, last_type string,"
+                " last_value double",
+            )
         final = spark.read.parquet(versions[-1]).select(
             "user_id", "last_ts", "last_type", "last_value"
         )
