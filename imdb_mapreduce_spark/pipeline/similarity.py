@@ -2096,23 +2096,29 @@ def semdedup_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding", "cell", norm("embedding").alias("nrm")
     )
     a = cells.select(
-        F.col("vec_id").alias("_va"),
-        F.col("embedding").alias("_ea"),
-        F.col("nrm").alias("_na"),
+        F.col("vec_id").alias("vec1"),
+        F.col("embedding").alias("e1"),
+        F.col("nrm").alias("n1"),
         F.col("cell").alias("ca"),
     )
     b = cells.select(
-        F.col("vec_id").alias("_vb"),
-        F.col("embedding").alias("_eb"),
-        F.col("nrm").alias("_nb"),
+        F.col("vec_id").alias("vec2"),
+        F.col("embedding").alias("e2"),
+        F.col("nrm").alias("n2"),
         F.col("cell").alias("cb"),
     )
+    # Sample-bounded pair set (≤125k rows), scored on the Arrow path —
+    # bit-identical to the fold (cosine_pairs_arrow) and ~4× faster than
+    # the interpreted per-pair lambda at this size.
+    pairs = F.broadcast(a).join(b, F.col("vec1") < F.col("vec2"))
+    scored = cosine_pairs_arrow(
+        pairs.select("vec1", "vec2", "e1", "e2", "n1", "n2")
+    ).filter(F.col("cosine") >= SEMDEDUP_TAU)
+    cmap_a = cells.select(F.col("vec_id").alias("vec1"), F.col("cell").alias("ca"))
+    cmap_b = cells.select(F.col("vec_id").alias("vec2"), F.col("cell").alias("cb"))
     truth = (
-        F.broadcast(a)
-        .join(b, F.col("_va") < F.col("_vb"))
-        .filter(
-            (dot("_ea", "_eb") / (F.col("_na") * F.col("_nb"))) >= SEMDEDUP_TAU
-        )
+        scored.join(F.broadcast(cmap_a), "vec1")
+        .join(F.broadcast(cmap_b), "vec2")
         .select("ca", "cb")
     )
     n_sample = samp.count()  # bounded driver scalar (<= SEMDEDUP_EVAL_N)
