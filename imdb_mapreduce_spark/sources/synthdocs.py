@@ -30,7 +30,12 @@ unchanged.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 LANGS = ("en", "de", "fr", "es", "zh")
 SOURCES = ("web", "books", "wiki", "code")
@@ -64,23 +69,9 @@ class SynthDocsReader(DataSourceReader):
         ]
 
     def read(self, part: _IdRange):
-        # numpy import stays inside read(): it runs on the executor; the
-        # planning path (partitions/schema) must not need worker deps.
-        import numpy as np
-
-        vocab = np.array(_vocab())
-        # Zipf-ranked probabilities, identical on every executor.
-        ranks = np.arange(1, VOCAB_SIZE + 1, dtype="float64")
-        p = ranks**-ZIPF_A
-        p /= p.sum()
-        for doc_id in range(part.start, part.end):
-            rng = np.random.default_rng((self.seed, doc_id))
-            n_words = int(rng.integers(MIN_WORDS, MAX_WORDS + 1))
-            words = rng.choice(vocab, size=n_words, p=p)
-            text = " ".join(words.tolist())
-            lang = LANGS[int(rng.integers(0, len(LANGS)))]
-            source = SOURCES[int(rng.integers(0, len(SOURCES)))]
-            yield (doc_id, text, lang, source, len(text))
+        # shared pure (seed, doc_id) generator — numpy imported inside it,
+        # on the executor (planning never needs worker deps)
+        yield from _gen_rows(self.seed, part.start, part.end)
 
 
 class SynthDocsDataSource(DataSource):
@@ -96,3 +87,56 @@ class SynthDocsDataSource(DataSource):
 
     def reader(self, schema) -> SynthDocsReader:
         return SynthDocsReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return SynthDocsStreamReader(self.options)
+
+
+def _gen_rows(seed: int, start: int, end: int):
+    """Rows for [start, end): the SAME pure (seed, doc_id) function the
+    batch reader uses, so batch read ≡ streamed union (pytest-pinned)."""
+    import numpy as np
+
+    vocab = np.array(_vocab())
+    ranks = np.arange(1, VOCAB_SIZE + 1, dtype="float64")
+    p = ranks**-ZIPF_A
+    p /= p.sum()
+    for doc_id in range(start, end):
+        rng = np.random.default_rng((seed, doc_id))
+        n_words = int(rng.integers(MIN_WORDS, MAX_WORDS + 1))
+        words = rng.choice(vocab, size=n_words, p=p)
+        text = " ".join(words.tolist())
+        lang = LANGS[int(rng.integers(0, len(LANGS)))]
+        source = SOURCES[int(rng.integers(0, len(SOURCES)))]
+        yield (doc_id, text, lang, source, len(text))
+
+
+class SynthDocsStreamReader(SimpleDataSourceStreamReader):
+    """Bounded micro-batch stream over the same corpus: each poll emits the
+    next ``batch_rows`` doc_ids until ``n_docs`` is exhausted, then empty
+    batches forever — the shape of replaying a bounded corpus as a stream
+    (soak tests, stream/batch parity checks) through the Spark 4
+    `simpleStreamReader` API. Offsets are plain dicts checkpointed by the
+    engine; `readBetweenOffsets` replays any [start, end) range exactly
+    (determinism makes replay free)."""
+
+    def __init__(self, options: dict) -> None:
+        self.n_docs = int(options.get("n_docs", 1000))
+        self.seed = int(options.get("seed", 7))
+        self.batch_rows = max(1, int(options.get("batch_rows", 250)))
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def read(self, start: dict):
+        lo = int(start["pos"])
+        hi = min(lo + self.batch_rows, self.n_docs)
+        # materialized list, not a generator: the engine pickles the
+        # prefetched rows into its offset-range cache
+        return list(_gen_rows(self.seed, lo, hi)), {"pos": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return list(_gen_rows(self.seed, int(start["pos"]), int(end["pos"])))
+
+    def commit(self, end: dict) -> None:
+        pass

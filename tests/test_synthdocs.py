@@ -64,3 +64,40 @@ def test_documents_operators_run_on_generated_corpus(registered):
     assert groups.agg(F.sum("n_docs")).collect()[0][0] == 300
     sh = exploded_shingles(df)
     assert sh.count() > 0
+
+
+def test_stream_read_equals_batch_read(registered):
+    """readStream over synthdocs drains the bounded corpus in micro-batches
+    and the union equals the batch read exactly (same pure generator)."""
+    import tempfile
+
+    spark = registered
+    stream = (
+        spark.readStream.format("synthdocs")
+        .option("n_docs", 300)
+        .option("seed", 7)
+        .option("batch_rows", 100)
+        .load()
+    )
+    name = "synthdocs_stream_sink"
+    with tempfile.TemporaryDirectory() as ckpt:
+        # availableNow only drains the one prefetched micro-batch for
+        # simple stream readers; poll a continuous trigger until the
+        # bounded source is exhausted instead.
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        import time
+
+        deadline = time.time() + 120
+        while time.time() < deadline and spark.table(name).count() < 300:
+            time.sleep(0.5)
+        q.stop()
+    got = {r["doc_id"]: r["text"] for r in spark.table(name).collect()}
+    want = {r["doc_id"]: r["text"] for r in _read(spark, n=300).collect()}
+    assert got == want
