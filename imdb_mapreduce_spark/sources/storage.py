@@ -14,6 +14,8 @@ Two mechanisms, both exercised by tests/test_storage.py:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -56,3 +58,59 @@ def write_date_partitioned(
 
 def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+TARGET_FILE_BYTES = 128 * 1024 * 1024  # the standard parquet target size
+
+
+def compaction_plan(path: str, target_bytes: int = TARGET_FILE_BYTES) -> dict:
+    """Small-file audit for a parquet directory, from FOOTER METADATA only
+    (pyarrow driver-side — zero Spark jobs): current file count/sizes and
+    the output file count a compaction should produce. The perpetual
+    maintenance problem of streaming/incremental sinks: every micro-batch
+    writes a file, and a 100 TB table of 1 MB files spends its scan time
+    opening footers instead of reading pages.
+
+    Returns {"n_files", "total_bytes", "small_files" (< half target),
+    "target_files"}."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    files = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+    sizes = [os.path.getsize(f) for f in files]
+    # footer sanity: unreadable file -> loud failure, not a wrong plan
+    for f in files[:1]:
+        pq.ParquetFile(f)
+    total = sum(sizes)
+    return {
+        "n_files": len(files),
+        "total_bytes": total,
+        "small_files": sum(1 for s_ in sizes if s_ < target_bytes // 2),
+        "target_files": max(1, -(-total // target_bytes)),
+    }
+
+
+def compact_parquet_dir(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_bytes: int = TARGET_FILE_BYTES,
+    sort_within_by: str | None = None,
+) -> dict:
+    """Rewrite a fragmented parquet directory into ~target-size files:
+    one distributed read → repartition to the footer-derived file count →
+    write. `sort_within_by` re-sorts rows inside each output file (keeps
+    zone-map/min-max pruning effective after compaction — compaction that
+    destroys clustering trades one problem for another).
+
+    The plan count comes from compressed on-disk bytes, the honest proxy
+    when rewriting with the same codec. Returns the before/after plans."""
+    before = compaction_plan(path, target_bytes)
+    df = spark.read.parquet(path)
+    out = df.repartition(before["target_files"])
+    if sort_within_by:
+        out = out.sortWithinPartitions(sort_within_by)
+    out.write.mode("overwrite").parquet(out_path)
+    after = compaction_plan(out_path, target_bytes)
+    return {"before": before, "after": after}

@@ -257,3 +257,39 @@ def test_date_partition_pruning(spark, tmp_path):
     assert 0 < n < e.count()
     # value integrity after the partition round-trip
     assert back.count() == e.count()
+
+
+def test_compaction_rewrites_small_files_and_keeps_rows(spark, tmp_path):
+    """A fragmented write (many tiny files) compacts to the footer-derived
+    target count, row-for-row equal, and sort_within_by restores per-file
+    clustering (min/max ranges disjoint-ish again)."""
+    from imdb_mapreduce_spark.sources.storage import (
+        compact_parquet_dir,
+        compaction_plan,
+    )
+
+    src = str(tmp_path / "frag")
+    out = str(tmp_path / "compact")
+    df = spark.range(10_000).selectExpr("id AS k", "id % 97 AS v")
+    df.repartition(64).write.parquet(src)  # 64 tiny files
+
+    plan = compaction_plan(src, target_bytes=1024 * 1024)
+    assert plan["n_files"] == 64
+    assert plan["small_files"] == 64
+    assert plan["target_files"] < 64
+
+    res = compact_parquet_dir(
+        spark, src, out, target_bytes=1024 * 1024, sort_within_by="k"
+    )
+    assert res["after"]["n_files"] == plan["target_files"]
+    a = sorted(r["k"] for r in spark.read.parquet(src).collect())
+    b = sorted(r["k"] for r in spark.read.parquet(out).collect())
+    assert a == b
+    # per-file clustering: every output file's k-range is internally sorted
+    import glob
+
+    import pyarrow.parquet as pq
+
+    for f in glob.glob(out + "/*.parquet"):
+        ks = pq.read_table(f, columns=["k"]).column("k").to_pylist()
+        assert ks == sorted(ks)
