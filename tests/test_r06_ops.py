@@ -350,3 +350,54 @@ def test_semdedup_eval_metrics_reconciles(spark):
     assert row["n_truth_pairs"] == truth
     assert row["n_detected_pairs"] == det
     assert row["recall_scaled"] == 1_000_000 * det // max(truth, 1)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(seed=st.integers(min_value=0, max_value=10_000))
+@settings(max_examples=5, deadline=None)
+def test_semdedup_blocked_scorer_matches_numpy_reference(spark, seed):
+    """Property: on random small corpora (clustered so dups exist), the
+    distributed per-cell block scorer emits EXACTLY the ids a plain
+    numpy reference computes with the same drop rule."""
+    import numpy as np
+
+    from imdb_mapreduce_spark.pipeline.similarity import (
+        SEMDEDUP_TAU,
+        _semdedup_removed_blocked,
+    )
+
+    rng = np.random.default_rng(seed)
+    n, dim, n_cells = 60, 8, 4
+    centers = rng.standard_normal((n_cells, dim)) * 0.3
+    cells_idx = rng.integers(0, n_cells, size=n)
+    vecs = centers[cells_idx] + rng.standard_normal((n, dim)) * 0.2
+    nrm = np.sqrt((vecs.astype("float64") ** 2).sum(axis=1))
+
+    rows = [
+        (int(i), [float(x) for x in vecs[i]], int(cells_idx[i]), float(nrm[i]))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, cell int, nrm double"
+    )
+    got = sorted(
+        r["vec_id"] for r in _semdedup_removed_blocked(df).distinct().collect()
+    )
+
+    # reference: float32-cast then float64 math, matching the Spark frame
+    v32 = vecs.astype("float32").astype("float64")
+    n64 = np.array([float(np.sqrt((v.astype("float64") ** 2).sum())) for v in vecs])
+    want = set()
+    for c in range(n_cells):
+        ids = sorted(np.where(cells_idx == c)[0])
+        for ai, a in enumerate(ids):
+            for b in ids[ai + 1 :]:
+                acc = 0.0  # dimension-major, the scorer's exact fold order
+                for d in range(dim):
+                    acc += v32[a][d] * v32[b][d]
+                if acc / (n64[a] * n64[b]) >= SEMDEDUP_TAU:
+                    want.add(int(b))
+    assert got == sorted(want)
