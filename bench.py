@@ -112,6 +112,7 @@ HEADLINE = (
     # the semdedup family's bounded-sample recall audit
     "hard_negative_lsh",
     "semdedup_eval_metrics",
+    "ann_recall_eval",
 )
 
 

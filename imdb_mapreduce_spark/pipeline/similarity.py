@@ -2137,3 +2137,62 @@ def semdedup_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 semdedup_eval_metrics.__doc__ = semdedup_eval_metrics.__doc__.format(
     n=SEMDEDUP_EVAL_N, p=SEMDEDUP_EVAL_N * (SEMDEDUP_EVAL_N - 1) // 2
 )
+
+
+def _ann_recall_oracle() -> str:
+    """Composes the two REGISTERED oracles (truth = brute top-k, candidate
+    = LSH top-k) as parenthesized subqueries — the eval is definitionally
+    tied to exactly what the registered queries return."""
+    from imdb_mapreduce_spark.plans.registry import _REGISTRY
+
+    brute = _REGISTRY["ann_cosine_topk"].oracle
+    lsh = _REGISTRY["ann_lsh_topk"].oracle
+    return f"""
+    SELECT b.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_truth,
+           CAST(SUM(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit,
+           CAST(({RECALL_SCALE}
+                 * SUM(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END))
+                // COUNT(*) AS BIGINT) AS recall_scaled
+    FROM ({brute}) b
+    LEFT JOIN ({lsh}) l
+      ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+    GROUP BY b.query_id
+    """
+
+
+@register(
+    "ann_recall_eval",
+    oracle=_ann_recall_oracle(),
+    tags=("similarity", "eval", "ann", "north-star"),
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN audits its own scale path (completing the eval trilogy with
+    ``minhash_eval_metrics`` and ``semdedup_eval_metrics``): per-query
+    recall of the LSH top-k against the brute-force truth top-k, by
+    COMPOSING the two registered builders — the eval can never drift from
+    what the production queries actually compute. Truth is bounded by
+    N_QUERIES·TOP_K rows at any corpus size, so the join side is always a
+    broadcast-scale relation; integer-scaled recall keeps the row
+    hash-portable."""
+    truth = ann_cosine_topk(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("t_id")
+    )
+    got = ann_lsh_topk(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("l_id"), F.lit(True).alias("_hit")
+    )
+    joined = truth.join(
+        F.broadcast(got),
+        (truth["query_id"] == got["query_id"]) & (F.col("t_id") == F.col("l_id")),
+        "left",
+    ).select(truth["query_id"], "_hit")
+    hit = F.sum(F.when(F.col("_hit"), 1).otherwise(0))
+    return joined.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_truth"),
+        hit.cast("long").alias("n_hit"),
+        F.expr(
+            f"CAST(({RECALL_SCALE} * SUM(CASE WHEN _hit THEN 1 ELSE 0 END))"
+            " div COUNT(1) AS BIGINT)"
+        ).alias("recall_scaled"),
+    )

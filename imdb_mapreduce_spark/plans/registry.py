@@ -92,6 +92,7 @@ _HEAD: tuple[str, ...] = (
     # the semdedup family's bounded-sample recall audit)
     "hard_negative_lsh",
     "semdedup_eval_metrics",
+    "ann_recall_eval",
     "semdedup_clusters",
     "hard_negative_mining",
     "incremental_dedup_verdicts",

@@ -171,6 +171,8 @@ def test_global_plan_hygiene_sweep(spark, queries):
         "minhash_eval_metrics",
         # Arrow pair scoring (cosine_pairs_arrow) over within-cell pairs
         "semdedup_clusters",
+        # composes ann_lsh_topk (Arrow bucket build) with the brute truth
+        "ann_recall_eval",
         # Arrow 64-bucket byte histogram feeding the perceptual hash
         "media_phash_dedup",
     }
@@ -183,6 +185,8 @@ def test_global_plan_hygiene_sweep(spark, queries):
         # sample-bounded all-pairs truth (<=500 ids by construction) —
         # the audit that meters the cell-blocked scale path's recall
         "semdedup_eval_metrics",
+        # composes ann_cosine_topk's deliberate broadcast x corpus scan
+        "ann_recall_eval",
         # deliberate tiny cross joins: 1-row agg × 1-row agg (attach the
         # table rowcount to the FK check) and hour-grid × type-list (both
         # bounded by calendar/domain size, never by fact volume)
