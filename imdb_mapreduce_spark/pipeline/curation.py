@@ -17,6 +17,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from imdb_mapreduce_spark.pipeline.dedup import SHINGLE_LIST_SQL
 from imdb_mapreduce_spark.pipeline.text import SPLIT_TRAIN_END, SPLIT_VAL_END
 from imdb_mapreduce_spark.plans.registry import register
 from imdb_mapreduce_spark.sources.star import load_table
@@ -675,9 +676,7 @@ LEAK_JACCARD = 0.3  # near-dup floor for the cross-split leakage tier
       FROM s a JOIN s b ON a.raw_fp = b.raw_fp AND a.doc_id < b.doc_id),
     lists AS MATERIALIZED (
       SELECT doc_id,
-             list_distinct(list_transform(
-                 generate_series(1, greatest(len(string_split(text, ' ')) - 4, 1)),
-                 i -> array_to_string((string_split(text, ' '))[i:i+4], ' '))) AS shl
+             {SHINGLE_LIST_SQL} AS shl
       FROM documents),
     sh AS (
       SELECT doc_id, len(shl) AS n_shingles, unnest(shl) AS sh FROM lists),
@@ -987,7 +986,7 @@ INCR_JACCARD_THR = 0.1
 
 
 def _incr_dedup_oracle() -> str:
-    from imdb_mapreduce_spark.pipeline.dedup import (
+    from imdb_mapreduce_spark.pipeline.dedup import (  # noqa: F401
         SHINGLE_WORDS,
         STOP_SHINGLE_MAX_FREQ,
     )
@@ -1001,15 +1000,11 @@ def _incr_dedup_oracle() -> str:
         ON md5(lower(trim(b.text))) = md5(lower(trim(c.text)))),
     blists AS MATERIALIZED (
       SELECT doc_id,
-             list_distinct(list_transform(
-                 generate_series(1, greatest(len(string_split(text, ' ')) - {SHINGLE_WORDS - 1}, 1)),
-                 i -> array_to_string((string_split(text, ' '))[i:i+{SHINGLE_WORDS - 1}], ' '))) AS shl
+             {SHINGLE_LIST_SQL} AS shl
       FROM batch),
     clists AS MATERIALIZED (
       SELECT doc_id,
-             list_distinct(list_transform(
-                 generate_series(1, greatest(len(string_split(text, ' ')) - {SHINGLE_WORDS - 1}, 1)),
-                 i -> array_to_string((string_split(text, ' '))[i:i+{SHINGLE_WORDS - 1}], ' '))) AS shl
+             {SHINGLE_LIST_SQL} AS shl
       FROM corpus),
     bsh AS (SELECT doc_id, len(shl) AS n_sh, unnest(shl) AS sh FROM blists),
     csh_all AS (SELECT doc_id, len(shl) AS n_sh, unnest(shl) AS sh FROM clists),

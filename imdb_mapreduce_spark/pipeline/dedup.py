@@ -36,6 +36,18 @@ MINHASH_PERMS = 32
 LSH_BANDS = 8  # 8 bands × 4 rows
 SHINGLE_WORDS = 5
 
+# The distinct word-shingle list per document, as ONE DuckDB expression —
+# the single source of truth every shingle-join oracle interpolates
+# (code-review r06: nine hand-copied variants risked silent cross-engine
+# drift on any future change to the shingle rule).
+SHINGLE_LIST_SQL = (
+    "list_distinct(list_transform(\n"
+    "                 generate_series(1, greatest(len(string_split(text, ' '))"
+    f" - {SHINGLE_WORDS - 1}, 1)),\n"
+    "                 i -> array_to_string((string_split(text, ' '))"
+    f"[i:i+{SHINGLE_WORDS - 1}], ' ')))"
+)
+
 
 def normalized_text(col: str = "text") -> Column:
     return F.lower(F.trim(F.col(col)))
@@ -129,9 +141,7 @@ def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH lists AS MATERIALIZED (
       -- shingle list computed ONCE per doc, not once per referencing expr
       SELECT doc_id,
-             list_distinct(list_transform(
-                 generate_series(1, greatest(len(string_split(text, ' ')) - {SHINGLE_WORDS - 1}, 1)),
-                 i -> array_to_string((string_split(text, ' '))[i:i+{SHINGLE_WORDS - 1}], ' '))) AS shl
+             {SHINGLE_LIST_SQL} AS shl
       FROM documents),
     sh AS (
       SELECT doc_id, len(shl) AS n_shingles, unnest(shl) AS sh FROM lists)
@@ -186,9 +196,7 @@ STOP_SHINGLE_MAX_FREQ = 50
     WITH lists AS MATERIALIZED (
       -- shingle list computed ONCE per doc, not once per referencing expr
       SELECT doc_id,
-             list_distinct(list_transform(
-                 generate_series(1, greatest(len(string_split(text, ' ')) - {SHINGLE_WORDS - 1}, 1)),
-                 i -> array_to_string((string_split(text, ' '))[i:i+{SHINGLE_WORDS - 1}], ' '))) AS shl
+             {SHINGLE_LIST_SQL} AS shl
       FROM documents),
     sh_all AS (
       SELECT doc_id, len(shl) AS n_shingles, unnest(shl) AS sh FROM lists),
@@ -260,9 +268,7 @@ PAIR_JACCARD_THR = 0.1
     oracle=f"""
     WITH lists AS MATERIALIZED (
       SELECT doc_id,
-             list_distinct(list_transform(
-                 generate_series(1, greatest(len(string_split(text, ' ')) - {SHINGLE_WORDS - 1}, 1)),
-                 i -> array_to_string((string_split(text, ' '))[i:i+{SHINGLE_WORDS - 1}], ' '))) AS shl
+             {SHINGLE_LIST_SQL} AS shl
       FROM documents),
     sh AS (
       SELECT doc_id, len(shl) AS n_shingles, unnest(shl) AS sh FROM lists)
@@ -473,9 +479,7 @@ def _minhash_cand_ctes() -> str:
     return f"""
     WITH lists AS MATERIALIZED (
       SELECT doc_id,
-             list_distinct(list_transform(
-                 generate_series(1, greatest(len(string_split(text, ' ')) - {SHINGLE_WORDS - 1}, 1)),
-                 i -> array_to_string((string_split(text, ' '))[i:i+{SHINGLE_WORDS - 1}], ' '))) AS shl
+             {SHINGLE_LIST_SQL} AS shl
       FROM documents),
     sh AS MATERIALIZED (
       SELECT doc_id, len(shl) AS n_shingles, unnest(shl) AS sh FROM lists),
@@ -730,9 +734,7 @@ CLUSTERS_SQL = f"""
       -- shingle list computed ONCE per doc (inlining it into both unnest
       -- and len doubles the dominant cost)
       SELECT doc_id,
-             list_distinct(list_transform(
-                 generate_series(1, greatest(len(string_split(text, ' ')) - {SHINGLE_WORDS - 1}, 1)),
-                 i -> array_to_string((string_split(text, ' '))[i:i+{SHINGLE_WORDS - 1}], ' '))) AS shl
+             {SHINGLE_LIST_SQL} AS shl
       FROM documents),
     sh AS (
       SELECT doc_id, unnest(shl) AS sh, len(shl) AS n_shingles FROM lists),
@@ -1021,9 +1023,7 @@ CONTAIN_THR = 0.8  # near-superset: >=80% of the smaller side's shingles
     oracle=f"""
     WITH lists AS MATERIALIZED (
       SELECT doc_id,
-             list_distinct(list_transform(
-                 generate_series(1, greatest(len(string_split(text, ' ')) - {SHINGLE_WORDS - 1}, 1)),
-                 i -> array_to_string((string_split(text, ' '))[i:i+{SHINGLE_WORDS - 1}], ' '))) AS shl
+             {SHINGLE_LIST_SQL} AS shl
       FROM documents),
     sh AS (
       SELECT doc_id, len(shl) AS n_shingles, unnest(shl) AS sh FROM lists)

@@ -1144,30 +1144,42 @@ def _ivf_det_ranked(pivots) -> Column:
     )
 
 
-def _ivf_det_oracle() -> str:
+def _pivot_cells_ctes(k_sql: str, assign_src: str = "embeddings") -> str:
+    """The md5-ranked deterministic quantizer as oracle CTEs — ONE source
+    of truth for the pivots/assign/cells block shared by the det-IVF,
+    SemDeDup, and SemDeDup-eval oracles (drift here = silent cross-engine
+    hash divergence). ``k_sql`` is the pivot-count expression: a literal
+    int for fixed-k consumers, or a computed subquery (DuckDB supports
+    LIMIT (SELECT ...)) mirroring :func:`semdedup_k`. ``assign_src`` is
+    the relation whose vectors get assigned (pivots ALWAYS rank the full
+    corpus)."""
     d2 = _sql_d2_unrolled("e.embedding", "p.pe")
+    return f"""pivots AS MATERIALIZED (
+      SELECT CAST(ROW_NUMBER() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INT) - 1 AS cell,
+             embedding AS pe
+      FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT {k_sql}),
+    assign AS MATERIALIZED (
+      SELECT e.vec_id, e.embedding, p.cell, {d2} AS d2
+      FROM {assign_src} e CROSS JOIN pivots p),
+    cells AS MATERIALIZED (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT vec_id, embedding, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        FROM assign) t
+      WHERE rn = 1)"""
+
+
+def _ivf_det_oracle() -> str:
     cos = (
         f"{_sql_dot_unrolled('p.qe', 'c.embedding')}"
         f" / (sqrt({_sql_dot_unrolled('p.qe', 'p.qe')})"
         f" * sqrt({_sql_dot_unrolled('c.embedding', 'c.embedding')}))"
     )
     return f"""
-    WITH pivots AS MATERIALIZED (
-      SELECT CAST(ROW_NUMBER() OVER (
-               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INT) - 1 AS cell,
-             embedding AS pe
-      FROM embeddings
-      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
-      LIMIT {IVF_DET_K}),
-    assign AS MATERIALIZED (
-      SELECT e.vec_id, e.embedding, p.cell, {d2} AS d2
-      FROM embeddings e CROSS JOIN pivots p),
-    cells AS (
-      SELECT vec_id, embedding, cell FROM (
-        SELECT vec_id, embedding, cell,
-               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
-        FROM assign) t
-      WHERE rn = 1),
+    WITH {_pivot_cells_ctes(str(IVF_DET_K))},
     probes AS (
       SELECT vec_id AS query_id, embedding AS qe, cell FROM (
         SELECT vec_id, embedding, cell,
@@ -1544,30 +1556,26 @@ def _semdedup_removed_blocked(cells: DataFrame) -> DataFrame:
     return cells.groupBy("cell").applyInPandas(block, out_schema)
 
 
+def _semdedup_k_sql() -> str:
+    """:func:`semdedup_k` as a DuckDB expression — the oracle picks the
+    SAME adaptive pivot count as the Spark builder (computed LIMIT), so
+    the contract holds at ANY corpus size, not just the SFs where
+    k == SEMDEDUP_K (code-review r06: the fixed-k oracle silently broke
+    past 2000 vectors)."""
+    return (
+        f"(SELECT greatest({SEMDEDUP_K},"
+        f" -(-COUNT(*) // {SEMDEDUP_TARGET_CELL})) FROM embeddings)"
+    )
+
+
 def _semdedup_oracle() -> str:
     cos = (
         f"{_sql_dot_unrolled('a.embedding', 'b.embedding')}"
         f" / (sqrt({_sql_dot_unrolled('a.embedding', 'a.embedding')})"
         f" * sqrt({_sql_dot_unrolled('b.embedding', 'b.embedding')}))"
     )
-    d2 = _sql_d2_unrolled("e.embedding", "p.pe")
     return f"""
-    WITH pivots AS MATERIALIZED (
-      SELECT CAST(ROW_NUMBER() OVER (
-               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INT) - 1 AS cell,
-             embedding AS pe
-      FROM embeddings
-      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
-      LIMIT {SEMDEDUP_K}),
-    assign AS MATERIALIZED (
-      SELECT e.vec_id, e.embedding, p.cell, {d2} AS d2
-      FROM embeddings e CROSS JOIN pivots p),
-    cells AS MATERIALIZED (
-      SELECT vec_id, embedding, cell FROM (
-        SELECT vec_id, embedding, cell,
-               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
-        FROM assign) t
-      WHERE rn = 1),
+    WITH {_pivot_cells_ctes(_semdedup_k_sql())},
     removed AS (
       SELECT DISTINCT b.vec_id
       FROM cells a JOIN cells b
@@ -1638,7 +1646,10 @@ def semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # accumulation as cosine_pairs_arrow (bit-identical cosines), and
     # emits only the removed ids. Row-chunked so a pathological mega-cell
     # is bounded-memory instead of an m² allocation.
-    removed = _semdedup_removed_blocked(cells).distinct()
+    # Each vector belongs to exactly ONE cell, so the block scorer emits a
+    # removed id at most once — no distinct needed (code-review r06: the
+    # distinct added a full extra exchange for nothing).
+    removed = _semdedup_removed_blocked(cells)
     # No broadcast hint on the removed set: on a dup-heavy corpus it
     # approaches |corpus| rows, so the verdict join must be allowed to
     # shuffle — AQE broadcasts it from runtime size when it is small
@@ -2028,26 +2039,10 @@ def _semdedup_eval_oracle() -> str:
         f" / (sqrt({_sql_dot_unrolled('a.embedding', 'a.embedding')})"
         f" * sqrt({_sql_dot_unrolled('b.embedding', 'b.embedding')}))"
     )
-    d2 = _sql_d2_unrolled("s.embedding", "p.pe")
     return f"""
-    WITH pivots AS MATERIALIZED (
-      SELECT CAST(ROW_NUMBER() OVER (
-               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INT) - 1 AS cell,
-             embedding AS pe
-      FROM embeddings
-      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
-      LIMIT {SEMDEDUP_K}),
-    samp AS MATERIALIZED (
+    WITH samp AS MATERIALIZED (
       SELECT vec_id, embedding FROM embeddings WHERE vec_id < {SEMDEDUP_EVAL_N}),
-    assign AS MATERIALIZED (
-      SELECT s.vec_id, s.embedding, p.cell, {d2} AS d2
-      FROM samp s CROSS JOIN pivots p),
-    cells AS MATERIALIZED (
-      SELECT vec_id, embedding, cell FROM (
-        SELECT vec_id, embedding, cell,
-               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
-        FROM assign) t
-      WHERE rn = 1),
+    {_pivot_cells_ctes(_semdedup_k_sql(), assign_src="samp")},
     truth AS (
       SELECT a.cell AS ca, b.cell AS cb
       FROM cells a JOIN cells b ON a.vec_id < b.vec_id
@@ -2089,11 +2084,22 @@ def semdedup_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell's radius, where within-cell recall is high; the knobs when the
     audit reads low are fewer/larger cells or multi-cell (nprobe-style)
     checking, and this query is precisely the meter for tuning them."""
+    from imdb_mapreduce_spark.sources.star import parquet_num_rows
+
     emb = load_table(spark, "embeddings", sf_dir)
     samp = emb.filter(F.col("vec_id") < SEMDEDUP_EVAL_N)
-    pivots = ivf_det_pivots(spark, sf_dir, k=SEMDEDUP_K)
-    cells = _assigned_cells(samp, pivots).select(
-        "vec_id", "embedding", "cell", norm("embedding").alias("nrm")
+    try:
+        n_vec = parquet_num_rows(f"{sf_dir}/embeddings.parquet")
+    except (OSError, ValueError):
+        n_vec = None
+    # the audit must meter the PRODUCTION blocking: same adaptive k rule
+    pivots = ivf_det_pivots(spark, sf_dir, k=semdedup_k(n_vec))
+    cells = (
+        _assigned_cells(samp, pivots)
+        .select("vec_id", "embedding", "cell", norm("embedding").alias("nrm"))
+        # bounded (<= SEMDEDUP_EVAL_N rows) and consumed three times
+        # (both pair sides + the cell-label maps): materialize once
+        .localCheckpoint(eager=True)
     )
     a = cells.select(
         F.col("vec_id").alias("vec1"),

@@ -79,11 +79,14 @@ _HEAD: tuple[str, ...] = (
     #      stalest in the union — every r03-green displaced query from the
     #      r05 sessions is promoted here, closing that queue);
     #   3) 7 stalest r04-green entries.
-    # r06 session 4 adds 5 NEW queries (never-green by definition → head of
-    # the window per the rotation contract): SemDeDup, hard-negative
-    # mining, incremental batch-vs-corpus dedup, unigram rarity scoring,
-    # and the foreachBatch exactly-once upsert. They displace the last 5
-    # of the "stalest r04-green" refreshes (all union-green; roll to r07).
+    # r06 session 4 adds 10 NEW queries across three batches (never-green
+    # by definition → head of the window per the rotation contract):
+    # SemDeDup + its recall audit, brute + LSH hard-negative mining, the
+    # ANN recall audit, incremental batch-vs-corpus dedup, unigram rarity
+    # scoring, the foreachBatch exactly-once upsert, association rules,
+    # and the per-dimension embedding profile. Together they displace the
+    # 10 stalest r04-green refreshes past the 50-row window (all
+    # union-green; COVERAGE.md's r06 row names them; they roll to r07).
     # (batch 2: association rules over the silver pair table; per-dim
     # embedding normalization stats)
     "basket_association_rules",

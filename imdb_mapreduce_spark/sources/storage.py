@@ -78,9 +78,27 @@ def compaction_plan(path: str, target_bytes: int = TARGET_FILE_BYTES) -> dict:
     import pyarrow.parquet as pq
 
     files = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+    if not files:
+        # hive-partitioned layouts (write_date_partitioned) keep files in
+        # key=value subdirs; compacting those through a flat rewrite would
+        # DESTROY the partitioning — refuse loudly, per-partition is the
+        # correct unit (code-review r06)
+        subdirs = [
+            d
+            for d in _glob.glob(os.path.join(path, "*"))
+            if os.path.isdir(d)
+        ]
+        if subdirs:
+            raise ValueError(
+                f"compaction_plan: no top-level parquet files in {path} but "
+                f"{len(subdirs)} subdirectories — a partitioned table must "
+                "be compacted per partition directory"
+            )
+        raise ValueError(f"compaction_plan: no parquet files in {path}")
     sizes = [os.path.getsize(f) for f in files]
-    # footer sanity: unreadable file -> loud failure, not a wrong plan
-    for f in files[:1]:
+    # footer sanity on EVERY file (driver-side metadata reads, cheap):
+    # a corrupt file must fail the audit, not a mid-job task later
+    for f in files:
         pq.ParquetFile(f)
     total = sum(sizes)
     return {

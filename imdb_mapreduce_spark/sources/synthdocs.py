@@ -62,7 +62,9 @@ class SynthDocsReader(DataSourceReader):
         self.n_parts = max(1, int(options.get("partitions", 8)))
 
     def partitions(self):
-        step = -(-self.n_docs // self.n_parts)  # ceil
+        if self.n_docs <= 0:  # empty corpus: one empty partition
+            return [_IdRange(0, 0)]
+        step = -(-self.n_docs // self.n_parts)  # ceil; >= 1 here
         return [
             _IdRange(lo, min(lo + step, self.n_docs))
             for lo in range(0, self.n_docs, step)
