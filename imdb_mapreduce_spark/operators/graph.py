@@ -52,13 +52,99 @@ class BfsBudgetExceeded(RuntimeError):
     materialized by the checkpoint, so the check is free) — the traversal
     aborts before the next expansion join is even planned."""
 
-    def __init__(self, visited: int, budget: int, level: int) -> None:
+    def __init__(
+        self, visited: int, budget: int, level: int, estimated: bool = False
+    ) -> None:
         self.visited, self.budget, self.level = visited, budget, level
+        self.estimated = estimated
+        kind = "estimated expansion work" if estimated else "vertices reached"
         super().__init__(
-            f"BFS budget exceeded: {visited} vertices reached at level "
+            f"BFS budget exceeded: {visited} {kind} at level "
             f"{level} > max_vertices={budget}; narrow the query (lower "
             "level) or raise the budget"
         )
+
+
+# Pre-join fail-fast slack: a round is refused BEFORE its expansion join
+# runs when the ESTIMATED candidate-row count exceeds max_vertices × this
+# factor (candidates over-count unique new vertices by the duplicate-parent
+# factor, so the work bound is deliberately looser than the exact post-round
+# vertex check, which remains). r06 review: the post-round-only check let a
+# single hub round do ALL the unbounded work before raising.
+BFS_WORK_SLACK = 16
+
+
+def _bfs_rounds(
+    spark,
+    root: str,
+    level: int,
+    checkpoint: bool,
+    max_broadcast_rows: int,
+    max_vertices: int | None,
+    expand,
+    node_type: str,
+) -> BfsResult:
+    """The shared k-level round machinery (r06 review: bipartite and
+    unipartite previously copy-pasted these ~45 lines, and only one had
+    the budget guard). ``expand(frontier, frontier_rows) -> (pairs,
+    est_candidates)`` supplies the operator-specific expansion join plus
+    an optional candidate-row estimate for the pre-join budget check;
+    everything else — min-parent dedup BEFORE the visited anti-join (the
+    ordering that keeps Catalyst from pushing the anti-join into a
+    full-table exchange), guarded broadcasts, per-round localCheckpoint,
+    budget enforcement, vertex assembly — lives exactly once."""
+    frontier = spark.createDataFrame([(root,)], ["node"])
+    frontier_rows = 1
+    visited = frontier
+    visited_rows = 1
+    # node domain follows the root's Python type (string for name graphs,
+    # long for id graphs — the id form keeps bucketed layouts usable)
+    node_sql = "string" if isinstance(root, str) else "bigint"
+    result_edges = spark.createDataFrame(
+        [], f"src {node_sql}, dst {node_sql}, level int"
+    )
+
+    for lvl in range(1, level):
+        pairs, est_candidates = expand(frontier, frontier_rows)
+        if (
+            max_vertices is not None
+            and est_candidates is not None
+            and est_candidates > max_vertices * BFS_WORK_SLACK
+        ):
+            raise BfsBudgetExceeded(
+                int(est_candidates), max_vertices, lvl, estimated=True
+            )
+        anti = visited
+        if visited_rows <= max_broadcast_rows:
+            anti = F.broadcast(anti)
+        dedup = pairs.groupBy("dst").agg(F.min("src").alias("src"))
+        children = (
+            dedup.join(anti, dedup["dst"] == anti["node"], "left_anti")
+            .select("src", "dst")
+            .withColumn("level", F.lit(lvl))
+        )
+        if checkpoint:
+            children = children.localCheckpoint(eager=True)
+        frontier_rows = children.count()
+        if frontier_rows == 0:
+            break
+        result_edges = result_edges.unionByName(children)
+        new_nodes = children.select(F.col("dst").alias("node"))
+        visited = visited.unionByName(new_nodes)
+        visited_rows += frontier_rows
+        if max_vertices is not None and visited_rows > max_vertices:
+            raise BfsBudgetExceeded(visited_rows, max_vertices, lvl)
+        frontier = new_nodes
+
+    vertices = (
+        result_edges.select(F.col("src").alias("name"))
+        .unionByName(result_edges.select(F.col("dst").alias("name")))
+        .unionByName(spark.createDataFrame([(root,)], ["name"]))
+        .distinct()
+    )
+    return BfsResult(
+        root=root, node_type=node_type, edges=result_edges, vertices=vertices
+    )
 
 
 @dataclass
@@ -148,27 +234,24 @@ def bipartite_bfs(
     the big table, broadcast or not.
     """
     spark = edges.sparkSession
+    stats_cache: list[float] = []  # lazy avg degree: count jobs only if needed
 
-    frontier = spark.createDataFrame([(root,)], ["node"])
-    frontier_rows = 1
-    visited = frontier
-    visited_rows = 1
-    avg_degree: float | None = None  # lazy: count jobs only when needed
-    result_edges = spark.createDataFrame(
-        [], "src string, dst string, level int"
-    )
-
-    # level k = k-1 expansion rounds (master.erl:259,271).
-    for lvl in range(1, level):
-        if avg_degree is None and frontier_rows > 1:
+    def _avg_degree() -> float:
+        if not stats_cache:
             # One job, no shuffle of the edge table: count + HLL sketch
             # both fold map-side; only sketches cross the wire.
             stats = edges.agg(
                 F.count(F.lit(1)).alias("n_edges"),
                 F.approx_count_distinct(node_col).alias("n_nodes"),
             ).collect()[0]
-            avg_degree = stats["n_edges"] / max(1, stats["n_nodes"])
-        hop1_estimate = frontier_rows * (avg_degree if avg_degree else 1.0)
+            stats_cache.append(stats["n_edges"] / max(1, stats["n_nodes"]))
+        return stats_cache[0]
+
+    # level k = k-1 expansion rounds (master.erl:259,271). Aggregate-
+    # before-anti-join rationale lives in _bfs_rounds (shared machinery).
+    def expand(frontier: DataFrame, frontier_rows: int):
+        deg = _avg_degree() if (frontier_rows > 1 or max_vertices) else None
+        hop1_estimate = frontier_rows * (deg if deg else 1.0)
         pairs = _two_hop(
             frontier,
             edges,
@@ -178,47 +261,21 @@ def bipartite_bfs(
             broadcast_hop1=hop1_estimate <= max_broadcast_rows,
             edges_inverted=edges_inverted,
         )
-        anti = visited
-        if visited_rows <= max_broadcast_rows:
-            anti = F.broadcast(anti)
-        # Aggregate BEFORE the visited anti-join. Equivalent (the anti
-        # filter is on dst alone, so it drops whole groups and min(src)
-        # is unaffected), and the plan is strictly better: the dedup
-        # aggregation combines map-side, and the anti-join's left is the
-        # already-dst-partitioned aggregate output. With anti FIRST,
-        # Catalyst's PushDownLeftSemiAntiJoin rewrites it onto the edge
-        # scan, which in the non-broadcast regime shuffles the BIG table
-        # on dst and then again on the hop key — two full-table exchanges
-        # per round that this ordering makes impossible.
-        dedup = pairs.groupBy("dst").agg(F.min("src").alias("src"))
-        children = (
-            dedup.join(anti, dedup["dst"] == anti["node"], "left_anti")
-            .select("src", "dst")
-            .withColumn("level", F.lit(lvl))
-        )
-        if checkpoint:
-            # One materialization per round. visited/frontier/result are all
-            # unions over already-checkpointed frames, so their lineage stays
-            # flat without checkpoints of their own (no plan doubling).
-            children = children.localCheckpoint(eager=True)
-        frontier_rows = children.count()
-        if frontier_rows == 0:
-            break
-        result_edges = result_edges.unionByName(children)
-        new_nodes = children.select(F.col("dst").alias("node"))
-        visited = visited.unionByName(new_nodes)
-        visited_rows += frontier_rows
-        if max_vertices is not None and visited_rows > max_vertices:
-            raise BfsBudgetExceeded(visited_rows, max_vertices, lvl)
-        frontier = new_nodes
+        # candidate rows ≈ frontier × degree² (two hops) — the pre-join
+        # work estimate for the budget guard
+        est = hop1_estimate * deg if deg else None
+        return pairs, est
 
-    vertices = (
-        result_edges.select(F.col("src").alias("name"))
-        .unionByName(result_edges.select(F.col("dst").alias("name")))
-        .unionByName(spark.createDataFrame([(root,)], ["name"]))
-        .distinct()
+    return _bfs_rounds(
+        spark,
+        root,
+        level,
+        checkpoint,
+        max_broadcast_rows,
+        max_vertices,
+        expand,
+        node_type=node_col,
     )
-    return BfsResult(root=root, node_type=node_col, edges=result_edges, vertices=vertices)
 
 
 def unipartite_bfs(
@@ -229,6 +286,8 @@ def unipartite_bfs(
     level: int = 2,
     checkpoint: bool = True,
     max_broadcast_rows: int = 1_000_000,
+    max_vertices: int | None = None,
+    node_type: str = "node",
 ) -> BfsResult:
     """The same k-level BFS semantics as :func:`bipartite_bfs` (global
     visited set, deterministic MIN-parent attachment, level k = k−1
@@ -248,17 +307,22 @@ def unipartite_bfs(
     count (the checkpoint materializes it) stays under
     ``max_broadcast_rows``; with the edge table bucketed on ``src_col``
     the big side is never shuffled in any regime. Aggregate-before-
-    anti-join ordering as in :func:`bipartite_bfs` (keeps Catalyst from
-    pushing the anti-join into a full-table exchange)."""
+    anti-join ordering as in :func:`bipartite_bfs` via the shared
+    :func:`_bfs_rounds` machinery, which also brings the ``max_vertices``
+    budget (pre-join estimate + exact post-round check) to this path."""
     spark = edges.sparkSession
+    stats_cache: list[float] = []
 
-    frontier = spark.createDataFrame([(root,)], ["node"])
-    frontier_rows = 1
-    visited = frontier
-    visited_rows = 1
-    result_edges = spark.createDataFrame([], "src string, dst string, level int")
+    def _avg_degree() -> float:
+        if not stats_cache:
+            stats = edges.agg(
+                F.count(F.lit(1)).alias("n_edges"),
+                F.approx_count_distinct(src_col).alias("n_nodes"),
+            ).collect()[0]
+            stats_cache.append(stats["n_edges"] / max(1, stats["n_nodes"]))
+        return stats_cache[0]
 
-    for lvl in range(1, level):
+    def expand(frontier: DataFrame, frontier_rows: int):
         f = frontier.select(F.col("node").alias("src"))
         if frontier_rows <= max_broadcast_rows:
             f = F.broadcast(f)
@@ -268,33 +332,19 @@ def unipartite_bfs(
             .filter(F.col("src") != F.col("dst"))
             .select("src", "dst")
         )
-        anti = visited
-        if visited_rows <= max_broadcast_rows:
-            anti = F.broadcast(anti)
-        dedup = pairs.groupBy("dst").agg(F.min("src").alias("src"))
-        children = (
-            dedup.join(anti, dedup["dst"] == anti["node"], "left_anti")
-            .select("src", "dst")
-            .withColumn("level", F.lit(lvl))
-        )
-        if checkpoint:
-            children = children.localCheckpoint(eager=True)
-        frontier_rows = children.count()
-        if frontier_rows == 0:
-            break
-        result_edges = result_edges.unionByName(children)
-        new_nodes = children.select(F.col("dst").alias("node"))
-        visited = visited.unionByName(new_nodes)
-        visited_rows += frontier_rows
-        frontier = new_nodes
+        est = frontier_rows * _avg_degree() if max_vertices else None
+        return pairs, est
 
-    vertices = (
-        result_edges.select(F.col("src").alias("name"))
-        .unionByName(result_edges.select(F.col("dst").alias("name")))
-        .unionByName(spark.createDataFrame([(root,)], ["name"]))
-        .distinct()
+    return _bfs_rounds(
+        spark,
+        root,
+        level,
+        checkpoint,
+        max_broadcast_rows,
+        max_vertices,
+        expand,
+        node_type=node_type,
     )
-    return BfsResult(root=root, node_type=src_col, edges=result_edges, vertices=vertices)
 
 
 def costar_bfs(

@@ -39,9 +39,9 @@ from imdb_mapreduce_spark.sources.star import load_table
     "copurchase_bfs_l3",
     oracle="""
     WITH edges AS (
-      SELECT DISTINCT CAST(l_partkey AS VARCHAR) AS node, l_orderkey AS via
+      SELECT DISTINCT l_partkey AS node, l_orderkey AS via
       FROM lineitem),
-    root AS (SELECT CAST(MIN(l_partkey) AS VARCHAR) AS node FROM lineitem),
+    root AS (SELECT MIN(l_partkey) AS node FROM lineitem),
     r1 AS (
       SELECT e2.node AS dst
       FROM root r
@@ -76,15 +76,15 @@ def copurchase_bfs_l3(spark: SparkSession, sf_dir: str) -> DataFrame:
     a materialized layout instead of the two-hop via-join re-deriving
     co-occurrence from the fact table — the bipartite↔unipartite result
     equivalence is pinned row-for-row in tests/test_silver.py. Node
-    domain stays STRING (cast before the BFS) because the min-parent rule
-    is lexicographic in both the operator and the oracle's VARCHAR MIN.
-    The root comes from the parquet footer (zero Spark jobs); parts whose
+    domain is the NATIVE BIGINT partkey (r06 review: the earlier
+    string-cast silently defeated the bucketed-on-src layout — a cast
+    join key can never match the table's bigint hash buckets, so the big
+    side would re-shuffle in exactly the non-broadcast regime the layout
+    exists for); the min-parent rule is numeric MIN on both sides. The
+    root comes from the parquet footer (zero Spark jobs); parts whose
     only baskets are singletons have empty adjacency in both graph forms,
     so projecting them out of the edge table cannot change the result."""
-    edges = copurchase_edges(spark, sf_dir).select(
-        F.col("src").cast("string").alias("src"),
-        F.col("dst").cast("string").alias("dst"),
-    )
+    edges = copurchase_edges(spark, sf_dir).select("src", "dst")
     from imdb_mapreduce_spark.sources.star import parquet_column_min
 
     root = parquet_column_min(f"{sf_dir}/lineitem.parquet", "l_partkey")
@@ -94,7 +94,7 @@ def copurchase_bfs_l3(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("l_partkey"))
             .collect()[0][0]
         )
-    res = unipartite_bfs(edges, "src", "dst", str(root), level=3)
+    res = unipartite_bfs(edges, "src", "dst", int(root), level=3)
     return res.edges.select("src", "dst", "level")
 
 

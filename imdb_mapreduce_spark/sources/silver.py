@@ -31,6 +31,47 @@ def silver_root() -> str:
     return os.path.join(_REPO, "spark-warehouse", "silver")
 
 
+def _source_fingerprint(sf_dir: str, src_table: str, params: dict) -> dict:
+    """The staleness key: source-file stat + every build knob. ONE
+    implementation for the plain and bucketed paths (r06 review: two
+    hand-copies of the protocol risked silent divergence)."""
+    src = os.path.join(sf_dir, f"{src_table}.parquet")
+    st = os.stat(src)
+    return {"src": src, "mtime_ns": st.st_mtime_ns, "size": st.st_size, **params}
+
+
+def _table_paths(sf_dir: str, name: str) -> tuple[str, str]:
+    base = os.path.join(silver_root(), os.path.basename(sf_dir.rstrip("/")), name)
+    return os.path.join(base, "data"), os.path.join(base, "_meta.json")
+
+
+def _stored_meta(meta_path: str, data_dir: str) -> dict | None:
+    """The committed meta iff it parses AND the data write completed
+    (_SUCCESS). Torn/partial/absent meta or data → None → rebuild, never a
+    failed read (the crash-recovery contract
+    test_silver.py::test_materialized_recovers_from_torn_meta pins)."""
+    if not os.path.exists(meta_path):
+        return None
+    try:
+        with open(meta_path) as f:
+            stored = json.load(f)
+    except (json.JSONDecodeError, OSError):
+        return None
+    if not os.path.exists(os.path.join(data_dir, "_SUCCESS")):
+        return None
+    return stored
+
+
+def _commit_meta(meta_path: str, payload: dict) -> None:
+    """Meta is written AFTER the data and atomically (temp + rename), so a
+    reader can never observe a fingerprint vouching for missing or
+    half-written data."""
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    os.replace(tmp, meta_path)
+
+
 def materialized(
     spark: SparkSession,
     sf_dir: str,
@@ -45,39 +86,12 @@ def materialized(
     ``params`` must include every knob the build depends on — it is part
     of the staleness key, so changing a threshold invalidates the table.
     """
-    src = os.path.join(sf_dir, f"{src_table}.parquet")
-    st = os.stat(src)
-    fingerprint = {
-        "src": src,
-        "mtime_ns": st.st_mtime_ns,
-        "size": st.st_size,
-        **params,
-    }
-    base = os.path.join(silver_root(), os.path.basename(sf_dir.rstrip("/")), name)
-    data_dir = os.path.join(base, "data")
-    meta_path = os.path.join(base, "_meta.json")
-    # Reuse only when the fingerprint matches AND the data directory holds a
-    # completed Spark write (_SUCCESS): a crash between the data write and
-    # the meta write, or an externally deleted data dir, must rebuild rather
-    # than fail the read. Torn meta (partial JSON) likewise falls through.
-    if os.path.exists(meta_path):
-        try:
-            with open(meta_path) as f:
-                stored = json.load(f)
-        except (json.JSONDecodeError, OSError):
-            stored = None
-        if stored == fingerprint and os.path.exists(
-            os.path.join(data_dir, "_SUCCESS")
-        ):
-            return spark.read.parquet(data_dir)
+    fingerprint = _source_fingerprint(sf_dir, src_table, params)
+    data_dir, meta_path = _table_paths(sf_dir, name)
+    if _stored_meta(meta_path, data_dir) == fingerprint:
+        return spark.read.parquet(data_dir)
     build().write.mode("overwrite").parquet(data_dir)
-    # Meta is written AFTER the data and atomically (temp + rename), so a
-    # reader can never observe a fingerprint that vouches for missing or
-    # half-written data.
-    tmp = meta_path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(fingerprint, f)
-    os.replace(tmp, meta_path)
+    _commit_meta(meta_path, fingerprint)
     return spark.read.parquet(data_dir)
 
 
@@ -104,39 +118,21 @@ def materialized_bucketed(
     the same (source stat + params) fingerprint contract as
     :func:`materialized`.
     """
-    src = os.path.join(sf_dir, f"{src_table}.parquet")
-    st = os.stat(src)
-    fingerprint: dict = {
-        "src": src,
-        "mtime_ns": st.st_mtime_ns,
-        "size": st.st_size,
-        "key": key,
-        "buckets": buckets,
-        **params,
-    }
+    fingerprint = _source_fingerprint(
+        sf_dir, src_table, {"key": key, "buckets": buckets, **params}
+    )
     sf_tag = re.sub(r"[^0-9a-zA-Z]", "_", os.path.basename(sf_dir.rstrip("/")))
     table = f"silver_{name}_{sf_tag}".lower()
-    base = os.path.join(silver_root(), os.path.basename(sf_dir.rstrip("/")), name)
-    data_dir = os.path.join(base, "data")
-    meta_path = os.path.join(base, "_meta.json")
-    if os.path.exists(meta_path):
-        try:
-            with open(meta_path) as f:
-                stored = json.load(f)
-        except (json.JSONDecodeError, OSError):
-            stored = None
-        if (
-            stored is not None
-            and stored.get("fingerprint") == fingerprint
-            and os.path.exists(os.path.join(data_dir, "_SUCCESS"))
-        ):
-            if not spark.catalog.tableExists(table):
-                spark.sql(
-                    f"CREATE TABLE {table} ({stored['ddl']}) USING PARQUET "
-                    f"CLUSTERED BY ({key}) SORTED BY ({key}) "
-                    f"INTO {buckets} BUCKETS LOCATION '{data_dir}'"
-                )
-            return spark.table(table)
+    data_dir, meta_path = _table_paths(sf_dir, name)
+    stored = _stored_meta(meta_path, data_dir)
+    if stored is not None and stored.get("fingerprint") == fingerprint:
+        if not spark.catalog.tableExists(table):
+            spark.sql(
+                f"CREATE TABLE {table} ({stored['ddl']}) USING PARQUET "
+                f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+                f"INTO {buckets} BUCKETS LOCATION '{data_dir}'"
+            )
+        return spark.table(table)
     df = build()
     ddl = ", ".join(f"{f_.name} {f_.dataType.simpleString()}" for f_ in df.schema)
     spark.sql(f"DROP TABLE IF EXISTS {table}")
@@ -148,10 +144,7 @@ def materialized_bucketed(
         .format("parquet")
         .saveAsTable(table)
     )
-    tmp = meta_path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump({"fingerprint": fingerprint, "ddl": ddl}, f)
-    os.replace(tmp, meta_path)
+    _commit_meta(meta_path, {"fingerprint": fingerprint, "ddl": ddl})
     return spark.table(table)
 
 
@@ -239,9 +232,10 @@ def copurchase_edges(
     frontier⋈edges relaxation, the unipartite BFS hop) join on ``src``
     every round — the bucketed layout means the big edge side is NEVER
     re-shuffled, only the small rank/frontier relation moves."""
-    pairs = copurchase_pairs(spark, sf_dir, max_basket)
-
     def build() -> DataFrame:
+        # resolved INSIDE build (r06 review): a fresh edges table must not
+        # trigger a pairs rebuild whose output it never reads
+        pairs = copurchase_pairs(spark, sf_dir, max_basket)
         return pairs.select(
             F.col("p1").alias("src"), F.col("p2").alias("dst"), "support"
         ).unionByName(

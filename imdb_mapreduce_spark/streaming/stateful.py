@@ -92,7 +92,13 @@ TTL_STATS_SCHEMA = StructType(
     ]
 )
 
-_TTL_STATE = "n_events LONG, total_value DOUBLE, max_value DOUBLE"
+# v2 (r06 review): + last_ts_ms so late events cannot SHRINK the eviction
+# deadline (the timeout must anchor on the newest event EVER seen for the
+# key, not the newest in the current batch). Schema change is
+# checkpoint-breaking like any state-shape change (see the KMV marker note).
+_TTL_STATE = (
+    "n_events LONG, total_value DOUBLE, max_value DOUBLE, last_ts_ms LONG"
+)
 
 
 def _make_ttl_update(ttl_ms: int):
@@ -108,7 +114,7 @@ def _make_ttl_update(ttl_ms: int):
             # final accumulated row flagged as evicted, then DROP the state
             # — the unbounded-key-space guard (state size tracks the ACTIVE
             # key set, not the lifetime key set).
-            n, total, vmax = state.get
+            n, total, vmax, _last = state.get
             state.remove()
             yield pd.DataFrame(
                 {
@@ -120,18 +126,21 @@ def _make_ttl_update(ttl_ms: int):
                 }
             )
             return
-        n, total, vmax = state.get if state.exists else (0, 0.0, float("-inf"))
-        max_ts_ms = 0
+        n, total, vmax, last_ts_ms = (
+            state.get if state.exists else (0, 0.0, float("-inf"), 0)
+        )
         for pdf in batches:
             n += len(pdf)
             total += float(pdf["value"].sum())
             vmax = max(vmax, float(pdf["value"].max()))
             batch_max = int(pdf["ts"].max().value // 1_000_000)  # ns → ms
-            max_ts_ms = max(max_ts_ms, batch_max)
-        state.update((n, total, vmax))
-        # Timeout must sit strictly beyond the current watermark; anchor on
-        # the newer of (this key's newest event, the watermark itself).
-        anchor = max(max_ts_ms, state.getCurrentWatermarkMs() + 1)
+            last_ts_ms = max(last_ts_ms, batch_max)
+        state.update((n, total, vmax, last_ts_ms))
+        # Timeout anchors on the newest event EVER seen for this key (kept
+        # in state), never just this batch's max — a LATE event must not
+        # shrink an active key's deadline (r06 review) — and must still sit
+        # strictly beyond the current watermark.
+        anchor = max(last_ts_ms, state.getCurrentWatermarkMs() + 1)
         state.setTimeoutTimestamp(anchor + ttl_ms)
         yield pd.DataFrame(
             {

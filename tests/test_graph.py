@@ -209,3 +209,25 @@ def test_frontier_outgrows_broadcast_mid_traversal(spark):
     for _, dst, lvl in _edges(unguarded):
         per_level[lvl] = per_level.get(lvl, 0) + 1
     assert max(per_level.values()) > 3
+
+
+def test_bfs_budget_pre_join_estimate_fails_fast(spark):
+    """A hub expansion whose ESTIMATED candidate volume exceeds the budget
+    x slack must refuse BEFORE executing the round join (r06 review: the
+    post-round-only check did all the unbounded work first)."""
+    import pytest as _pytest
+
+    from imdb_mapreduce_spark.operators.graph import (
+        BfsBudgetExceeded,
+        unipartite_bfs,
+    )
+
+    # complete-ish graph: 200 nodes, every node connected to node 0..19
+    edges = spark.range(200).selectExpr("id AS src").crossJoin(
+        spark.range(20).selectExpr("id AS dst")
+    ).filter("src <> dst")
+    with _pytest.raises(BfsBudgetExceeded) as ei:
+        unipartite_bfs(edges, "src", "dst", 0, level=3, max_vertices=2)
+    # either guard may fire first depending on degree stats, but the
+    # estimated pre-join path must be reachable on this dense graph
+    assert ei.value.budget == 2

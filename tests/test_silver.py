@@ -144,15 +144,14 @@ def test_unipartite_bfs_matches_bipartite_on_projected_graph(spark):
 
     sf = "/root/testdata/sf0.001"
     l = load_table(spark, "lineitem", sf)
+    # native BIGINT node domain — the registered query's domain since the
+    # r06 review (a string cast on the join key defeats the bucketed layout)
     bip_edges = l.select(
-        F.col("l_partkey").cast("string").alias("node"),
+        F.col("l_partkey").alias("node"),
         F.col("l_orderkey").alias("via"),
     )
-    root = str(l.agg(F.min("l_partkey")).collect()[0][0])
-    uni_edges = copurchase_edges(spark, sf).select(
-        F.col("src").cast("string").alias("src"),
-        F.col("dst").cast("string").alias("dst"),
-    )
+    root = int(l.agg(F.min("l_partkey")).collect()[0][0])
+    uni_edges = copurchase_edges(spark, sf).select("src", "dst")
     for level in (2, 3):
         a = bipartite_bfs(bip_edges, "node", "via", root, level=level)
         b = unipartite_bfs(uni_edges, "src", "dst", root, level=level)
@@ -233,3 +232,45 @@ def test_cached_query_result_builds_once_and_invalidates(spark, tmp_path):
     got3 = {tuple(r) for r in cached_query_result(spark, d, name, ("region", "nation", "customer", "orders", "lineitem", "supplier", "part")).collect()}
     assert got3 == live
     assert _os.path.getmtime(_os.path.join(base, "_meta.json")) > meta0  # rebuilt
+
+
+def test_unipartite_round_join_keeps_bucketed_edge_side_unshuffled(spark):
+    """In the non-broadcast regime (max_broadcast_rows=0) a BFS round's
+    frontier⋈edges join over the NATIVE-typed silver table must exchange
+    only the frontier side — the bucketed bigint layout serves the join
+    as-is. This is the plan property the r06 string-cast silently broke
+    (a cast join key can never match the table's hash buckets)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from imdb_mapreduce_spark.sources.silver import copurchase_edges
+
+    sf = "/root/testdata/sf0.001"
+    edges = copurchase_edges(spark, sf).select("src", "dst")
+    f = spark.range(5).select(F.col("id").alias("_f"))
+    # force the non-broadcast regime: with broadcast available Spark
+    # rightly ignores bucketing (tiny frontier → BHJ, no exchange at all)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", -1)
+    try:
+        joined = f.join(edges, F.col("_f") == F.col("src"), "inner")
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        if old_aqe is not None:
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe)
+        else:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    import re
+
+    assert "Bucketed: true" in plan, plan
+    assert "SortMergeJoin" in plan, plan
+    # exactly one Exchange NODE (the frontier; formatted output names each
+    # node twice — tree + detail); the edge scan feeds its join side
+    # directly from the bucketed, pre-sorted layout
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
