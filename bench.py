@@ -196,6 +196,25 @@ def main() -> None:
             }
         )
     )
+    # FINAL stdout line: a compact self-sufficient summary. The driver
+    # records only a 2 KB output tail, and the full JSON above is ~10 KB —
+    # BENCH_r06.json captured a mid-dict fragment with parsed:null. The
+    # tail now always ends with the headline numbers (VERDICT r06 item 4).
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "total_sec": total,
+                "n_queries": len(timings),
+                "n_errors": len(errors),
+                "error_queries": sorted(errors)[:10],
+                "startup_sec": round(startup, 2),
+                "sf": sf,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

@@ -232,6 +232,17 @@ def bipartite_bfs(
     for the return hop — pass a catalog table bucketed on ``via_col``
     (with ``edges`` bucketed on ``node_col``) and no round ever shuffles
     the big table, broadcast or not.
+
+    ``max_vertices`` budget semantics: the EXACT post-round vertex check
+    is authoritative, but a round may also be refused BEFORE its
+    expansion join from an avg-degree work estimate
+    (frontier × deg² here; ``BFS_WORK_SLACK``-slackened). The estimate
+    over-counts unique new vertices by the duplicate-parent factor, so on
+    dup-heavy or skew-light frontiers a traversal that WOULD have
+    finished within budget can be refused pre-join — such refusals carry
+    ``BfsBudgetExceeded.estimated=True`` so budget-tuned callers can
+    distinguish them from exact violations (``estimated=False``) and
+    retry with a higher budget if the fail-fast was too conservative.
     """
     spark = edges.sparkSession
     stats_cache: list[float] = []  # lazy avg degree: count jobs only if needed
@@ -309,7 +320,12 @@ def unipartite_bfs(
     the big side is never shuffled in any regime. Aggregate-before-
     anti-join ordering as in :func:`bipartite_bfs` via the shared
     :func:`_bfs_rounds` machinery, which also brings the ``max_vertices``
-    budget (pre-join estimate + exact post-round check) to this path."""
+    budget (pre-join estimate + exact post-round check) to this path.
+    As on :func:`bipartite_bfs`, the pre-join frontier × avg-degree
+    estimate over-counts unique vertices on dup-heavy frontiers, so a
+    within-budget traversal can be refused early with
+    ``BfsBudgetExceeded.estimated=True`` — the exact post-round check
+    (``estimated=False``) remains authoritative."""
     spark = edges.sparkSession
     stats_cache: list[float] = []
 

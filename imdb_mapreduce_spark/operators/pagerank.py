@@ -109,6 +109,7 @@ def pagerank_exact(
     scale: int = 10**15,
     checkpoint_every: int = 3,
     max_broadcast_rows: int = 1_000_000,
+    final_checkpoint: bool = True,
 ) -> DataFrame:
     """Fixed-point PageRank in SCALED INTEGER arithmetic — every operation
     is bigint multiply / floor-divide / sum, so the result is independent
@@ -167,7 +168,11 @@ def pagerank_exact(
             )
             if (i + 1) % checkpoint_every == 0:
                 ranks = ranks.localCheckpoint(eager=True)
-        return ranks.localCheckpoint(eager=True)
+        # final_checkpoint=False is the plan-inspection path: it returns
+        # the last round's UNtruncated plan so tests can explain() the
+        # per-iteration join shape (a checkpoint erases the lineage the
+        # assertion needs to see). Production callers keep the default.
+        return ranks.localCheckpoint(eager=True) if final_checkpoint else ranks
     finally:
         ed.unpersist()
         nodes.unpersist()

@@ -1621,7 +1621,12 @@ def semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         n_vec = parquet_num_rows(f"{sf_dir}/embeddings.parquet")
     except (OSError, ValueError):
-        n_vec = None
+        # The oracle always derives the adaptive k from COUNT(*); if the
+        # footer probe fails (non-parquet layout, multi-file dir) the
+        # Spark side must compute the SAME count, not fall back to a
+        # fixed k, or the two engines silently pick different pivot
+        # counts and every downstream verdict diverges (ADVICE r06).
+        n_vec = emb.count()
     pivots = ivf_det_pivots(spark, sf_dir, k=semdedup_k(n_vec))
     # Per-vector norm computed ONCE here (r06): the within-cell pair join
     # then folds a single dot per pair instead of re-deriving both norms
@@ -2091,7 +2096,10 @@ def semdedup_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         n_vec = parquet_num_rows(f"{sf_dir}/embeddings.parquet")
     except (OSError, ValueError):
-        n_vec = None
+        # Same count the oracle's COUNT(*) uses — never a fixed-k
+        # fallback, which would desynchronize Spark and oracle blocking
+        # on corpora over the adaptive threshold (ADVICE r06).
+        n_vec = emb.count()
     # the audit must meter the PRODUCTION blocking: same adaptive k rule
     pivots = ivf_det_pivots(spark, sf_dir, k=semdedup_k(n_vec))
     cells = (

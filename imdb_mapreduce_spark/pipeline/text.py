@@ -997,7 +997,7 @@ RARITY_SCALE = 1_000_000_000  # integer surprisal unit: floor(SCALE / df)
     df AS (SELECT word, COUNT(*) AS df FROM types GROUP BY word)
     SELECT t.doc_id,
            COUNT(*) AS n_types,
-           SUM({RARITY_SCALE} // df.df) AS rarity_score
+           CAST(SUM({RARITY_SCALE} // df.df) AS BIGINT) AS rarity_score
     FROM types t JOIN df ON df.word = t.word
     GROUP BY t.doc_id
     """,
@@ -1012,6 +1012,13 @@ def doc_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     monotone in word rarity, all-integer so both engines agree bit-for-bit
     (float log/exp are NOT portable cross-engine; an integer surprisal
     proxy ranks documents the same way).
+
+    Oracle dtype note (r06 driver finding): DuckDB types SUM(BIGINT) as
+    HUGEINT, which pandas renders as float64 while Spark emits int64 —
+    numerically equal but hash-divergent under the driver's
+    representation-sensitive value hash. The oracle therefore CASTs the
+    SUM back to BIGINT; ``tools/check_correctness.py`` now enforces
+    dtype-kind equality so this class of bug fails locally too.
 
     Scale posture: the df table is one map-side-combining groupBy over
     (doc, word) pairs; the score join fans each distinct word back to its

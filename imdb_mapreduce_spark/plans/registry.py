@@ -68,79 +68,25 @@ def register(
 # Rotate these lists each round so coverage accumulates. See COVERAGE.md
 # ("Driver correctness window") for the per-round rotation record.
 _HEAD: tuple[str, ...] = (
-    # r06 rotation (VERDICT r05 item 2; COVERAGE.md "Driver correctness
+    # r07 rotation (VERDICT r06 item 3; COVERAGE.md "Driver correctness
     # window" has the per-round record). Composition of the 50-slot window:
-    #   1) 10 queries whose CODE or ORACLE changed this round, re-verified
-    #      in-window (the graph family now reading the silver co-purchase
-    #      tables; embedding_lsh_dups' Arrow guard; the interpolated
-    #      leakage-audit oracle; the generated-dialect z-order pair; the
-    #      v3 KMV streaming state);
-    #   2) all 33 remaining queries whose newest green row is r03 (the
-    #      stalest in the union — every r03-green displaced query from the
-    #      r05 sessions is promoted here, closing that queue);
-    #   3) 7 stalest r04-green entries.
-    # r06 session 4 adds 10 NEW queries across three batches (never-green
-    # by definition → head of the window per the rotation contract):
-    # SemDeDup + its recall audit, brute + LSH hard-negative mining, the
-    # ANN recall audit, incremental batch-vs-corpus dedup, unigram rarity
-    # scoring, the foreachBatch exactly-once upsert, association rules,
-    # and the per-dimension embedding profile. Together they displace the
-    # 10 stalest r04-green refreshes past the 50-row window (all
-    # union-green; COVERAGE.md's r06 row names them; they roll to r07).
-    # (batch 2: association rules over the silver pair table; per-dim
-    # embedding normalization stats)
-    "basket_association_rules",
-    "embedding_dim_profile",
-    # (batch 3: the LSH-candidate scale path for the hard-negative miner;
-    # the semdedup family's bounded-sample recall audit)
-    "hard_negative_lsh",
-    "semdedup_eval_metrics",
-    "ann_recall_eval",
-    "semdedup_clusters",
-    "hard_negative_mining",
-    "incremental_dedup_verdicts",
+    #   1) 4 queries whose CODE or ORACLE changed this round, re-verified
+    #      in-window: doc_rarity_scores (oracle now CASTs the SUM back to
+    #      BIGINT — the r06 driver's ONLY hash-red row, DuckDB HUGEINT →
+    #      float64 vs Spark int64; VERDICT r06 item 1), the two semdedup
+    #      queries whose footer-probe fallback now computes emb.count()
+    #      instead of a fixed k (ADVICE r06), and pagerank_coparts (the
+    #      operator grew the final_checkpoint plan-inspection knob for
+    #      the round-join explain assertion, VERDICT r06 item 5);
+    #   2) the 10 r04-green refreshes displaced by the r06 session-4
+    #      additions;
+    #   3) the 36 stalest r04-green `_TAIL` entries
+    #      (streaming_click_attribution … quantity_band_stats in r06 tail
+    #      order); ann_cosine_topk (the 37th) rolls to r08.
     "doc_rarity_scores",
-    "streaming_foreachbatch_upsert",
-    "copurchase_bfs_l3",
-    "copart_pairs_topk",
+    "semdedup_clusters",
+    "semdedup_eval_metrics",
     "pagerank_coparts",
-    "copurchase_triangles",
-    "copurchase_sssp",
-    "embedding_lsh_dups",
-    "split_leakage_audit",
-    "zorder_layout_plan",
-    "zone_map_prune_audit",
-    "streaming_kmv_distinct",
-    "rollup_grouping_flags",
-    "events_json_struct",
-    "embedding_label_dups",
-    "customer_order_window",
-    "orders_by_month",
-    "supplier_unpivot",
-    "early_not_recent_buyers",
-    "brand_top2_parts",
-    "minhash_lsh_dups",
-    "user_running_stats_salted",
-    "inverted_index_postings",
-    "doc_chunk_windows",
-    "embedding_int8_quant",
-    "pricing_summary",
-    "revenue_topk",
-    "customers_without_orders",
-    "order_basket_lookup",
-    "nation_customer_sorted",
-    "asof_last_purchase",
-    "events_10min_windows",
-    "dedup_clusters",
-    "parts_above_brand_avg",
-    "doc_embedding_profile",
-    "supplier_part_facts",
-    "events_hourly",
-    "order_price_quantiles",
-    "region_rollup",
-    "token_pack_assignment",
-    "media_byte_histogram",
-    "token_count_bpe",
     "tfidf_top_terms",
     "part_expr_catalog",
     "events_cube",
@@ -151,11 +97,6 @@ _HEAD: tuple[str, ...] = (
     "benchmark_decontam",
     "streaming_dedup_10min_counts",
     "dedup_exact_groups",
-)
-_TAIL: tuple[str, ...] = (
-    # beyond the window: 37 r04-green then 42 r05-green entries — every one
-    # union-green, each family keeping an in-window sibling; they rotate
-    # forward in r07 stalest-first.
     "streaming_click_attribution",
     "streaming_10min_counts",
     "orders_per_customer",
@@ -192,6 +133,12 @@ _TAIL: tuple[str, ...] = (
     "user_running_stats",
     "local_supplier_revenue",
     "quantity_band_stats",
+)
+_TAIL: tuple[str, ...] = (
+    # beyond the window: 42 r05-green entries (stalest-first — they head
+    # the r08 promotion queue), then the 39 r06-green entries (the r06
+    # window minus this round's promotions — freshest rows in the union);
+    # every name union-green, each family keeping an in-window sibling.
     "ann_cosine_topk",
     "simhash_near_dups",
     "hll_distinct_users",
@@ -235,7 +182,52 @@ _TAIL: tuple[str, ...] = (
     "ngram_jaccard_pairs",
     "ngram_jaccard_capped",
     "dedup_exact_survivors",
-)
+    "basket_association_rules",
+    "embedding_dim_profile",
+    "hard_negative_lsh",
+    "ann_recall_eval",
+    "hard_negative_mining",
+    "incremental_dedup_verdicts",
+    "streaming_foreachbatch_upsert",
+    "copurchase_bfs_l3",
+    "copart_pairs_topk",
+    "copurchase_triangles",
+    "copurchase_sssp",
+    "embedding_lsh_dups",
+    "split_leakage_audit",
+    "zorder_layout_plan",
+    "zone_map_prune_audit",
+    "streaming_kmv_distinct",
+    "rollup_grouping_flags",
+    "events_json_struct",
+    "embedding_label_dups",
+    "customer_order_window",
+    "orders_by_month",
+    "supplier_unpivot",
+    "early_not_recent_buyers",
+    "brand_top2_parts",
+    "minhash_lsh_dups",
+    "user_running_stats_salted",
+    "inverted_index_postings",
+    "doc_chunk_windows",
+    "embedding_int8_quant",
+    "pricing_summary",
+    "revenue_topk",
+    "customers_without_orders",
+    "order_basket_lookup",
+    "nation_customer_sorted",
+    "asof_last_purchase",
+    "events_10min_windows",
+    "dedup_clusters",
+    "parts_above_brand_avg",
+    "doc_embedding_profile",
+    "supplier_part_facts",
+    "events_hourly",
+    "order_price_quantiles",
+    "region_rollup",
+    "token_pack_assignment",
+    "media_byte_histogram",
+    "token_count_bpe",)
 
 
 def all_queries() -> dict[str, Query]:

@@ -98,8 +98,11 @@ def compaction_plan(path: str, target_bytes: int = TARGET_FILE_BYTES) -> dict:
     sizes = [os.path.getsize(f) for f in files]
     # footer sanity on EVERY file (driver-side metadata reads, cheap):
     # a corrupt file must fail the audit, not a mid-job task later
+    # context-managed: thousands of small files is the stated use case,
+    # and unclosed handles would pile up fds until GC (ADVICE r06)
     for f in files:
-        pq.ParquetFile(f)
+        with pq.ParquetFile(f):
+            pass
     total = sum(sizes)
     return {
         "n_files": len(files),

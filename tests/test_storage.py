@@ -293,3 +293,49 @@ def test_compaction_rewrites_small_files_and_keeps_rows(spark, tmp_path):
     for f in glob.glob(out + "/*.parquet"):
         ks = pq.read_table(f, columns=["k"]).column("k").to_pylist()
         assert ks == sorted(ks)
+
+
+def test_bucketed_pagerank_round_join_needs_no_edge_shuffle(spark):
+    """VERDICT r06 item 5: the operators/pagerank.py scale claim,
+    exercised like the BFS variant above. With the edge table bucketed on
+    src (the silver copurchase_edges layout pagerank_coparts reads) and
+    EVERY broadcast disabled, two full power-iteration rounds must show
+    zero Exchange on the edge-side key: the degree-annotation join
+    (e ⋈ deg on _src) and each round's rank ⋈ edges join all reuse the
+    bucket layout. Only (node, rank)-tuple sides exchange — rows, not TB.
+
+    Calibrated against the live plan when written: 5 exchanges for 2
+    rounds, keyed node#… (nodes build + per-round rank side) and _dst#…
+    (per-round contribution agg) — none keyed _src. Without the bucketed
+    layout the same run shows hashpartitioning(_src#…) exchanges."""
+    from imdb_mapreduce_spark.operators.pagerank import pagerank_exact
+
+    l = load_table(spark, "lineitem", SF)
+    e = l.select(
+        F.col("l_partkey").alias("src"), F.col("l_orderkey").alias("dst")
+    ).limit(2000)
+    edges = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    write_bucketed(edges, "pr_edges_by_src", "src", buckets=4)
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ranks = pagerank_exact(
+            spark.table("pr_edges_by_src"),
+            iterations=2,
+            checkpoint_every=10**9,  # no mid-run checkpoint: keep the lineage
+            max_broadcast_rows=0,  # drop our own broadcast hints too
+            final_checkpoint=False,  # return the UNtruncated round plan
+        )
+        plan = _explain(ranks)
+        n = ranks.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "BroadcastHashJoin" not in plan
+    # the edge-side join key never exchanges: both the deg-annotation join
+    # and every round's rank⋈edges join read the bucket layout in place
+    assert "hashpartitioning(_src" not in plan
+    # the rank/contribution sides still exchange — that IS the minimal
+    # per-round shuffle set (one agg exchange + one rank-side exchange)
+    assert "hashpartitioning(_dst" in plan
+    assert n > 0

@@ -65,6 +65,26 @@ def values_equal(a, b) -> bool:
     return a == b
 
 
+def dtype_kind(series: pd.Series) -> str:
+    """Collapse a pandas dtype to the representation kind the driver's
+    value hash is sensitive to: int / float / bool / datetime / object.
+
+    Signed vs unsigned ints hash alike (same repr for in-range values),
+    so 'i' and 'u' collapse together; everything non-numeric is 'object'
+    (strings, lists, Decimals — their repr carries its own type info and
+    the per-value comparison below handles them)."""
+    k = series.dtype.kind
+    if k in "iu":
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k in "mM":
+        return "datetime"
+    return "object"
+
+
 def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     problems = []
     if len(sdf) != len(odf):
@@ -77,6 +97,20 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
         return problems
     s = normalize(sdf)
     o = normalize(odf)
+    # Driver-hash parity: the driver's value hash is representation
+    # sensitive (r06: DuckDB HUGEINT -> float64 vs Spark int64 hashed
+    # differently despite equal values), so a dtype-kind mismatch is a
+    # failure even when every value compares equal below. Empty frames
+    # are exempt only for object-vs-typed (no values -> no hash input).
+    for col in s.columns:
+        sk, ok = dtype_kind(s[col]), dtype_kind(o[col])
+        if sk != ok and not (len(s) == 0 and "object" in (sk, ok)):
+            problems.append(
+                f"col {col}: dtype kind mismatch spark={sk}({s[col].dtype}) "
+                f"oracle={ok}({o[col].dtype})"
+            )
+    if problems:
+        return problems
     for col in s.columns:
         sv, ov = s[col].tolist(), o[col].tolist()
         bad = [
