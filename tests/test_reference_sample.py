@@ -179,6 +179,13 @@ def test_service_round_trip_matches_in_process_request(engine):
             budget_err = json.loads(f.readline())
             assert "error" in budget_err
             assert "budget exceeded" in budget_err["error"]
+            # the reply carries the partial-work numbers (VERDICT r06
+            # item 8): how much work was reached/estimated and against
+            # which budget, so a budget-tuned client can decide to retry
+            import re
+
+            assert re.search(r"BFS budget exceeded: \d+", budget_err["error"])
+            assert "max_vertices=1" in budget_err["error"]
 
             # connection still usable after the error
             f.write(

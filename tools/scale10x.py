@@ -45,8 +45,8 @@ DEFAULT = (
 
 
 def _fingerprint() -> dict:
-    fp = {"factor": FACTOR, "seed": SEED, "v": 2}
-    for t in ("documents", "embeddings"):
+    fp = {"factor": FACTOR, "seed": SEED, "v": 3}  # v3: + lineitem (graph family)
+    for t in ("documents", "embeddings", "lineitem"):
         st = os.stat(os.path.join(SRC, f"{t}.parquet"))
         fp[t] = [st.st_mtime_ns, st.st_size]
     return fp
@@ -150,6 +150,44 @@ def build_corpus() -> str:
         }
     )
     pq.write_table(emb_tbl, os.path.join(OUT, "embeddings.parquet"))
+
+    # --- lineitem (r07, VERDICT r06 item 6): the graph family's source ---
+    # Only (l_orderkey, l_partkey) matter to the silver co-purchase path
+    # (sources/silver.py reads exactly those two columns). 10× orders with
+    # basket sizes drawn from the empirical distribution and part picks
+    # from the empirical part-popularity profile — but over a SHARDED part
+    # domain (each 10× segment gets a disjoint copy of the part id space,
+    # shard 0 = the original ids, the vocabulary-shard move applied to
+    # parts). TPC-H itself scales the part count with SF; keeping 20k
+    # parts under 10× orders would inflate per-pair support ~10× and grow
+    # the Σ basket² pair table superlinearly FOR DATA REASONS, measuring
+    # the corpus, not the engine. Cross-shard orders share no parts, so
+    # pair density per part is preserved and the measured ratio isolates
+    # plan scaling.
+    src_li = pq.read_table(
+        os.path.join(SRC, "lineitem.parquet"), columns=["l_orderkey", "l_partkey"]
+    )
+    ok = np.array(src_li.column("l_orderkey").to_pylist(), dtype=np.int64)
+    pk = np.array(src_li.column("l_partkey").to_pylist(), dtype=np.int64)
+    _, basket_sizes = np.unique(ok, return_counts=True)
+    part_vals, part_counts = np.unique(pk, return_counts=True)
+    part_p = part_counts / part_counts.sum()
+    stride = int(part_vals.max()) + 1
+    n_orders10 = len(basket_sizes) * FACTOR
+    sizes10 = rng.choice(basket_sizes, size=n_orders10)
+    shard_of_order = rng.integers(0, FACTOR, size=n_orders10)
+    total_rows = int(sizes10.sum())
+    out_ok = np.repeat(np.arange(1, n_orders10 + 1, dtype=np.int64), sizes10)
+    out_pk = rng.choice(part_vals, size=total_rows, p=part_p) + stride * np.repeat(
+        shard_of_order, sizes10
+    )
+    li_tbl = pa.table(
+        {
+            "l_orderkey": pa.array(out_ok, pa.int64()),
+            "l_partkey": pa.array(out_pk, pa.int64()),
+        }
+    )
+    pq.write_table(li_tbl, os.path.join(OUT, "lineitem.parquet"))
 
     tmp = meta_path + ".tmp"
     with open(tmp, "w") as f:
