@@ -179,12 +179,14 @@ def main() -> None:
     # times, session startup excluded (reported separately) — directly
     # comparable round over round per query.
     total = round(sum(timings.values()), 3)
+    # No "metric" key here (ADVICE r07): exactly ONE stdout line — the
+    # compact final summary below — carries the canonical metric name, so
+    # a take-first or take-all consumer can never grab this ~10 KB dict
+    # or double-count the total.
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
+                "detail": "per_query_timings",
                 "queries": timings,
                 "passes": all_passes,
                 "rows": row_counts,

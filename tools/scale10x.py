@@ -45,7 +45,7 @@ DEFAULT = (
 
 
 def _fingerprint() -> dict:
-    fp = {"factor": FACTOR, "seed": SEED, "v": 3}  # v3: + lineitem (graph family)
+    fp = {"factor": FACTOR, "seed": SEED, "v": 4}  # v4: baskets sampled w/o replacement
     for t in ("documents", "embeddings", "lineitem"):
         st = os.stat(os.path.join(SRC, f"{t}.parquet"))
         fp[t] = [st.st_mtime_ns, st.st_size]
@@ -61,7 +61,7 @@ def build_corpus() -> str:
             with open(meta_path) as f:
                 if json.load(f) == fp and all(
                     os.path.exists(os.path.join(OUT, f"{t}.parquet"))
-                    for t in ("documents", "embeddings")
+                    for t in ("documents", "embeddings", "lineitem")
                 ):
                     return OUT
         except (json.JSONDecodeError, OSError):
@@ -178,9 +178,26 @@ def build_corpus() -> str:
     shard_of_order = rng.integers(0, FACTOR, size=n_orders10)
     total_rows = int(sizes10.sum())
     out_ok = np.repeat(np.arange(1, n_orders10 + 1, dtype=np.int64), sizes10)
-    out_pk = rng.choice(part_vals, size=total_rows, p=part_p) + stride * np.repeat(
-        shard_of_order, sizes10
-    )
+    # Parts within an order are distinct (ADVICE r07: the earlier i.i.d.
+    # per-row draw could repeat a part inside a basket, and the silver
+    # path's distinct() then deflated effective basket sizes versus the
+    # empirical distribution this generator claims to preserve). Draw
+    # i.i.d., then redraw within-order duplicates until none remain —
+    # baskets are ≤ ~7 parts over a ~20k-part domain, so collisions are
+    # rare and the redraw converges in a handful of vectorized passes.
+    out_pk = rng.choice(part_vals, size=total_rows, p=part_p)
+    for _ in range(200):
+        order_idx = np.lexsort((out_pk, out_ok))
+        so, sp = out_ok[order_idx], out_pk[order_idx]
+        dup = np.zeros(total_rows, dtype=bool)
+        dup[1:] = (so[1:] == so[:-1]) & (sp[1:] == sp[:-1])
+        if not dup.any():
+            break
+        redraw = order_idx[dup]
+        out_pk[redraw] = rng.choice(part_vals, size=len(redraw), p=part_p)
+    else:
+        raise RuntimeError("within-order part dedup did not converge")
+    out_pk = out_pk + stride * np.repeat(shard_of_order, sizes10)
     li_tbl = pa.table(
         {
             "l_orderkey": pa.array(out_ok, pa.int64()),
