@@ -110,6 +110,7 @@ def pagerank_exact(
     checkpoint_every: int = 3,
     max_broadcast_rows: int = 1_000_000,
     final_checkpoint: bool = True,
+    deg: str | None = None,
 ) -> DataFrame:
     """Fixed-point PageRank in SCALED INTEGER arithmetic — every operation
     is bigint multiply / floor-divide / sum, so the result is independent
@@ -127,10 +128,25 @@ def pagerank_exact(
 
     Dangling nodes (no out-edges) contribute nothing, as in
     :func:`pagerank`; symmetrized graphs have none.
+
+    ``deg`` names a PRECOMPUTED out-degree column on ``edges`` (the silver
+    ``copurchase_edges`` table carries one since r08): the degree
+    groupBy + self-join is then skipped entirely — the annotated edge
+    relation is the scan itself. Measured r08 at sf0.1 (10 rounds,
+    min-of-3 isolated): 4.67 s → 4.14 s (−11%), the whole
+    degree-annotation stage gone; per-round plans are identical.
     """
-    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
-    deg = e.groupBy("_src").agg(F.count("*").alias("_deg"))
-    ed = e.join(deg, "_src").persist()
+    if deg is not None:
+        e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+        ed = edges.select(
+            F.col(src).alias("_src"),
+            F.col(dst).alias("_dst"),
+            F.col(deg).alias("_deg"),
+        ).persist()
+    else:
+        e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+        degrees = e.groupBy("_src").agg(F.count("*").alias("_deg"))
+        ed = e.join(degrees, "_src").persist()
     nodes = (
         e.select(F.col("_src").alias("node"))
         .union(e.select(F.col("_dst").alias("node")))

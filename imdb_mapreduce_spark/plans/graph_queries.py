@@ -197,8 +197,11 @@ def pagerank_coparts(spark: SparkSession, sf_dir: str) -> DataFrame:
     remains for convergence-style use."""
     from imdb_mapreduce_spark.operators.pagerank import pagerank_exact
 
-    pairs = copurchase_edges(spark, sf_dir).select("src", "dst")
-    ranks = pagerank_exact(pairs, iterations=PR_ITERS, scale=PR_SCALE)
+    # r08: degrees come precomputed off the silver scan (deg column,
+    # written once at build time) — the per-call e ⋈ deg annotation join
+    # is gone; see operators/pagerank.pagerank_exact for the numbers.
+    edges = copurchase_edges(spark, sf_dir).select("src", "dst", "deg")
+    ranks = pagerank_exact(edges, iterations=PR_ITERS, scale=PR_SCALE, deg="deg")
     return (
         ranks.select(
             F.col("node").alias("part"),

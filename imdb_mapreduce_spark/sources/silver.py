@@ -163,17 +163,45 @@ def materialized_bucketed(
 MAX_BASKET = 64
 
 
-def build_copurchase_pairs(e0: DataFrame, max_basket: int | None = MAX_BASKET) -> DataFrame:
+def build_copurchase_pairs(
+    e0: DataFrame,
+    max_basket: int | None = MAX_BASKET,
+    on_capped: str = "drop",
+) -> DataFrame:
     """Canonical co-purchase pair build from a distinct (o, p) relation:
     (p1, p2, support) with p1 < p2, support = number of shared baskets.
 
     Pure function of its input so the cap semantics are unit-testable on
     synthetic baskets (tests/test_silver.py) independent of the star data.
     The basket-size prefilter is a window count over the partition the
-    self-join shuffles on anyway — no extra exchange."""
+    self-join shuffles on anyway — no extra exchange.
+
+    ``on_capped="raise"`` (the silver-build default, VERDICT r07 item 5)
+    turns the cap from a silent hazard into an explicit one: if ANY basket
+    exceeds the cap, the build fails with the over-cap basket count
+    instead of quietly diverging from the cap-free DuckDB oracles. The
+    audit is one bounded-scalar aggregation over the fact projection,
+    paid only when the fingerprint-keyed silver table actually rebuilds.
+    ``"drop"`` is the documented 100 TB production choice (a 10⁵-part
+    mega-order carries no co-purchase signal and would emit 10¹⁰ pairs)."""
     from pyspark.sql import Window
 
     if max_basket is not None:
+        if on_capped == "raise":
+            n_over = (
+                e0.groupBy("o")
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .filter(F.col("_n") > max_basket)
+                .count()
+            )
+            if n_over:
+                raise ValueError(
+                    f"{n_over} basket(s) exceed MAX_BASKET={max_basket}; the "
+                    f"capped silver pair table would diverge from cap-free "
+                    f"oracles. Pass on_capped='drop' to accept dropping them."
+                )
+        elif on_capped != "drop":
+            raise ValueError(f"on_capped must be 'raise' or 'drop': {on_capped!r}")
         w = Window.partitionBy("o")
         e0 = (
             e0.withColumn("_basket_n", F.count(F.lit(1)).over(w))
@@ -204,7 +232,9 @@ def copurchase_pairs(
             .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
             .distinct()
         )
-        return build_copurchase_pairs(e0, max_basket)
+        # fail-loud on driver data: a basket over the cap aborts the build
+        # (see build_copurchase_pairs); production opts into dropping.
+        return build_copurchase_pairs(e0, max_basket, on_capped="raise")
 
     return materialized(
         spark,
@@ -222,26 +252,38 @@ def copurchase_edges(
     max_basket: int | None = MAX_BASKET,
     by: str = "src",
 ) -> DataFrame:
-    """Symmetric co-purchase edge table (src, dst, support), persisted
+    """Symmetric co-purchase edge table (src, dst, support, deg), persisted
     hash-bucketed + sorted on ``by`` (``src`` default; pass ``dst`` for
     the mirrored layout serving incoming-edge joins). Derived from the
     pair table, so the quadratic build never runs twice; the mirror union
     itself is a cheap linear scan of the materialized pairs.
+
+    ``deg`` is the out-degree of ``src`` (VERDICT r07 item 3): PageRank's
+    per-call degree-annotation join (e ⋈ deg on the src key) is paid ONCE
+    here at build time — a window count over the same src partitioning the
+    bucketed write clusters on anyway — so every iterative consumer that
+    needs degrees reads them off the scan. The graph is symmetric, so
+    out-degree equals in-degree and the column is layout-independent.
 
     Iterative consumers (PageRank's rank⋈edges round, SSSP's
     frontier⋈edges relaxation, the unipartite BFS hop) join on ``src``
     every round — the bucketed layout means the big edge side is NEVER
     re-shuffled, only the small rank/frontier relation moves."""
     def build() -> DataFrame:
+        from pyspark.sql import Window
+
         # resolved INSIDE build (r06 review): a fresh edges table must not
         # trigger a pairs rebuild whose output it never reads
         pairs = copurchase_pairs(spark, sf_dir, max_basket)
-        return pairs.select(
+        sym = pairs.select(
             F.col("p1").alias("src"), F.col("p2").alias("dst"), "support"
         ).unionByName(
             pairs.select(
                 F.col("p2").alias("src"), F.col("p1").alias("dst"), "support"
             )
+        )
+        return sym.withColumn(
+            "deg", F.count(F.lit(1)).over(Window.partitionBy("src"))
         )
 
     return materialized_bucketed(
@@ -249,7 +291,7 @@ def copurchase_edges(
         sf_dir,
         f"copurchase_edges_by_{by}",
         "lineitem",
-        {"max_basket": max_basket, "v": 1},
+        {"max_basket": max_basket, "v": 2},  # v2: + deg column
         build,
         key=by,
     )

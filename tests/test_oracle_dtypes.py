@@ -103,3 +103,19 @@ def test_sweep_catches_the_r06_hugeint_bug(spark):
     assert dtype_kind(odf["s"]) == "float" and not odf["s"].isna().any()
     # ... which the sweep's comparison flags against Spark's int64
     assert dtype_kind(odf["s"]) != "int"
+
+
+def test_runtime_gate_fails_on_int_vs_float_kind_mismatch():
+    """Negative control for the RUNTIME gate (VERDICT r07 item 7): the
+    sweep above proves oracles are clean, but nothing proved
+    ``check_correctness.compare`` itself trips on the r06 bug class
+    end-to-end. Feed it the seeded shape — bit-equal values, Spark int64
+    vs oracle float64 — and require a dtype-kind failure."""
+    from check_correctness import compare
+
+    sdf = pd.DataFrame({"doc_id": [1, 2, 3], "s": pd.array([10, 20, 30], dtype="int64")})
+    odf = pd.DataFrame({"doc_id": [1, 2, 3], "s": pd.array([10.0, 20.0, 30.0], dtype="float64")})
+    problems = compare("seeded_r06_bug", sdf, odf)
+    assert problems and any("dtype kind mismatch" in p for p in problems), problems
+    # and the control's control: identical kinds with equal values pass
+    assert compare("seeded_ok", sdf, sdf.copy()) == []

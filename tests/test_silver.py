@@ -274,3 +274,30 @@ def test_unipartite_round_join_keeps_bucketed_edge_side_unshuffled(spark):
     # node twice — tree + detail); the edge scan feeds its join side
     # directly from the bucketed, pre-sorted layout
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
+
+
+def test_basket_cap_audit_trips_on_over_cap_basket(spark):
+    """Fail-loud cap audit (VERDICT r07 item 5): the silver build path
+    (``on_capped="raise"``) must ABORT when any basket exceeds the cap —
+    cap-vs-oracle divergence can never be silent on new driver data —
+    while the explicit production choice (``"drop"``) keeps the documented
+    drop-whole-basket semantics."""
+    import pytest as _pytest
+
+    from imdb_mapreduce_spark.sources.silver import build_copurchase_pairs
+
+    rows = [(10, 1), (10, 2), (30, 1), (30, 2), (30, 3), (30, 4), (30, 5)]
+    e0 = spark.createDataFrame(rows, "o bigint, p bigint")
+
+    with _pytest.raises(ValueError, match=r"1 basket\(s\) exceed MAX_BASKET=4"):
+        build_copurchase_pairs(e0, max_basket=4, on_capped="raise")
+
+    # under the cap: audit passes and result equals the drop path
+    ok = build_copurchase_pairs(e0, max_basket=5, on_capped="raise")
+    assert {(r["p1"], r["p2"], r["support"]) for r in ok.collect()} == {
+        (r["p1"], r["p2"], r["support"])
+        for r in build_copurchase_pairs(e0, max_basket=5).collect()
+    }
+
+    with _pytest.raises(ValueError, match="on_capped"):
+        build_copurchase_pairs(e0, max_basket=4, on_capped="bogus")
