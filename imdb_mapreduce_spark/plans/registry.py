@@ -68,25 +68,117 @@ def register(
 # Rotate these lists each round so coverage accumulates. See COVERAGE.md
 # ("Driver correctness window") for the per-round rotation record.
 _HEAD: tuple[str, ...] = (
-    # r07 rotation (VERDICT r06 item 3; COVERAGE.md "Driver correctness
+    # r08 rotation (VERDICT r07 item 2; COVERAGE.md "Driver correctness
     # window" has the per-round record). Composition of the 50-slot window:
-    #   1) 4 queries whose CODE or ORACLE changed this round, re-verified
-    #      in-window: doc_rarity_scores (oracle now CASTs the SUM back to
-    #      BIGINT — the r06 driver's ONLY hash-red row, DuckDB HUGEINT →
-    #      float64 vs Spark int64; VERDICT r06 item 1), the two semdedup
-    #      queries whose footer-probe fallback now computes emb.count()
-    #      instead of a fixed k (ADVICE r06), and pagerank_coparts (the
-    #      operator grew the final_checkpoint plan-inspection knob for
-    #      the round-join explain assertion, VERDICT r06 item 5);
-    #   2) the 10 r04-green refreshes displaced by the r06 session-4
-    #      additions;
-    #   3) the 36 stalest r04-green `_TAIL` entries
-    #      (streaming_click_attribution … quantity_band_stats in r06 tail
-    #      order); ann_cosine_topk (the 37th) rolls to r08.
+    #   1) the 6 graph-family queries whose CODE changed this round: the
+    #      silver copurchase_edges table gained a build-time deg column
+    #      (fingerprint v2) consumed by pagerank_coparts via
+    #      pagerank_exact(deg=...), and the shared pair build grew the
+    #      fail-loud on_capped="raise" basket audit every family member's
+    #      build path now runs through;
+    #   2) ann_cosine_topk (head of the r08 queue since r07) plus the
+    #      other 41 r05-green `_TAIL` entries, stalest-first — closing
+    #      the r05 refresh queue;
+    #   3) 2 fill slots from the stalest r06-green entries
+    #      (dedup_exact_survivors, embedding_dim_profile).
+    "pagerank_coparts",
+    "copurchase_bfs_l3",
+    "copurchase_sssp",
+    "copurchase_triangles",
+    "copart_pairs_topk",
+    "basket_association_rules",
+    "ann_cosine_topk",
+    "simhash_near_dups",
+    "hll_distinct_users",
+    "duplicate_span_pairs",
+    "bpe_merge_candidates",
+    "weighted_sample_tokens",
+    "user_state_asof",
+    "paragraph_scrub_rebuild",
+    "minhash_eval_metrics",
+    "ngram_jaccard_thresholded",
+    "paragraph_dedup_stats",
+    "table_profile_orders",
+    "quality_decile_filter",
+    "user_retention_cohorts",
+    "training_shuffle_order",
+    "streaming_segment_purchase_totals",
+    "kmv_distinct_users",
+    "props_redaction_stats",
+    "event_funnel_conversion",
+    "event_transition_bigrams",
+    "incremental_priority_rollup",
+    "corpus_build_manifest",
+    "event_value_anomalies",
+    "embedding_label_centroids",
+    "shipping_lag_stats",
+    "packed_training_rows",
+    "ann_lsh_topk",
+    "ann_ivf_det_topk",
+    "cm_sketch_heavy_hitters",
+    "bloom_filter_prune",
+    "user_state_scd2",
+    "kmv_set_ops",
+    "embedding_random_projection",
+    "text_feature_hashing",
+    "ngram_containment_pairs",
+    "lang_id_confusion",
+    "media_phash_dedup",
+    "streaming_cm_sketch_cells",
+    "snapshot_diff",
+    "ab_experiment_metrics",
+    "ngram_jaccard_pairs",
+    "ngram_jaccard_capped",
+    "dedup_exact_survivors",
+    "embedding_dim_profile",)
+_TAIL: tuple[str, ...] = (
+    # beyond the window: the 40 remaining r06-green entries stalest-first
+    # (they head the r09 promotion queue), then the 49 r07-green entries
+    # displaced from the r07 window (freshest rows in the union); every
+    # name union-green, each family keeping an in-window sibling.
+    "hard_negative_lsh",
+    "ann_recall_eval",
+    "hard_negative_mining",
+    "incremental_dedup_verdicts",
+    "streaming_foreachbatch_upsert",
+    "embedding_lsh_dups",
+    "split_leakage_audit",
+    "zorder_layout_plan",
+    "zone_map_prune_audit",
+    "streaming_kmv_distinct",
+    "rollup_grouping_flags",
+    "events_json_struct",
+    "embedding_label_dups",
+    "customer_order_window",
+    "orders_by_month",
+    "supplier_unpivot",
+    "early_not_recent_buyers",
+    "brand_top2_parts",
+    "minhash_lsh_dups",
+    "user_running_stats_salted",
+    "inverted_index_postings",
+    "doc_chunk_windows",
+    "embedding_int8_quant",
+    "pricing_summary",
+    "revenue_topk",
+    "customers_without_orders",
+    "order_basket_lookup",
+    "nation_customer_sorted",
+    "asof_last_purchase",
+    "events_10min_windows",
+    "dedup_clusters",
+    "parts_above_brand_avg",
+    "doc_embedding_profile",
+    "supplier_part_facts",
+    "events_hourly",
+    "order_price_quantiles",
+    "region_rollup",
+    "token_pack_assignment",
+    "media_byte_histogram",
+    "token_count_bpe",
     "doc_rarity_scores",
     "semdedup_clusters",
     "semdedup_eval_metrics",
-    "pagerank_coparts",
     "tfidf_top_terms",
     "part_expr_catalog",
     "events_cube",
@@ -134,100 +226,6 @@ _HEAD: tuple[str, ...] = (
     "local_supplier_revenue",
     "quantity_band_stats",
 )
-_TAIL: tuple[str, ...] = (
-    # beyond the window: 42 r05-green entries (stalest-first — they head
-    # the r08 promotion queue), then the 39 r06-green entries (the r06
-    # window minus this round's promotions — freshest rows in the union);
-    # every name union-green, each family keeping an in-window sibling.
-    "ann_cosine_topk",
-    "simhash_near_dups",
-    "hll_distinct_users",
-    "duplicate_span_pairs",
-    "bpe_merge_candidates",
-    "weighted_sample_tokens",
-    "user_state_asof",
-    "paragraph_scrub_rebuild",
-    "minhash_eval_metrics",
-    "ngram_jaccard_thresholded",
-    "paragraph_dedup_stats",
-    "table_profile_orders",
-    "quality_decile_filter",
-    "user_retention_cohorts",
-    "training_shuffle_order",
-    "streaming_segment_purchase_totals",
-    "kmv_distinct_users",
-    "props_redaction_stats",
-    "event_funnel_conversion",
-    "event_transition_bigrams",
-    "incremental_priority_rollup",
-    "corpus_build_manifest",
-    "event_value_anomalies",
-    "embedding_label_centroids",
-    "shipping_lag_stats",
-    "packed_training_rows",
-    "ann_lsh_topk",
-    "ann_ivf_det_topk",
-    "cm_sketch_heavy_hitters",
-    "bloom_filter_prune",
-    "user_state_scd2",
-    "kmv_set_ops",
-    "embedding_random_projection",
-    "text_feature_hashing",
-    "ngram_containment_pairs",
-    "lang_id_confusion",
-    "media_phash_dedup",
-    "streaming_cm_sketch_cells",
-    "snapshot_diff",
-    "ab_experiment_metrics",
-    "ngram_jaccard_pairs",
-    "ngram_jaccard_capped",
-    "dedup_exact_survivors",
-    "basket_association_rules",
-    "embedding_dim_profile",
-    "hard_negative_lsh",
-    "ann_recall_eval",
-    "hard_negative_mining",
-    "incremental_dedup_verdicts",
-    "streaming_foreachbatch_upsert",
-    "copurchase_bfs_l3",
-    "copart_pairs_topk",
-    "copurchase_triangles",
-    "copurchase_sssp",
-    "embedding_lsh_dups",
-    "split_leakage_audit",
-    "zorder_layout_plan",
-    "zone_map_prune_audit",
-    "streaming_kmv_distinct",
-    "rollup_grouping_flags",
-    "events_json_struct",
-    "embedding_label_dups",
-    "customer_order_window",
-    "orders_by_month",
-    "supplier_unpivot",
-    "early_not_recent_buyers",
-    "brand_top2_parts",
-    "minhash_lsh_dups",
-    "user_running_stats_salted",
-    "inverted_index_postings",
-    "doc_chunk_windows",
-    "embedding_int8_quant",
-    "pricing_summary",
-    "revenue_topk",
-    "customers_without_orders",
-    "order_basket_lookup",
-    "nation_customer_sorted",
-    "asof_last_purchase",
-    "events_10min_windows",
-    "dedup_clusters",
-    "parts_above_brand_avg",
-    "doc_embedding_profile",
-    "supplier_part_facts",
-    "events_hourly",
-    "order_price_quantiles",
-    "region_rollup",
-    "token_pack_assignment",
-    "media_byte_histogram",
-    "token_count_bpe",)
 
 
 def all_queries() -> dict[str, Query]:

@@ -14,11 +14,15 @@ ENGINE's behaviour on 10× rows.
 Deterministic (seed below), build-once (fingerprint-keyed like
 sources/silver.py), written under spark-warehouse/ (gitignored).
 
-Usage:  python tools/scale10x.py [query ...]
-        (default: minhash_lsh_dups duplicate_span_pairs embedding_lsh_dups
-         simhash_near_dups)
-Prints one JSON line with per-query [sf0.1 s, 10x s] min-of-2 and the
-ratio; pretty lines to stderr.
+Usage:  python tools/scale10x.py [--factor=N] [--baseline=M] [query ...]
+        (default queries: minhash_lsh_dups duplicate_span_pairs
+         embedding_lsh_dups simhash_near_dups)
+--factor (default 10) picks the corpus size (N x sf0.1); --baseline
+(default: sf0.1 itself, or the 10x corpus when factor=100) picks the
+smaller corpus the step is measured against — so factor=100 records the
+FIFTH decade (10x -> 100x), not a two-decade jump. Prints one JSON line
+with per-query [baseline s, factor s] min-of-2 and the ratio; pretty
+lines to stderr.
 """
 
 from __future__ import annotations
@@ -32,9 +36,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 SRC = "/root/testdata/sf0.1"
-OUT = os.path.join(REPO, "spark-warehouse", "scale10x")
 FACTOR = 10
 SEED = 20260814
+
+
+def out_dir(factor: int) -> str:
+    return os.path.join(REPO, "spark-warehouse", f"scale{factor}x")
 
 DEFAULT = (
     "minhash_lsh_dups",
@@ -44,18 +51,21 @@ DEFAULT = (
 )
 
 
-def _fingerprint() -> dict:
-    fp = {"factor": FACTOR, "seed": SEED, "v": 4}  # v4: baskets sampled w/o replacement
+def _fingerprint(factor: int) -> dict:
+    fp = {"factor": factor, "seed": SEED, "v": 4}  # v4: baskets sampled w/o replacement
     for t in ("documents", "embeddings", "lineitem"):
         st = os.stat(os.path.join(SRC, f"{t}.parquet"))
         fp[t] = [st.st_mtime_ns, st.st_size]
     return fp
 
 
-def build_corpus() -> str:
-    """Build (iff absent/stale) the 10× documents+embeddings parquet dir."""
+def build_corpus(factor: int = FACTOR) -> str:
+    """Build (iff absent/stale) the ``factor``× documents+embeddings+
+    lineitem parquet dir (factor=10 is the fourth decade's corpus,
+    factor=100 the fifth's)."""
+    OUT = out_dir(factor)
     meta_path = os.path.join(OUT, "_meta.json")
-    fp = _fingerprint()
+    fp = _fingerprint(factor)
     if os.path.exists(meta_path):
         try:
             with open(meta_path) as f:
@@ -93,9 +103,9 @@ def build_corpus() -> str:
     src_vals, src_counts = np.unique(np.array(sources), return_counts=True)
     src_p = src_counts / src_counts.sum()
 
-    n_docs = len(texts) * FACTOR
+    n_docs = len(texts) * factor
     # exact-dup rate matched to source (sf0.1: 8 dup docs / 5000)
-    n_dups = (len(texts) - len(set(texts))) * FACTOR
+    n_dups = (len(texts) - len(set(texts))) * factor
     doc_lens = rng.choice(lens_arr, size=n_docs)
     # SHARDED vocabulary: each 10× segment gets its own disjoint copy of
     # the vocab (shard 0 = the original words). A faithful bigger corpus
@@ -105,7 +115,7 @@ def build_corpus() -> str:
     # ×92 for ×10 docs) and would measure the data, not the engine.
     # Cross-shard docs share no words, so shingle/simhash/minhash pair
     # candidates stay within shards and density per doc is preserved.
-    shard_of_doc = rng.integers(0, FACTOR, size=n_docs)
+    shard_of_doc = rng.integers(0, factor, size=n_docs)
     out_texts: list[str] = []
     for i in range(n_docs):
         if i >= n_docs - n_dups and out_texts:
@@ -135,7 +145,7 @@ def build_corpus() -> str:
     lab_p = lab_counts / lab_counts.sum()
     centers = {int(v): emb[lab == v].mean(axis=0) for v in lab_vals}
     sigma = float(np.mean([emb[lab == v].std() for v in lab_vals]))
-    n_vecs = len(emb) * FACTOR
+    n_vecs = len(emb) * factor
     out_lab = rng.choice(lab_vals, size=n_vecs, p=lab_p)
     vecs = np.stack([centers[int(v)] for v in out_lab]) + rng.normal(
         0.0, sigma, size=(n_vecs, emb.shape[1])
@@ -173,9 +183,9 @@ def build_corpus() -> str:
     part_vals, part_counts = np.unique(pk, return_counts=True)
     part_p = part_counts / part_counts.sum()
     stride = int(part_vals.max()) + 1
-    n_orders10 = len(basket_sizes) * FACTOR
+    n_orders10 = len(basket_sizes) * factor
     sizes10 = rng.choice(basket_sizes, size=n_orders10)
-    shard_of_order = rng.integers(0, FACTOR, size=n_orders10)
+    shard_of_order = rng.integers(0, factor, size=n_orders10)
     total_rows = int(sizes10.sum())
     out_ok = np.repeat(np.arange(1, n_orders10 + 1, dtype=np.int64), sizes10)
     # Parts within an order are distinct (ADVICE r07: the earlier i.i.d.
@@ -214,14 +224,27 @@ def build_corpus() -> str:
 
 
 def main() -> None:
-    names = tuple(sys.argv[1:]) or DEFAULT
+    argv = list(sys.argv[1:])
+    factor, baseline = FACTOR, None
+    names: list[str] = []
+    for a in argv:
+        if a.startswith("--factor="):
+            factor = int(a.split("=", 1)[1])
+        elif a.startswith("--baseline="):
+            baseline = int(a.split("=", 1)[1])
+        else:
+            names.append(a)
+    if baseline is None and factor > FACTOR:
+        baseline = FACTOR  # fifth decade: measure 10x -> 100x, one decade
+    names = tuple(names) or DEFAULT
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
     unknown = [n for n in names if n not in qs]
     if unknown:
         sys.exit(f"unknown queries: {unknown}")
-    out_dir = build_corpus()
+    big_dir = build_corpus(factor)
+    base_dir = SRC if baseline is None else build_corpus(baseline)
     from imdb_mapreduce_spark.session import get_spark
 
     spark = get_spark("scale10x")
@@ -231,7 +254,7 @@ def main() -> None:
         fn = qs[name]
         times = []
         rows = []
-        for sf_dir in (SRC, out_dir):
+        for sf_dir in (base_dir, big_dir):
             best = None
             n = 0
             for _ in range(2):  # min-of-2, matching tools/scaling_curve.py
@@ -242,13 +265,15 @@ def main() -> None:
             times.append(round(best, 3))
             rows.append(n)
         ratio = round(times[1] / times[0], 2) if times[0] > 0 else float("nan")
-        results[name] = {"sec": times, "rows": rows, "ratio_10x_c": ratio}
+        results[name] = {"sec": times, "rows": rows, "ratio_step": ratio}
+        base_tag = "sf0.1" if baseline is None else f"{baseline}x"
         print(
-            f"{name:28s} sf0.1 {times[0]:7.2f}s  10x {times[1]:7.2f}s  "
+            f"{name:28s} {base_tag} {times[0]:7.2f}s  {factor}x {times[1]:7.2f}s  "
             f"x{ratio:<6} rows {rows[0]} -> {rows[1]}",
             file=sys.stderr,
         )
-    print(json.dumps({"step": "sf0.1 -> 10x-sf0.1", "queries": results}))
+    step = ("sf0.1" if baseline is None else f"{baseline}x-sf0.1") + f" -> {factor}x-sf0.1"
+    print(json.dumps({"step": step, "queries": results}))
 
 
 if __name__ == "__main__":
