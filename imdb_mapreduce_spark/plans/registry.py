@@ -79,8 +79,11 @@ _HEAD: tuple[str, ...] = (
     #   2) ann_cosine_topk (head of the r08 queue since r07) plus the
     #      other 41 r05-green `_TAIL` entries, stalest-first — closing
     #      the r05 refresh queue;
-    #   3) 2 fill slots from the stalest r06-green entries
-    #      (dedup_exact_survivors, embedding_dim_profile).
+    #   3) minhash_lsh_dups — its verify join strategy changed in r08 (the
+    #      fifth-decade broadcast fix in verify_pairs_jaccard), so it
+    #      re-verifies in-window;
+    #   4) 1 fill slot from the stalest r06-green (dedup_exact_survivors).
+    "minhash_lsh_dups",
     "pagerank_coparts",
     "copurchase_bfs_l3",
     "copurchase_sssp",
@@ -130,12 +133,13 @@ _HEAD: tuple[str, ...] = (
     "ngram_jaccard_pairs",
     "ngram_jaccard_capped",
     "dedup_exact_survivors",
-    "embedding_dim_profile",)
+)
 _TAIL: tuple[str, ...] = (
     # beyond the window: the 40 remaining r06-green entries stalest-first
     # (they head the r09 promotion queue), then the 49 r07-green entries
     # displaced from the r07 window (freshest rows in the union); every
     # name union-green, each family keeping an in-window sibling.
+    "embedding_dim_profile",
     "hard_negative_lsh",
     "ann_recall_eval",
     "hard_negative_mining",
@@ -154,7 +158,6 @@ _TAIL: tuple[str, ...] = (
     "supplier_unpivot",
     "early_not_recent_buyers",
     "brand_top2_parts",
-    "minhash_lsh_dups",
     "user_running_stats_salted",
     "inverted_index_postings",
     "doc_chunk_windows",
