@@ -1463,9 +1463,29 @@ def _assigned_cells(emb: DataFrame, pivots) -> DataFrame:
         ]
     )
 
+    # GEMM + exact refinement (r08, found by the FIFTH decade): the
+    # dimension-major (n × k) loop is exact but does n·k·dim element ops
+    # through full-size temporaries — at the 100× corpus (n=200k, k=1600,
+    # the semdedup_k rule) it cost 203 s of the query's 216 s. BLAS does
+    # the same flops as ONE matmul (‖x‖² + ‖p‖² − 2·x@pᵀ) orders of
+    # magnitude faster, but its summation order differs from the fold, so
+    # its d2 is only approximate (|err| ≤ ~dim·ulp·scale ≈ 1e-11 here).
+    # Exactness is recovered by REFINEMENT: any pivot that could exactly
+    # beat the approx-argmin must have approx-d2 within 2·err of the
+    # minimum, so re-folding (dimension-major, the oracle's exact order)
+    # ONLY the rows whose near-minimum candidate set has >1 member — rare
+    # on real data — yields the bit-identical (d2, cell) argmin at GEMM
+    # speed. MARGIN is 5e-7 absolute + relative: > 4 orders of magnitude
+    # above the error bound, yet tight enough that candidate sets stay
+    # singletons almost everywhere. Measured at 100×: 203.6 s → see
+    # SCALING.md r08 fifth decade. Path-equality vs the literal fold
+    # stays pytest-pinned.
+    _MARGIN = 5e-7
+
     def assign(batches):
         import pandas as pd
 
+        p2 = (pmat * pmat).sum(axis=1)  # (k,)
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -1478,14 +1498,27 @@ def _assigned_cells(emb: DataFrame, pivots) -> DataFrame:
                     f"_assigned_cells: embedding dim {dim} != pivot dim "
                     f"{pmat.shape[1]}"
                 )
-            d2 = np.zeros((n, pmat.shape[0]))
-            for d in range(dim):  # dimension-major: the fold's exact order
-                diff = x[:, d : d + 1] - pmat[None, :, d]
-                d2 += diff * diff
+            d2 = (x * x).sum(axis=1)[:, None] - 2.0 * (x @ pmat.T) + p2[None, :]
+            mins = d2.min(axis=1)
+            margin = _MARGIN * np.maximum(1.0, np.abs(mins))
+            cand_mask = d2 <= (mins + margin)[:, None]
             # argmin returns the FIRST minimum; pivot columns are in
             # ascending cell order, so ties resolve to the smaller cell —
             # the (d2, cell) ordering both engines use.
-            best = cell_ids[np.argmin(d2, axis=1)]
+            best = cell_ids[np.argmin(d2, axis=1)].copy()
+            multi = np.flatnonzero(cand_mask.sum(axis=1) > 1)
+            for i in multi:
+                # exact fold for the (few) contested rows: left-to-right
+                # over dims, candidates visited in ascending cell order
+                best_d2, best_cell = None, None
+                for j in np.flatnonzero(cand_mask[i]):
+                    acc = 0.0
+                    for d in range(dim):
+                        diff = x[i, d] - pmat[j, d]
+                        acc += diff * diff
+                    if best_d2 is None or acc < best_d2:
+                        best_d2, best_cell = acc, cell_ids[j]
+                best[i] = best_cell
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"].to_numpy(),
