@@ -79,11 +79,18 @@ _HEAD: tuple[str, ...] = (
     #   2) ann_cosine_topk (head of the r08 queue since r07) plus the
     #      other 41 r05-green `_TAIL` entries, stalest-first — closing
     #      the r05 refresh queue;
-    #   3) minhash_lsh_dups — its verify join strategy changed in r08 (the
-    #      fifth-decade broadcast fix in verify_pairs_jaccard), so it
-    #      re-verifies in-window;
-    #   4) 1 fill slot from the stalest r06-green (dedup_exact_survivors).
+    #   3) three queries whose code changed with the fifth-decade fixes,
+    #      re-verified in-window: minhash_lsh_dups (verify join strategy
+    #      pinned in verify_pairs_jaccard) and semdedup_clusters +
+    #      semdedup_eval_metrics (_assigned_cells grew the GEMM+exact-
+    #      refinement path; driver SFs stay on the untouched literal
+    #      branch, but the operator changed, so they re-verify).
+    #      To stay at 50 slots, the fill entry (dedup_exact_survivors)
+    #      and the last r05-green (ngram_jaccard_capped) roll to the
+    #      head of the r09 queue — the r07 "37th r04-green" precedent.
     "minhash_lsh_dups",
+    "semdedup_clusters",
+    "semdedup_eval_metrics",
     "pagerank_coparts",
     "copurchase_bfs_l3",
     "copurchase_sssp",
@@ -131,14 +138,15 @@ _HEAD: tuple[str, ...] = (
     "snapshot_diff",
     "ab_experiment_metrics",
     "ngram_jaccard_pairs",
-    "ngram_jaccard_capped",
-    "dedup_exact_survivors",
 )
 _TAIL: tuple[str, ...] = (
     # beyond the window: the 40 remaining r06-green entries stalest-first
     # (they head the r09 promotion queue), then the 49 r07-green entries
     # displaced from the r07 window (freshest rows in the union); every
     # name union-green, each family keeping an in-window sibling.
+    # (r09 queue head: the two displaced-from-r08 entries first.)
+    "ngram_jaccard_capped",
+    "dedup_exact_survivors",
     "embedding_dim_profile",
     "hard_negative_lsh",
     "ann_recall_eval",
@@ -180,8 +188,6 @@ _TAIL: tuple[str, ...] = (
     "media_byte_histogram",
     "token_count_bpe",
     "doc_rarity_scores",
-    "semdedup_clusters",
-    "semdedup_eval_metrics",
     "tfidf_top_terms",
     "part_expr_catalog",
     "events_cube",
