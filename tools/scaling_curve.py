@@ -6,6 +6,13 @@ scaling; pair-join operators are expected to run hotter than linear in
 dup density and are called out as such where they do.
 
 Usage:  python tools/scaling_curve.py [query ...]   (default: curated set)
+        python tools/scaling_curve.py --dirs DIR1,DIR2[,...] [query ...]
+
+With ``--dirs`` the points are the given corpus directories instead of
+the default sf0.001/sf0.01/sf0.1 triple — this is how the synthetic
+decades (``spark-warehouse/scale10x``, ``scale100x`` from
+tools/scale10x.py) are measured against /root/testdata/sf0.1 with the
+same min-of-2 methodology the SCALING.md tables use.
 Writes one JSON line to stdout; pretty table to stderr.
 """
 
@@ -46,7 +53,19 @@ DEFAULT = (
 # If bench.py's methodology changes, revisit whether the ratio harness
 # should follow.
 def main() -> None:
-    names = tuple(sys.argv[1:]) or DEFAULT
+    argv = list(sys.argv[1:])
+    sfs = SFS
+    labels = ["0.001", "0.01", "0.1"]
+    if argv and argv[0] == "--dirs":
+        if len(argv) < 2:
+            sys.exit("--dirs needs a comma-separated directory list")
+        sfs = tuple(argv[1].split(","))
+        missing = [d for d in sfs if not os.path.isdir(d)]
+        if missing:
+            sys.exit(f"not a directory: {missing}")
+        labels = [os.path.basename(d.rstrip("/")) for d in sfs]
+        argv = argv[2:]
+    names = tuple(argv) or DEFAULT
     import __spark_entry__ as entrymod
 
     # validate names BEFORE paying Spark session startup
@@ -64,7 +83,7 @@ def main() -> None:
         fn = qs[name]
         times: list[float] = []
         rows: list[int] = []
-        for sf_dir in SFS:
+        for sf_dir in sfs:
             best = None
             n = 0
             for _ in range(2):  # min-of-2 per point
@@ -74,20 +93,20 @@ def main() -> None:
                 best = el if best is None else min(best, el)
             times.append(round(best, 3))
             rows.append(n)
-        r1 = round(times[1] / times[0], 2) if times[0] > 0 else float("nan")
-        r2 = round(times[2] / times[1], 2) if times[1] > 0 else float("nan")
-        out[name] = {
-            "sec": times,
-            "rows": rows,
-            "ratio_10x_a": r1,
-            "ratio_10x_b": r2,
-        }
+        ratios = [
+            round(times[i + 1] / times[i], 2) if times[i] > 0 else float("nan")
+            for i in range(len(times) - 1)
+        ]
+        out[name] = {"sec": times, "rows": rows, "ratios": ratios}
         print(
-            f"{name:32s} {times[0]:7.2f} {times[1]:7.2f} {times[2]:7.2f}"
-            f"   x{r1:<6} x{r2:<6}  rows {rows[2]}",
+            f"{name:32s} "
+            + " ".join(f"{t:7.2f}" for t in times)
+            + "   "
+            + " ".join(f"x{r:<6}" for r in ratios)
+            + f"  rows {rows[-1]}",
             file=sys.stderr,
         )
-    print(json.dumps({"sfs": [0.001, 0.01, 0.1], "queries": out}))
+    print(json.dumps({"sfs": labels, "queries": out}))
 
 
 if __name__ == "__main__":
