@@ -582,6 +582,15 @@ def verify_pairs_jaccard(pairs: DataFrame, docs: DataFrame) -> DataFrame:
     # shuffled hash build (per-partition memory, never one giant hash
     # relation); AQE may still upgrade it to broadcast from RUNTIME sizes,
     # which are the sizes that can be trusted.
+    #
+    # Measured alternatives at sf0.1 (r08, min-of-3 isolated): this shape
+    # 3.39 s; broadcasting the half relation instead (zero exchanges of
+    # the doc2 shingles) 6.79 s — the extra broadcast is a pipeline
+    # BARRIER between the two joins and re-collects |pairs|·avg_shingles
+    # rows through the driver, costing far more than the shingle shuffle
+    # it saves. The pre-r08 unhinted plan was 2.18 s here but statically
+    # broadcast the CORPUS-side shingles and OOMed at the 100× decade —
+    # scale-unsafe by construction, not an option.
     half = F.broadcast(pairs).join(e1, "doc1").hint("shuffle_hash")
     return (
         half.join(e2, ["doc2", "sh1"])  # equi-join on (doc, shingle): hash join
