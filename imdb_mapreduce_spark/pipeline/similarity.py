@@ -1498,27 +1498,44 @@ def _assigned_cells(emb: DataFrame, pivots) -> DataFrame:
                     f"_assigned_cells: embedding dim {dim} != pivot dim "
                     f"{pmat.shape[1]}"
                 )
-            d2 = (x * x).sum(axis=1)[:, None] - 2.0 * (x @ pmat.T) + p2[None, :]
-            mins = d2.min(axis=1)
-            margin = _MARGIN * np.maximum(1.0, np.abs(mins))
-            cand_mask = d2 <= (mins + margin)[:, None]
-            # argmin returns the FIRST minimum; pivot columns are in
-            # ascending cell order, so ties resolve to the smaller cell —
-            # the (d2, cell) ordering both engines use.
-            best = cell_ids[np.argmin(d2, axis=1)].copy()
-            multi = np.flatnonzero(cand_mask.sum(axis=1) > 1)
-            for i in multi:
-                # exact fold for the (few) contested rows: left-to-right
-                # over dims, candidates visited in ascending cell order
-                best_d2, best_cell = None, None
-                for j in np.flatnonzero(cand_mask[i]):
-                    acc = 0.0
-                    for d in range(dim):
-                        diff = x[i, d] - pmat[j, d]
-                        acc += diff * diff
-                    if best_d2 is None or acc < best_d2:
-                        best_d2, best_cell = acc, cell_ids[j]
-                best[i] = best_cell
+            # Chunk the GEMM over i-rows so the (rows × k) distance matrix
+            # and its ~3 same-shape temporaries stay bounded at any k: the
+            # semdedup_k rule makes k ∝ n, and at the SIXTH decade
+            # (n=2M, k=16000) a full 10k-row Arrow batch would materialize
+            # ~3-4 GB of float64 temporaries PER TASK — ×32 local tasks is
+            # the whole box. chunk·k ≤ 4M elements caps it at ~100 MB/task
+            # regardless of corpus size; per-row arithmetic (and therefore
+            # every downstream hash) is unchanged by the split.
+            chunk = max(64, 4_000_000 // max(1, len(cell_ids)))
+            best = np.empty(n, dtype="int64")
+            for lo in range(0, n, chunk):
+                xc = x[lo : lo + chunk]
+                d2 = (
+                    (xc * xc).sum(axis=1)[:, None]
+                    - 2.0 * (xc @ pmat.T)
+                    + p2[None, :]
+                )
+                mins = d2.min(axis=1)
+                margin = _MARGIN * np.maximum(1.0, np.abs(mins))
+                cand_mask = d2 <= (mins + margin)[:, None]
+                # argmin returns the FIRST minimum; pivot columns are in
+                # ascending cell order, so ties resolve to the smaller
+                # cell — the (d2, cell) ordering both engines use.
+                bc = cell_ids[np.argmin(d2, axis=1)].copy()
+                multi = np.flatnonzero(cand_mask.sum(axis=1) > 1)
+                for i in multi:
+                    # exact fold for the (few) contested rows: left-to-
+                    # right over dims, candidates in ascending cell order
+                    best_d2, best_cell = None, None
+                    for j in np.flatnonzero(cand_mask[i]):
+                        acc = 0.0
+                        for d in range(dim):
+                            diff = xc[i, d] - pmat[j, d]
+                            acc += diff * diff
+                        if best_d2 is None or acc < best_d2:
+                            best_d2, best_cell = acc, cell_ids[j]
+                    bc[i] = best_cell
+                best[lo : lo + chunk] = bc
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"].to_numpy(),
