@@ -1117,6 +1117,15 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 DUP_SPAN_GRAM = 20  # tokens per gram (the match unit)
 DUP_SPAN_MIN = 25  # report pairs with a shared run of >= this many tokens
 DUP_GRAM_MAX_FREQ = 50  # corpus-wide occurrence cap: beyond = boilerplate
+# Data-proportional partitioning for the span gram table: one partition
+# per this many DOCUMENTS, so the pinned shuffled-hash self-join's
+# per-partition build stays bounded (~O(100) gram rows/doc × ~64 B
+# hash-relation bytes/row ≈ 25-40 MB) no matter the corpus size. At the
+# driver SFs this resolves BELOW the session shuffle-partition count, so
+# the measured small-SF plans are unchanged; at the 1000× corpus it is
+# what makes the join fit (the sixth decade's catch — see
+# span_pairs_from_grams).
+SPAN_DOCS_PER_PARTITION = 4000
 
 
 @register(
@@ -1201,6 +1210,24 @@ def duplicate_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("h"),
     )
+    # Size the gram partitioning to the corpus BEFORE the frequency-cap
+    # window: repartition(N, h) feeds the window (partitionBy h — exchange
+    # satisfied, none added) AND the downstream self-join (equi-key h,
+    # both sides the same reused exchange), so the whole tail runs at N
+    # partitions for ONE shuffle. N grows with the doc count so the
+    # pinned shuffled-hash build stays bounded at any scale; the footer
+    # probe costs zero jobs, and on probe failure the session default is
+    # kept (a perf knob only — semantics don't depend on N).
+    from imdb_mapreduce_spark.sources.star import parquet_num_rows
+
+    session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        n_docs = parquet_num_rows(f"{sf_dir}/documents.parquet")
+    except (OSError, ValueError):
+        n_docs = 0
+    n_parts = max(session_parts, -(-n_docs // SPAN_DOCS_PER_PARTITION))
+    if n_parts > session_parts:
+        g = g.repartition(n_parts, "h")
     kept = (
         g.withColumn("f", F.count("*").over(Window.partitionBy("h")))
         .filter(F.col("f") <= DUP_GRAM_MAX_FREQ)
@@ -1215,7 +1242,19 @@ def span_pairs_from_grams(
     """The span-merge core of ``duplicate_span_pairs`` over a prepared
     (doc_id, pos, h) gram table: hash self-join -> diagonal gaps-and-
     islands -> maximal-run rollup. Factored out so the scale smoke can
-    drive it with synthetic million-gram inputs."""
+    drive it with synthetic million-gram inputs.
+
+    The self-join is a pinned SHUFFLED HASH join: both sides are the same
+    exchange (reused), and SHJ skips the two corpus-sized sorts a merge
+    join pays — measured at the 100× corpus: SHJ 63.6 s vs SMJ 85.5 s
+    (+34%). SHJ's per-partition hash relation, however, is only safe when
+    partition count scales with the data: at the 1000× corpus the session
+    default of 32 partitions put ~15M gram rows (~1 GB) in each build and
+    died with "Can't acquire … bytes memory to build hash relation" — the
+    SIXTH scaling decade caught it. The caller is responsible for sizing
+    the partitioning of ``grams`` to the corpus (see
+    ``duplicate_span_pairs``); the hint itself stays, because with
+    data-proportional partitions the build side is bounded again."""
     a = grams.alias("a").hint("shuffle_hash")
     b = grams.alias("b")
     m = a.join(
