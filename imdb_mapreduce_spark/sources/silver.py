@@ -72,6 +72,54 @@ def _commit_meta(meta_path: str, payload: dict) -> None:
     os.replace(tmp, meta_path)
 
 
+# Build-job sizing: one shuffle partition (and one bucket, for the
+# bucketed path) per this many SOURCE rows. Silver builds are the batch
+# tier — on a production cluster they run at their own width, sized to
+# the data, while interactive sessions keep a small fixed
+# spark.sql.shuffle.partitions. Locally the same rule is what lets a
+# session tuned for sf0.1 (32 partitions, 8 g heap) build the 1000×
+# corpus: at a fixed width every per-task structure (shuffled-hash
+# builds, parquet writer buffers) grows linearly with the corpus, and
+# the 1000× pair build died on exactly that ("Java heap space" writing
+# ~37M aggregated pairs per task — the SIXTH scaling decade's catch).
+# The width is derived from a zero-job parquet-footer probe and resolves
+# to the session default at every driver SF, so all measured small-SF
+# plans and layouts are unchanged.
+SILVER_BUILD_ROWS_PER_PARTITION = 1_000_000
+
+
+def _src_num_rows(sf_dir: str, src_table: str) -> int:
+    from imdb_mapreduce_spark.sources.star import parquet_num_rows
+
+    try:
+        return parquet_num_rows(os.path.join(sf_dir, f"{src_table}.parquet"))
+    except (OSError, ValueError):
+        return 0
+
+
+class _build_width:
+    """Context manager: run a silver build at data-proportional shuffle
+    width (max of the session setting and rows/SILVER_BUILD_ROWS_PER_
+    PARTITION), restoring the session setting afterwards. A no-op at
+    driver SFs, where the formula resolves below the session default."""
+
+    def __init__(self, spark: SparkSession, n_rows: int):
+        self.spark = spark
+        self.n_rows = n_rows
+
+    def __enter__(self) -> None:
+        self.before = self.spark.conf.get("spark.sql.shuffle.partitions")
+        n = max(
+            int(self.before),
+            -(-self.n_rows // SILVER_BUILD_ROWS_PER_PARTITION),
+        )
+        if n > int(self.before):
+            self.spark.conf.set("spark.sql.shuffle.partitions", str(n))
+
+    def __exit__(self, *exc) -> None:
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.before)
+
+
 def materialized(
     spark: SparkSession,
     sf_dir: str,
@@ -90,7 +138,8 @@ def materialized(
     data_dir, meta_path = _table_paths(sf_dir, name)
     if _stored_meta(meta_path, data_dir) == fingerprint:
         return spark.read.parquet(data_dir)
-    build().write.mode("overwrite").parquet(data_dir)
+    with _build_width(spark, _src_num_rows(sf_dir, src_table)):
+        build().write.mode("overwrite").parquet(data_dir)
     _commit_meta(meta_path, fingerprint)
     return spark.read.parquet(data_dir)
 
@@ -117,7 +166,21 @@ def materialized_bucketed(
     time) — a pure metadata operation, no data rewrite. Staleness follows
     the same (source stat + params) fingerprint contract as
     :func:`materialized`.
+
+    ``buckets`` is a FLOOR: the resolved count grows with the source
+    (one bucket per SILVER_BUILD_ROWS_PER_PARTITION source rows), because
+    a fixed bucket count is a fixed per-bucket data volume multiplier —
+    at the 1000× corpus an 8-bucket edge table means ~300M sorted rows
+    per write task and OOMs the parquet writers. The resolved count is
+    deterministic per corpus (zero-job footer probe), lands in the
+    fingerprint, and resolves to the floor at every driver SF, so
+    existing small-SF layouts are untouched; consumers adapt to any
+    bucket count (bucketed scans parallelize per bucket).
     """
+    buckets = max(
+        buckets,
+        -(-_src_num_rows(sf_dir, src_table) // SILVER_BUILD_ROWS_PER_PARTITION),
+    )
     fingerprint = _source_fingerprint(
         sf_dir, src_table, {"key": key, "buckets": buckets, **params}
     )
@@ -133,17 +196,20 @@ def materialized_bucketed(
                 f"INTO {buckets} BUCKETS LOCATION '{data_dir}'"
             )
         return spark.table(table)
-    df = build()
-    ddl = ", ".join(f"{f_.name} {f_.dataType.simpleString()}" for f_ in df.schema)
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    (
-        df.write.mode("overwrite")
-        .bucketBy(buckets, key)
-        .sortBy(key)
-        .option("path", data_dir)
-        .format("parquet")
-        .saveAsTable(table)
-    )
+    with _build_width(spark, _src_num_rows(sf_dir, src_table)):
+        df = build()
+        ddl = ", ".join(
+            f"{f_.name} {f_.dataType.simpleString()}" for f_ in df.schema
+        )
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        (
+            df.write.mode("overwrite")
+            .bucketBy(buckets, key)
+            .sortBy(key)
+            .option("path", data_dir)
+            .format("parquet")
+            .saveAsTable(table)
+        )
     _commit_meta(meta_path, {"fingerprint": fingerprint, "ddl": ddl})
     return spark.table(table)
 
