@@ -545,6 +545,18 @@ def minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verify_pairs_jaccard(cands, docs).filter(F.col("jaccard") >= 0.5)
 
 
+# Broadcast bound for the candidate-pair list in verify_pairs_jaccard:
+# 2M (doc1, doc2) long pairs ≈ 32 MB of key data (~100-200 MB as a built
+# hash relation) — comfortably inside a multi-GB executor, far beyond any
+# driver-SF candidate count, yet small enough that 1000 executors each
+# holding a copy is cheap. Above it the broadcast itself becomes the
+# static-plan hazard (ADVICE r08): candidates grow with corpus size AND
+# dup density, so a dup-dense corpus could OOM the driver exactly the way
+# the unhinted plan OOMed on corpus shingles. The fallback keeps pairs as
+# the SHJ build side — per-partition hash builds, no single giant relation.
+VERIFY_BROADCAST_MAX_PAIRS = 2_000_000
+
+
 def verify_pairs_jaccard(pairs: DataFrame, docs: DataFrame) -> DataFrame:
     """Exact Jaccard for an explicit pair list: join each side to its
     shingle set, count shared shingles per pair. Cost is |pairs|·|shingles|
@@ -591,7 +603,19 @@ def verify_pairs_jaccard(pairs: DataFrame, docs: DataFrame) -> DataFrame:
     # it saves. The pre-r08 unhinted plan was 2.18 s here but statically
     # broadcast the CORPUS-side shingles and OOMed at the 100× decade —
     # scale-unsafe by construction, not an option.
-    half = F.broadcast(pairs).join(e1, "doc1").hint("shuffle_hash")
+    # The candidate broadcast is GUARDED, not unconditional (r09, ADVICE
+    # r08): candidates grow with corpus size and dup density, so the pair
+    # list is materialized once (localCheckpoint — the relation feeds the
+    # join anyway) and counted for free; past VERIFY_BROADCAST_MAX_PAIRS
+    # the plan falls back to a shuffled-hash join that still BUILDS on
+    # the pair side (per-partition builds, no single giant relation) —
+    # the same candidates ≪ corpus asymmetry, minus the broadcast.
+    pairs = pairs.localCheckpoint(eager=True)
+    if pairs.count() <= VERIFY_BROADCAST_MAX_PAIRS:
+        join1 = F.broadcast(pairs).join(e1, "doc1")
+    else:
+        join1 = pairs.hint("shuffle_hash").join(e1, "doc1")
+    half = join1.hint("shuffle_hash")
     return (
         half.join(e2, ["doc2", "sh1"])  # equi-join on (doc, shingle): hash join
         .groupBy("doc1", "doc2")

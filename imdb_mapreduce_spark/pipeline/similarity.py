@@ -1475,11 +1475,15 @@ def _assigned_cells(emb: DataFrame, pivots) -> DataFrame:
     # minimum, so re-folding (dimension-major, the oracle's exact order)
     # ONLY the rows whose near-minimum candidate set has >1 member — rare
     # on real data — yields the bit-identical (d2, cell) argmin at GEMM
-    # speed. MARGIN is 5e-7 absolute + relative: > 4 orders of magnitude
-    # above the error bound, yet tight enough that candidate sets stay
-    # singletons almost everywhere. Measured at 100×: 203.6 s → see
-    # SCALING.md r08 fifth decade. Path-equality vs the literal fold
-    # stays pytest-pinned.
+    # speed. MARGIN is 5e-7 scaled by the row's TERM MAGNITUDE
+    # (‖x‖² + max‖p‖²), not by the min distance (ADVICE r08): the GEMM
+    # cancellation error grows with the cancelled terms, so a huge-norm
+    # embedding whose nearest pivot is near-zero distance would slip past
+    # a |mins|-relative margin. ‖x‖²+max‖p‖² ≥ every d2 in the row, so
+    # the margin dominates dim·ulp·scale (~1e-11 at O(1) norms) by >4
+    # orders of magnitude at ANY norm, yet candidate sets stay singletons
+    # almost everywhere. Measured at 100×: 203.6 s → see SCALING.md r08
+    # fifth decade. Path-equality vs the literal fold stays pytest-pinned.
     _MARGIN = 5e-7
 
     def assign(batches):
@@ -1508,15 +1512,15 @@ def _assigned_cells(emb: DataFrame, pivots) -> DataFrame:
             # every downstream hash) is unchanged by the split.
             chunk = max(64, 4_000_000 // max(1, len(cell_ids)))
             best = np.empty(n, dtype="int64")
+            p2max = p2.max() if len(p2) else 0.0
             for lo in range(0, n, chunk):
                 xc = x[lo : lo + chunk]
-                d2 = (
-                    (xc * xc).sum(axis=1)[:, None]
-                    - 2.0 * (xc @ pmat.T)
-                    + p2[None, :]
-                )
+                x2 = (xc * xc).sum(axis=1)
+                d2 = x2[:, None] - 2.0 * (xc @ pmat.T) + p2[None, :]
                 mins = d2.min(axis=1)
-                margin = _MARGIN * np.maximum(1.0, np.abs(mins))
+                # margin ∝ term magnitude (the cancellation-error scale),
+                # never the min distance, which can be ~0 at large norms
+                margin = _MARGIN * np.maximum(1.0, x2 + p2max)
                 cand_mask = d2 <= (mins + margin)[:, None]
                 # argmin returns the FIRST minimum; pivot columns are in
                 # ascending cell order, so ties resolve to the smaller

@@ -68,83 +68,24 @@ def register(
 # Rotate these lists each round so coverage accumulates. See COVERAGE.md
 # ("Driver correctness window") for the per-round rotation record.
 _HEAD: tuple[str, ...] = (
-    # r08 rotation (VERDICT r07 item 2; COVERAGE.md "Driver correctness
+    # r09 rotation (VERDICT r08 item 1; COVERAGE.md "Driver correctness
     # window" has the per-round record). Composition of the 50-slot window:
-    #   1) the 6 graph-family queries whose CODE changed this round: the
-    #      silver copurchase_edges table gained a build-time deg column
-    #      (fingerprint v2) consumed by pagerank_coparts via
-    #      pagerank_exact(deg=...), and the shared pair build grew the
-    #      fail-loud on_capped="raise" basket audit every family member's
-    #      build path now runs through;
-    #   2) ann_cosine_topk (head of the r08 queue since r07) plus the
-    #      other 41 r05-green `_TAIL` entries, stalest-first — closing
-    #      the r05 refresh queue;
-    #   3) three queries whose code changed with the fifth-decade fixes,
-    #      re-verified in-window: minhash_lsh_dups (verify join strategy
-    #      pinned in verify_pairs_jaccard) and semdedup_clusters +
-    #      semdedup_eval_metrics (_assigned_cells grew the GEMM+exact-
-    #      refinement path; driver SFs stay on the untouched literal
-    #      branch, but the operator changed, so they re-verify).
-    #      To stay at 50 slots, the fill entry (dedup_exact_survivors)
-    #      and the last r05-green (ngram_jaccard_capped) roll to the
-    #      head of the r09 queue — the r07 "37th r04-green" precedent.
+    #   1) the 3 queries whose CODE changed this round, re-verified
+    #      in-window per the rotation contract: minhash_lsh_dups
+    #      (verify_pairs_jaccard's candidate broadcast is now GUARDED by a
+    #      row-count bound with a shuffled-hash fallback, ADVICE r08) and
+    #      semdedup_clusters + semdedup_eval_metrics (_assigned_cells'
+    #      refinement margin now scales with the GEMM term magnitude
+    #      ‖x‖²+max‖p‖², not the min distance, ADVICE r08);
+    #   2) the r09 queue head rolled from r08 (ngram_jaccard_capped,
+    #      dedup_exact_survivors — the r07 precedent), then the 40
+    #      r06-green `_TAIL` entries stalest-first — closing the r06
+    #      refresh queue;
+    #   3) fill to 50 with the 5 stalest r07-green entries
+    #      (doc_rarity_scores … event_value_histogram).
     "minhash_lsh_dups",
     "semdedup_clusters",
     "semdedup_eval_metrics",
-    "pagerank_coparts",
-    "copurchase_bfs_l3",
-    "copurchase_sssp",
-    "copurchase_triangles",
-    "copart_pairs_topk",
-    "basket_association_rules",
-    "ann_cosine_topk",
-    "simhash_near_dups",
-    "hll_distinct_users",
-    "duplicate_span_pairs",
-    "bpe_merge_candidates",
-    "weighted_sample_tokens",
-    "user_state_asof",
-    "paragraph_scrub_rebuild",
-    "minhash_eval_metrics",
-    "ngram_jaccard_thresholded",
-    "paragraph_dedup_stats",
-    "table_profile_orders",
-    "quality_decile_filter",
-    "user_retention_cohorts",
-    "training_shuffle_order",
-    "streaming_segment_purchase_totals",
-    "kmv_distinct_users",
-    "props_redaction_stats",
-    "event_funnel_conversion",
-    "event_transition_bigrams",
-    "incremental_priority_rollup",
-    "corpus_build_manifest",
-    "event_value_anomalies",
-    "embedding_label_centroids",
-    "shipping_lag_stats",
-    "packed_training_rows",
-    "ann_lsh_topk",
-    "ann_ivf_det_topk",
-    "cm_sketch_heavy_hitters",
-    "bloom_filter_prune",
-    "user_state_scd2",
-    "kmv_set_ops",
-    "embedding_random_projection",
-    "text_feature_hashing",
-    "ngram_containment_pairs",
-    "lang_id_confusion",
-    "media_phash_dedup",
-    "streaming_cm_sketch_cells",
-    "snapshot_diff",
-    "ab_experiment_metrics",
-    "ngram_jaccard_pairs",
-)
-_TAIL: tuple[str, ...] = (
-    # beyond the window: the 40 remaining r06-green entries stalest-first
-    # (they head the r09 promotion queue), then the 49 r07-green entries
-    # displaced from the r07 window (freshest rows in the union); every
-    # name union-green, each family keeping an in-window sibling.
-    # (r09 queue head: the two displaced-from-r08 entries first.)
     "ngram_jaccard_capped",
     "dedup_exact_survivors",
     "embedding_dim_profile",
@@ -192,6 +133,13 @@ _TAIL: tuple[str, ...] = (
     "part_expr_catalog",
     "events_cube",
     "event_value_histogram",
+)
+_TAIL: tuple[str, ...] = (
+    # beyond the window: the 42 remaining r07-green entries stalest-first
+    # (they head the r10 promotion queue: user_sessions …
+    # quantity_band_stats), then the 47 r08-green entries displaced from
+    # the r08 window (freshest rows in the union); every name
+    # union-green, each family keeping an in-window sibling.
     "user_sessions",
     "events_json_stats",
     "user_value_trend",
@@ -234,6 +182,55 @@ _TAIL: tuple[str, ...] = (
     "user_running_stats",
     "local_supplier_revenue",
     "quantity_band_stats",
+    # the 47 r08-green entries displaced from the r08 window (the 3
+    # code-changed r08 head entries re-verify in the r09 window above):
+    "pagerank_coparts",
+    "copurchase_bfs_l3",
+    "copurchase_sssp",
+    "copurchase_triangles",
+    "copart_pairs_topk",
+    "basket_association_rules",
+    "ann_cosine_topk",
+    "simhash_near_dups",
+    "hll_distinct_users",
+    "duplicate_span_pairs",
+    "bpe_merge_candidates",
+    "weighted_sample_tokens",
+    "user_state_asof",
+    "paragraph_scrub_rebuild",
+    "minhash_eval_metrics",
+    "ngram_jaccard_thresholded",
+    "paragraph_dedup_stats",
+    "table_profile_orders",
+    "quality_decile_filter",
+    "user_retention_cohorts",
+    "training_shuffle_order",
+    "streaming_segment_purchase_totals",
+    "kmv_distinct_users",
+    "props_redaction_stats",
+    "event_funnel_conversion",
+    "event_transition_bigrams",
+    "incremental_priority_rollup",
+    "corpus_build_manifest",
+    "event_value_anomalies",
+    "embedding_label_centroids",
+    "shipping_lag_stats",
+    "packed_training_rows",
+    "ann_lsh_topk",
+    "ann_ivf_det_topk",
+    "cm_sketch_heavy_hitters",
+    "bloom_filter_prune",
+    "user_state_scd2",
+    "kmv_set_ops",
+    "embedding_random_projection",
+    "text_feature_hashing",
+    "ngram_containment_pairs",
+    "lang_id_confusion",
+    "media_phash_dedup",
+    "streaming_cm_sketch_cells",
+    "snapshot_diff",
+    "ab_experiment_metrics",
+    "ngram_jaccard_pairs",
 )
 
 

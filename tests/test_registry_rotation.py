@@ -63,6 +63,22 @@ def test_head_tail_reference_real_queries():
     assert not set(registry._HEAD) & set(registry._TAIL)
 
 
+def test_head_fits_driver_window():
+    """_HEAD must not overflow the driver's 50-row window (ADVICE r08).
+
+    The driver records exactly the first WINDOW rows of all_queries()
+    order; a 51st _HEAD entry silently misses its re-verification while
+    the rotation record claims it is in-window. Exact equality is
+    enforced (not ≤): with a 139-query registry, an under-full window
+    wastes sweep slots the stalest _TAIL entries should be using.
+    """
+    assert len(registry._HEAD) == WINDOW, (
+        f"_HEAD has {len(registry._HEAD)} entries; the driver window is "
+        f"{WINDOW} — entries past position {WINDOW} silently miss this "
+        f"round's re-verification"
+    )
+
+
 def test_head_and_tail_order_is_respected():
     ordered = list(all_queries())
     assert tuple(ordered[: len(registry._HEAD)]) == registry._HEAD

@@ -235,7 +235,10 @@ def main() -> None:
         else:
             names.append(a)
     if baseline is None and factor > FACTOR:
-        baseline = FACTOR  # fifth decade: measure 10x -> 100x, one decade
+        # default to ONE decade below the target (100x -> baseline 10x,
+        # 1000x -> baseline 100x); the old constant-FACTOR default made
+        # --factor=1000 silently measure a TWO-decade jump (ADVICE r08).
+        baseline = max(1, factor // 10)
     names = tuple(names) or DEFAULT
     import __spark_entry__ as entrymod
 
