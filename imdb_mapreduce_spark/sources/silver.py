@@ -101,7 +101,19 @@ class _build_width:
     """Context manager: run a silver build at data-proportional shuffle
     width (max of the session setting and rows/SILVER_BUILD_ROWS_PER_
     PARTITION), restoring the session setting afterwards. A no-op at
-    driver SFs, where the formula resolves below the session default."""
+    driver SFs, where the formula resolves below the session default.
+
+    Restoration happens on success AND on build exception (``with``
+    guarantees ``__exit__``; pinned by
+    tests/test_silver.py::test_build_width_restores_on_exception).
+    SINGLE-SESSION ASSUMPTION (VERDICT r08): the mutation is session-
+    global, so a query running CONCURRENTLY on the same SparkSession
+    during a build would compile at the widened setting. Every harness
+    here (bench, driver, tests) is single-threaded per session, which
+    makes this inert today; a multi-tenant deployment should instead
+    scope the build to its own session (``spark.newSession()`` shares
+    the JVM but isolates SQL conf) — not done now to keep the measured
+    driver-SF plans byte-identical."""
 
     def __init__(self, spark: SparkSession, n_rows: int):
         self.spark = spark
