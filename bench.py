@@ -116,6 +116,22 @@ HEADLINE = (
 )
 
 
+# Drift canaries (VERDICT r08 item 6): pure-JVM queries whose code has not
+# changed since r06, with their BENCH_local_r06.json min-of-3 at sf0.1 as
+# the pinned reference. "drift_factor" = mean(current_min / reference) over
+# the three — host-period variance that cross-round comparisons divide out
+# BEFORE attributing per-query deltas to code (the r06↔r08 comparison cost
+# a manual A/B to separate ~1.5× uniform sub-second drift from real plan
+# changes). Only meaningful at sf=0.1 (where the references were taken);
+# null elsewhere. Re-pin the references if a canary's code ever changes,
+# and say so in COVERAGE.md's round notes.
+DRIFT_CANARIES = {
+    "hll_distinct_users": 0.272,
+    "user_running_stats": 0.526,
+    "bloom_filter_prune": 0.489,
+}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -179,6 +195,14 @@ def main() -> None:
     # times, session startup excluded (reported separately) — directly
     # comparable round over round per query.
     total = round(sum(timings.values()), 3)
+    drift_ratios = [
+        timings[n] / ref for n, ref in DRIFT_CANARIES.items() if n in timings
+    ]
+    drift_factor = (
+        round(sum(drift_ratios) / len(drift_ratios), 3)
+        if drift_ratios and abs(sf - 0.1) < 1e-9
+        else None
+    )
     # No "metric" key here (ADVICE r07): exactly ONE stdout line — the
     # compact final summary below — carries the canonical metric name, so
     # a take-first or take-all consumer can never grab this ~10 KB dict
@@ -194,6 +218,7 @@ def main() -> None:
                 "steady_total_sec": total,
                 "startup_sec": round(startup, 2),
                 "n_queries": len(timings),
+                "drift_factor": drift_factor,
                 "errors": errors,
             }
         )
@@ -213,6 +238,7 @@ def main() -> None:
                 "n_errors": len(errors),
                 "error_queries": sorted(errors)[:10],
                 "startup_sec": round(startup, 2),
+                "drift_factor": drift_factor,
                 "sf": sf,
             }
         )

@@ -223,6 +223,100 @@ def build_corpus(factor: int = FACTOR) -> str:
     return OUT
 
 
+# Queries that read the events table: when any is requested, the corpus
+# dirs also get a scaled events.parquet (built lazily — the main corpus
+# fingerprint is untouched so existing document/graph corpora never
+# rebuild just because the events generator appeared).
+EVENTS_FAMILY = (
+    "events_10min_windows",
+    "user_sessions",
+    "events_sliding_windows",
+    "user_running_stats",
+    "user_running_stats_salted",
+    "events_gapfill_zero",
+    "events_hourly",
+    "events_rolling_1h",
+    "events_cube",
+    "events_json_stats",
+    "user_value_trend",
+    "event_value_histogram",
+    "event_funnel_conversion",
+    "event_transition_bigrams",
+    "user_event_pivot",
+    "user_retention_cohorts",
+    "hll_distinct_users",
+    "kmv_distinct_users",
+    "cm_sketch_heavy_hitters",
+)
+
+
+def build_events(factor: int = FACTOR) -> str:
+    """Build (iff absent/stale) the ``factor``× events.parquet inside the
+    corpus dir (VERDICT r08 item 5 — a scaling decade for the
+    streaming/events family).
+
+    Scaling model: each segment is a DISJOINT-USER copy of the source
+    events (user_id and event_id offset by a per-shard stride, shard 0 =
+    the originals; ts / event_type / value / props kept verbatim). A
+    bigger event stream is more USERS at the same per-user behaviour —
+    the windowed aggregations then see factor× rows into the same time
+    grid (denser groups, the map-side-combine stress), while per-user
+    structures (sessions, running windows) keep their source density, so
+    the measured ratio isolates engine scaling, not a drifting session
+    or window distribution. The same reasoning as the document
+    vocabulary shards, applied to the user dimension.
+    """
+    OUT = out_dir(factor)
+    meta_path = os.path.join(OUT, "_events_meta.json")
+    st = os.stat(os.path.join(SRC, "events.parquet"))
+    fp = {
+        "factor": factor,
+        "seed": SEED,
+        "v": 1,
+        "events": [st.st_mtime_ns, st.st_size],
+    }
+    if os.path.exists(meta_path):
+        try:
+            with open(meta_path) as f:
+                if json.load(f) == fp and os.path.exists(
+                    os.path.join(OUT, "events.parquet")
+                ):
+                    return OUT
+        except (json.JSONDecodeError, OSError):
+            pass
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    os.makedirs(OUT, exist_ok=True)
+    src = pq.read_table(os.path.join(SRC, "events.parquet"))
+    eid_stride = pc.max(src.column("event_id")).as_py() + 1
+    uid_stride = pc.max(src.column("user_id")).as_py() + 1
+    shards = []
+    for s in range(factor):
+        t = src
+        if s:
+            t = t.set_column(
+                t.schema.get_field_index("event_id"),
+                "event_id",
+                pc.add(t.column("event_id"), s * eid_stride),
+            )
+            t = t.set_column(
+                t.schema.get_field_index("user_id"),
+                "user_id",
+                pc.add(t.column("user_id"), s * uid_stride),
+            )
+        shards.append(t)
+    out_tbl = pa.concat_tables(shards)
+    pq.write_table(out_tbl, os.path.join(OUT, "events.parquet"))
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(fp, f)
+    os.replace(tmp, meta_path)
+    return OUT
+
+
 def main() -> None:
     argv = list(sys.argv[1:])
     factor, baseline = FACTOR, None
@@ -248,6 +342,10 @@ def main() -> None:
         sys.exit(f"unknown queries: {unknown}")
     big_dir = build_corpus(factor)
     base_dir = SRC if baseline is None else build_corpus(baseline)
+    if any(n in EVENTS_FAMILY for n in names):
+        build_events(factor)
+        if baseline is not None:
+            build_events(baseline)
     from imdb_mapreduce_spark.session import get_spark
 
     spark = get_spark("scale10x")
