@@ -34,10 +34,30 @@ def silver_root() -> str:
 def _source_fingerprint(sf_dir: str, src_table: str, params: dict) -> dict:
     """The staleness key: source-file stat + every build knob. ONE
     implementation for the plain and bucketed paths (r06 review: two
-    hand-copies of the protocol risked silent divergence)."""
-    src = os.path.join(sf_dir, f"{src_table}.parquet")
+    hand-copies of the protocol risked silent divergence).
+
+    ``src`` is stored ABSOLUTE: with the raw caller spelling, naming the
+    same corpus relatively in one session and absolutely in another made
+    the fingerprint mismatch and silently re-ran the build — at the
+    1000× corpus that is a multi-hour 2.4B-edge rebuild triggered by
+    path spelling alone (found in r09; the rebuild also OOMed because
+    the requesting session wasn't provisioned for a build it never asked
+    for). :func:`_normalize_src` applies the same rule to STORED metas
+    at compare time, so pre-r09 relative-path metas stay valid without
+    a rewrite. abspath resolves against the process cwd; every harness
+    here (driver, bench, tests, tools) runs at the repo root."""
+    src = os.path.abspath(os.path.join(sf_dir, f"{src_table}.parquet"))
     st = os.stat(src)
     return {"src": src, "mtime_ns": st.st_mtime_ns, "size": st.st_size, **params}
+
+
+def _normalize_src(fp: dict | None) -> dict | None:
+    """Make a stored fingerprint comparable to a fresh one regardless of
+    how the build-time caller spelled the corpus path (see
+    :func:`_source_fingerprint`)."""
+    if fp and isinstance(fp.get("src"), str):
+        fp = {**fp, "src": os.path.abspath(fp["src"])}
+    return fp
 
 
 def _table_paths(sf_dir: str, name: str) -> tuple[str, str]:
@@ -148,7 +168,7 @@ def materialized(
     """
     fingerprint = _source_fingerprint(sf_dir, src_table, params)
     data_dir, meta_path = _table_paths(sf_dir, name)
-    if _stored_meta(meta_path, data_dir) == fingerprint:
+    if _normalize_src(_stored_meta(meta_path, data_dir)) == fingerprint:
         return spark.read.parquet(data_dir)
     with _build_width(spark, _src_num_rows(sf_dir, src_table)):
         build().write.mode("overwrite").parquet(data_dir)
@@ -200,7 +220,7 @@ def materialized_bucketed(
     table = f"silver_{name}_{sf_tag}".lower()
     data_dir, meta_path = _table_paths(sf_dir, name)
     stored = _stored_meta(meta_path, data_dir)
-    if stored is not None and stored.get("fingerprint") == fingerprint:
+    if stored is not None and _normalize_src(stored.get("fingerprint")) == fingerprint:
         if not spark.catalog.tableExists(table):
             spark.sql(
                 f"CREATE TABLE {table} ({stored['ddl']}) USING PARQUET "

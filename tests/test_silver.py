@@ -301,3 +301,41 @@ def test_basket_cap_audit_trips_on_over_cap_basket(spark):
 
     with _pytest.raises(ValueError, match="on_capped"):
         build_copurchase_pairs(e0, max_basket=4, on_capped="bogus")
+
+
+def test_fingerprint_ignores_src_path_spelling(spark, tmp_path):
+    """Naming the same corpus relatively vs absolutely must not rebuild
+    (r09: a pre-r09 meta stored the RELATIVE spelling its build session
+    used, and a later absolute-path request triggered a multi-hour
+    2.4B-edge silver rebuild that then OOMed — path spelling is not
+    staleness). Legacy relative-path metas normalize at compare time."""
+    import json
+
+    from imdb_mapreduce_spark.sources.silver import silver_root
+
+    sf_dir = str(tmp_path)
+    src = os.path.join(sf_dir, "documents.parquet")
+    spark.range(6).select(F.col("id").alias("doc_id")).coalesce(1).write.parquet(src)
+
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.read.parquet(src)
+
+    name = "spelling"
+    materialized(spark, sf_dir, name, "documents", {"v": 1}, build)
+    assert calls["n"] == 1
+
+    # rewrite the committed meta to the legacy RELATIVE spelling
+    meta = os.path.join(silver_root(), os.path.basename(sf_dir), name, "_meta.json")
+    with open(meta) as f:
+        stored = json.load(f)
+    assert os.path.isabs(stored["src"])  # new metas are stored absolute
+    stored["src"] = os.path.relpath(stored["src"])
+    with open(meta, "w") as f:
+        json.dump(stored, f)
+
+    # an absolute-path request against the relative-path meta: NO rebuild
+    materialized(spark, sf_dir, name, "documents", {"v": 1}, build)
+    assert calls["n"] == 1
