@@ -111,6 +111,7 @@ def pagerank_exact(
     max_broadcast_rows: int = 1_000_000,
     final_checkpoint: bool = True,
     deg: str | None = None,
+    persist_edges: bool = True,
 ) -> DataFrame:
     """Fixed-point PageRank in SCALED INTEGER arithmetic — every operation
     is bigint multiply / floor-divide / sum, so the result is independent
@@ -136,17 +137,37 @@ def pagerank_exact(
     min-of-3 isolated): 4.67 s → 4.14 s (−11%), the whole
     degree-annotation stage gone; per-round plans are identical.
     """
+    # ``persist_edges`` exists because caching a CORPUS-SIZED relation
+    # assumes cache capacity scales with the corpus (r09) — on a single
+    # JVM it doesn't: at the 1000× corpus (2.4B edges ≈ tens of GB
+    # deserialized vs an 8 GB heap) the MEMORY_AND_DISK eviction churn
+    # lost blocks under GC pressure ("Block rdd_N does not exist") and
+    # killed the job — the cache analog of the FIXED-WIDTH-AT-SCALE
+    # class. The cache is NOT free to drop either: measured at sf0.1
+    # (min-of-3, same host, A/B) the persisted run is 3.83 s vs 5.10 s
+    # scan-backed (+33% — ten rounds re-pay the scan+project). So the
+    # decision is the caller's data-proportional call: pagerank_coparts
+    # persists while a zero-job footer probe of the edge SOURCE stays
+    # under PR_PERSIST_MAX_SRC_ROWS and drops the cache past it —
+    # driver-SF plans and times unchanged, corpus scale survives.
+    ed_persisted = None
     if deg is not None:
         e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
         ed = edges.select(
             F.col(src).alias("_src"),
             F.col(dst).alias("_dst"),
             F.col(deg).alias("_deg"),
-        ).persist()
+        )
+        if persist_edges:
+            ed = ed.persist()
+            ed_persisted = ed
     else:
         e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
         degrees = e.groupBy("_src").agg(F.count("*").alias("_deg"))
-        ed = e.join(degrees, "_src").persist()
+        ed = e.join(degrees, "_src")
+        if persist_edges:
+            ed = ed.persist()
+            ed_persisted = ed
     nodes = (
         e.select(F.col("_src").alias("node"))
         .union(e.select(F.col("_dst").alias("node")))
@@ -190,5 +211,6 @@ def pagerank_exact(
         # assertion needs to see). Production callers keep the default.
         return ranks.localCheckpoint(eager=True) if final_checkpoint else ranks
     finally:
-        ed.unpersist()
+        if ed_persisted is not None:
+            ed_persisted.unpersist()
         nodes.unpersist()

@@ -132,6 +132,15 @@ def copart_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PR_ITERS = 10
 PR_SCALE = 10**15
+# Persist the degree-annotated edge relation across power iterations only
+# while the edge source (lineitem) is at most this many rows — edges run
+# ~4× source rows and ~40 B/row deserialized, so 25M source rows ≈ 100M
+# edges ≈ 4 GB cache, the most a shared single-JVM heap should be asked
+# to hold; past it the bucketed scan is re-read per round instead (the
+# measured trade is +33% at sf0.1 versus surviving at all at 1000× — see
+# operators/pagerank.pagerank_exact). Driver SFs and the 10× decade stay
+# under the threshold, so their measured plans/times are unchanged.
+PR_PERSIST_MAX_SRC_ROWS = 25_000_000
 
 
 def _pagerank_oracle(iterations: int = PR_ITERS, scale: int = PR_SCALE) -> str:
@@ -196,12 +205,29 @@ def pagerank_coparts(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical, hash-comparable. The float ``pagerank`` operator
     remains for convergence-style use."""
     from imdb_mapreduce_spark.operators.pagerank import pagerank_exact
+    from imdb_mapreduce_spark.sources.star import parquet_num_rows
 
     # r08: degrees come precomputed off the silver scan (deg column,
     # written once at build time) — the per-call e ⋈ deg annotation join
     # is gone; see operators/pagerank.pagerank_exact for the numbers.
     edges = copurchase_edges(spark, sf_dir).select("src", "dst", "deg")
-    ranks = pagerank_exact(edges, iterations=PR_ITERS, scale=PR_SCALE, deg="deg")
+    # r09: the edge cache is a data-proportional decision, not a fixed
+    # plan (see pagerank_exact's persist_edges note for the measured A/B
+    # and the 1000×-corpus lost-block failure): persist while the edge
+    # SOURCE is footer-probe small, run scan-backed off the bucketed
+    # layout past the threshold. Probe failure keeps the cache (the
+    # driver-SF/default behaviour).
+    try:
+        n_src = parquet_num_rows(f"{sf_dir}/lineitem.parquet")
+    except (OSError, ValueError):
+        n_src = 0
+    ranks = pagerank_exact(
+        edges,
+        iterations=PR_ITERS,
+        scale=PR_SCALE,
+        deg="deg",
+        persist_edges=n_src <= PR_PERSIST_MAX_SRC_ROWS,
+    )
     return (
         ranks.select(
             F.col("node").alias("part"),

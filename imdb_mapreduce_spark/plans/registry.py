@@ -81,11 +81,17 @@ _HEAD: tuple[str, ...] = (
     #      dedup_exact_survivors — the r07 precedent), then the 40
     #      r06-green `_TAIL` entries stalest-first — closing the r06
     #      refresh queue;
-    #   3) fill to 50 with the 5 stalest r07-green entries
-    #      (doc_rarity_scores … event_value_histogram).
+    #   3) pagerank_coparts, code-changed later in r09 (the edge cache
+    #      became a data-proportional decision: persist_edges off a
+    #      footer probe of the edge source, after the 1000×-corpus
+    #      lost-block failure) — re-verified in-window, displacing the
+    #      last fill entry (event_value_histogram) to the r10 queue head;
+    #   4) fill to 50 with the stalest r07-green entries
+    #      (doc_rarity_scores … events_cube).
     "minhash_lsh_dups",
     "semdedup_clusters",
     "semdedup_eval_metrics",
+    "pagerank_coparts",
     "ngram_jaccard_capped",
     "dedup_exact_survivors",
     "embedding_dim_profile",
@@ -132,7 +138,6 @@ _HEAD: tuple[str, ...] = (
     "tfidf_top_terms",
     "part_expr_catalog",
     "events_cube",
-    "event_value_histogram",
 )
 _TAIL: tuple[str, ...] = (
     # beyond the window: the 42 remaining r07-green entries stalest-first
@@ -140,6 +145,8 @@ _TAIL: tuple[str, ...] = (
     # quantity_band_stats), then the 47 r08-green entries displaced from
     # the r08 window (freshest rows in the union); every name
     # union-green, each family keeping an in-window sibling.
+    # (r10 queue head: displaced by the code-changed pagerank_coparts.)
+    "event_value_histogram",
     "user_sessions",
     "events_json_stats",
     "user_value_trend",
@@ -182,9 +189,8 @@ _TAIL: tuple[str, ...] = (
     "user_running_stats",
     "local_supplier_revenue",
     "quantity_band_stats",
-    # the 47 r08-green entries displaced from the r08 window (the 3
+    # the r08-green entries displaced from the r08 window (the 3+1
     # code-changed r08 head entries re-verify in the r09 window above):
-    "pagerank_coparts",
     "copurchase_bfs_l3",
     "copurchase_sssp",
     "copurchase_triangles",
