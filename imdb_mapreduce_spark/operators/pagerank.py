@@ -112,6 +112,7 @@ def pagerank_exact(
     final_checkpoint: bool = True,
     deg: str | None = None,
     persist_edges: bool = True,
+    shuffle_gc: bool = False,
 ) -> DataFrame:
     """Fixed-point PageRank in SCALED INTEGER arithmetic — every operation
     is bigint multiply / floor-divide / sum, so the result is independent
@@ -205,6 +206,26 @@ def pagerank_exact(
             )
             if (i + 1) % checkpoint_every == 0:
                 ranks = ranks.localCheckpoint(eager=True)
+                if shuffle_gc:
+                    # Shuffle-file hygiene for corpus-scale iteration
+                    # (r09): every round writes a shuffle ∝ edge count
+                    # (the contribution agg's map outputs — ~19 GB/round
+                    # at the 1000× corpus), and those files are released
+                    # only when the ShuffleDependency objects are GC'd
+                    # AFTER a checkpoint truncates the lineage that
+                    # references them. Left to the default 30-min
+                    # periodic GC, rounds×volume accumulates and fills
+                    # local disk ("No space left on device" at 1000×,
+                    # stage 37). A driver System.gc() right after each
+                    # checkpoint lets the ContextCleaner release the
+                    # pre-checkpoint shuffles before the next round
+                    # writes — disk high-water ≈ one checkpoint
+                    # interval's shuffles instead of the whole run's.
+                    # Off by default: at driver SFs a full GC per
+                    # checkpoint costs more than the kilobytes it frees
+                    # (callers gate it on the same footer probe as
+                    # persist_edges).
+                    edges.sparkSession.sparkContext._jvm.System.gc()
         # final_checkpoint=False is the plan-inspection path: it returns
         # the last round's UNtruncated plan so tests can explain() the
         # per-iteration join shape (a checkpoint erases the lineage the

@@ -221,12 +221,20 @@ def pagerank_coparts(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_src = parquet_num_rows(f"{sf_dir}/lineitem.parquet")
     except (OSError, ValueError):
         n_src = 0
+    small = n_src <= PR_PERSIST_MAX_SRC_ROWS
+    # Past the threshold the per-round shuffle is itself disk-scale
+    # (∝ edges), so the at-scale branch also checkpoints EVERY round and
+    # GCs the pre-checkpoint shuffle files (see pagerank_exact's
+    # shuffle_gc note) — disk high-water one round's shuffle, not ten.
+    # Driver SFs keep the measured cadence-3 optimum and no forced GC.
     ranks = pagerank_exact(
         edges,
         iterations=PR_ITERS,
         scale=PR_SCALE,
         deg="deg",
-        persist_edges=n_src <= PR_PERSIST_MAX_SRC_ROWS,
+        persist_edges=small,
+        checkpoint_every=3 if small else 1,
+        shuffle_gc=not small,
     )
     return (
         ranks.select(
