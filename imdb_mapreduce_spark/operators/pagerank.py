@@ -221,10 +221,19 @@ def pagerank_exact(
                     # pre-checkpoint shuffles before the next round
                     # writes — disk high-water ≈ one checkpoint
                     # interval's shuffles instead of the whole run's.
-                    # Off by default: at driver SFs a full GC per
-                    # checkpoint costs more than the kilobytes it frees
-                    # (callers gate it on the same footer probe as
-                    # persist_edges).
+                    # Python first: the superseded round's DataFrames
+                    # (old ranks/contribs and their checkpointed RDD
+                    # blocks) stay JVM-referenced through Py4J until
+                    # Python collects them — System.gc() alone freed
+                    # nothing (run 3 of the 1000× observation OOMed on
+                    # execution memory with every round's checkpoint
+                    # blocks still resident). Off by default: at driver
+                    # SFs a full GC per checkpoint costs more than the
+                    # kilobytes it frees (callers gate it on the same
+                    # footer probe as persist_edges).
+                    import gc
+
+                    gc.collect()
                     edges.sparkSession.sparkContext._jvm.System.gc()
         # final_checkpoint=False is the plan-inspection path: it returns
         # the last round's UNtruncated plan so tests can explain() the
