@@ -595,7 +595,9 @@ def verify_pairs_jaccard(pairs: DataFrame, docs: DataFrame) -> DataFrame:
     # relation); AQE may still upgrade it to broadcast from RUNTIME sizes,
     # which are the sizes that can be trusted.
     #
-    # Measured alternatives at sf0.1 (r08, min-of-3 isolated): this shape
+    # Measured alternatives at sf0.1 (r08, min-of-3 isolated; r09's
+    # guarded shape below measures 3.06 s on the same harness — the
+    # materialize-once count is free-to-negative): this shape
     # 3.39 s; broadcasting the half relation instead (zero exchanges of
     # the doc2 shingles) 6.79 s — the extra broadcast is a pipeline
     # BARRIER between the two joins and re-collects |pairs|·avg_shingles
