@@ -554,3 +554,28 @@ def test_media_phash_banding_is_exact_vs_quadratic(spark, tmp_path):
         if ham <= PHASH_HAM_MAX:
             expect[(a, b)] = ham
     assert pairs == expect
+
+
+def test_verify_pairs_jaccard_fallback_matches_broadcast(spark, monkeypatch):
+    """The r09 candidate-broadcast guard (ADVICE r08): past
+    VERIFY_BROADCAST_MAX_PAIRS the verify join falls back to a
+    shuffled-hash build on the pair side. Both branches must produce
+    identical (doc1, doc2, shared, jaccard) rows — the threshold is a
+    plan knob, never a semantic one."""
+    from imdb_mapreduce_spark.pipeline import dedup
+    from imdb_mapreduce_spark.sources.star import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    sigs = dedup.minhash_signatures_arrow(docs)
+    cands = dedup.lsh_candidate_pairs_md5(sigs)
+
+    def rows(df):
+        return {
+            (r["doc1"], r["doc2"], r["shared"], r["jaccard"])
+            for r in df.collect()
+        }
+
+    broadcast_rows = rows(dedup.verify_pairs_jaccard(cands, docs))
+    monkeypatch.setattr(dedup, "VERIFY_BROADCAST_MAX_PAIRS", 0)
+    fallback_rows = rows(dedup.verify_pairs_jaccard(cands, docs))
+    assert broadcast_rows and fallback_rows == broadcast_rows
