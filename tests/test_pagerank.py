@@ -117,3 +117,23 @@ def test_pagerank_exact_tracks_float_pagerank(spark):
     by_float = sorted(flt, key=lambda v: (-flt[v], v))
     by_exact = sorted(exact, key=lambda v: (-exact[v], v))
     assert by_float == by_exact
+
+
+def test_at_scale_branch_matches_default(spark):
+    """The r09 at-scale branch (scan-backed edges, checkpoint every
+    round, post-checkpoint GC) is a resource policy, never a semantic
+    one: ranks must be bit-identical to the default branch."""
+    from imdb_mapreduce_spark.operators.pagerank import pagerank_exact
+
+    edges = [(1, 2), (2, 1), (2, 3), (3, 2), (3, 1), (1, 3), (4, 1), (1, 4)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+
+    def ranks(**kw):
+        return {
+            r["node"]: r["rank_scaled"]
+            for r in pagerank_exact(df, iterations=7, **kw).collect()
+        }
+
+    default = ranks()
+    at_scale = ranks(persist_edges=False, checkpoint_every=1, shuffle_gc=True)
+    assert default and at_scale == default
