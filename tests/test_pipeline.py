@@ -579,3 +579,32 @@ def test_verify_pairs_jaccard_fallback_matches_broadcast(spark, monkeypatch):
     monkeypatch.setattr(dedup, "VERIFY_BROADCAST_MAX_PAIRS", 0)
     fallback_rows = rows(dedup.verify_pairs_jaccard(cands, docs))
     assert broadcast_rows and fallback_rows == broadcast_rows
+
+
+def test_verify_pairs_jaccard_branch_plans(spark, monkeypatch):
+    """Plan-level pin for the r09 guard: under the bound the candidate
+    side broadcasts (BroadcastExchange present); past it the join runs
+    shuffled (no broadcast of the pair relation) — so a regression that
+    silently re-broadcasts unbounded candidates turns red here."""
+    import io
+    from contextlib import redirect_stdout
+
+    from imdb_mapreduce_spark.pipeline import dedup
+    from imdb_mapreduce_spark.sources.star import load_table
+
+    def plan(df):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    cands = dedup.lsh_candidate_pairs_md5(dedup.minhash_signatures_arrow(docs))
+
+    p_broadcast = plan(dedup.verify_pairs_jaccard(cands, docs))
+    assert "BroadcastHashJoin" in p_broadcast
+
+    monkeypatch.setattr(dedup, "VERIFY_BROADCAST_MAX_PAIRS", 0)
+    p_fallback = plan(dedup.verify_pairs_jaccard(cands, docs))
+    assert "BroadcastHashJoin" not in p_fallback
+    assert "ShuffledHashJoin" in p_fallback
