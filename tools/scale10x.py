@@ -285,7 +285,6 @@ def build_events(factor: int = FACTOR) -> str:
         except (json.JSONDecodeError, OSError):
             pass
 
-    import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
@@ -293,23 +292,29 @@ def build_events(factor: int = FACTOR) -> str:
     src = pq.read_table(os.path.join(SRC, "events.parquet"))
     eid_stride = pc.max(src.column("event_id")).as_py() + 1
     uid_stride = pc.max(src.column("user_id")).as_py() + 1
-    shards = []
-    for s in range(factor):
-        t = src
-        if s:
-            t = t.set_column(
-                t.schema.get_field_index("event_id"),
-                "event_id",
-                pc.add(t.column("event_id"), s * eid_stride),
-            )
-            t = t.set_column(
-                t.schema.get_field_index("user_id"),
-                "user_id",
-                pc.add(t.column("user_id"), s * uid_stride),
-            )
-        shards.append(t)
-    out_tbl = pa.concat_tables(shards)
-    pq.write_table(out_tbl, os.path.join(OUT, "events.parquet"))
+    # Streamed shard-by-shard (one row group per shard): at factor=1000
+    # the concatenated table is ~15 GB of Arrow strings — the writer
+    # must scale with the FACTOR, not hold the product in memory (the
+    # generator obeying the same fixed-width-at-scale rule as the
+    # engine it feeds).
+    writer = pq.ParquetWriter(os.path.join(OUT, "events.parquet"), src.schema)
+    try:
+        for s in range(factor):
+            t = src
+            if s:
+                t = t.set_column(
+                    t.schema.get_field_index("event_id"),
+                    "event_id",
+                    pc.add(t.column("event_id"), s * eid_stride),
+                )
+                t = t.set_column(
+                    t.schema.get_field_index("user_id"),
+                    "user_id",
+                    pc.add(t.column("user_id"), s * uid_stride),
+                )
+            writer.write_table(t)
+    finally:
+        writer.close()
     tmp = meta_path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(fp, f)
