@@ -311,9 +311,21 @@ def _update_kmv(
     hash alone would shift m/kth under a collision. Pair-keyed dedup is
     exactly one-row-per-distinct-user, still bounded at k entries, and
     the trim is monotone (kth only ever decreases, so a dropped pair can
-    never re-qualify)."""
-    import hashlib
+    never re-qualify).
 
+    Vectorized (r09, found by the 1000×-events decade): the original
+    per-row Python loop (`hashlib.md5` per user id) stalled the drain at
+    100M rows — this operator's parallelism is KEY-BOUNDED (5 event
+    types = 5 tasks own everything), so per-row Python cost multiplies
+    by rows/key with no more tasks to hide it. The hash now arrives as
+    a JVM-computed column (identical md5-prefix expression to the batch
+    side, see :func:`running_kmv_by_type`) and the merge is one
+    `np.unique(axis=0)` over state ∪ batch pairs — lexicographic
+    sort + dedup, exactly ``sorted(set(pairs))`` — prefiltered by the
+    current kth (monotone trim: a pair above a full sketch's kth can
+    never qualify). Measured: the 100M-row drain went from stalled
+    (>25 min, killed) to completing; see SCALING.md r09."""
+    import numpy as np
     import pandas as pd
 
     from imdb_mapreduce_spark.plans.quality import KMV_K
@@ -323,28 +335,36 @@ def _update_kmv(
         if ver != KMV_STATE_VERSION:
             raise KmvStateVersionError(ver)
         hashes, users, rows_seen = (
-            list(state.get[1]),
-            list(state.get[2]),
+            np.asarray(state.get[1], dtype=np.int64),
+            np.asarray(state.get[2], dtype=np.int64),
             state.get[3],
         )
     else:
-        hashes, users, rows_seen = [], [], 0
-    cur = set(zip(hashes, users))
+        hashes = users = np.empty(0, dtype=np.int64)
+        rows_seen = 0
+    parts = [np.stack([hashes, users], axis=1)]
     for pdf in batches:
         rows_seen += len(pdf)
-        for u in pdf["user_id"]:
-            ui = int(u)
-            h = int(hashlib.md5(str(ui).encode()).hexdigest()[:15], 16)
-            cur.add((h, ui))
-    keep = sorted(cur)[:KMV_K]
+        if not len(pdf):
+            continue
+        bh = pdf["h"].to_numpy(dtype=np.int64)
+        bu = pdf["user_id"].to_numpy(dtype=np.int64)
+        if len(hashes) >= KMV_K:
+            # monotone prefilter: with a full sketch, only pairs at or
+            # below the current kth hash can enter the keep set
+            mask = bh <= hashes[-1]
+            bh, bu = bh[mask], bu[mask]
+        parts.append(np.stack([bh, bu], axis=1))
+    pairs = np.unique(np.concatenate(parts), axis=0)  # == sorted(set(...))
+    keep = pairs[:KMV_K]
     state.update(
-        (KMV_STATE_VERSION, [h for h, _ in keep], [u for _, u in keep], rows_seen)
+        (KMV_STATE_VERSION, keep[:, 0].tolist(), keep[:, 1].tolist(), rows_seen)
     )
     yield pd.DataFrame(
         {
             "event_type": [key[0]],
             "rows_seen": [rows_seen],
-            "kth_hash": [keep[-1][0]],
+            "kth_hash": [int(keep[-1, 0])],
             "m": [len(keep)],
         }
     )
@@ -352,8 +372,24 @@ def _update_kmv(
 
 def running_kmv_by_type(events: DataFrame) -> DataFrame:
     """Streaming KMV distinct-count sketch per event type (update mode):
-    constant-size k-smallest state per key, merged incrementally."""
-    return events.groupBy("event_type").applyInPandasWithState(
+    constant-size k-smallest state per key, merged incrementally.
+
+    The portable md5-fragment hash is computed JVM-SIDE here (the exact
+    expression the batch query and the DuckDB oracle build), so the
+    Python state handler never hashes — it only merges int64 arrays.
+    Stateless projections before ``applyInPandasWithState`` are allowed
+    in streaming plans; this is the supported way to keep a key-bounded
+    stateful operator off the row-at-a-time Python path."""
+    from pyspark.sql import functions as F
+
+    with_hash = events.select(
+        "event_type",
+        "user_id",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
+    return with_hash.groupBy("event_type").applyInPandasWithState(
         _update_kmv,
         outputStructType=KMV_STATE_SCHEMA,
         stateStructType=_KMV_STATE,
