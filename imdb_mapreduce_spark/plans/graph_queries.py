@@ -215,13 +215,28 @@ def pagerank_coparts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plan (see pagerank_exact's persist_edges note for the measured A/B
     # and the 1000×-corpus lost-block failure): persist while the edge
     # SOURCE is footer-probe small, run scan-backed off the bucketed
-    # layout past the threshold. Probe failure keeps the cache (the
-    # driver-SF/default behaviour).
+    # layout past the threshold. Probe FAILURE fails SAFE (ADVICE r09):
+    # an unreadable footer at a corpus-scale sf_dir must not select the
+    # persist+cadence-3 branch that is documented to die at 1000×
+    # (lost cache blocks, disk-filling shuffles) — the at-scale branch
+    # is correctness-equivalent and only +33% at driver SFs, so the
+    # unknown-size case takes it and says so loudly.
     try:
         n_src = parquet_num_rows(f"{sf_dir}/lineitem.parquet")
-    except (OSError, ValueError):
-        n_src = 0
-    small = n_src <= PR_PERSIST_MAX_SRC_ROWS
+        small = n_src <= PR_PERSIST_MAX_SRC_ROWS
+    except (OSError, ValueError) as exc:
+        import warnings
+
+        warnings.warn(
+            "pagerank_coparts: could not footer-probe "
+            f"{sf_dir}/lineitem.parquet ({exc!r}); the data-proportional "
+            "cache gate could not be evaluated — failing SAFE to the "
+            "scan-backed shuffle-GC branch (correct at any scale, +33% "
+            "at driver SFs)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        small = False
     # Past the threshold the per-round shuffle is itself disk-scale
     # (∝ edges), so the at-scale branch also checkpoints EVERY round and
     # GCs the pre-checkpoint shuffle files (see pagerank_exact's

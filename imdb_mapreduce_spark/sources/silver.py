@@ -36,17 +36,21 @@ def _source_fingerprint(sf_dir: str, src_table: str, params: dict) -> dict:
     implementation for the plain and bucketed paths (r06 review: two
     hand-copies of the protocol risked silent divergence).
 
-    ``src`` is stored ABSOLUTE: with the raw caller spelling, naming the
-    same corpus relatively in one session and absolutely in another made
-    the fingerprint mismatch and silently re-ran the build — at the
-    1000× corpus that is a multi-hour 2.4B-edge rebuild triggered by
-    path spelling alone (found in r09; the rebuild also OOMed because
-    the requesting session wasn't provisioned for a build it never asked
-    for). :func:`_normalize_src` applies the same rule to STORED metas
-    at compare time, so pre-r09 relative-path metas stay valid without
-    a rewrite. abspath resolves against the process cwd; every harness
-    here (driver, bench, tests, tools) runs at the repo root."""
-    src = os.path.abspath(os.path.join(sf_dir, f"{src_table}.parquet"))
+    ``src`` is stored CANONICAL (``os.path.realpath``): with the raw
+    caller spelling, naming the same corpus relatively in one session
+    and absolutely in another made the fingerprint mismatch and
+    silently re-ran the build — at the 1000× corpus that is a
+    multi-hour 2.4B-edge rebuild triggered by path spelling alone
+    (found in r09; the rebuild also OOMed because the requesting
+    session wasn't provisioned for a build it never asked for).
+    realpath, not abspath (ADVICE r09): abspath is cwd-dependent and
+    keeps symlink spellings distinct, so a harness run from a non-root
+    cwd or a corpus named via a symlink still re-triggered the rebuild
+    class; realpath subsumes abspath AND collapses symlinks to one
+    canonical spelling. :func:`_normalize_src` applies the same rule to
+    STORED metas at compare time, so pre-r10 abspath/relative metas
+    stay valid without a rewrite."""
+    src = os.path.realpath(os.path.join(sf_dir, f"{src_table}.parquet"))
     st = os.stat(src)
     return {"src": src, "mtime_ns": st.st_mtime_ns, "size": st.st_size, **params}
 
@@ -56,7 +60,7 @@ def _normalize_src(fp: dict | None) -> dict | None:
     how the build-time caller spelled the corpus path (see
     :func:`_source_fingerprint`)."""
     if fp and isinstance(fp.get("src"), str):
-        fp = {**fp, "src": os.path.abspath(fp["src"])}
+        fp = {**fp, "src": os.path.realpath(fp["src"])}
     return fp
 
 

@@ -137,3 +137,51 @@ def test_at_scale_branch_matches_default(spark):
     default = ranks()
     at_scale = ranks(persist_edges=False, checkpoint_every=1, shuffle_gc=True)
     assert default and at_scale == default
+
+
+def test_shuffle_gc_survives_missing_jvm_handle(spark, monkeypatch):
+    """`_jvm` is a private Py4J handle absent on Spark Connect sessions
+    (VERDICT r09 item 3): with it gone, the at-scale branch must degrade
+    to checkpoint-only with a RuntimeWarning — same ranks, no crash."""
+    import warnings
+
+    from imdb_mapreduce_spark.operators.pagerank import pagerank_exact
+
+    edges = [(1, 2), (2, 1), (2, 3), (3, 2), (3, 1), (1, 3)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    want = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank_exact(df, iterations=4).collect()
+    }
+
+    # Spark's own execution path still needs `_jvm` in local mode, so the
+    # stub fails only the `System` handle the guard reaches for (on a real
+    # Connect session the whole attribute is absent; the guard catches
+    # both shapes with the same except).
+    real_jvm = spark.sparkContext._jvm
+
+    class _NoSystemJvm:
+        def __getattr__(self, name):
+            if name == "System":
+                raise AttributeError(name)
+            return getattr(real_jvm, name)
+
+    monkeypatch.setattr(spark.sparkContext, "_jvm", _NoSystemJvm())
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        got = {
+            r["node"]: r["rank_scaled"]
+            for r in pagerank_exact(
+                df,
+                iterations=4,
+                persist_edges=False,
+                checkpoint_every=1,
+                shuffle_gc=True,
+            ).collect()
+        }
+    assert got == want
+    assert any(
+        "JVM GC unavailable" in str(w.message)
+        for w in caught
+        if issubclass(w.category, RuntimeWarning)
+    )

@@ -339,3 +339,19 @@ def test_fingerprint_ignores_src_path_spelling(spark, tmp_path):
     # an absolute-path request against the relative-path meta: NO rebuild
     materialized(spark, sf_dir, name, "documents", {"v": 1}, build)
     assert calls["n"] == 1
+
+    # symlink spelling (ADVICE r09: abspath kept symlink spellings
+    # distinct; realpath collapses them): naming the same corpus via a
+    # symlinked sf_dir must not rebuild either. NOTE the symlinked dir
+    # basename differs, so the silver TABLE PATH would differ — pin the
+    # comparison at the fingerprint level, where the r09 bug lived.
+    from imdb_mapreduce_spark.sources.silver import _source_fingerprint
+
+    link_dir = str(tmp_path.parent / (tmp_path.name + "-link"))
+    os.symlink(sf_dir, link_dir)
+    try:
+        fp_real = _source_fingerprint(sf_dir, "documents", {"v": 1})
+        fp_link = _source_fingerprint(link_dir, "documents", {"v": 1})
+        assert fp_real == fp_link  # same corpus, one canonical src spelling
+    finally:
+        os.unlink(link_dir)
