@@ -68,84 +68,32 @@ def register(
 # Rotate these lists each round so coverage accumulates. See COVERAGE.md
 # ("Driver correctness window") for the per-round rotation record.
 _HEAD: tuple[str, ...] = (
-    # r09 rotation (VERDICT r08 item 1; COVERAGE.md "Driver correctness
+    # r10 rotation (VERDICT r09 item 1; COVERAGE.md "Driver correctness
     # window" has the per-round record). Composition of the 50-slot window:
-    #   1) the 3 queries whose CODE changed this round, re-verified
-    #      in-window per the rotation contract: minhash_lsh_dups
-    #      (verify_pairs_jaccard's candidate broadcast is now GUARDED by a
-    #      row-count bound with a shuffled-hash fallback, ADVICE r08) and
-    #      semdedup_clusters + semdedup_eval_metrics (_assigned_cells'
-    #      refinement margin now scales with the GEMM term magnitude
-    #      ‖x‖²+max‖p‖², not the min distance, ADVICE r08);
-    #   2) the r09 queue head rolled from r08 (ngram_jaccard_capped,
-    #      dedup_exact_survivors — the r07 precedent), then the 40
-    #      r06-green `_TAIL` entries stalest-first — closing the r06
+    #   1) the queries whose CODE changed this round, re-verified in-window
+    #      per the rotation contract: streaming_kmv_distinct_salted (NEW —
+    #      the hot-key salted sub-key KMV tier, VERDICT r09 item 2),
+    #      streaming_kmv_distinct (its handler refactored onto the shared
+    #      _merge_kmv_state core), pagerank_coparts (footer-probe now fails
+    #      SAFE to the scan-backed branch, ADVICE r09; also the silver-
+    #      family representative for the realpath fingerprint change —
+    #      metadata-path only, results untouched), semdedup_clusters +
+    #      semdedup_eval_metrics (refinement margin ×2 so the stated
+    #      Cauchy-Schwarz bound is the true one, ADVICE r09), and
+    #      minhash_lsh_dups (retention-contract doc next to its
+    #      localCheckpoint — comment-only; re-verified conservatively);
+    #   2) the r10 queue head from the r09 notes: event_value_histogram,
+    #      then ALL 42 remaining r07-green entries stalest-first
+    #      (user_sessions … quantity_band_stats) — closing the r07
     #      refresh queue;
-    #   3) pagerank_coparts, code-changed later in r09 (the edge cache
-    #      became a data-proportional decision: persist_edges off a
-    #      footer probe of the edge source, after the 1000×-corpus
-    #      lost-block failure) — re-verified in-window, displacing the
-    #      last fill entry (event_value_histogram) to the r10 queue head;
-    #   4) fill to 50 with the stalest r07-green entries
-    #      (doc_rarity_scores … events_cube).
-    "minhash_lsh_dups",
+    #   3) fill to 50 with the stalest r08-green entry
+    #      (copurchase_bfs_l3 — also a silver reader).
+    "streaming_kmv_distinct_salted",
+    "streaming_kmv_distinct",
+    "pagerank_coparts",
     "semdedup_clusters",
     "semdedup_eval_metrics",
-    "pagerank_coparts",
-    "ngram_jaccard_capped",
-    "dedup_exact_survivors",
-    "embedding_dim_profile",
-    "hard_negative_lsh",
-    "ann_recall_eval",
-    "hard_negative_mining",
-    "incremental_dedup_verdicts",
-    "streaming_foreachbatch_upsert",
-    "embedding_lsh_dups",
-    "split_leakage_audit",
-    "zorder_layout_plan",
-    "zone_map_prune_audit",
-    "streaming_kmv_distinct",
-    "rollup_grouping_flags",
-    "events_json_struct",
-    "embedding_label_dups",
-    "customer_order_window",
-    "orders_by_month",
-    "supplier_unpivot",
-    "early_not_recent_buyers",
-    "brand_top2_parts",
-    "user_running_stats_salted",
-    "inverted_index_postings",
-    "doc_chunk_windows",
-    "embedding_int8_quant",
-    "pricing_summary",
-    "revenue_topk",
-    "customers_without_orders",
-    "order_basket_lookup",
-    "nation_customer_sorted",
-    "asof_last_purchase",
-    "events_10min_windows",
-    "dedup_clusters",
-    "parts_above_brand_avg",
-    "doc_embedding_profile",
-    "supplier_part_facts",
-    "events_hourly",
-    "order_price_quantiles",
-    "region_rollup",
-    "token_pack_assignment",
-    "media_byte_histogram",
-    "token_count_bpe",
-    "doc_rarity_scores",
-    "tfidf_top_terms",
-    "part_expr_catalog",
-    "events_cube",
-)
-_TAIL: tuple[str, ...] = (
-    # beyond the window: the 42 remaining r07-green entries stalest-first
-    # (they head the r10 promotion queue: user_sessions …
-    # quantity_band_stats), then the 47 r08-green entries displaced from
-    # the r08 window (freshest rows in the union); every name
-    # union-green, each family keeping an in-window sibling.
-    # (r10 queue head: displaced by the code-changed pagerank_coparts.)
+    "minhash_lsh_dups",
     "event_value_histogram",
     "user_sessions",
     "events_json_stats",
@@ -189,9 +137,14 @@ _TAIL: tuple[str, ...] = (
     "user_running_stats",
     "local_supplier_revenue",
     "quantity_band_stats",
-    # the r08-green entries displaced from the r08 window (the 3+1
-    # code-changed r08 head entries re-verify in the r09 window above):
     "copurchase_bfs_l3",
+)
+_TAIL: tuple[str, ...] = (
+    # beyond the window, stalest-first (the r11 promotion queue): the 45
+    # remaining r08-green entries (copurchase_sssp … ngram_jaccard_pairs),
+    # then the 45 r09-green entries displaced from the r09 window
+    # (freshest rows in the union); every name union-green, each family
+    # keeping an in-window sibling.
     "copurchase_sssp",
     "copurchase_triangles",
     "copart_pairs_topk",
@@ -237,6 +190,51 @@ _TAIL: tuple[str, ...] = (
     "snapshot_diff",
     "ab_experiment_metrics",
     "ngram_jaccard_pairs",
+    "ngram_jaccard_capped",
+    "dedup_exact_survivors",
+    "embedding_dim_profile",
+    "hard_negative_lsh",
+    "ann_recall_eval",
+    "hard_negative_mining",
+    "incremental_dedup_verdicts",
+    "streaming_foreachbatch_upsert",
+    "embedding_lsh_dups",
+    "split_leakage_audit",
+    "zorder_layout_plan",
+    "zone_map_prune_audit",
+    "rollup_grouping_flags",
+    "events_json_struct",
+    "embedding_label_dups",
+    "customer_order_window",
+    "orders_by_month",
+    "supplier_unpivot",
+    "early_not_recent_buyers",
+    "brand_top2_parts",
+    "user_running_stats_salted",
+    "inverted_index_postings",
+    "doc_chunk_windows",
+    "embedding_int8_quant",
+    "pricing_summary",
+    "revenue_topk",
+    "customers_without_orders",
+    "order_basket_lookup",
+    "nation_customer_sorted",
+    "asof_last_purchase",
+    "events_10min_windows",
+    "dedup_clusters",
+    "parts_above_brand_avg",
+    "doc_embedding_profile",
+    "supplier_part_facts",
+    "events_hourly",
+    "order_price_quantiles",
+    "region_rollup",
+    "token_pack_assignment",
+    "media_byte_histogram",
+    "token_count_bpe",
+    "doc_rarity_scores",
+    "tfidf_top_terms",
+    "part_expr_catalog",
+    "events_cube",
 )
 
 

@@ -154,3 +154,134 @@ def test_twsip_totals_equal_batch(spark):
         .collect()
     }
     assert got == want
+
+
+def test_salted_kmv_equals_unsalted_and_breaks_key_bound(spark):
+    """The salted sub-key sketch must (a) land on the IDENTICAL result as
+    the unsalted operator (the KMV merge law: union of per-salt keeps ⊇
+    global keep set) and (b) actually spread each event type's state
+    across >1 sub-key — the structural proof the single-owner-per-key
+    bound is broken (VERDICT r09 item 2)."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    unsalted = {
+        r["event_type"]: (r["rows_seen"], r["kth_hash"], r["m"])
+        for r in qs["streaming_kmv_distinct"](spark, SF).collect()
+    }
+    salted = {
+        r["event_type"]: (r["rows_seen"], r["kth_hash"], r["m"])
+        for r in qs["streaming_kmv_distinct_salted"](spark, SF).collect()
+    }
+    assert salted == unsalted and len(salted) > 0
+
+    # sub-key spread: drain the salted change-log directly and count the
+    # distinct (event_type, salt) state owners per type
+    from imdb_mapreduce_spark.streaming.jobs import run_stream_to_memory
+    from imdb_mapreduce_spark.streaming.stateful import (
+        KMV_SALTS,
+        running_kmv_by_type_salted,
+    )
+
+    stream = read_events_stream(spark, f"{SF}/events.parquet")
+    log = run_stream_to_memory(running_kmv_by_type_salted(stream), "update")
+    per_type = {
+        r["event_type"]: r["n_salts"]
+        for r in log.groupBy("event_type")
+        .agg(F.countDistinct("salt").alias("n_salts"))
+        .collect()
+    }
+    # md5-uniform hashes at sf0.001 volumes fill every salt bucket
+    assert per_type and all(n == KMV_SALTS for n in per_type.values()), per_type
+
+
+def test_kmv_stale_state_restart_fails_typed(spark, tmp_path):
+    """Operational drill for the versioned KMV state (VERDICT r09 item 6):
+    restarting from a checkpoint whose state was written under a DIFFERENT
+    KMV_STATE_VERSION must fail with the typed KmvStateVersionError (whose
+    message names the recover-by-rebuild path), never silently merge.
+
+    The stale state is produced by a handler that writes version
+    KMV_STATE_VERSION - 1 into the same state schema (a checkpoint from an
+    older code revision); the restart runs the REAL operator against that
+    checkpoint with a second file delivered, forcing a state restore."""
+    import os
+
+    import pandas as pd
+
+    from imdb_mapreduce_spark.streaming.stateful import (
+        _KMV_STATE,
+        KMV_STATE_SCHEMA,
+        KMV_STATE_VERSION,
+        running_kmv_by_type,
+    )
+
+    events = load_table(spark, "events", SF).select(
+        "event_type",
+        "user_id",
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+        )
+        .cast("bigint")
+        .alias("h"),
+    )
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    events.limit(200).coalesce(1).write.parquet(src)
+
+    def stale_writer(key, batches, state):
+        n = sum(len(p) for p in batches)
+        state.update((KMV_STATE_VERSION - 1, [1], [1], n))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "rows_seen": [n],
+                "kth_hash": [1],
+                "m": [1],
+            }
+        )
+
+    def drain(handler):
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        result = stream.groupBy("event_type").applyInPandasWithState(
+            handler,
+            outputStructType=KMV_STATE_SCHEMA,
+            stateStructType=_KMV_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        # noop sink: supports update mode AND checkpoint recovery (the
+        # memory sink refuses to recover, by design)
+        q = (
+            result.writeStream.format("noop")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain(stale_writer)
+
+    # new data → the restarted real operator must restore the v-1 state
+    extra = events.limit(50).toPandas()
+    spark.createDataFrame(extra, events.schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    # one extra part file appeared; restart from the SAME checkpoint
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from imdb_mapreduce_spark.streaming.stateful import _update_kmv
+
+    with pytest.raises(Exception) as excinfo:
+        drain(_update_kmv)
+    msg = str(excinfo.value)
+    assert "KMV streaming state version" in msg, msg[:2000]
+    assert "discard the checkpoint" in msg, msg[:2000]
