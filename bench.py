@@ -195,12 +195,29 @@ def main() -> None:
     # times, session startup excluded (reported separately) — directly
     # comparable round over round per query.
     total = round(sum(timings.values()), 3)
-    drift_ratios = [
-        timings[n] / ref for n, ref in DRIFT_CANARIES.items() if n in timings
-    ]
+    # Canary v2 (VERDICT r09 item 4): the 3-sample mean is
+    # heteroscedastic (sub-second queries inflate the most), so the
+    # PER-CANARY ratios and the min/max band are recorded alongside the
+    # mean — cross-round comparisons should quote the band
+    # (best/worst-case normalization), not lean on one divisor.
+    at_ref_sf = abs(sf - 0.1) < 1e-9
+    drift_each = (
+        {
+            n: round(timings[n] / ref, 3)
+            for n, ref in DRIFT_CANARIES.items()
+            if n in timings
+        }
+        if at_ref_sf
+        else {}
+    )
     drift_factor = (
-        round(sum(drift_ratios) / len(drift_ratios), 3)
-        if drift_ratios and abs(sf - 0.1) < 1e-9
+        round(sum(drift_each.values()) / len(drift_each), 3)
+        if drift_each
+        else None
+    )
+    drift_band = (
+        [min(drift_each.values()), max(drift_each.values())]
+        if drift_each
         else None
     )
     # No "metric" key here (ADVICE r07): exactly ONE stdout line — the
@@ -219,6 +236,8 @@ def main() -> None:
                 "startup_sec": round(startup, 2),
                 "n_queries": len(timings),
                 "drift_factor": drift_factor,
+                "drift_canaries": drift_each,
+                "drift_band": drift_band,
                 "errors": errors,
             }
         )
@@ -239,6 +258,7 @@ def main() -> None:
                 "error_queries": sorted(errors)[:10],
                 "startup_sec": round(startup, 2),
                 "drift_factor": drift_factor,
+                "drift_band": drift_band,
                 "sf": sf,
             }
         )
