@@ -409,7 +409,16 @@ def running_kmv_by_type(events: DataFrame) -> DataFrame:
     Python state handler never hashes — it only merges int64 arrays.
     Stateless projections before ``applyInPandasWithState`` are allowed
     in streaming plans; this is the supported way to keep a key-bounded
-    stateful operator off the row-at-a-time Python path."""
+    stateful operator off the row-at-a-time Python path.
+
+    SKEW WARNING (r10, measured): this operator's parallelism is
+    key-bounded — one state task owns each event type. On a skewed
+    100M-event stream (one type = 59.8% of rows) the hot key's task was
+    still running at >45 min while its 31 siblings finished in seconds;
+    :func:`running_kmv_by_type_salted` drained the same stream in
+    63.2 s with the identical result (SCALING.md r10). Use the salted
+    tier wherever key skew is possible; this one remains the simpler
+    sibling for balanced, moderate-volume key sets."""
     from pyspark.sql import functions as F
 
     with_hash = events.select(

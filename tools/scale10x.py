@@ -247,6 +247,9 @@ EVENTS_FAMILY = (
     "hll_distinct_users",
     "kmv_distinct_users",
     "cm_sketch_heavy_hitters",
+    "streaming_kmv_distinct",
+    "streaming_kmv_distinct_salted",
+    "streaming_cm_sketch_cells",
 )
 
 
