@@ -1,0 +1,111 @@
+"""Property tests for the salted KMV merge law at the handler-core level
+(no Spark session): for ANY pair stream, ANY batch split, and ANY salt
+count, per-sub-key k-smallest keeps, unioned and re-trimmed, equal the
+global k-smallest over distinct pairs — the exact claim
+`streaming_kmv_distinct_salted`'s downstream aggregation relies on.
+
+Runs `_merge_kmv_state` itself (version check, monotone kth prefilter,
+np.unique merge, trim) through a GroupState stub, so the property covers
+the production code path, not a re-derivation of it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from imdb_mapreduce_spark.plans.quality import KMV_K
+from imdb_mapreduce_spark.streaming.stateful import (
+    KMV_STATE_VERSION,
+    KmvStateVersionError,
+    _merge_kmv_state,
+)
+
+
+class FakeState:
+    """The minimal GroupState surface `_merge_kmv_state` touches."""
+
+    def __init__(self, tup=None):
+        self._t = tup
+
+    @property
+    def exists(self):
+        return self._t is not None
+
+    @property
+    def get(self):
+        return self._t
+
+    def update(self, t):
+        self._t = t
+
+
+def _drain(pairs: list[tuple[int, int]], n_batches: int) -> FakeState:
+    """Feed `pairs` through one state in `n_batches` sequential calls
+    (cross-batch incrementality, like micro-batches arriving)."""
+    state = FakeState()
+    chunks = np.array_split(np.arange(len(pairs)), n_batches)
+    for idx in chunks:
+        batch = pd.DataFrame(
+            {
+                "h": np.array([pairs[i][0] for i in idx], dtype=np.int64),
+                "user_id": np.array([pairs[i][1] for i in idx], dtype=np.int64),
+            }
+        )
+        _merge_kmv_state(state, iter([batch]))
+    return state
+
+
+# small hash space (0..200) forces heavy collisions: distinct users with
+# the SAME hash — the case pair-keyed dedup exists for
+pair_lists = st.lists(
+    st.tuples(st.integers(0, 200), st.integers(0, 50)),
+    min_size=1,
+    max_size=400,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(pairs=pair_lists, n_salts=st.integers(1, 7), n_batches=st.integers(1, 5))
+def test_salted_subkey_merge_equals_global(pairs, n_salts, n_batches):
+    want = sorted(set(pairs))[:KMV_K]  # global keep set over distinct pairs
+
+    # salted: route each pair by pmod(h, n_salts), drain per sub-key,
+    # union the keep sets, re-take the k smallest (the downstream agg)
+    merged: list[tuple[int, int]] = []
+    rows_total = 0
+    for s in range(n_salts):
+        sub = [p for p in pairs if p[0] % n_salts == s]
+        if not sub:
+            continue
+        state = _drain(sub, min(n_batches, len(sub)))
+        ver, hashes, users, rows_seen = state.get
+        assert ver == KMV_STATE_VERSION
+        rows_total += rows_seen
+        merged.extend(zip(hashes, users))
+    got = sorted(set(merged))[:KMV_K]
+
+    assert got == want
+    assert rows_total == len(pairs)
+
+
+@settings(max_examples=30, deadline=None)
+@given(pairs=pair_lists, n_batches=st.integers(1, 5))
+def test_unsalted_state_equals_global(pairs, n_batches):
+    state = _drain(pairs, min(n_batches, len(pairs)))
+    _, hashes, users, rows_seen = state.get
+    assert sorted(zip(hashes, users)) == sorted(set(pairs))[:KMV_K]
+    assert rows_seen == len(pairs)
+
+
+def test_stale_version_raises_typed():
+    state = FakeState((KMV_STATE_VERSION - 1, [1], [1], 3))
+    batch = pd.DataFrame({"h": [2], "user_id": [2]})
+    try:
+        _merge_kmv_state(state, iter([batch]))
+    except KmvStateVersionError as exc:
+        assert "discard the checkpoint" in str(exc)
+    else:
+        raise AssertionError("stale state version did not raise")
