@@ -465,32 +465,94 @@ KMV_SALTED_SCHEMA = StructType(
     ]
 )
 
+# The salted state additionally pins N_SALTS: the salt count is part of
+# the CHECKPOINT CONTRACT — `pmod(h, n_salts)` decides which sub-key owns
+# a pair, so restarting a checkpoint under a different n_salts silently
+# redistributes pair universes (an old bucket's keep set can trim pairs
+# that still belong to the global top-k) and, on a decrease, orphans the
+# high-salt sub-keys entirely (their keeps would never surface again).
+# Storing n_salts in the state makes any such restart fail typed on the
+# first invoked sub-key — the same discard-and-rebootstrap runbook as a
+# version bump. Drill: test_kmv_salts_change_restart_fails_typed.
+_KMV_SALTED_STATE = (
+    "v LONG, n_salts LONG, hashes ARRAY<LONG>, users ARRAY<LONG>, "
+    "rows_seen LONG"
+)
 
-def _update_kmv_salted(
-    key: tuple[Any, ...],
-    batches: Iterator["pd.DataFrame"],
-    state: GroupState,
-) -> Iterator["pd.DataFrame"]:
-    """Per-(event_type, salt) KMV state: the SAME vectorized merge as
-    :func:`_update_kmv` (shared :func:`_merge_kmv_state` core, same state
-    schema + version marker) over the salt's slice of the pair universe.
+
+class KmvSaltsChangedError(RuntimeError):
+    """A salted-KMV checkpoint was written under a different salt count.
+    Discard the checkpoint directory and re-bootstrap from the source."""
+
+    def __init__(self, found: int, expected: int) -> None:
+        super().__init__(
+            f"salted KMV state was written with n_salts={found} but this "
+            f"query runs n_salts={expected}; the salt count is part of the "
+            "checkpoint contract (it decides sub-key ownership of pairs) — "
+            "discard the checkpoint and re-bootstrap the stream from the "
+            "source"
+        )
+
+
+class _SaltedStateView:
+    """Adapter presenting the salted 5-field state to the shared 4-field
+    merge core: checks the stored n_salts on read, re-inserts it on
+    write. Keeps ONE implementation of the merge/version logic."""
+
+    def __init__(self, state: GroupState, n_salts: int) -> None:
+        self._state = state
+        self._n_salts = n_salts
+
+    @property
+    def exists(self) -> bool:
+        return self._state.exists
+
+    @property
+    def get(self):
+        ver, stored_salts, hashes, users, rows_seen = self._state.get
+        if stored_salts != self._n_salts:
+            raise KmvSaltsChangedError(stored_salts, self._n_salts)
+        return (ver, hashes, users, rows_seen)
+
+    def update(self, t) -> None:
+        ver, hashes, users, rows_seen = t
+        self._state.update((ver, self._n_salts, hashes, users, rows_seen))
+
+
+def _make_update_kmv_salted(n_salts: int):
+    """Build the per-(event_type, salt) handler: the SAME vectorized
+    merge as :func:`_update_kmv` (shared :func:`_merge_kmv_state` core,
+    same version marker) over the salt's slice of the pair universe,
+    plus the n_salts contract check (see ``_KMV_SALTED_STATE``).
     Emits the full keep arrays, not just (kth, m): the global sketch is
     recovered downstream by the KMV merge law — union the sub-sketch keep
     sets, re-take the k smallest (proven by the batch-side merge-law
-    pytest; valid here because each global top-k pair lives in exactly
-    one salt bucket and is, within it, among that bucket's top-k)."""
-    import pandas as pd
+    pytest AND the handler-core hypothesis property in
+    tests/test_kmv_merge_law.py; valid because each global top-k pair
+    lives in exactly one salt bucket and is, within it, among that
+    bucket's top-k)."""
 
-    keep, rows_seen = _merge_kmv_state(state, batches)
-    yield pd.DataFrame(
-        {
-            "event_type": [key[0]],
-            "salt": [int(key[1])],
-            "rows_seen": [rows_seen],
-            "hashes": [keep[:, 0].tolist()],
-            "users": [keep[:, 1].tolist()],
-        }
-    )
+    def update(
+        key: tuple[Any, ...],
+        batches: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        keep, rows_seen = _merge_kmv_state(
+            _SaltedStateView(state, n_salts), batches
+        )
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "salt": [int(key[1])],
+                "rows_seen": [rows_seen],
+                "hashes": [keep[:, 0].tolist()],
+                "users": [keep[:, 1].tolist()],
+            }
+        )
+
+    return update
 
 
 def running_kmv_by_type_salted(
@@ -518,9 +580,9 @@ def running_kmv_by_type_salted(
         "salt", F.pmod(F.col("h"), F.lit(n_salts)).cast("int")
     )
     return salted.groupBy("event_type", "salt").applyInPandasWithState(
-        _update_kmv_salted,
+        _make_update_kmv_salted(n_salts),
         outputStructType=KMV_SALTED_SCHEMA,
-        stateStructType=_KMV_STATE,
+        stateStructType=_KMV_SALTED_STATE,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

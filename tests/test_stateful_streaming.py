@@ -285,3 +285,54 @@ def test_kmv_stale_state_restart_fails_typed(spark, tmp_path):
     msg = str(excinfo.value)
     assert "KMV streaming state version" in msg, msg[:2000]
     assert "discard the checkpoint" in msg, msg[:2000]
+
+
+def test_kmv_salts_change_restart_fails_typed(spark, tmp_path):
+    """The salt count is part of the checkpoint contract (it decides
+    sub-key ownership of pairs): restarting a salted-KMV checkpoint with
+    a DIFFERENT n_salts must fail with the typed KmvSaltsChangedError —
+    silently redistributed pair universes would corrupt the merged
+    sketch (trimmed global-top-k pairs; orphaned high-salt sub-keys on a
+    decrease)."""
+    import pytest
+
+    from imdb_mapreduce_spark.sources.star import load_table
+    from imdb_mapreduce_spark.streaming.stateful import (
+        running_kmv_by_type_salted,
+    )
+
+    events = load_table(spark, "events", SF).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    events.limit(300).coalesce(1).write.parquet(src)
+
+    def drain(n_salts):
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            running_kmv_by_type_salted(stream, n_salts=n_salts)
+            .writeStream.format("noop")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain(8)
+    # new data so the restart has a batch to run, then a different salt
+    # count against the SAME checkpoint
+    extra = events.limit(50).toPandas()
+    spark.createDataFrame(extra, events.schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    with pytest.raises(Exception) as excinfo:
+        drain(4)
+    msg = str(excinfo.value)
+    assert "n_salts=8" in msg and "n_salts=4" in msg, msg[:2000]
+    assert "discard the checkpoint" in msg, msg[:2000]
