@@ -455,6 +455,26 @@ def running_kmv_by_type(events: DataFrame) -> DataFrame:
 # executor-core count — state stays k·|types|·KMV_SALTS longs, still tiny.
 KMV_SALTS = 8
 
+# Per-sub-key row budget for one drain. The SEVENTH events decade (1B
+# rows, r10) caught the salt count itself as a fixed-width-at-scale
+# member: at 8 salts a balanced 1B-row drain puts ~25M rows behind each
+# sub-key, and the Arrow bridge's per-GROUP direct-buffer serialization
+# (grow/copy/dispose, see SCALING.md r10) stalls once concurrent group
+# buffers reach the ~GB scale — 23 tasks sat >15 min at 100% CPU inside
+# DirectByteBufferOutputStream.grow. 8M rows/sub-key keeps every group
+# buffer in the measured linear regime (~300 MB) with full concurrency.
+KMV_SUBKEY_TARGET_ROWS = 8_000_000
+
+
+def kmv_salts_for_rows(total_rows: int) -> int:
+    """Data-proportional salt count: enough sub-keys that even a key
+    owning EVERY row stays under ``KMV_SUBKEY_TARGET_ROWS`` per sub-key,
+    never below the ``KMV_SALTS`` floor (so driver-SF drains keep the 8
+    sub-keys the recorded plans and decades used). Pure and monotone —
+    pinned by tests/test_kmv_merge_law.py; the RESULT is n_salts-
+    independent (the merge-law property), so this only sizes the drain."""
+    return max(KMV_SALTS, -(-int(total_rows) // KMV_SUBKEY_TARGET_ROWS))
+
 KMV_SALTED_SCHEMA = StructType(
     [
         StructField("event_type", StringType()),

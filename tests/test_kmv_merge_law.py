@@ -109,3 +109,28 @@ def test_stale_version_raises_typed():
         assert "discard the checkpoint" in str(exc)
     else:
         raise AssertionError("stale state version did not raise")
+
+
+def test_salt_count_is_data_proportional():
+    """The salt count scales with the footer (the seventh events decade
+    caught a fixed count as a fixed-width-at-scale member): driver SFs
+    keep the 8-salt floor (recorded plans/decades unchanged), a 1B-row
+    drain gets enough sub-keys that even a 100%-hot key stays under the
+    per-sub-key row budget, and the function is monotone."""
+    from imdb_mapreduce_spark.streaming.stateful import (
+        KMV_SALTS,
+        KMV_SUBKEY_TARGET_ROWS,
+        kmv_salts_for_rows,
+    )
+
+    assert kmv_salts_for_rows(0) == KMV_SALTS
+    assert kmv_salts_for_rows(100_000) == KMV_SALTS          # sf0.1
+    assert kmv_salts_for_rows(100_000_000) == 13             # 1000x events
+    n = kmv_salts_for_rows(1_000_000_000)                    # 10000x
+    assert n == 125
+    assert 1_000_000_000 / n <= KMV_SUBKEY_TARGET_ROWS       # worst hot key
+    prev = 0
+    for rows in (0, 10**5, 10**7, 10**8, 10**9, 10**10):
+        cur = kmv_salts_for_rows(rows)
+        assert cur >= prev
+        prev = cur
