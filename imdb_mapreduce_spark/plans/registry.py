@@ -68,83 +68,25 @@ def register(
 # Rotate these lists each round so coverage accumulates. See COVERAGE.md
 # ("Driver correctness window") for the per-round rotation record.
 _HEAD: tuple[str, ...] = (
-    # r10 rotation (VERDICT r09 item 1; COVERAGE.md "Driver correctness
+    # r11 rotation (VERDICT r10 item 1; COVERAGE.md "Driver correctness
     # window" has the per-round record). Composition of the 50-slot window:
     #   1) the queries whose CODE changed this round, re-verified in-window
-    #      per the rotation contract: streaming_kmv_distinct_salted (NEW —
-    #      the hot-key salted sub-key KMV tier, VERDICT r09 item 2),
-    #      streaming_kmv_distinct (its handler refactored onto the shared
-    #      _merge_kmv_state core), pagerank_coparts (footer-probe now fails
-    #      SAFE to the scan-backed branch, ADVICE r09; also the silver-
-    #      family representative for the realpath fingerprint change —
-    #      metadata-path only, results untouched), semdedup_clusters +
-    #      semdedup_eval_metrics (refinement margin ×2 so the stated
-    #      Cauchy-Schwarz bound is the true one, ADVICE r09), and
-    #      minhash_lsh_dups (retention-contract doc next to its
-    #      localCheckpoint — comment-only; re-verified conservatively);
-    #   2) the r10 queue head from the r09 notes: event_value_histogram,
-    #      then ALL 42 remaining r07-green entries stalest-first
-    #      (user_sessions … quantity_band_stats) — closing the r07
-    #      refresh queue;
-    #   3) fill to 50 with the stalest r08-green entry
-    #      (copurchase_bfs_l3 — also a silver reader).
+    #      per the rotation contract: streaming_kmv_distinct_salted (ADVICE
+    #      r10 — data-proportional footer-probe fallback sized for the
+    #      largest measured corpus, citation re-anchor, KMV_SUBKEY_TARGET_ROWS
+    #      env override, version-before-salt-count check order, plus the
+    #      GREEN checkpoint-resume drill of VERDICT r10 item 2) and
+    #      streaming_kmv_distinct (shares the _merge_kmv_state core whose
+    #      version-check order changed);
+    #   2) the r11 queue from the r10 notes: ALL 45 remaining r08-green
+    #      entries stalest-first (copurchase_sssp … ngram_jaccard_pairs) —
+    #      closing the r08 refresh queue;
+    #   3) fill to 50 with the stalest r09-green entries
+    #      (ngram_jaccard_capped, dedup_exact_survivors,
+    #      embedding_dim_profile); the two displaced fills
+    #      (hard_negative_lsh, ann_recall_eval) head the r12 queue.
     "streaming_kmv_distinct_salted",
     "streaming_kmv_distinct",
-    "pagerank_coparts",
-    "semdedup_clusters",
-    "semdedup_eval_metrics",
-    "minhash_lsh_dups",
-    "event_value_histogram",
-    "user_sessions",
-    "events_json_stats",
-    "user_value_trend",
-    "benchmark_decontam",
-    "streaming_dedup_10min_counts",
-    "dedup_exact_groups",
-    "streaming_click_attribution",
-    "streaming_10min_counts",
-    "orders_per_customer",
-    "corpus_keep_list",
-    "media_metadata_stats",
-    "media_feature_extract",
-    "media_resize_plan",
-    "media_frame_sample",
-    "media_format_rollup",
-    "doc_fingerprint_rolling",
-    "dataset_split_assignment",
-    "content_sample",
-    "doc_repetition_stats",
-    "source_quality_profile",
-    "user_event_pivot",
-    "fuzzy_name_match",
-    "embedding_norm_stats",
-    "doc_quality_stats",
-    "lang_id_heuristic",
-    "stratified_sample_hash",
-    "sample_n_per_group",
-    "cdc_orders_upsert",
-    "dq_expectations",
-    "events_sliding_windows",
-    "events_gapfill_zero",
-    "segment_reconciliation_fullouter",
-    "loyal_buyer_intersect",
-    "dedup_survivors_by_quality",
-    "corpus_mix_allocation",
-    "events_rolling_1h",
-    "key_skew_profile",
-    "priority_segment_union",
-    "active_buildings_semi",
-    "user_running_stats",
-    "local_supplier_revenue",
-    "quantity_band_stats",
-    "copurchase_bfs_l3",
-)
-_TAIL: tuple[str, ...] = (
-    # beyond the window, stalest-first (the r11 promotion queue): the 45
-    # remaining r08-green entries (copurchase_sssp … ngram_jaccard_pairs),
-    # then the 45 r09-green entries displaced from the r09 window
-    # (freshest rows in the union); every name union-green, each family
-    # keeping an in-window sibling.
     "copurchase_sssp",
     "copurchase_triangles",
     "copart_pairs_topk",
@@ -193,6 +135,15 @@ _TAIL: tuple[str, ...] = (
     "ngram_jaccard_capped",
     "dedup_exact_survivors",
     "embedding_dim_profile",
+)
+_TAIL: tuple[str, ...] = (
+    # beyond the window, stalest-first (the r12 promotion queue): the two
+    # r09-green fills displaced from the r11 window by code-changed
+    # re-verifies (hard_negative_lsh, ann_recall_eval — the established
+    # displacement precedent), then the remaining r09-green entries, then
+    # the 48 r10-green entries displaced from the r10 window (freshest rows
+    # in the union); every name union-green, each family keeping an
+    # in-window sibling.
     "hard_negative_lsh",
     "ann_recall_eval",
     "hard_negative_mining",
@@ -235,6 +186,54 @@ _TAIL: tuple[str, ...] = (
     "tfidf_top_terms",
     "part_expr_catalog",
     "events_cube",
+    "pagerank_coparts",
+    "semdedup_clusters",
+    "semdedup_eval_metrics",
+    "minhash_lsh_dups",
+    "event_value_histogram",
+    "user_sessions",
+    "events_json_stats",
+    "user_value_trend",
+    "benchmark_decontam",
+    "streaming_dedup_10min_counts",
+    "dedup_exact_groups",
+    "streaming_click_attribution",
+    "streaming_10min_counts",
+    "orders_per_customer",
+    "corpus_keep_list",
+    "media_metadata_stats",
+    "media_feature_extract",
+    "media_resize_plan",
+    "media_frame_sample",
+    "media_format_rollup",
+    "doc_fingerprint_rolling",
+    "dataset_split_assignment",
+    "content_sample",
+    "doc_repetition_stats",
+    "source_quality_profile",
+    "user_event_pivot",
+    "fuzzy_name_match",
+    "embedding_norm_stats",
+    "doc_quality_stats",
+    "lang_id_heuristic",
+    "stratified_sample_hash",
+    "sample_n_per_group",
+    "cdc_orders_upsert",
+    "dq_expectations",
+    "events_sliding_windows",
+    "events_gapfill_zero",
+    "segment_reconciliation_fullouter",
+    "loyal_buyer_intersect",
+    "dedup_survivors_by_quality",
+    "corpus_mix_allocation",
+    "events_rolling_1h",
+    "key_skew_profile",
+    "priority_segment_union",
+    "active_buildings_semi",
+    "user_running_stats",
+    "local_supplier_revenue",
+    "quantity_band_stats",
+    "copurchase_bfs_l3",
 )
 
 
