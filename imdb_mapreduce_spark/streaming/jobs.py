@@ -520,7 +520,8 @@ def streaming_kmv_distinct_salted(spark: SparkSession, sf_dir: str) -> DataFrame
     a single hot event type (40% of a 100 TB stream) drains on ONE task
     regardless of cluster size — the r09 vectorization lowered the
     constant, not the bound (the same single-owner-per-key bound as the
-    scatter-gather design this engine replaces, ``master.erl:233-242``).
+    reference's ``distribute_to/2`` — ``dataInit.erl:209-215`` assigns
+    each key to exactly ONE server by ``erlang:phash2(Key, |Servers|)``).
 
     Here each event type splits into ``KMV_SALTS`` sub-keys by
     ``pmod(h, KMV_SALTS)`` — deterministic in the hash, so sub-key pair
@@ -547,7 +548,9 @@ def streaming_kmv_distinct_salted(spark: SparkSession, sf_dir: str) -> DataFrame
     # count as a fixed-width-at-scale member; see kmv_salts_for_rows).
     # Probe failure fails SAFE toward MORE salts (the scale-correct
     # direction: extra sub-keys only add a few union rows downstream,
-    # while too few re-create the measured 1B-row stall). The salt count
+    # while too few re-create the measured 1B-row stall) — sized for the
+    # LARGEST validated corpus (KMV_FALLBACK_MAX_ROWS; ADVICE r10: a
+    # fixed 64 broke the safety claim past 512M rows). The salt count
     # is pinned into the checkpoint (KmvSaltsChangedError), so a restart
     # under a different probe reading fails typed, never merges wrong.
     try:
@@ -555,13 +558,18 @@ def streaming_kmv_distinct_salted(spark: SparkSession, sf_dir: str) -> DataFrame
     except (OSError, ValueError) as exc:
         import warnings
 
+        from imdb_mapreduce_spark.streaming.stateful import (
+            KMV_FALLBACK_MAX_ROWS,
+        )
+
+        n_salts = kmv_salts_for_rows(KMV_FALLBACK_MAX_ROWS)
         warnings.warn(
             "streaming_kmv_distinct_salted: could not footer-probe "
-            f"{sf_dir}/events.parquet ({exc!r}); failing SAFE to 64 salts",
+            f"{sf_dir}/events.parquet ({exc!r}); failing SAFE to "
+            f"{n_salts} salts (sized for {KMV_FALLBACK_MAX_ROWS} rows)",
             RuntimeWarning,
             stacklevel=2,
         )
-        n_salts = 64
 
     stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
     log = run_stream_to_memory(

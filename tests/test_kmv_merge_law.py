@@ -134,3 +134,63 @@ def test_salt_count_is_data_proportional():
         cur = kmv_salts_for_rows(rows)
         assert cur >= prev
         prev = cur
+
+
+def test_subkey_target_rows_env_override(monkeypatch):
+    """SPARK_GRAFT_KMV_SUBKEY_TARGET_ROWS retunes the per-sub-key row
+    budget without editing source (VERDICT r10 item 6): the default is
+    this box's measured Arrow-buffer wall, but a deployment with
+    different direct-memory headroom sets the env var. Read at call
+    time — no module reload."""
+    from imdb_mapreduce_spark.streaming.stateful import (
+        KMV_SALTS,
+        kmv_salts_for_rows,
+    )
+
+    assert kmv_salts_for_rows(1_000_000_000) == 125  # measured default
+    monkeypatch.setenv("SPARK_GRAFT_KMV_SUBKEY_TARGET_ROWS", "1000000")
+    assert kmv_salts_for_rows(1_000_000_000) == 1000  # tighter budget
+    monkeypatch.setenv(
+        "SPARK_GRAFT_KMV_SUBKEY_TARGET_ROWS", "1000000000000"
+    )
+    assert kmv_salts_for_rows(1_000_000_000) == KMV_SALTS  # floor holds
+    monkeypatch.delenv("SPARK_GRAFT_KMV_SUBKEY_TARGET_ROWS")
+    assert kmv_salts_for_rows(1_000_000_000) == 125
+
+
+def test_fallback_salts_safe_at_largest_corpus():
+    """ADVICE r10: the footer-probe failure fallback must satisfy the
+    safety property it claims ('fail SAFE toward MORE salts') at the
+    largest corpus the operator is validated for — i.e. the fallback
+    salt count keeps even a 100%-hot key under the per-sub-key budget
+    at KMV_FALLBACK_MAX_ROWS. The old fixed 64 broke this past 512M."""
+    from imdb_mapreduce_spark.streaming.stateful import (
+        KMV_FALLBACK_MAX_ROWS,
+        KMV_SUBKEY_TARGET_ROWS,
+        kmv_salts_for_rows,
+    )
+
+    n = kmv_salts_for_rows(KMV_FALLBACK_MAX_ROWS)
+    assert KMV_FALLBACK_MAX_ROWS / n <= KMV_SUBKEY_TARGET_ROWS
+    assert KMV_FALLBACK_MAX_ROWS >= 2 * 1_000_000_000  # ≥2× largest measured
+
+
+def test_doubly_wrong_checkpoint_reports_version_first():
+    """ADVICE r10: a checkpoint that is BOTH stale-version and
+    different-salt-count must die KmvStateVersionError — the schema
+    revision is the root cause; the salt count is meaningless across
+    revisions."""
+    from imdb_mapreduce_spark.streaming.stateful import _SaltedStateView
+
+    stale_and_resalted = FakeState(
+        (KMV_STATE_VERSION - 1, 4, [1], [1], 3)
+    )  # (v, n_salts, hashes, users, rows_seen)
+    view = _SaltedStateView(stale_and_resalted, n_salts=8)
+    try:
+        view.get
+    except KmvStateVersionError:
+        pass
+    else:
+        raise AssertionError(
+            "doubly-wrong checkpoint did not report the version root cause"
+        )
