@@ -256,6 +256,116 @@ def user_totals_twsip(events: DataFrame) -> DataFrame:
     )
 
 
+# --- TWS KMV: the ready-to-run Arrow-wall A/B (r11) ------------------------
+#
+# SCALING.md r11 pins the per-group Arrow-bridge wall to
+# applyInPandasWithState's one-GROUP-per-channel-call write granularity
+# and predicts (from the 4.1.2 bytecode + a measured batch-applyInPandas
+# control) that transformWithStateInPandas dodges it — its runner writes
+# one BOUNDED batch per call. The runtime confirmation needs
+# google.protobuf (absent here, no-install contract), so the experiment
+# ships ready instead: `running_kmv_by_type_tws` is the same KMV sketch
+# on the same shared merge core behind Spark 4's TWS API. On a protobuf-
+# equipped host, the A/B is:
+#   drain running_kmv_by_type (apply*) vs running_kmv_by_type_tws on
+#   spark-warehouse/skew1000x/events.parquet (tools/make_skew_events.py)
+# — if the prediction holds, TWS finishes the 60M-row hot key that
+# killed apply* at >92 min.
+
+
+class _TwsStateView:
+    """Adapter presenting a TWS ValueState (method surface: exists()/
+    get()/update()) to the shared :func:`_merge_kmv_state` core, which
+    speaks GroupState's property surface. One merge implementation,
+    three API surfaces (plain, salted, TWS)."""
+
+    def __init__(self, value_state) -> None:
+        self._vs = value_state
+
+    @property
+    def exists(self) -> bool:
+        return self._vs.exists()
+
+    @property
+    def get(self):
+        return self._vs.get()
+
+    def update(self, t) -> None:
+        self._vs.update(t)
+
+
+def _kmv_tws_processor():
+    """Build the TWS StatefulProcessor lazily (the protobuf-backed state
+    client only exists on hosts with google.protobuf; keeping every TWS
+    import inside the factory keeps module import cheap and gated)."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class KmvByType(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            schema = StructType(
+                [
+                    StructField("v", LongType()),
+                    StructField("hashes", ArrayType(LongType())),
+                    StructField("users", ArrayType(LongType())),
+                    StructField("rows_seen", LongType()),
+                ]
+            )
+            self._state = handle.getValueState("kmv", schema)
+
+        def handleInputRows(self, key, rows, timer_values):
+            keep, rows_seen = _merge_kmv_state(_TwsStateView(self._state), rows)
+            yield pd.DataFrame(
+                {
+                    "event_type": [key[0]],
+                    "rows_seen": [rows_seen],
+                    "kth_hash": [int(keep[-1, 0])],
+                    "m": [len(keep)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return KmvByType()
+
+
+def running_kmv_by_type_tws(events: DataFrame) -> DataFrame:
+    """Streaming KMV sketch per event type via ``transformWithStateInPandas``
+    — the typed-state twin of :func:`running_kmv_by_type`, same JVM-side
+    md5-fragment hash, same shared merge core, same output schema.
+
+    NOT registered as a driver query: the TWS state server needs
+    ``google.protobuf``, absent in this container — import-gated and
+    covered by a skipif test, the same discipline as
+    ``user_totals_twsip``. Exists so the SCALING.md r11 Arrow-wall
+    prediction is one line to falsify on a protobuf-equipped host.
+
+    SKEW WARNING: parallelism is still key-bounded — one state task per
+    event type. Even if TWS removes the per-group buffer cliff (the r11
+    prediction), a hot key still serializes through ONE task's
+    throughput; :func:`running_kmv_by_type_salted` remains the
+    production tier wherever key skew is possible."""
+    from pyspark.sql import functions as F
+
+    with_hash = events.select(
+        "event_type",
+        "user_id",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
+    return with_hash.groupBy("event_type").transformWithStateInPandas(
+        statefulProcessor=_kmv_tws_processor(),
+        outputStructType=KMV_STATE_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 # --- streaming KMV sketch (r05 session 2) ---------------------------------
 
 KMV_STATE_SCHEMA = StructType(

@@ -60,6 +60,13 @@ INVENTORY: dict[tuple[str, str, tuple[str, ...]], str] = {
     ("streaming/stateful.py", "running_kmv_by_type_salted",
      ("event_type", "salt")):
         "salt-sized",
+    # TWS twin of the unsalted KMV (r11): per SCALING.md r11 the TWS
+    # runner writes one BOUNDED batch per channel call, so it is
+    # predicted OUTSIDE the per-group wall's blast radius — but the key
+    # is still low-cardinality (throughput bound), so it carries the
+    # same waiver + skew warning as its apply* sibling.
+    ("streaming/stateful.py", "running_kmv_by_type_tws", ("event_type",)):
+        "key-bounded-waiver",
 }
 
 ALLOWED = {"high-cardinality", "salt-sized", "key-bounded-waiver"}

@@ -451,3 +451,85 @@ def test_kmv_salted_checkpoint_resume_green(spark, tmp_path):
         want[etype] = (len(grp), keep[-1][0], len(keep))
 
     assert got == want  # bit-identical; rows_seen exact ⇒ no re-read/reset
+
+
+def test_tws_state_view_drives_shared_merge_core():
+    """The TWS ValueState adapter (method surface exists()/get()/update())
+    must drive the SAME _merge_kmv_state core the GroupState path uses —
+    runs without protobuf/Spark, so the adapter is pinned even where the
+    TWS state server cannot start."""
+    import numpy as np
+    import pandas as pd
+
+    from imdb_mapreduce_spark.plans.quality import KMV_K
+    from imdb_mapreduce_spark.streaming.stateful import (
+        KMV_STATE_VERSION,
+        _merge_kmv_state,
+        _TwsStateView,
+    )
+
+    class FakeValueState:  # TWS method surface
+        def __init__(self):
+            self._t = None
+
+        def exists(self):
+            return self._t is not None
+
+        def get(self):
+            return self._t
+
+        def update(self, t):
+            self._t = t
+
+    vs = FakeValueState()
+    b1 = pd.DataFrame({"h": [5, 3, 9], "user_id": [50, 30, 90]})
+    b2 = pd.DataFrame({"h": [1, 3], "user_id": [10, 30]})
+    keep, rows_seen = _merge_kmv_state(_TwsStateView(vs), iter([b1]))
+    assert rows_seen == 3 and keep[:, 0].tolist() == [3, 5, 9]
+    keep, rows_seen = _merge_kmv_state(_TwsStateView(vs), iter([b2]))
+    # cross-"batch" state carried: union of distinct pairs, k-smallest
+    assert rows_seen == 5 and keep[:, 0].tolist() == [1, 3, 5, 9]
+    assert vs.get()[0] == KMV_STATE_VERSION
+
+
+def test_tws_kmv_converges_to_batch_oracle(spark):
+    """The ready-to-run Arrow-wall A/B twin (SCALING.md r11): the TWS KMV
+    must land on the identical sketch as the apply* operator / the batch
+    oracle. Skips where google.protobuf is absent (this container)."""
+    import pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf unavailable — TWS state server needs it")
+
+    import hashlib
+
+    from imdb_mapreduce_spark.plans.quality import KMV_K
+    from imdb_mapreduce_spark.streaming.jobs import run_stream_to_memory
+    from imdb_mapreduce_spark.streaming.stateful import running_kmv_by_type_tws
+
+    stream = read_events_stream(spark, f"{SF}/events.parquet")
+    log = run_stream_to_memory(running_kmv_by_type_tws(stream), "update")
+    final = (
+        log.toPandas()
+        .sort_values("rows_seen")
+        .groupby("event_type")
+        .last()
+    )
+    pdf = (
+        load_table(spark, "events", SF)
+        .select("event_type", "user_id")
+        .toPandas()
+    )
+    for etype, grp in pdf.groupby("event_type"):
+        hs = sorted(
+            int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16)
+            for u in grp["user_id"].unique()
+        )[:KMV_K]
+        got = final.loc[etype]
+        assert (got["rows_seen"], got["kth_hash"], got["m"]) == (
+            len(grp),
+            hs[-1],
+            len(hs),
+        )
