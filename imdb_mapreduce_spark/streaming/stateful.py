@@ -169,7 +169,12 @@ def running_user_stats_ttl(events: DataFrame, ttl_minutes: int = 60) -> DataFram
     This is the 100 TB posture for stateful streams over unbounded key
     spaces (user ids, session ids): without eviction, state grows with
     every key EVER seen; with it, state tracks only keys active inside
-    the TTL horizon. The KMV/CM sketch states (below) deliberately stay
+    the TTL horizon. Restart contract proven GREEN (r11):
+    ``test_ttl_pending_timeout_survives_checkpoint_restart`` registers a
+    key's eviction deadline, stops the query, restarts from the
+    checkpoint, and the timer fires post-restart with the pre-restart
+    totals — data state, event-time timers, and the commit-log watermark
+    all recover. The KMV/CM sketch states (below) deliberately stay
     ``NoTimeout``: they are keyed by event TYPE — a tiny, closed key set
     whose per-key state is already constant-size, where eviction would
     discard the sketch a drained stream is about to report."""

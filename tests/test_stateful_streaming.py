@@ -533,3 +533,101 @@ def test_tws_kmv_converges_to_batch_oracle(spark):
             hs[-1],
             len(hs),
         )
+
+
+def test_ttl_pending_timeout_survives_checkpoint_restart(spark, tmp_path):
+    """GREEN restart drill for the TTL operator: a key whose eviction
+    deadline has been passed by the watermark — but whose timeout has
+    not yet FIRED (no later batch ran) — must evict correctly AFTER a
+    checkpoint restart. This proves three recoveries at once: the
+    accumulated data state, the registered event-time TIMER, and the
+    WATERMARK itself (persisted in the commit log; a restart that reset
+    it to zero would never fire B's timeout).
+
+    Phase 1 drains only the first file (A and B at t0; B's 1h deadline
+    registered, watermark still behind it — availableNow's trailing
+    no-data micro-batch must NOT fire anything yet), stops; phase 2
+    restarts the SAME query from the SAME checkpoint with A-only data
+    that advances the watermark past B's deadline → B's evicted=true
+    row must carry B's PRE-RESTART totals; then B reappears and must
+    restart from zero."""
+    import os
+
+    import pandas as pd
+
+    from imdb_mapreduce_spark.streaming.stateful import running_user_stats_ttl
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    ckpt = str(tmp_path / "ckpt")
+    t0 = pd.Timestamp("2026-01-01 00:00:00")
+    h = pd.Timedelta(hours=1)
+    batches = {
+        0: [(1, 10.0, t0), (2, 5.0, t0)],          # A and B
+        1: [(1, 20.0, t0 + 3 * h)],                 # A advances watermark
+        2: [(1, 30.0, t0 + 3 * h + pd.Timedelta(minutes=1))],  # fires B's timer
+        3: [(2, 7.0, t0 + 3 * h + pd.Timedelta(minutes=2))],   # B reappears
+    }
+
+    def put_file(i: int) -> None:
+        pdf = pd.DataFrame(batches[i], columns=["user_id", "value", "ts"])
+        path = os.path.join(src, f"b{i}.parquet")
+        pdf.to_parquet(
+            path, coerce_timestamps="us", allow_truncated_timestamps=True
+        )
+        os.utime(path, (1_000_000 + i, 1_000_000 + i))
+
+    def drain(out_dir: str) -> None:
+        stream = (
+            spark.readStream.schema("user_id long, value double, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .withWatermark("ts", "10 minutes")
+        )
+
+        def sink(df, _epoch_id):
+            df.write.mode("append").parquet(out_dir)
+
+        q = (
+            running_user_stats_ttl(stream, ttl_minutes=60)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # ---- phase 1: stop with B's timer registered but unfired ----
+    put_file(0)
+    out1 = str(tmp_path / "out1")
+    drain(out1)
+    log1 = pd.read_parquet(out1)
+    assert not log1["evicted"].any()  # genuinely pre-eviction at the stop
+    assert len(log1[log1["user_id"] == 2]) == 1  # B seen once, still live
+
+    # ---- phase 2: restart from the SAME checkpoint ----
+    put_file(1)
+    put_file(2)
+    put_file(3)
+    out2 = str(tmp_path / "out2")
+    drain(out2)
+    log2 = pd.read_parquet(out2)
+
+    # B's pending timeout fired post-restart with B's PRE-restart totals:
+    # data state + timer + watermark all recovered from the checkpoint
+    evicted = log2[(log2["user_id"] == 2) & log2["evicted"]]
+    assert len(evicted) == 1
+    assert evicted.iloc[0]["n_events"] == 1
+    assert evicted.iloc[0]["total_value"] == 5.0
+
+    # A's counts accumulated ACROSS the restart boundary (1+1 before, +1 after)
+    a_last = (
+        log2[log2["user_id"] == 1].sort_values("n_events").iloc[-1]
+    )
+    assert a_last["n_events"] == 3 and a_last["total_value"] == 60.0
+
+    # B's reappearance restarted from zero (state was dropped at eviction)
+    fresh = log2[(log2["user_id"] == 2) & ~log2["evicted"]]
+    assert len(fresh) == 1
+    assert fresh.iloc[0]["n_events"] == 1 and fresh.iloc[0]["total_value"] == 7.0
