@@ -574,10 +574,13 @@ KMV_SALTS = 8
 # rows, r10) caught the salt count itself as a fixed-width-at-scale
 # member: at 8 salts a balanced 1B-row drain puts ~25M rows behind each
 # sub-key, and the Arrow bridge's per-GROUP direct-buffer serialization
-# (grow/copy/dispose, see SCALING.md r10) stalls once concurrent group
-# buffers reach the ~GB scale — 23 tasks sat >15 min at 100% CPU inside
-# DirectByteBufferOutputStream.grow. 8M rows/sub-key keeps every group
-# buffer in the measured linear regime (~300 MB) with full concurrency.
+# (grow/copy/dispose, see SCALING.md r10; r11 pins it to
+# applyInPandasWithState's one-GROUP-per-channel-call write granularity —
+# bounded-call runners measured linear to 100M rows/group) stalls once
+# concurrent group buffers reach the ~GB scale — 23 tasks sat >15 min at
+# 100% CPU inside DirectByteBufferOutputStream.grow. 8M rows/sub-key
+# keeps every group buffer in the measured linear regime (~300 MB) with
+# full concurrency.
 # The default is calibrated on THIS box's Arrow buffer behaviour; a
 # deployment with different direct-memory headroom retunes it via the
 # SPARK_GRAFT_KMV_SUBKEY_TARGET_ROWS env var instead of editing source
