@@ -180,6 +180,59 @@ def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_variant_stats",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS n_distinct_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)
+                    * CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k_sq
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("json", "variant", "agg", "north-star"),
+)
+def events_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured decode via Spark 4's VARIANT type — the third and
+    scale-preferred tier of the JSON trilogy: ``events_json_stats`` is
+    the per-path string re-parse (``get_json_object``),
+    ``events_json_struct`` is schema-FULL decode (``from_json`` needs the
+    complete schema up front), and this is schemaless-but-typed:
+    ``parse_json`` decodes each document ONCE into the binary variant
+    encoding (JVM-side ``VariantExpressionEvalUtils.parseJson``, inside
+    whole-stage codegen — plan-checked), then ``try_variant_get`` reads
+    typed paths from the decoded bytes without re-parsing and without
+    declaring untouched fields.
+
+    The decode-once shape matters: ``k`` is extracted in a PROJECTION and
+    the aggregate references the extracted column, so one parse serves
+    all three aggregates (inlining the expression per-aggregate re-parses
+    per reference — visible in the physical plan).
+
+    At 100 TB this is the silver-layer play: persist the VARIANT column
+    once (Spark 4 writes it shredded so sub-field reads prune like
+    struct columns) and every downstream query gets typed access to ANY
+    path with no re-parse and no schema migration when producers add
+    fields. Integer aggregates (count / distinct / sum of squares) keep
+    the result hash-portable against the DuckDB string-path oracle —
+    the cross-engine proof that variant decode is semantics-preserving.
+
+    The reference has no JSON surface at all (SURVEY §2.3)."""
+    e = _events(spark, sf_dir)
+    parsed = e.select(
+        "event_type",
+        F.try_variant_get(F.parse_json("props"), "$.k", "bigint").alias("k"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct(F.col("k")).alias("n_distinct_k"),
+        F.sum(F.col("k") * F.col("k")).cast("bigint").alias("sum_k_sq"),
+    )
+
+
+@register(
     "user_event_pivot",
     oracle="""
     SELECT user_id,

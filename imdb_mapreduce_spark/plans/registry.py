@@ -81,10 +81,13 @@ _HEAD: tuple[str, ...] = (
     #   2) the r11 queue from the r10 notes: ALL 45 remaining r08-green
     #      entries stalest-first (copurchase_sssp … ngram_jaccard_pairs) —
     #      closing the r08 refresh queue;
-    #   3) fill to 50 with the stalest r09-green entries
-    #      (ngram_jaccard_capped, dedup_exact_survivors,
-    #      embedding_dim_profile); the two displaced fills
-    #      (hard_negative_lsh, ann_recall_eval) head the r12 queue.
+    #   3) events_variant_stats — NEW in r11 (the VARIANT tier of the
+    #      JSON trilogy): never-green, so it must be in-window;
+    #   4) fill to 50 with the stalest r09-green entries
+    #      (ngram_jaccard_capped, dedup_exact_survivors); the three
+    #      displaced fills (embedding_dim_profile, hard_negative_lsh,
+    #      ann_recall_eval) head the r12 queue.
+    "events_variant_stats",
     "streaming_kmv_distinct_salted",
     "streaming_kmv_distinct",
     "copurchase_sssp",
@@ -134,16 +137,16 @@ _HEAD: tuple[str, ...] = (
     "ngram_jaccard_pairs",
     "ngram_jaccard_capped",
     "dedup_exact_survivors",
-    "embedding_dim_profile",
 )
 _TAIL: tuple[str, ...] = (
-    # beyond the window, stalest-first (the r12 promotion queue): the two
+    # beyond the window, stalest-first (the r12 promotion queue): the three
     # r09-green fills displaced from the r11 window by code-changed
-    # re-verifies (hard_negative_lsh, ann_recall_eval — the established
+    # re-verifies and the new events_variant_stats (the established
     # displacement precedent), then the remaining r09-green entries, then
     # the 48 r10-green entries displaced from the r10 window (freshest rows
     # in the union); every name union-green, each family keeping an
     # in-window sibling.
+    "embedding_dim_profile",
     "hard_negative_lsh",
     "ann_recall_eval",
     "hard_negative_mining",

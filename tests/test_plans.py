@@ -238,3 +238,34 @@ def test_approx_quantiles_within_error_of_exact(spark, queries):
         assert abs(row["p90_price"] - e["p90_price"]) <= 0.05 * spread, prio
     plan = explain_str(approx_price_quantiles(spark, SF))
     assert "partial_approx_percentile" in plan
+
+
+def test_json_trilogy_paths_agree_and_variant_parses_jvm_side(spark):
+    """The three JSON decode tiers (get_json_object string path,
+    from_json struct, parse_json VARIANT) must extract the identical k
+    per row — the semantics-preservation claim behind recommending the
+    variant tier at scale — and the variant parse must sit JVM-side in
+    the scan-adjacent projection (no Python, column-pruned read)."""
+    from pyspark.sql import functions as F
+
+    from imdb_mapreduce_spark.sources.star import load_table
+
+    e = load_table(spark, "events", SF)
+    three = e.select(
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_str"),
+        F.from_json("props", "k BIGINT")["k"].alias("k_struct"),
+        F.try_variant_get(F.parse_json("props"), "$.k", "bigint").alias(
+            "k_var"
+        ),
+    )
+    disagree = three.filter(
+        (F.col("k_str") != F.col("k_struct"))
+        | (F.col("k_str") != F.col("k_var"))
+        | F.col("k_var").isNull()
+    ).count()
+    assert disagree == 0
+
+    qs = all_queries()
+    plan = explain_str(qs["events_variant_stats"].spark_fn(spark, SF))
+    assert "parseJson" in plan  # VariantExpressionEvalUtils.parseJson, JVM-side
+    assert "ReadSchema: struct<event_type:string,props:string>" in plan
