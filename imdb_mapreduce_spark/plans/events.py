@@ -212,10 +212,18 @@ def events_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     per reference — visible in the physical plan).
 
     At 100 TB this is the silver-layer play: persist the VARIANT column
-    once (Spark 4 writes it shredded so sub-field reads prune like
-    struct columns) and every downstream query gets typed access to ANY
-    path with no re-parse and no schema migration when producers add
-    fields. Integer aggregates (count / distinct / sum of squares) keep
+    once and every downstream query gets typed access to ANY path with
+    no re-parse and no schema migration when producers add fields. In
+    this Spark (4.1.2) the variant type round-trips parquet natively
+    (typed `variant` logical type — probed, see
+    test_storage.py::test_variant_column_parquet_roundtrip) and READING
+    shredded variant is on by default
+    (`spark.sql.variant.allowReadingShredded=true`); writer-side
+    shredding is still test-gated upstream
+    (`spark.sql.variant.forceShreddingSchemaForTest`), so today the win
+    is decode-once + binary sub-field reads, with struct-like pruning
+    arriving when the writer shreds by default.
+    Integer aggregates (count / distinct / sum of squares) keep
     the result hash-portable against the DuckDB string-path oracle —
     the cross-engine proof that variant decode is semantics-preserving.
 
