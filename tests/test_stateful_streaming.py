@@ -631,3 +631,81 @@ def test_ttl_pending_timeout_survives_checkpoint_restart(spark, tmp_path):
     fresh = log2[(log2["user_id"] == 2) & ~log2["evicted"]]
     assert len(fresh) == 1
     assert fresh.iloc[0]["n_events"] == 1 and fresh.iloc[0]["total_value"] == 7.0
+
+
+def test_apply_state_handler_receives_bounded_chunks(spark, tmp_path):
+    """The Python side of applyInPandasWithState receives a group as
+    BOUNDED chunks (arrowMaxRecordsPerBatch), never one whole-group
+    pdf — so the r10/r11 Arrow-wall accumulation is entirely the JVM
+    channel's one-group-per-call staging (SCALING.md r11), not Python
+    delivery. Pins the delivery contract the wall analysis rests on:
+    if a Spark upgrade changed chunking, the SCALING claims need
+    re-derivation. Measured at 2M rows/group: 200 chunks × exactly
+    10,000 rows."""
+    import uuid
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    n_rows = 100_000
+    max_batch = int(
+        spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    )
+    df = spark.range(n_rows).select(
+        F.lit("hot").alias("g"), F.col("id").alias("x")
+    )
+    src = str(tmp_path / "src")
+    df.coalesce(1).write.parquet(src)
+
+    out_schema = StructType(
+        [
+            StructField("g", StringType()),
+            StructField("n_chunks", LongType()),
+            StructField("max_chunk", LongType()),
+            StructField("total", LongType()),
+        ]
+    )
+
+    def probe(key, batches, state):
+        n = mx = tot = 0
+        for pdf in batches:
+            n += 1
+            mx = max(mx, len(pdf))
+            tot += len(pdf)
+        state.update((tot,))
+        yield pd.DataFrame(
+            {
+                "g": [key[0]],
+                "n_chunks": [n],
+                "max_chunk": [mx],
+                "total": [tot],
+            }
+        )
+
+    stream = spark.readStream.schema("g string, x long").parquet(src)
+    res = stream.groupBy("g").applyInPandasWithState(
+        probe,
+        outputStructType=out_schema,
+        stateStructType="t LONG",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"chunkprobe_{uuid.uuid4().hex[:6]}"
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            res.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    row = spark.table(name).collect()[0]
+    assert row["total"] == n_rows
+    assert row["max_chunk"] <= max_batch  # bounded delivery, never whole-group
+    assert row["n_chunks"] >= n_rows // max_batch  # genuinely chunked
