@@ -195,8 +195,12 @@ def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("json", "variant", "agg", "north-star"),
 )
 def events_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semi-structured decode via Spark 4's VARIANT type — the third and
-    scale-preferred tier of the JSON trilogy: ``events_json_stats`` is
+    """Semi-structured decode via Spark 4's VARIANT type — the third
+    tier of the JSON trilogy, and the measured choice whenever the
+    schema is OPEN (SCALING.md r11: on 3-distinct-path reads at 10M
+    rows, struct 3.67 s < variant 4.84 s < string 8.57 s — declare the
+    full schema when you can, use variant when you can't, never the
+    string path for multi-path reads): ``events_json_stats`` is
     the per-path string re-parse (``get_json_object``),
     ``events_json_struct`` is schema-FULL decode (``from_json`` needs the
     complete schema up front), and this is schemaless-but-typed:
