@@ -47,7 +47,11 @@ import imdb_mapreduce_spark
 
 PKG_ROOT = os.path.dirname(os.path.abspath(imdb_mapreduce_spark.__file__))
 
-METHODS = {"collect", "crossJoin"}
+# toPandas / toLocalIterator are the other spellings of driver
+# materialization; the engine package has ZERO sites today (verified at
+# r11) — scanning for them makes the first future one fail here until
+# classified, instead of shipping an unbounded driver fetch.
+METHODS = {"collect", "crossJoin", "toPandas", "toLocalIterator"}
 
 # (relpath, enclosing function, method) → (expected site count, class)
 INVENTORY: dict[tuple[str, str, str], tuple[int, str]] = {
