@@ -709,3 +709,113 @@ def test_apply_state_handler_receives_bounded_chunks(spark, tmp_path):
     assert row["total"] == n_rows
     assert row["max_chunk"] <= max_batch  # bounded delivery, never whole-group
     assert row["n_chunks"] >= n_rows // max_batch  # genuinely chunked
+
+
+def test_builtin_window_agg_survives_checkpoint_restart(spark, tmp_path):
+    """Completes the restart matrix: custom NoTimeout state (salted KMV
+    drill), custom EventTimeTimeout state (TTL drill), and here the
+    BUILT-IN watermarked window aggregation. Three recoveries pinned:
+
+    1. PARTIAL window counts cross the restart (windows A and B are
+       mid-accumulation at the stop; their post-restart totals build on
+       the recovered state, never restart from zero).
+    2. The WATERMARK is restored from the commit log (the first
+       post-restart batch reports phase 1's final watermark, not epoch
+       zero).
+    3. The one-sided watermark contract, as MEASURED on this engine
+       (4.1.2): in update mode a late row arriving after its window's
+       state was evicted RE-OPENS the window as a fresh emission — the
+       late-drop is best-effort, not guaranteed (Spark's documented
+       one-sided semantics). Pinned so an engine upgrade that changes
+       it is noticed: update-mode consumers must be upsert-idempotent
+       per window; append mode / the complete-mode batch-parity queries
+       are the finalized-window contracts.
+    """
+    import os
+
+    import pandas as pd
+
+    from imdb_mapreduce_spark.streaming.jobs import tumbling_counts
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    ckpt = str(tmp_path / "ckpt")
+    t0 = pd.Timestamp("2026-01-01 00:00:00")
+    m = pd.Timedelta(minutes=1)
+    # window A = [00:00, 00:10), window B = [00:10, 00:20)
+    batches = {
+        0: [(1, t0 + 1 * m), (2, t0 + 2 * m)],   # A: 2 rows
+        1: [(3, t0 + 11 * m)],                    # B opens: 1 row
+        # restart boundary: A and B both have OPEN partial state
+        2: [(4, t0 + 3 * m), (5, t0 + 12 * m)],  # +1 to A, +1 to B
+        3: [(6, t0 + 200 * m)],                   # watermark → 02:20
+        4: [(7, t0 + 4 * m)],                     # post-eviction late row
+    }
+
+    def put_file(i: int) -> None:
+        pdf = pd.DataFrame(batches[i], columns=["user_id", "ts"])
+        path = os.path.join(src, f"b{i}.parquet")
+        pdf.to_parquet(
+            path, coerce_timestamps="us", allow_truncated_timestamps=True
+        )
+        os.utime(path, (1_000_000 + i, 1_000_000 + i))
+
+    def drain(out_dir: str) -> list[str]:
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+        def sink(df, epoch_id):
+            df.withColumn("epoch", F.lit(epoch_id)).write.mode(
+                "append"
+            ).parquet(out_dir)
+
+        q = (
+            tumbling_counts(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return [
+            p["eventTime"].get("watermark")
+            for p in q.recentProgress
+            if p.get("eventTime")
+        ]
+
+    put_file(0)
+    put_file(1)
+    out1 = str(tmp_path / "out1")
+    wms1 = drain(out1)
+    log1 = pd.read_parquet(out1)
+    partial = log1.sort_values("n_events").groupby("window_start").last()
+    # stopped with both windows PARTIAL — a genuinely mid-window restart
+    assert partial["n_events"].to_dict() == {t0: 2, t0 + 10 * m: 1}
+
+    put_file(2)
+    put_file(3)
+    put_file(4)
+    out2 = str(tmp_path / "out2")
+    wms2 = drain(out2)
+    # (2) watermark recovery: the restarted query resumes from phase 1's
+    # final watermark (t0 + 11m − 1h), not from zero
+    assert wms2[0] == wms1[-1] != "1970-01-01T00:00:00.000Z"
+
+    log2 = pd.read_parquet(out2)
+    # (1) partial state recovered: BEFORE the late batch, A reached
+    # 2+1 = 3 and B reached 1+1 = 2 — counts built on restored state
+    pre_late = log2[log2["epoch"] < log2["epoch"].max()]
+    totals = pre_late.sort_values("n_events").groupby("window_start").last()
+    assert totals.loc[t0, "n_events"] == 3
+    assert totals.loc[t0 + 10 * m, "n_events"] == 2
+
+    # (3) the one-sided contract, as measured: the post-eviction late row
+    # re-opens window A as a fresh update-mode emission (count 4 = the
+    # recovered 3 + the late row on re-created state)
+    late = log2[log2["epoch"] == log2["epoch"].max()]
+    reopened = late[late["window_start"] == t0]
+    assert len(reopened) == 1 and reopened.iloc[0]["n_events"] == 4
