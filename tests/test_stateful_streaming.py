@@ -819,3 +819,35 @@ def test_builtin_window_agg_survives_checkpoint_restart(spark, tmp_path):
     late = log2[log2["epoch"] == log2["epoch"].max()]
     reopened = late[late["window_start"] == t0]
     assert len(reopened) == 1 and reopened.iloc[0]["n_events"] == 4
+
+
+def test_salted_kmv_identical_under_rocksdb_state_store(spark):
+    """The 100 TB state-store backend: RocksDB (bundled rocksdbjni) keeps
+    streaming state off-heap and disk-spillable — the production provider
+    once per-executor state outgrows the default in-memory map. The
+    salted KMV drain must produce the BIT-IDENTICAL sketch under both
+    providers (state content is provider-independent; only the store
+    changes). Conf is restored afterwards — the provider is read at
+    query start, so the override is test-local."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    key = "spark.sql.streaming.stateStore.providerClass"
+    default = spark.conf.get(key)
+    rows_default = {
+        r["event_type"]: (r["rows_seen"], r["kth_hash"], r["m"])
+        for r in qs["streaming_kmv_distinct_salted"](spark, SF).collect()
+    }
+    try:
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        rows_rocks = {
+            r["event_type"]: (r["rows_seen"], r["kth_hash"], r["m"])
+            for r in qs["streaming_kmv_distinct_salted"](spark, SF).collect()
+        }
+    finally:
+        spark.conf.set(key, default)
+    assert rows_rocks == rows_default and len(rows_rocks) > 0
