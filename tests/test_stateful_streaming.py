@@ -851,3 +851,73 @@ def test_salted_kmv_identical_under_rocksdb_state_store(spark):
     finally:
         spark.conf.set(key, default)
     assert rows_rocks == rows_default and len(rows_rocks) > 0
+
+
+def test_state_store_provider_is_checkpoint_pinned(spark, tmp_path):
+    """Cross-provider restart safety, measured: Spark pins
+    ``stateStore.providerClass`` into the checkpoint's offset-log conf
+    and OVERRIDES the session value on restart (with a logged warning)
+    — the same checkpoint-contract shape as the repo's own pinned
+    n_salts, enforced engine-side. A deployment migrating to RocksDB
+    therefore CANNOT corrupt an existing checkpoint by flipping the
+    conf; it must start a fresh checkpoint (re-bootstrap), and this
+    test notices if an engine upgrade weakens that pin."""
+    import glob
+    import json
+    import os
+
+    from imdb_mapreduce_spark.sources.star import load_table
+    from imdb_mapreduce_spark.streaming.stateful import (
+        running_kmv_by_type_salted,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    ckpt = str(tmp_path / "ckpt")
+    pdf = (
+        load_table(spark, "events", SF)
+        .select("event_type", "user_id")
+        .toPandas()
+    )
+    pdf.iloc[:200].to_parquet(os.path.join(src, "b0.parquet"))
+    os.utime(os.path.join(src, "b0.parquet"), (1_000_000, 1_000_000))
+
+    def drain():
+        stream = (
+            spark.readStream.schema("event_type string, user_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            running_kmv_by_type_salted(stream, n_salts=8)
+            .writeStream.format("noop")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()  # phase 1 under the session default (HDFSBacked)
+    pinned = {}
+    for f in sorted(glob.glob(os.path.join(ckpt, "offsets", "*"))):
+        for line in open(f):
+            if line.startswith("{"):
+                pinned.update(json.loads(line).get("conf", {}))
+    assert pinned.get(key, "").endswith("HDFSBackedStateStoreProvider")
+
+    # phase 2: session says RocksDB; the checkpoint must win (engine
+    # overrides back with a warning) and the restart must succeed
+    pdf.iloc[200:300].to_parquet(os.path.join(src, "b1.parquet"))
+    os.utime(os.path.join(src, "b1.parquet"), (1_000_001, 1_000_001))
+    default = spark.conf.get(key)
+    try:
+        spark.conf.set(key, rocks)
+        drain()  # would die in the state deserializer if the pin broke
+    finally:
+        spark.conf.set(key, default)
