@@ -921,3 +921,88 @@ def test_state_store_provider_is_checkpoint_pinned(spark, tmp_path):
         drain()  # would die in the state deserializer if the pin broke
     finally:
         spark.conf.set(key, default)
+
+
+def test_checkpoint_state_is_introspectable_and_oracle_exact(spark, tmp_path):
+    """Ops observability: Spark 4's state data source reads a streaming
+    checkpoint's state as a BATCH DataFrame (`format("statestore")`) —
+    no drain, no replay, no custom tooling. Drilled against the salted
+    KMV checkpoint: every stored row must carry the checkpoint contract
+    fields (state version, pinned n_salts), and the global sketch
+    recomputed FROM THE STORED STATE ALONE must equal the pure-Python
+    batch oracle — the state on disk IS the sketch, directly auditable
+    offline. This is the runbook tool for a stuck production stream:
+    inspect per-sub-key state sizes and contents without touching the
+    running query."""
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    from imdb_mapreduce_spark.plans.quality import KMV_K
+    from imdb_mapreduce_spark.sources.star import load_table
+    from imdb_mapreduce_spark.streaming.stateful import (
+        KMV_STATE_VERSION,
+        running_kmv_by_type_salted,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    ckpt = str(tmp_path / "ckpt")
+    pdf = (
+        load_table(spark, "events", SF)
+        .select("event_type", "user_id")
+        .toPandas()
+    )
+    pdf.to_parquet(os.path.join(src, "b0.parquet"))
+
+    stream = (
+        spark.readStream.schema("event_type string, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        running_kmv_by_type_salted(stream, n_salts=8)
+        .writeStream.format("noop")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    state = (
+        spark.read.format("statestore")
+        .load(ckpt)
+        .select(
+            F.col("key.event_type").alias("event_type"),
+            F.col("key.salt").alias("salt"),
+            # applyInPandasWithState wraps the user state one level down
+            F.col("value.groupState.*"),
+        )
+        .toPandas()
+    )
+    # one state row per (type, salt); contract fields on every row
+    assert len(state) == state.groupby(["event_type", "salt"]).ngroups
+    assert (state["v"] == KMV_STATE_VERSION).all()
+    assert (state["n_salts"] == 8).all()
+
+    # global sketch recomputed from the STORED state = the batch oracle
+    got = {}
+    for etype, grp in state.groupby("event_type"):
+        pairs = sorted(
+            (int(h), int(u))
+            for hs, us in zip(grp["hashes"], grp["users"])
+            for h, u in zip(hs, us)
+        )
+        keep = pairs[:KMV_K]
+        got[etype] = (int(grp["rows_seen"].sum()), keep[-1][0], len(keep))
+    want = {}
+    for etype, grp in pdf.groupby("event_type"):
+        pairs = sorted(
+            (int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16), int(u))
+            for u in grp["user_id"].unique()
+        )
+        keep = pairs[:KMV_K]
+        want[etype] = (len(grp), keep[-1][0], len(keep))
+    assert got == want
