@@ -642,6 +642,13 @@ KMV_SALTED_SCHEMA = StructType(
 # the batch oracle — the reference's snapshot/restore pair
 # (server.erl:329,334) is this exact contract, executed here by the state
 # store instead of hand-rolled ETS dumps.
+# Runbook step 0 before any of the above: the checkpoint state is
+# introspectable OFFLINE as a batch DataFrame —
+# spark.read.format("statestore").load(ckpt) exposes key=(event_type,
+# salt) and value.groupState=(v, n_salts, hashes, users, rows_seen), so a
+# stuck or suspect stream is diagnosed without draining or restarting it;
+# drilled (state → oracle-exact sketch) by
+# test_checkpoint_state_is_introspectable_and_oracle_exact.
 _KMV_SALTED_STATE = (
     "v LONG, n_salts LONG, hashes ARRAY<LONG>, users ARRAY<LONG>, "
     "rows_seen LONG"
