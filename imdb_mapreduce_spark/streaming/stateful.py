@@ -644,6 +644,8 @@ KMV_SALTED_SCHEMA = StructType(
 # store instead of hand-rolled ETS dumps.
 # Runbook step 0 before any of the above: the checkpoint state is
 # introspectable OFFLINE as a batch DataFrame —
+# spark.read.format("state-metadata").load(ckpt) lists the stateful
+# operators (name, store, partitions, batch range), then
 # spark.read.format("statestore").load(ckpt) exposes key=(event_type,
 # salt) and value.groupState=(v, n_salts, hashes, users, rows_seen), so a
 # stuck or suspect stream is diagnosed without draining or restarting it;
