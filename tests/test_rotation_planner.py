@@ -54,15 +54,73 @@ def test_overflow_and_unknown_names_fail_loud():
         )
 
 
+# The r11 window as committed in plans/registry.py at r11 close — a
+# LITERAL snapshot, deliberately not reg._HEAD: future rounds rotate
+# the live tuple, but the r11 ground truth is immutable, so the replay
+# below stays valid forever.
+R11_HEAD = (
+    "events_variant_stats",
+    "streaming_kmv_distinct_salted",
+    "streaming_kmv_distinct",
+    "copurchase_sssp",
+    "copurchase_triangles",
+    "copart_pairs_topk",
+    "basket_association_rules",
+    "ann_cosine_topk",
+    "simhash_near_dups",
+    "hll_distinct_users",
+    "duplicate_span_pairs",
+    "bpe_merge_candidates",
+    "weighted_sample_tokens",
+    "user_state_asof",
+    "paragraph_scrub_rebuild",
+    "minhash_eval_metrics",
+    "ngram_jaccard_thresholded",
+    "paragraph_dedup_stats",
+    "table_profile_orders",
+    "quality_decile_filter",
+    "user_retention_cohorts",
+    "training_shuffle_order",
+    "streaming_segment_purchase_totals",
+    "kmv_distinct_users",
+    "props_redaction_stats",
+    "event_funnel_conversion",
+    "event_transition_bigrams",
+    "incremental_priority_rollup",
+    "corpus_build_manifest",
+    "event_value_anomalies",
+    "embedding_label_centroids",
+    "shipping_lag_stats",
+    "packed_training_rows",
+    "ann_lsh_topk",
+    "ann_ivf_det_topk",
+    "cm_sketch_heavy_hitters",
+    "bloom_filter_prune",
+    "user_state_scd2",
+    "kmv_set_ops",
+    "embedding_random_projection",
+    "text_feature_hashing",
+    "ngram_containment_pairs",
+    "lang_id_confusion",
+    "media_phash_dedup",
+    "streaming_cm_sketch_cells",
+    "snapshot_diff",
+    "ab_experiment_metrics",
+    "ngram_jaccard_pairs",
+    "ngram_jaccard_capped",
+    "dedup_exact_survivors",
+)
+
+
 def test_planner_matches_the_landed_r11_rotation():
     """Ground truth: replaying the planner against the real landed
-    CORRECTNESS_r01..r10 union with this round's code-changed set must
-    reproduce the r11 window EXACTLY as committed in plans/registry.py
-    (same names, same order) — proof the executable policy and the
-    prose policy are one."""
+    CORRECTNESS_r01..r10 union with r11's code-changed set must
+    reproduce the r11 window EXACTLY as committed at r11 close (the
+    literal above) — proof the executable policy and the prose policy
+    are one. Queries registered in FUTURE rounds are excluded from the
+    replay (they did not exist when r11 was planned)."""
     import glob
 
-    from imdb_mapreduce_spark.plans import registry as reg
     from imdb_mapreduce_spark.plans.registry import all_queries
 
     paths = [
@@ -74,9 +132,13 @@ def test_planner_matches_the_landed_r11_rotation():
         pytest.skip("no CORRECTNESS files (round 1)")
     newest = plan_rotation.newest_green_rounds(paths)
     qs = all_queries()
+    known_at_r11 = set(R11_HEAD) | set(newest)
+    order = [n for n in qs if n in known_at_r11]
+    if set(R11_HEAD) - set(order):
+        pytest.skip("r11 queries renamed/removed — replay no longer applies")
     head, _tail, _notes = plan(
-        list(qs),
-        {n for n, q in qs.items() if q.oracle is not None},
+        order,
+        {n for n in order if qs[n].oracle is not None},
         newest,
         code_changed=[
             "streaming_kmv_distinct_salted",
@@ -86,5 +148,5 @@ def test_planner_matches_the_landed_r11_rotation():
     # the landed head put the new query first by hand; the planner puts
     # code-changed first then never-green — same SET, and identical
     # order from slot 3 on (the stalest-first promotion)
-    assert set(head) == set(reg._HEAD)
-    assert head[3:] == list(reg._HEAD)[3:]
+    assert set(head) == set(R11_HEAD)
+    assert head[3:] == list(R11_HEAD)[3:]
