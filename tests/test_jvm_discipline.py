@@ -67,3 +67,54 @@ def test_no_row_at_a_time_python_udfs_and_no_rdd_drops():
         "per-partition imperative logic belongs in mapInPandas "
         "(mapPartitions only as a documented last resort)"
     )
+
+
+# (relpath, enclosing function) → expected count of bare `pass` bodies.
+# Each is a PROTOCOL no-op, verified in place: StatefulProcessor.close()
+# has nothing to release for ValueState-only processors (×2: the TWS
+# user-totals and the TWS KMV twin); compaction_plan's
+# `with pq.ParquetFile(f): pass` exists only to close footer handles
+# promptly (ADVICE r06 — unclosed handles piled up fds); the Python
+# DataSource reader's commit() is the no-op half of its exactly-once
+# contract (the source is deterministic, nothing to acknowledge).
+PASS_INVENTORY: dict[tuple[str, str], int] = {
+    ("streaming/stateful.py", "close"): 2,
+    ("sources/storage.py", "compaction_plan"): 1,
+    ("sources/synthdocs.py", "commit"): 1,
+}
+
+
+def test_every_bare_pass_is_a_documented_protocol_noop():
+    """Every round's review re-verifies the bare `pass` bodies by hand;
+    this pins them. A NEW bare pass (a stubbed method, an unfinished
+    branch) fails here until it is either implemented or justified as a
+    protocol no-op above."""
+    sites: dict[tuple[str, str], int] = {}
+    for dirpath, _dirs, files in os.walk(PKG_ROOT):
+        for fname in files:
+            if not fname.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fname)
+            rel = os.path.relpath(path, PKG_ROOT)
+            tree = ast.parse(open(path).read(), filename=rel)
+
+            def walk(node: ast.AST, fn: str) -> None:
+                for child in ast.iter_child_nodes(node):
+                    nfn = (
+                        child.name
+                        if isinstance(
+                            child, (ast.FunctionDef, ast.AsyncFunctionDef)
+                        )
+                        else fn
+                    )
+                    if isinstance(child, ast.Pass):
+                        key = (rel, fn)
+                        sites[key] = sites.get(key, 0) + 1
+                    walk(child, nfn)
+
+            walk(tree, "<module>")
+    assert sites == PASS_INVENTORY, (
+        f"bare `pass` inventory drifted: found {sites}, expected "
+        f"{PASS_INVENTORY} — implement the new stub or document the "
+        "protocol no-op in PASS_INVENTORY"
+    )
