@@ -68,84 +68,27 @@ def register(
 # Rotate these lists each round so coverage accumulates. See COVERAGE.md
 # ("Driver correctness window") for the per-round rotation record.
 _HEAD: tuple[str, ...] = (
-    # r11 rotation (VERDICT r10 item 1; COVERAGE.md "Driver correctness
+    # r12 rotation (VERDICT r11 item 1; COVERAGE.md "Driver correctness
     # window" has the per-round record). Composition of the 50-slot window:
     #   1) the queries whose CODE changed this round, re-verified in-window
-    #      per the rotation contract: streaming_kmv_distinct_salted (ADVICE
-    #      r10 — data-proportional footer-probe fallback sized for the
-    #      largest measured corpus, citation re-anchor, KMV_SUBKEY_TARGET_ROWS
-    #      env override, version-before-salt-count check order, plus the
-    #      GREEN checkpoint-resume drill of VERDICT r10 item 2) and
-    #      streaming_kmv_distinct (shares the _merge_kmv_state core whose
-    #      version-check order changed);
-    #   2) the r11 queue from the r10 notes: ALL 45 remaining r08-green
-    #      entries stalest-first (copurchase_sssp … ngram_jaccard_pairs) —
-    #      closing the r08 refresh queue;
-    #   3) events_variant_stats — NEW in r11 (the VARIANT tier of the
-    #      JSON trilogy): never-green, so it must be in-window;
-    #   4) fill to 50 with the stalest r09-green entries
-    #      (ngram_jaccard_capped, dedup_exact_survivors); the three
-    #      displaced fills (embedding_dim_profile, hard_negative_lsh,
-    #      ann_recall_eval) head the r12 queue.
-    "events_variant_stats",
-    "streaming_kmv_distinct_salted",
+    #      per the rotation contract: streaming_kmv_distinct_tws (NEW in
+    #      r12 — never-green, the TWS tier registered once protobuf_compat
+    #      un-blocked the state client), streaming_kmv_distinct and
+    #      streaming_kmv_distinct_salted (share the _merge_kmv_state core,
+    #      which now reads the state tuple once per merge, and the
+    #      env-validated _subkey_target_rows — ADVICE r11);
+    #   2) the r12 queue head from the r11 notes: the 3 displaced r09-green
+    #      fills (embedding_dim_profile, hard_negative_lsh, ann_recall_eval);
+    #   3) the 40 remaining r09-green entries stalest-first — closing the
+    #      r09 refresh queue;
+    #   4) filled to 50 with the 4 stalest r10-green entries (pagerank_
+    #      coparts ... minhash_lsh_dups); the 3 displaced r10-green fills
+    #      (event_value_histogram, user_sessions, events_json_stats) roll
+    #      to the r13 queue head (the established displacement precedent).
+
+    "streaming_kmv_distinct_tws",
     "streaming_kmv_distinct",
-    "copurchase_sssp",
-    "copurchase_triangles",
-    "copart_pairs_topk",
-    "basket_association_rules",
-    "ann_cosine_topk",
-    "simhash_near_dups",
-    "hll_distinct_users",
-    "duplicate_span_pairs",
-    "bpe_merge_candidates",
-    "weighted_sample_tokens",
-    "user_state_asof",
-    "paragraph_scrub_rebuild",
-    "minhash_eval_metrics",
-    "ngram_jaccard_thresholded",
-    "paragraph_dedup_stats",
-    "table_profile_orders",
-    "quality_decile_filter",
-    "user_retention_cohorts",
-    "training_shuffle_order",
-    "streaming_segment_purchase_totals",
-    "kmv_distinct_users",
-    "props_redaction_stats",
-    "event_funnel_conversion",
-    "event_transition_bigrams",
-    "incremental_priority_rollup",
-    "corpus_build_manifest",
-    "event_value_anomalies",
-    "embedding_label_centroids",
-    "shipping_lag_stats",
-    "packed_training_rows",
-    "ann_lsh_topk",
-    "ann_ivf_det_topk",
-    "cm_sketch_heavy_hitters",
-    "bloom_filter_prune",
-    "user_state_scd2",
-    "kmv_set_ops",
-    "embedding_random_projection",
-    "text_feature_hashing",
-    "ngram_containment_pairs",
-    "lang_id_confusion",
-    "media_phash_dedup",
-    "streaming_cm_sketch_cells",
-    "snapshot_diff",
-    "ab_experiment_metrics",
-    "ngram_jaccard_pairs",
-    "ngram_jaccard_capped",
-    "dedup_exact_survivors",
-)
-_TAIL: tuple[str, ...] = (
-    # beyond the window, stalest-first (the r12 promotion queue): the three
-    # r09-green fills displaced from the r11 window by code-changed
-    # re-verifies and the new events_variant_stats (the established
-    # displacement precedent), then the remaining r09-green entries, then
-    # the 48 r10-green entries displaced from the r10 window (freshest rows
-    # in the union); every name union-green, each family keeping an
-    # in-window sibling.
+    "streaming_kmv_distinct_salted",
     "embedding_dim_profile",
     "hard_negative_lsh",
     "ann_recall_eval",
@@ -193,6 +136,16 @@ _TAIL: tuple[str, ...] = (
     "semdedup_clusters",
     "semdedup_eval_metrics",
     "minhash_lsh_dups",
+)
+_TAIL: tuple[str, ...] = (
+    # beyond the window, stalest-first (the r13 promotion queue): the three
+    # r10-green fills displaced from the r12 window by the code-changed
+    # re-verifies and the new streaming_kmv_distinct_tws (the established
+    # displacement precedent), then the remaining r10-green entries, then
+    # the r11-green entries displaced from the r11 window (freshest rows in
+    # the union); every name union-green, each family keeping an in-window
+    # sibling.
+
     "event_value_histogram",
     "user_sessions",
     "events_json_stats",
@@ -237,6 +190,54 @@ _TAIL: tuple[str, ...] = (
     "local_supplier_revenue",
     "quantity_band_stats",
     "copurchase_bfs_l3",
+    "events_variant_stats",
+    "copurchase_sssp",
+    "copurchase_triangles",
+    "copart_pairs_topk",
+    "basket_association_rules",
+    "ann_cosine_topk",
+    "simhash_near_dups",
+    "hll_distinct_users",
+    "duplicate_span_pairs",
+    "bpe_merge_candidates",
+    "weighted_sample_tokens",
+    "user_state_asof",
+    "paragraph_scrub_rebuild",
+    "minhash_eval_metrics",
+    "ngram_jaccard_thresholded",
+    "paragraph_dedup_stats",
+    "table_profile_orders",
+    "quality_decile_filter",
+    "user_retention_cohorts",
+    "training_shuffle_order",
+    "streaming_segment_purchase_totals",
+    "kmv_distinct_users",
+    "props_redaction_stats",
+    "event_funnel_conversion",
+    "event_transition_bigrams",
+    "incremental_priority_rollup",
+    "corpus_build_manifest",
+    "event_value_anomalies",
+    "embedding_label_centroids",
+    "shipping_lag_stats",
+    "packed_training_rows",
+    "ann_lsh_topk",
+    "ann_ivf_det_topk",
+    "cm_sketch_heavy_hitters",
+    "bloom_filter_prune",
+    "user_state_scd2",
+    "kmv_set_ops",
+    "embedding_random_projection",
+    "text_feature_hashing",
+    "ngram_containment_pairs",
+    "lang_id_confusion",
+    "media_phash_dedup",
+    "streaming_cm_sketch_cells",
+    "snapshot_diff",
+    "ab_experiment_metrics",
+    "ngram_jaccard_pairs",
+    "ngram_jaccard_capped",
+    "dedup_exact_survivors",
 )
 
 

@@ -16,6 +16,7 @@ source (``readStream`` vs ``read``) and sink differ — the core Spark
 
 from __future__ import annotations
 
+import contextlib
 import tempfile
 import uuid
 
@@ -50,6 +51,52 @@ def _events_schema(ts_type: DataType) -> StructType:
             StructField("props", StringType()),
         ]
     )
+
+
+_STATE_PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+@contextlib.contextmanager
+def rocksdb_state_store(spark: SparkSession):
+    """Run the enclosed streaming query under the RocksDB state store.
+
+    ``transformWithStateInPandas`` REQUIRES it — its named state
+    variables map to state-store column families, and the default
+    ``HDFSBackedStateStoreProvider`` rejects multiple column families
+    (``STATE_STORE_MULTIPLE_COLUMN_FAMILIES``, measured r12). The
+    provider is read once at query start and pinned into the checkpoint
+    (``test_state_store_provider_is_checkpoint_pinned``), so a
+    set-around-the-drain is exactly query-scoped; the session default is
+    restored for subsequent apply*-based queries, whose recorded plans
+    and decade numbers used the default provider."""
+    default = spark.conf.get(_STATE_PROVIDER_KEY)
+    spark.conf.set(_STATE_PROVIDER_KEY, _ROCKSDB_PROVIDER)
+    try:
+        yield
+    finally:
+        spark.conf.set(_STATE_PROVIDER_KEY, default)
+
+
+def require_tws(spark: SparkSession) -> None:
+    """Gate a TWS entry point: activate (or verify) a ``google.protobuf``
+    runtime for driver + workers, failing with an actionable message on
+    hosts with none. See ``streaming/protobuf_compat.py`` for what
+    activation does; callers then run the query under
+    :func:`rocksdb_state_store`."""
+    from imdb_mapreduce_spark.streaming.protobuf_compat import ensure_protobuf
+
+    if not ensure_protobuf(spark):
+        raise RuntimeError(
+            "transformWithStateInPandas needs a google.protobuf runtime "
+            "(state-client protocol); none is installed and no host "
+            "runtime was discovered (protobuf_compat.py lists the probed "
+            "locations). Install protobuf on driver+executors, or use "
+            "the applyInPandasWithState tiers which have no such "
+            "dependency."
+        )
 
 
 def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
@@ -277,16 +324,22 @@ def streaming_user_lifetime_totals(spark: SparkSession, sf_dir: str) -> DataFram
     State carries integer cents, so the cross-batch accumulation is exact
     and the final emission equals the batch DECIMAL aggregate bit-for-bit.
 
-    NOT registered as a driver query: the TWS state server needs a working
-    ``google.protobuf``, absent in this container — the operator is
-    import-gated and covered by a skipif test
-    (``tests/test_stateful_streaming.py::test_twsip_totals_equal_batch``),
-    the same discipline as the PIL decode path in ``pipeline/multimodal``.
+    NOT registered as a driver query (the registered TWS representative
+    is ``streaming_kmv_distinct_tws``, which shares the salted tier's
+    merge core and oracle): the TWS state server needs a working
+    ``google.protobuf`` — since r12 the ``protobuf_compat`` shim
+    activates a host runtime where none is installed, and
+    :func:`require_tws` fails actionably where even that is absent
+    (``tests/test_stateful_streaming.py::test_twsip_totals_equal_batch``).
     """
     from imdb_mapreduce_spark.streaming.stateful import user_totals_twsip
 
+    require_tws(spark)
     stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
-    return run_stream_to_memory(user_totals_twsip(stream), output_mode="update")
+    with rocksdb_state_store(spark):
+        return run_stream_to_memory(
+            user_totals_twsip(stream), output_mode="update"
+        )
 
 
 def run_stream_to_parquet(
@@ -500,6 +553,45 @@ def streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
     log = run_stream_to_memory(running_kmv_by_type(stream), "update")
+    w = Window.partitionBy("event_type").orderBy(F.col("rows_seen").desc())
+    return (
+        log.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("event_type", "rows_seen", "kth_hash", "m")
+    )
+
+
+@register(
+    "streaming_kmv_distinct_tws",
+    oracle=_kmv_stream_oracle(),
+    tags=("streaming", "north-star", "sketch", "stateful"),
+)
+def streaming_kmv_distinct_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KMV sketch through ``transformWithStateInPandas`` (Spark 4's
+    typed-state API) — the third API surface over the SAME
+    ``_merge_kmv_state`` core as the apply* and salted tiers, landing on
+    the same batch oracle bit-for-bit. Registered in r12 once the
+    ``protobuf_compat`` host-runtime discovery un-blocked the TWS state
+    client (protobuf protocol) in this container; the drain runs under
+    the RocksDB state store because TWS's named state variables need
+    column families the default provider rejects (see
+    :func:`rocksdb_state_store`).
+
+    Why TWS earns a registered tier (SCALING.md r11→r12): its runner
+    delivers input in BOUNDED Arrow batches (one batch per channel call),
+    dodging the apply* whole-group-per-call write granularity that walls
+    at hot keys — confirmed at runtime in r12, completing the r11
+    prediction. Parallelism is still key-bounded (SKEW WARNING on
+    :func:`~imdb_mapreduce_spark.streaming.stateful.running_kmv_by_type_tws`),
+    so the salted tier remains the production default under skew."""
+    from pyspark.sql.window import Window
+
+    from imdb_mapreduce_spark.streaming.stateful import running_kmv_by_type_tws
+
+    require_tws(spark)
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    with rocksdb_state_store(spark):
+        log = run_stream_to_memory(running_kmv_by_type_tws(stream), "update")
     w = Window.partitionBy("event_type").orderBy(F.col("rows_seen").desc())
     return (
         log.withColumn("_rn", F.row_number().over(w))

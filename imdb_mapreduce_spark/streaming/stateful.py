@@ -267,15 +267,12 @@ def user_totals_twsip(events: DataFrame) -> DataFrame:
 # applyInPandasWithState's one-GROUP-per-channel-call write granularity
 # and predicts (from the 4.1.2 bytecode + a measured batch-applyInPandas
 # control) that transformWithStateInPandas dodges it — its runner writes
-# one BOUNDED batch per call. The runtime confirmation needs
-# google.protobuf (absent here, no-install contract), so the experiment
-# ships ready instead: `running_kmv_by_type_tws` is the same KMV sketch
-# on the same shared merge core behind Spark 4's TWS API. On a protobuf-
-# equipped host, the A/B is:
-#   drain running_kmv_by_type (apply*) vs running_kmv_by_type_tws on
-#   spark-warehouse/skew1000x/events.parquet (tools/make_skew_events.py)
-# — if the prediction holds, TWS finishes the 60M-row hot key that
-# killed apply* at >92 min.
+# one BOUNDED batch per call. The runtime confirmation needed
+# google.protobuf; in r12 the protobuf_compat host-runtime discovery
+# un-blocked it and the A/B ran (tools/tws_ab_drain.py, numbers in
+# SCALING.md r12): `running_kmv_by_type_tws` — the same KMV sketch on
+# the same shared merge core behind Spark 4's TWS API — drains the
+# skewed corpora that killed apply* (>92 min at a 60M-row hot key).
 
 
 class _TwsStateView:
@@ -343,11 +340,14 @@ def running_kmv_by_type_tws(events: DataFrame) -> DataFrame:
     — the typed-state twin of :func:`running_kmv_by_type`, same JVM-side
     md5-fragment hash, same shared merge core, same output schema.
 
-    NOT registered as a driver query: the TWS state server needs
-    ``google.protobuf``, absent in this container — import-gated and
-    covered by a skipif test, the same discipline as
-    ``user_totals_twsip``. Exists so the SCALING.md r11 Arrow-wall
-    prediction is one line to falsify on a protobuf-equipped host.
+    Registered as ``streaming_kmv_distinct_tws`` since r12: the TWS
+    state server's ``google.protobuf`` dependency — absent as an
+    installed distribution — is satisfied by the ``protobuf_compat``
+    host-runtime discovery, and the drain runs under the RocksDB state
+    store (TWS needs column families; see
+    ``jobs.rocksdb_state_store``). The SCALING.md r11 Arrow-wall
+    prediction this operator was built to falsify is now runtime-tested
+    (SCALING.md r12).
 
     SKEW WARNING: parallelism is still key-bounded — one state task per
     event type. Even if TWS removes the per-group buffer cliff (the r11
@@ -437,13 +437,18 @@ def _merge_kmv_state(
     from imdb_mapreduce_spark.plans.quality import KMV_K
 
     if state.exists:
-        ver = state.get[0]
+        # Read the state tuple ONCE (ADVICE r11): through _TwsStateView
+        # every `state.get` is a separate call into the TWS state client,
+        # and through _SaltedStateView a repeated unpack+validation —
+        # four reads per merge is avoidable hot-path overhead.
+        t = state.get
+        ver = t[0]
         if ver != KMV_STATE_VERSION:
             raise KmvStateVersionError(ver)
         hashes, users, rows_seen = (
-            np.asarray(state.get[1], dtype=np.int64),
-            np.asarray(state.get[2], dtype=np.int64),
-            state.get[3],
+            np.asarray(t[1], dtype=np.int64),
+            np.asarray(t[2], dtype=np.int64),
+            t[3],
         )
     else:
         hashes = users = np.empty(0, dtype=np.int64)
@@ -599,11 +604,26 @@ KMV_FALLBACK_MAX_ROWS = 2_000_000_000
 def _subkey_target_rows() -> int:
     import os
 
-    return int(
-        os.environ.get(
-            "SPARK_GRAFT_KMV_SUBKEY_TARGET_ROWS", KMV_SUBKEY_TARGET_ROWS
+    raw = os.environ.get("SPARK_GRAFT_KMV_SUBKEY_TARGET_ROWS")
+    if raw is None:
+        return KMV_SUBKEY_TARGET_ROWS
+    # Validate HERE with the variable named (ADVICE r11): an invalid
+    # value must not surface as a ValueError/ZeroDivisionError inside the
+    # footer-probe try/except in jobs.py, where it would be misdiagnosed
+    # as a probe failure and re-raised from the fallback sizing path.
+    try:
+        target = int(raw)
+    except ValueError:
+        raise ValueError(
+            "SPARK_GRAFT_KMV_SUBKEY_TARGET_ROWS must be a positive integer "
+            f"(rows per KMV sub-key), got {raw!r}"
+        ) from None
+    if target <= 0:
+        raise ValueError(
+            "SPARK_GRAFT_KMV_SUBKEY_TARGET_ROWS must be a positive integer "
+            f"(rows per KMV sub-key), got {target}"
         )
-    )
+    return target
 
 
 def kmv_salts_for_rows(total_rows: int) -> int:
@@ -639,9 +659,10 @@ KMV_SALTED_SCHEMA = StructType(
 # proven too: test_kmv_salted_checkpoint_resume_green partially drains a
 # file-split source to a checkpoint, stops, restarts the SAME query with
 # the remaining files, and the recovered state converges bit-identical to
-# the batch oracle — the reference's snapshot/restore pair
-# (server.erl:329,334) is this exact contract, executed here by the state
-# store instead of hand-rolled ETS dumps.
+# the batch oracle — the reference's snapshot half (ets:tab2file,
+# server.erl:161,167) / restore half (ets:file2tab, server.erl:329,334)
+# is this exact contract, executed here by the state store instead of
+# hand-rolled ETS dumps.
 # Runbook step 0 before any of the above: the checkpoint state is
 # introspectable OFFLINE as a batch DataFrame —
 # spark.read.format("state-metadata").load(ckpt) lists the stateful

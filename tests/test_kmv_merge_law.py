@@ -158,6 +158,24 @@ def test_subkey_target_rows_env_override(monkeypatch):
     assert kmv_salts_for_rows(1_000_000_000) == 125
 
 
+def test_subkey_target_rows_env_validated_with_named_error(monkeypatch):
+    """ADVICE r11: a bad SPARK_GRAFT_KMV_SUBKEY_TARGET_ROWS must raise a
+    clear error NAMING the variable at the sizing call — not a bare
+    ValueError/ZeroDivisionError that the footer-probe try/except in
+    jobs.py would misdiagnose as a probe failure and re-raise from
+    inside the fallback path (masking the real root cause)."""
+    import pytest
+
+    from imdb_mapreduce_spark.streaming.stateful import kmv_salts_for_rows
+
+    for bad in ("8M", "", "8.5", "0", "-3"):
+        monkeypatch.setenv("SPARK_GRAFT_KMV_SUBKEY_TARGET_ROWS", bad)
+        with pytest.raises(ValueError) as exc:
+            kmv_salts_for_rows(1_000_000_000)
+        assert "SPARK_GRAFT_KMV_SUBKEY_TARGET_ROWS" in str(exc.value)
+        assert "positive integer" in str(exc.value)
+
+
 def test_fallback_salts_safe_at_largest_corpus():
     """ADVICE r10: the footer-probe failure fallback must satisfy the
     safety property it claims ('fail SAFE toward MORE salts') at the

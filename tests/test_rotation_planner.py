@@ -54,71 +54,74 @@ def test_overflow_and_unknown_names_fail_loud():
         )
 
 
-# The r11 window as committed in plans/registry.py at r11 close — a
-# LITERAL snapshot, deliberately not reg._HEAD: future rounds rotate
-# the live tuple, but the r11 ground truth is immutable, so the replay
-# below stays valid forever.
-R11_HEAD = (
-    "events_variant_stats",
-    "streaming_kmv_distinct_salted",
+# The r12 window as committed in plans/registry.py at r12 close — a
+# LITERAL snapshot, deliberately not reg._HEAD. The replay target moves
+# forward each rotation (r11 -> r12 precedent): the planner's tie-break
+# among equally-stale fills follows the LIVE registry iteration order,
+# which each rotation rewrites — so only the latest landed rotation is
+# exactly replayable, and that is the one the rotation contract cares
+# about ("the landed window IS the planner output").
+R12_HEAD = (
+    "streaming_kmv_distinct_tws",
     "streaming_kmv_distinct",
-    "copurchase_sssp",
-    "copurchase_triangles",
-    "copart_pairs_topk",
-    "basket_association_rules",
-    "ann_cosine_topk",
-    "simhash_near_dups",
-    "hll_distinct_users",
-    "duplicate_span_pairs",
-    "bpe_merge_candidates",
-    "weighted_sample_tokens",
-    "user_state_asof",
-    "paragraph_scrub_rebuild",
-    "minhash_eval_metrics",
-    "ngram_jaccard_thresholded",
-    "paragraph_dedup_stats",
-    "table_profile_orders",
-    "quality_decile_filter",
-    "user_retention_cohorts",
-    "training_shuffle_order",
-    "streaming_segment_purchase_totals",
-    "kmv_distinct_users",
-    "props_redaction_stats",
-    "event_funnel_conversion",
-    "event_transition_bigrams",
-    "incremental_priority_rollup",
-    "corpus_build_manifest",
-    "event_value_anomalies",
-    "embedding_label_centroids",
-    "shipping_lag_stats",
-    "packed_training_rows",
-    "ann_lsh_topk",
-    "ann_ivf_det_topk",
-    "cm_sketch_heavy_hitters",
-    "bloom_filter_prune",
-    "user_state_scd2",
-    "kmv_set_ops",
-    "embedding_random_projection",
-    "text_feature_hashing",
-    "ngram_containment_pairs",
-    "lang_id_confusion",
-    "media_phash_dedup",
-    "streaming_cm_sketch_cells",
-    "snapshot_diff",
-    "ab_experiment_metrics",
-    "ngram_jaccard_pairs",
-    "ngram_jaccard_capped",
-    "dedup_exact_survivors",
+    "streaming_kmv_distinct_salted",
+    "embedding_dim_profile",
+    "hard_negative_lsh",
+    "ann_recall_eval",
+    "hard_negative_mining",
+    "incremental_dedup_verdicts",
+    "streaming_foreachbatch_upsert",
+    "embedding_lsh_dups",
+    "split_leakage_audit",
+    "zorder_layout_plan",
+    "zone_map_prune_audit",
+    "rollup_grouping_flags",
+    "events_json_struct",
+    "embedding_label_dups",
+    "customer_order_window",
+    "orders_by_month",
+    "supplier_unpivot",
+    "early_not_recent_buyers",
+    "brand_top2_parts",
+    "user_running_stats_salted",
+    "inverted_index_postings",
+    "doc_chunk_windows",
+    "embedding_int8_quant",
+    "pricing_summary",
+    "revenue_topk",
+    "customers_without_orders",
+    "order_basket_lookup",
+    "nation_customer_sorted",
+    "asof_last_purchase",
+    "events_10min_windows",
+    "dedup_clusters",
+    "parts_above_brand_avg",
+    "doc_embedding_profile",
+    "supplier_part_facts",
+    "events_hourly",
+    "order_price_quantiles",
+    "region_rollup",
+    "token_pack_assignment",
+    "media_byte_histogram",
+    "token_count_bpe",
+    "doc_rarity_scores",
+    "tfidf_top_terms",
+    "part_expr_catalog",
+    "events_cube",
+    "pagerank_coparts",
+    "semdedup_clusters",
+    "semdedup_eval_metrics",
+    "minhash_lsh_dups",
 )
 
 
-def test_planner_matches_the_landed_r11_rotation():
+def test_planner_matches_the_landed_r12_rotation():
     """Ground truth: replaying the planner against the real landed
-    CORRECTNESS_r01..r10 union with r11's code-changed set must
-    reproduce the r11 window EXACTLY as committed at r11 close (the
+    CORRECTNESS_r01..r11 union with r12's code-changed set must
+    reproduce the r12 window EXACTLY as committed at r12 close (the
     literal above) — proof the executable policy and the prose policy
     are one. Queries registered in FUTURE rounds are excluded from the
-    replay (they did not exist when r11 was planned)."""
+    replay (they did not exist when r12 was planned)."""
     import glob
 
     from imdb_mapreduce_spark.plans.registry import all_queries
@@ -126,27 +129,24 @@ def test_planner_matches_the_landed_r11_rotation():
     paths = [
         p
         for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
-        if int(os.path.basename(p)[13:15]) <= 10
+        if int(os.path.basename(p)[13:15]) <= 11
     ]
     if not paths:
         pytest.skip("no CORRECTNESS files (round 1)")
     newest = plan_rotation.newest_green_rounds(paths)
     qs = all_queries()
-    known_at_r11 = set(R11_HEAD) | set(newest)
-    order = [n for n in qs if n in known_at_r11]
-    if set(R11_HEAD) - set(order):
-        pytest.skip("r11 queries renamed/removed — replay no longer applies")
+    known_at_r12 = set(R12_HEAD) | set(newest)
+    order = [n for n in qs if n in known_at_r12]
+    if set(R12_HEAD) - set(order):
+        pytest.skip("r12 queries renamed/removed — replay no longer applies")
     head, _tail, _notes = plan(
         order,
         {n for n in order if qs[n].oracle is not None},
         newest,
         code_changed=[
-            "streaming_kmv_distinct_salted",
+            "streaming_kmv_distinct_tws",
             "streaming_kmv_distinct",
+            "streaming_kmv_distinct_salted",
         ],
     )
-    # the landed head put the new query first by hand; the planner puts
-    # code-changed first then never-green — same SET, and identical
-    # order from slot 3 on (the stalest-first promotion)
-    assert set(head) == set(R11_HEAD)
-    assert head[3:] == list(R11_HEAD)[3:]
+    assert list(head) == list(R12_HEAD)
