@@ -164,22 +164,55 @@ def main() -> None:
     # its own. Per-pass times are emitted so a noisy pass is visible in
     # the recorded JSON instead of silently shaping the headline number.
     #
+    # Warm-pass protocol (VERDICT r11 item 2, codifying the kmv_set_ops
+    # r10 / basket_association_rules r11 attributions): codegen-heavy
+    # sub-second queries need up to ~6-10 passes to reach steady state,
+    # so a min-of-3 band-edge reading on one is usually warm-up, not
+    # regression. Rule, wired here instead of a notes footnote: any query
+    # whose min-of-3 lands under WARM_EXTEND_BELOW_SEC and whose pass
+    # curve is still improving gets extra passes until the running best
+    # stops improving by >3% for 2 consecutive passes (max 10 total).
+    # `timings` (and the headline total) stay MIN-OF-THE-FIRST-3 so every
+    # cross-round comparison and the r06-pinned canary references keep
+    # their meaning; the steady-state asymptote is recorded per query in
+    # `warm_mins` — a future band-edge reading is attributed by READING
+    # the same round's artifact, not by a dedicated min-of-10 session.
+    #
     # Per-query isolation (VERDICT r03 item 2): one broken query records an
     # {"err": ...} entry and the harness moves on — the JSON line is ALWAYS
     # emitted. A bench must degrade, not die; r03's artifact was zeroed by
     # a single AnalysisException aborting the whole process.
+    WARM_EXTEND_BELOW_SEC = 1.5
+    MAX_PASSES = 10
+    warm_mins: dict[str, float] = {}
     for name in HEADLINE:
         try:
             fn = qs[name]
             passes: list[float] = []
-            for _ in range(3):
+
+            def one_pass() -> None:
                 t = time.time()
                 rows = fn(spark, sf_dir).collect()
                 passes.append(round(time.time() - t, 3))
                 row_counts[name] = len(rows)
-                del rows
-            all_passes[name] = passes
+
+            for _ in range(3):
+                one_pass()
             timings[name] = min(passes)
+            if timings[name] < WARM_EXTEND_BELOW_SEC:
+                # seed the convergence counter from the base passes: count
+                # trailing passes that failed to improve the running best
+                # by >3% (a flat curve earns 2 and extends zero passes)
+                stale = 0
+                for i in range(1, len(passes)):
+                    improved = passes[i] < 0.97 * min(passes[:i])
+                    stale = 0 if improved else stale + 1
+                while stale < 2 and len(passes) < MAX_PASSES:
+                    best = min(passes)
+                    one_pass()
+                    stale = 0 if passes[-1] < 0.97 * best else stale + 1
+            all_passes[name] = passes
+            warm_mins[name] = min(passes)
         except Exception as exc:  # noqa: BLE001 — isolate; record; continue
             errors[name] = repr(exc)[:800]
         # Drop Python-side DataFrame refs NOW so the JVM ContextCleaner can
@@ -230,6 +263,7 @@ def main() -> None:
                 "detail": "per_query_timings",
                 "queries": timings,
                 "passes": all_passes,
+                "warm_mins": warm_mins,
                 "rows": row_counts,
                 "sf": sf,
                 "steady_total_sec": total,
