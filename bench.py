@@ -113,6 +113,10 @@ HEADLINE = (
     "hard_negative_lsh",
     "semdedup_eval_metrics",
     "ann_recall_eval",
+    # added r12: the large-large binned interval overlap join (temporal
+    # trilogy's third member) — perf-tracked so the explode + bin-join
+    # plan's cost is visible round over round
+    "session_overlap_topk",
 )
 
 

@@ -29,6 +29,20 @@ window, so wide right sides should be pruned to needed columns first.
 Range join (``band_join``): non-equi join against a (usually tiny) interval
 table — broadcast the bands and let the nested-loop join run per-partition;
 with band count ≪ rows this is a map-side operation.
+
+Interval overlap join (``overlap_join_binned``): LARGE × LARGE interval
+overlap with no equi-key — the case ``band_join``'s broadcast
+nested-loop cannot survive (both sides big → O(|L|·|R|) comparisons and
+a broadcast that doesn't fit). Open-source Spark has no native range
+join (Databricks' range-join hint is a managed-runtime feature), so the
+scalable shape is composed from builtins: discretize time into
+fixed-width bins, explode each interval onto the bins it covers, and
+equi-join on the bin so the sort-merge/shuffled-hash machinery bounds
+candidates to pairs sharing a bin. Each overlapping pair is emitted
+EXACTLY ONCE without a distinct: only the bin containing the overlap's
+start (``floor(max(l.start, r.start) / W)``) reports the pair — that bin
+is covered by both intervals by construction, so no dedup shuffle and no
+double counting, whatever the interval lengths.
 """
 
 from __future__ import annotations
@@ -91,6 +105,80 @@ def asof_join(
         *lcols,
         *[F.col("_m").getField(p).alias(f"{p}{suffix}") for p in payload],
     )
+
+
+def overlap_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    bin_width: int,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    max_bins_per_row: int | None = 1024,
+) -> DataFrame:
+    """All (left, right) pairs whose CLOSED intervals overlap:
+    ``l_start <= r_end AND r_start <= l_end``. Column names must be
+    disjoint between the two sides (rename before calling); start/end
+    are integers in the caller's time unit and ``bin_width`` is in the
+    same unit.
+
+    Scale shape: each side explodes onto ``floor(start/W)..floor(end/W)``
+    bin ids (a data-proportional blow-up of ``duration/W + 1`` rows per
+    interval), the join runs as an EQUI-join on the bin id, and the
+    count-once predicate keeps exactly the bin holding the overlap's
+    start. Candidate work per bin is |L_bin|·|R_bin| — choose W near the
+    typical interval length so most intervals land in O(1) bins while
+    bins stay small; a hot bin (everything overlapping one epoch) is a
+    genuine data skew that AQE skew-join handles on the shuffled side,
+    or pre-salt by splitting the hot bin's LONGER side. ``max_bins_per_row``
+    fails loudly (JVM-side ``raise_error``, no extra pass) when one
+    interval would explode past the budget — a mis-sized W at 100 TB
+    should die at plan time with a named knob, not OOM an executor.
+    """
+    w = int(bin_width)
+
+    def floordiv(expr: str) -> "F.Column":
+        # Exact floor-division in LONG arithmetic: (c - pmod(c, w)) is
+        # divisible by w, so SQL `div` (integer division) is exact —
+        # unlike floor(c / w), whose double division loses exactness
+        # above 2^53 (nanosecond epochs are ~1.8e18: the double path can
+        # mis-bin them). pmod keeps floor semantics for negative
+        # coordinates too. Built from the caller's column NAMES because
+        # `div` has no pyspark.sql.functions wrapper.
+        return F.expr(f"(({expr}) - pmod(({expr}), {w})) div {w}")
+
+    def binned(df: DataFrame, start: str, end: str, side: str) -> DataFrame:
+        lo = floordiv(start)
+        hi = floordiv(end)
+        n_bins = hi - lo + F.lit(1)
+        if max_bins_per_row is not None:
+            hi = F.when(
+                n_bins > max_bins_per_row,
+                F.raise_error(
+                    F.format_string(
+                        "overlap_join_binned: %s-side interval covers %s bins"
+                        " > max_bins_per_row=" + str(max_bins_per_row)
+                        + "; raise bin_width or the budget",
+                        F.lit(side),
+                        n_bins,
+                    ),
+                ).cast("long"),
+            ).otherwise(hi)
+        return df.withColumn("_bin_" + side, F.explode(F.sequence(lo, hi)))
+
+    lb = binned(left, l_start, l_end, "l")
+    rb = binned(right, r_start, r_end, "r")
+    anchor_bin = floordiv(f"greatest({l_start}, {r_start})")
+    joined = lb.join(
+        rb,
+        (F.col("_bin_l") == F.col("_bin_r"))
+        & (F.col(l_start) <= F.col(r_end))
+        & (F.col(r_start) <= F.col(l_end))
+        & (anchor_bin == F.col("_bin_l")),
+        "inner",
+    )
+    return joined.drop("_bin_l", "_bin_r")
 
 
 def band_join(

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from imdb_mapreduce_spark.functions.columns import epoch_us
+from imdb_mapreduce_spark.operators.temporal import overlap_join_binned
 from imdb_mapreduce_spark.plans.registry import register
 from imdb_mapreduce_spark.sources.star import load_table
 
@@ -150,6 +151,110 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.min("event_id").alias("first_event"),
         (epoch_us(F.max("ts")) - epoch_us(F.min("ts"))).alias("duration_us"),
+    )
+
+
+@register(
+    "session_overlap_topk",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '30 minutes'
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events),
+    sess AS (
+      SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+      FROM gaps),
+    iv AS (
+      SELECT user_id, session_no,
+             epoch_us(MIN(ts)) AS start_us, epoch_us(MAX(ts)) AS end_us
+      FROM sess GROUP BY user_id, session_no)
+    SELECT a.user_id AS user1, a.session_no AS session1,
+           b.user_id AS user2, b.session_no AS session2,
+           LEAST(a.end_us, b.end_us) - GREATEST(a.start_us, b.start_us) AS overlap_us
+    FROM iv a JOIN iv b
+      ON a.user_id < b.user_id
+     AND a.start_us <= b.end_us AND b.start_us <= a.end_us
+    ORDER BY overlap_us DESC, user1, session1, user2, session2
+    LIMIT 50
+    """,
+    tags=("temporal", "range-join", "session"),
+)
+def session_overlap_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 cross-user session pairs by temporal overlap — the
+    LARGE × LARGE interval overlap join (no equi-key), via
+    ``operators/temporal.overlap_join_binned``: sessions explode onto
+    1-hour bins, the join is an EQUI-join on the bin id (sort-merge /
+    shuffled-hash scale machinery, never a nested loop over the cross
+    product), the overlap + count-once predicates ride the join
+    condition, and top-k is a TakeOrdered. The oracle is the naive
+    O(n²)-candidate overlap self-join — feasible for DuckDB at oracle
+    SF, which is exactly the plan shape this operator exists to avoid
+    at 100 TB. Bin width (1 h) sits above the 30-min session gap bound,
+    so typical sessions cover 1-2 bins; ``max_bins_per_row`` fails
+    loudly if a pathological session would explode past budget.
+    Completes the temporal-join trilogy: AS-OF (`user_state_asof`),
+    broadcast band join (`band_join`), large-large overlap (this).
+    Reference analog: the co-occurrence pair scans the reference walks
+    per-key (master.erl's per-actor traversals); ours is set-oriented.
+    """
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag("ts").over(w)
+    is_new = (
+        prev_ts.isNull()
+        | (epoch_us("ts") - epoch_us(prev_ts) > 30 * 60 * 1_000_000)
+    ).cast("int")
+    iv = (
+        e.select("user_id", "event_id", "ts", is_new.alias("is_new"))
+        .select(
+            "user_id", "ts", F.sum("is_new").over(wf).alias("session_no")
+        )
+        .groupBy("user_id", "session_no")
+        .agg(
+            epoch_us(F.min("ts")).alias("start_us"),
+            epoch_us(F.max("ts")).alias("end_us"),
+        )
+    )
+    a = iv.select(
+        F.col("user_id").alias("user1"),
+        F.col("session_no").alias("session1"),
+        F.col("start_us").alias("start1"),
+        F.col("end_us").alias("end1"),
+    )
+    b = iv.select(
+        F.col("user_id").alias("user2"),
+        F.col("session_no").alias("session2"),
+        F.col("start_us").alias("start2"),
+        F.col("end_us").alias("end2"),
+    )
+    pairs = overlap_join_binned(
+        a,
+        b,
+        bin_width=3_600_000_000,
+        l_start="start1",
+        l_end="end1",
+        r_start="start2",
+        r_end="end2",
+    ).filter(F.col("user1") < F.col("user2"))
+    return (
+        pairs.select(
+            "user1",
+            "session1",
+            "user2",
+            "session2",
+            (
+                F.least("end1", "end2") - F.greatest("start1", "start2")
+            ).alias("overlap_us"),
+        )
+        .orderBy(
+            F.desc("overlap_us"), "user1", "session1", "user2", "session2"
+        )
+        .limit(50)
     )
 
 

@@ -81,14 +81,17 @@ _HEAD: tuple[str, ...] = (
     #      fills (embedding_dim_profile, hard_negative_lsh, ann_recall_eval);
     #   3) the 40 remaining r09-green entries stalest-first — closing the
     #      r09 refresh queue;
-    #   4) filled to 50 with the 4 stalest r10-green entries (pagerank_
-    #      coparts ... minhash_lsh_dups); the 3 displaced r10-green fills
-    #      (event_value_histogram, user_sessions, events_json_stats) roll
-    #      to the r13 queue head (the established displacement precedent).
+    #   4) filled to 50 with the stalest r10-green entries (pagerank_
+    #      coparts ...); the displaced r10-green fills
+    #      (event_value_histogram, user_sessions, events_json_stats, and
+    #      mid-round, minhash_lsh_dups — displaced when the never-green
+    #      session_overlap_topk landed, the r11 events_variant_stats
+    #      precedent) roll to the r13 queue head.
 
     "streaming_kmv_distinct_tws",
     "streaming_kmv_distinct",
     "streaming_kmv_distinct_salted",
+    "session_overlap_topk",
     "embedding_dim_profile",
     "hard_negative_lsh",
     "ann_recall_eval",
@@ -135,7 +138,6 @@ _HEAD: tuple[str, ...] = (
     "pagerank_coparts",
     "semdedup_clusters",
     "semdedup_eval_metrics",
-    "minhash_lsh_dups",
 )
 _TAIL: tuple[str, ...] = (
     # beyond the window, stalest-first (the r13 promotion queue): the three
@@ -149,6 +151,7 @@ _TAIL: tuple[str, ...] = (
     "event_value_histogram",
     "user_sessions",
     "events_json_stats",
+    "minhash_lsh_dups",
     "user_value_trend",
     "benchmark_decontam",
     "streaming_dedup_10min_counts",

@@ -65,6 +65,11 @@ R12_HEAD = (
     "streaming_kmv_distinct_tws",
     "streaming_kmv_distinct",
     "streaming_kmv_distinct_salted",
+    # mid-round never-green addition (the r11 events_variant_stats
+    # precedent): the planner forces it in-window directly after the
+    # code-changed entries; the 50th fill (minhash_lsh_dups) was
+    # displaced to the r13 queue head when it landed.
+    "session_overlap_topk",
     "embedding_dim_profile",
     "hard_negative_lsh",
     "ann_recall_eval",
@@ -111,7 +116,6 @@ R12_HEAD = (
     "pagerank_coparts",
     "semdedup_clusters",
     "semdedup_eval_metrics",
-    "minhash_lsh_dups",
 )
 
 

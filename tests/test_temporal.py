@@ -214,3 +214,122 @@ def test_asof_state_is_unique_per_user_and_within_interval(spark):
         assert iv["event_type"] == r["event_type"]
         assert iv["valid_from_us"] <= ASOF_T_US
         assert iv["valid_to_us"] == -1 or iv["valid_to_us"] > ASOF_T_US
+
+
+# ---- overlap_join_binned (large-large interval overlap, no equi-key) ----
+
+
+def _naive_overlap_pairs(lrows, rrows):
+    """Reference: the O(n*m) definition the binned plan must reproduce."""
+    out = set()
+    for lid, ls, le in lrows:
+        for rid, rs, re in rrows:
+            if ls <= re and rs <= le:
+                out.add((lid, rid))
+    return out
+
+
+def test_overlap_join_binned_matches_naive_randomized(spark):
+    """Randomized A/B vs the quadratic definition: point intervals,
+    multi-bin spans, exact bin-edge touches — every overlapping pair
+    exactly once, nothing else."""
+    import numpy as np
+
+    from imdb_mapreduce_spark.operators.temporal import overlap_join_binned
+
+    rng = np.random.default_rng(42)
+    W = 100
+    n = 120
+    starts = rng.integers(0, 2_000, n)
+    # mix: ~1/3 points, ~1/3 short, ~1/3 spanning several bins; plus
+    # hand-planted bin-edge geometry below
+    durs = np.concatenate(
+        [
+            np.zeros(n // 3, dtype=int),
+            rng.integers(1, W, n // 3),
+            rng.integers(W, 5 * W, n - 2 * (n // 3)),
+        ]
+    )
+    rng.shuffle(durs)
+    lrows = [(int(i), int(s), int(s + d)) for i, (s, d) in enumerate(zip(starts, durs))]
+    # edge cases: end exactly on a bin boundary; start on a boundary;
+    # touching intervals (end1 == start2 -> closed-interval overlap)
+    lrows += [(1000, 0, W), (1001, W, W), (1002, 2 * W, 3 * W - 1)]
+    rrows = [(int(1_000_000 + i), int(s), int(e)) for i, (_, s, e) in enumerate(lrows[::2])]
+
+    left = spark.createDataFrame(lrows, ["lid", "ls", "le"])
+    right = spark.createDataFrame(rrows, ["rid", "rs", "re"])
+    got_rows = overlap_join_binned(
+        left, right, bin_width=W, l_start="ls", l_end="le", r_start="rs", r_end="re"
+    ).collect()
+    got = [(r["lid"], r["rid"]) for r in got_rows]
+    assert len(got) == len(set(got)), "a pair was emitted more than once"
+    assert set(got) == _naive_overlap_pairs(lrows, rrows)
+
+
+def test_overlap_join_binned_is_equi_join_not_nested_loop(spark):
+    """The scale contract: candidates are bounded by bin co-membership —
+    the physical plan must join on the bin id (any equi-join strategy),
+    never fall back to a nested loop / cartesian over the inputs."""
+    from imdb_mapreduce_spark.operators.temporal import overlap_join_binned
+
+    left = spark.createDataFrame([(1, 0, 10)], ["lid", "ls", "le"])
+    right = spark.createDataFrame([(2, 5, 15)], ["rid", "rs", "re"])
+    plan = (
+        overlap_join_binned(
+            left, right, bin_width=100,
+            l_start="ls", l_end="le", r_start="rs", r_end="re",
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_overlap_join_binned_bin_budget_fails_loud(spark):
+    """A mis-sized bin_width must die at executor time with the knob named,
+    not silently explode one row into millions of bin rows."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from imdb_mapreduce_spark.operators.temporal import overlap_join_binned
+
+    left = spark.createDataFrame([(1, 0, 10_000)], ["lid", "ls", "le"])
+    right = spark.createDataFrame([(2, 0, 1)], ["rid", "rs", "re"])
+    with pytest.raises(SparkRuntimeException, match="max_bins_per_row"):
+        overlap_join_binned(
+            left, right, bin_width=1,
+            l_start="ls", l_end="le", r_start="rs", r_end="re",
+            max_bins_per_row=64,
+        ).collect()
+
+
+def test_overlap_join_binned_exact_at_ns_epoch_scale(spark):
+    """Bin math must be exact LONG floor-division: nanosecond epochs
+    (~1.8e18) sit far above double's 2^53 exact-integer range, and
+    negative coordinates must floor (not truncate toward zero)."""
+    from imdb_mapreduce_spark.operators.temporal import overlap_join_binned
+
+    W = 3_600_000_000_000  # 1h in ns
+    base = 1_800_000_000_000_000_000  # ~2027 in epoch-ns
+    lrows = [
+        (1, base, base + W // 2),
+        (2, base + W // 2, base + 3 * W),  # touches 1 at a single point
+        (3, base + 10 * W, base + 10 * W),  # far point interval
+        (4, -3 * W - 7, -2 * W),  # negative coordinates
+    ]
+    rrows = [
+        (11, base + W // 2, base + W // 2),  # point ON the touch instant
+        (12, base + 9 * W, base + 11 * W),
+        (13, -2 * W - 1, -1),
+    ]
+    left = spark.createDataFrame(lrows, ["lid", "ls", "le"])
+    right = spark.createDataFrame(rrows, ["rid", "rs", "re"])
+    got = {
+        (r["lid"], r["rid"])
+        for r in overlap_join_binned(
+            left, right, bin_width=W,
+            l_start="ls", l_end="le", r_start="rs", r_end="re",
+        ).collect()
+    }
+    assert got == _naive_overlap_pairs(lrows, rrows)
