@@ -170,12 +170,18 @@ def main() -> None:
     #
     # Warm-pass protocol (VERDICT r11 item 2, codifying the kmv_set_ops
     # r10 / basket_association_rules r11 attributions): codegen-heavy
-    # sub-second queries need up to ~6-10 passes to reach steady state,
-    # so a min-of-3 band-edge reading on one is usually warm-up, not
-    # regression. Rule, wired here instead of a notes footnote: any query
-    # whose min-of-3 lands under WARM_EXTEND_BELOW_SEC and whose pass
-    # curve is still improving gets extra passes until the running best
-    # stops improving by >3% for 2 consecutive passes (max 10 total).
+    # queries need up to ~6-10 passes to reach steady state, so a
+    # min-of-3 band-edge reading on one is usually warm-up, not
+    # regression. Rule, wired here instead of a notes footnote: any
+    # query whose pass curve is STILL IMPROVING after the base 3 passes
+    # (running best improved by >3% without 2 consecutive flat passes)
+    # gets extra passes until it flattens (max 10 total). The trigger is
+    # deliberately time-scale-free — r12 showed an absolute sub-second
+    # threshold lets host drift push a warming query (basket at 1.77 s
+    # on a 1.2x-drifted box) out of eligibility exactly when attribution
+    # is needed most. Flat expensive queries (pagerank at 4.2 s) seed 2
+    # stale passes from the base 3 and extend ZERO passes, so the cost
+    # lands only on still-warming curves.
     # `timings` (and the headline total) stay MIN-OF-THE-FIRST-3 so every
     # cross-round comparison and the r06-pinned canary references keep
     # their meaning; the steady-state asymptote is recorded per query in
@@ -186,7 +192,6 @@ def main() -> None:
     # {"err": ...} entry and the harness moves on — the JSON line is ALWAYS
     # emitted. A bench must degrade, not die; r03's artifact was zeroed by
     # a single AnalysisException aborting the whole process.
-    WARM_EXTEND_BELOW_SEC = 1.5
     MAX_PASSES = 10
     warm_mins: dict[str, float] = {}
     for name in HEADLINE:
@@ -203,18 +208,17 @@ def main() -> None:
             for _ in range(3):
                 one_pass()
             timings[name] = min(passes)
-            if timings[name] < WARM_EXTEND_BELOW_SEC:
-                # seed the convergence counter from the base passes: count
-                # trailing passes that failed to improve the running best
-                # by >3% (a flat curve earns 2 and extends zero passes)
-                stale = 0
-                for i in range(1, len(passes)):
-                    improved = passes[i] < 0.97 * min(passes[:i])
-                    stale = 0 if improved else stale + 1
-                while stale < 2 and len(passes) < MAX_PASSES:
-                    best = min(passes)
-                    one_pass()
-                    stale = 0 if passes[-1] < 0.97 * best else stale + 1
+            # seed the convergence counter from the base passes: count
+            # trailing passes that failed to improve the running best
+            # by >3% (a flat curve earns 2 and extends zero passes)
+            stale = 0
+            for i in range(1, len(passes)):
+                improved = passes[i] < 0.97 * min(passes[:i])
+                stale = 0 if improved else stale + 1
+            while stale < 2 and len(passes) < MAX_PASSES:
+                best = min(passes)
+                one_pass()
+                stale = 0 if passes[-1] < 0.97 * best else stale + 1
             all_passes[name] = passes
             warm_mins[name] = min(passes)
         except Exception as exc:  # noqa: BLE001 — isolate; record; continue
