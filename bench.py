@@ -115,8 +115,10 @@ HEADLINE = (
     "ann_recall_eval",
     # added r12: the large-large binned interval overlap join (temporal
     # trilogy's third member) — perf-tracked so the explode + bin-join
-    # plan's cost is visible round over round
+    # plan's cost is visible round over round — and the two-phase
+    # sweep-line peak-concurrency readout over the same session intervals
     "session_overlap_topk",
+    "peak_concurrent_sessions",
 )
 
 

@@ -154,6 +154,71 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _session_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, session_no, start_us, end_us) — the 30-min-gap session
+    intervals shared by the temporal family (`user_sessions` is the
+    registered per-session stats twin of this build)."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag("ts").over(w)
+    is_new = (
+        prev_ts.isNull()
+        | (epoch_us("ts") - epoch_us(prev_ts) > 30 * 60 * 1_000_000)
+    ).cast("int")
+    return (
+        e.select("user_id", "event_id", "ts", is_new.alias("is_new"))
+        .select(
+            "user_id", "ts", F.sum("is_new").over(wf).alias("session_no")
+        )
+        .groupBy("user_id", "session_no")
+        .agg(
+            epoch_us(F.min("ts")).alias("start_us"),
+            epoch_us(F.max("ts")).alias("end_us"),
+        )
+    )
+
+
+def sweep_peaks(iv: DataFrame, chunk_us: int = 86_400_000_000) -> DataFrame:
+    """Per-chunk peak concurrency over CLOSED intervals
+    (start_us/end_us columns) — the distributed sweep-line behind
+    `peak_concurrent_sessions`; see its docstring for the two-phase
+    decomposition argument. Returns (day_no, peak)."""
+    bounds = iv.select(
+        F.col("start_us").alias("b_us"), F.lit(1).alias("delta")
+    ).unionAll(
+        iv.select(
+            (F.col("end_us") + 1).alias("b_us"), F.lit(-1).alias("delta")
+        )
+    )
+    # exact long floor-div (see overlap_join_binned): chunk of the
+    # boundary instant
+    d = bounds.withColumn("day_no", F.expr(f"b_us div {int(chunk_us)}"))
+    w_in = Window.partitionBy("day_no").orderBy("b_us", "delta")
+    within = d.withColumn("lvl_in", F.sum("delta").over(w_in))
+    per_day = within.groupBy("day_no").agg(
+        F.max("lvl_in").alias("peak_in"), F.sum("delta").alias("net")
+    )
+    w_off = Window.orderBy("day_no").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return per_day.select(
+        "day_no",
+        F.coalesce(F.sum("net").over(w_off), F.lit(0)).alias("_carry"),
+        "peak_in",
+    ).select(
+        "day_no",
+        # the carried level is itself attained at the chunk's start, so a
+        # chunk whose only boundaries are ENDS still reports the level it
+        # began with (greatest covers the negative-peak_in case)
+        F.greatest(
+            F.col("_carry"), F.col("peak_in") + F.col("_carry")
+        )
+        .cast("long")
+        .alias("peak"),
+    )
+
+
 @register(
     "session_overlap_topk",
     oracle="""
@@ -201,25 +266,7 @@ def session_overlap_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference analog: the co-occurrence pair scans the reference walks
     per-key (master.erl's per-actor traversals); ours is set-oriented.
     """
-    e = _events(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    prev_ts = F.lag("ts").over(w)
-    is_new = (
-        prev_ts.isNull()
-        | (epoch_us("ts") - epoch_us(prev_ts) > 30 * 60 * 1_000_000)
-    ).cast("int")
-    iv = (
-        e.select("user_id", "event_id", "ts", is_new.alias("is_new"))
-        .select(
-            "user_id", "ts", F.sum("is_new").over(wf).alias("session_no")
-        )
-        .groupBy("user_id", "session_no")
-        .agg(
-            epoch_us(F.min("ts")).alias("start_us"),
-            epoch_us(F.max("ts")).alias("end_us"),
-        )
-    )
+    iv = _session_intervals(spark, sf_dir)
     a = iv.select(
         F.col("user_id").alias("user1"),
         F.col("session_no").alias("session1"),
@@ -256,6 +303,68 @@ def session_overlap_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(50)
     )
+
+
+@register(
+    "peak_concurrent_sessions",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '30 minutes'
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events),
+    sess AS (
+      SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+      FROM gaps),
+    iv AS (
+      SELECT user_id, session_no,
+             epoch_us(MIN(ts)) AS start_us, epoch_us(MAX(ts)) AS end_us
+      FROM sess GROUP BY user_id, session_no),
+    bounds AS (
+      SELECT start_us AS b_us, 1 AS delta FROM iv
+      UNION ALL
+      SELECT end_us + 1 AS b_us, -1 AS delta FROM iv),
+    run AS (
+      SELECT b_us, delta,
+             SUM(delta) OVER (ORDER BY b_us, delta) AS level
+      FROM bounds),
+    byday AS (
+      SELECT b_us // 86400000000 AS day_no,
+             MAX(level) AS mx, SUM(delta) AS net
+      FROM run GROUP BY day_no)
+    SELECT day_no,
+           CAST(GREATEST(
+             COALESCE(SUM(net) OVER (ORDER BY day_no
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0),
+             mx) AS BIGINT) AS peak
+    FROM byday
+    """,
+    tags=("temporal", "sweep-line", "session"),
+)
+def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max concurrent sessions per day — the SWEEP-LINE over session
+    intervals (capacity planning / rate-limit sizing readout), computed
+    WITHOUT the global single-partition sort the textbook algorithm
+    implies. Sessions become ±1 boundary events (end+1 so a closed
+    interval is still active at its end instant); the running level is a
+    prefix sum over (ts, delta) — and that global prefix sum decomposes
+    into the ``salted_running_stats`` two-phase shape with the DAY as
+    the order-monotone chunk: phase 1 runs the level sum WITHIN each day
+    (parallel across days; the default RANGE frame makes same-(ts,delta)
+    peers read the post-batch level on both engines, so no per-row
+    tiebreak is needed for a deterministic MAX); phase 2 windows over
+    the per-day net deltas — one row per day, bounded at any corpus
+    size — and the day's true peak is max(within_level) + carry, exact
+    because a per-chunk constant shifts max. The -1-sorts-before-+1 tie
+    rule means a session ending exactly where another starts never
+    fabricates a spurious peak. At 100 TB the chunk just narrows (hour /
+    minute) to keep per-chunk rows executor-sized; phase 2 stays tiny.
+    Oracle: the naive global-window form of the same sweep.
+    """
+    return sweep_peaks(_session_intervals(spark, sf_dir))
 
 
 @register(

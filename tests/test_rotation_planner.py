@@ -65,11 +65,13 @@ R12_HEAD = (
     "streaming_kmv_distinct_tws",
     "streaming_kmv_distinct",
     "streaming_kmv_distinct_salted",
-    # mid-round never-green addition (the r11 events_variant_stats
-    # precedent): the planner forces it in-window directly after the
-    # code-changed entries; the 50th fill (minhash_lsh_dups) was
-    # displaced to the r13 queue head when it landed.
+    # mid-round never-green additions (the r11 events_variant_stats
+    # precedent): the planner forces them in-window directly after the
+    # code-changed entries; the last fills (minhash_lsh_dups,
+    # semdedup_eval_metrics) were displaced to the r13 queue head when
+    # they landed.
     "session_overlap_topk",
+    "peak_concurrent_sessions",
     "embedding_dim_profile",
     "hard_negative_lsh",
     "ann_recall_eval",
@@ -115,7 +117,6 @@ R12_HEAD = (
     "events_cube",
     "pagerank_coparts",
     "semdedup_clusters",
-    "semdedup_eval_metrics",
 )
 
 

@@ -333,3 +333,74 @@ def test_overlap_join_binned_exact_at_ns_epoch_scale(spark):
         ).collect()
     }
     assert got == _naive_overlap_pairs(lrows, rrows)
+
+
+# ---- sweep_peaks (two-phase distributed sweep-line concurrency) ----
+
+
+def _iv_df(spark, rows):
+    return spark.createDataFrame(
+        rows, ["user_id", "session_no", "start_us", "end_us"]
+    )
+
+
+def _peaks(spark, rows, chunk_us=86_400_000_000):
+    from imdb_mapreduce_spark.plans.events import sweep_peaks
+
+    return {
+        r["day_no"]: r["peak"]
+        for r in sweep_peaks(_iv_df(spark, rows), chunk_us).collect()
+    }
+
+
+def test_sweep_touching_closed_intervals_both_active(spark):
+    """A session ending at t and another starting at t are concurrent at
+    the instant t (closed intervals) — peak 2, not 1."""
+    assert _peaks(spark, [(1, 1, 0, 10), (2, 1, 10, 20)]) == {0: 2}
+
+
+def test_sweep_adjacent_but_disjoint_no_spurious_peak(spark):
+    """end+1 boundary encoding plus the -1-before-+1 tie rule: a session
+    starting one tick after another ends never reads as concurrent."""
+    assert _peaks(spark, [(1, 1, 0, 10), (2, 1, 11, 20)]) == {0: 1}
+
+
+def test_sweep_carry_across_chunks(spark):
+    """A session spanning chunk boundaries carries its level into later
+    chunks: a chunk with no starts still sees the carried concurrency."""
+    D = 86_400_000_000
+    rows = [
+        (1, 1, 0, 2 * D + 3600),     # spans days 0..2
+        (2, 1, D + 100, D + 200),    # inside day 1
+    ]
+    assert _peaks(spark, rows) == {0: 1, 1: 2, 2: 1}
+
+
+def test_sweep_two_phase_matches_naive_randomized(spark):
+    """Randomized A/B vs a Python sweep over the same boundary/tie
+    semantics, with intervals spanning multiple chunks and heavy ties."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    D = 1_000  # small chunk so intervals span many chunks
+    rows = []
+    for i in range(300):
+        s = int(rng.integers(0, 20 * D))
+        e = s + int(rng.integers(0, 3 * D))
+        rows.append((int(i % 17), int(i), s, e))
+    # naive: level at each boundary, -1 (from end+1) before +1 at ties;
+    # a chunk's peak starts at the level CARRIED into it (attained at the
+    # chunk's first instant), then maxes over its boundary levels
+    bounds = []
+    for _, _, s, e in rows:
+        bounds.append((s, 1))
+        bounds.append((e + 1, -1))
+    bounds.sort()
+    level, want = 0, {}
+    for t, d in bounds:
+        day = t // D
+        if day not in want:
+            want[day] = level  # carry at the chunk's first boundary
+        level += d
+        want[day] = max(want[day], level)
+    assert _peaks(spark, rows, chunk_us=D) == want
