@@ -116,6 +116,8 @@ def overlap_join_binned(
     r_start: str,
     r_end: str,
     max_bins_per_row: int | None = 1024,
+    hot_bin_threshold: int | None = None,
+    hot_bin_salts: int = 16,
 ) -> DataFrame:
     """All (left, right) pairs whose CLOSED intervals overlap:
     ``l_start <= r_end AND r_start <= l_end``. Column names must be
@@ -129,12 +131,29 @@ def overlap_join_binned(
     count-once predicate keeps exactly the bin holding the overlap's
     start. Candidate work per bin is |L_bin|·|R_bin| — choose W near the
     typical interval length so most intervals land in O(1) bins while
-    bins stay small; a hot bin (everything overlapping one epoch) is a
-    genuine data skew that AQE skew-join handles on the shuffled side,
-    or pre-salt by splitting the hot bin's LONGER side. ``max_bins_per_row``
-    fails loudly (JVM-side ``raise_error``, no extra pass) when one
-    interval would explode past the budget — a mis-sized W at 100 TB
-    should die at plan time with a named knob, not OOM an executor.
+    bins stay small. ``max_bins_per_row`` fails loudly (JVM-side
+    ``raise_error``, no extra pass) when one interval would explode past
+    the budget — a mis-sized W at 100 TB should die at plan time with a
+    named knob, not OOM an executor.
+
+    Hot bins: AQE's skew-join split CANNOT rescue a hot bin, and this
+    was measured, not assumed (`tools/overlap_skew_probe.py`, SCALING.md
+    r12) — AQE detects skew by shuffle-partition BYTES
+    (``skewedPartitionThresholdInBytes``, 256 MB default), while a hot
+    bin is tiny on input (30k rows ≈ 1 MB) and quadratic only in probe
+    WORK, so the engine sees nothing to split and one task eats
+    |hot|² probes. ``hot_bin_threshold`` turns on the targeted fix: a
+    cheap pre-pass counts bin populations on the exploded left, bins
+    above the threshold get ``hot_bin_salts``-way parallelism — each
+    LEFT row lands in one salt slice, the RIGHT rows in hot bins
+    replicate across all slices, the join key becomes (bin, salt) so the
+    hot bin fans out to ``hot_bin_salts`` reducers. Results are
+    byte-identical (each left row still meets the full right set exactly
+    once); cold bins pay nothing (salt 0, no replication); the cost is
+    the pre-pass plus right-side ×salts replication INSIDE hot bins
+    only. Salt assignment uses monotonically_increasing_id purely for
+    load-spreading — which slice a row lands in never affects the output
+    set.
     """
     w = int(bin_width)
 
@@ -169,16 +188,52 @@ def overlap_join_binned(
 
     lb = binned(left, l_start, l_end, "l")
     rb = binned(right, r_start, r_end, "r")
-    anchor_bin = floordiv(f"greatest({l_start}, {r_start})")
-    joined = lb.join(
-        rb,
+    cond = (
         (F.col("_bin_l") == F.col("_bin_r"))
         & (F.col(l_start) <= F.col(r_end))
         & (F.col(r_start) <= F.col(l_end))
-        & (anchor_bin == F.col("_bin_l")),
-        "inner",
+        & (floordiv(f"greatest({l_start}, {r_start})") == F.col("_bin_l"))
     )
-    return joined.drop("_bin_l", "_bin_r")
+    drop = ["_bin_l", "_bin_r"]
+    if hot_bin_threshold is not None:
+        s = int(hot_bin_salts)
+        hot = (
+            lb.groupBy("_bin_l")
+            .count()
+            .filter(F.col("count") > int(hot_bin_threshold))
+            .select(F.col("_bin_l").alias("_hot_bin"))
+        )
+        lb = (
+            lb.join(
+                F.broadcast(hot), lb["_bin_l"] == hot["_hot_bin"], "left"
+            )
+            .withColumn(
+                "_salt_l",
+                F.when(
+                    F.col("_hot_bin").isNotNull(),
+                    F.pmod(F.monotonically_increasing_id(), F.lit(s)),
+                ).otherwise(F.lit(0)),
+            )
+            .drop("_hot_bin")
+        )
+        rb = (
+            rb.join(
+                F.broadcast(hot), rb["_bin_r"] == hot["_hot_bin"], "left"
+            )
+            .withColumn(
+                "_salt_r",
+                F.explode(
+                    F.when(
+                        F.col("_hot_bin").isNotNull(),
+                        F.sequence(F.lit(0), F.lit(s - 1)),
+                    ).otherwise(F.array(F.lit(0)))
+                ),
+            )
+            .drop("_hot_bin")
+        )
+        cond = cond & (F.col("_salt_l") == F.col("_salt_r"))
+        drop += ["_salt_l", "_salt_r"]
+    return lb.join(rb, cond, "inner").drop(*drop)
 
 
 def band_join(

@@ -404,3 +404,42 @@ def test_sweep_two_phase_matches_naive_randomized(spark):
         level += d
         want[day] = max(want[day], level)
     assert _peaks(spark, rows, chunk_us=D) == want
+
+
+def test_overlap_join_binned_hot_bin_salting_preserves_results(spark):
+    """Targeted hot-bin salting is a pure load-spreading rewrite: the
+    emitted pair set must be identical to the unsalted plan, including
+    for a bin of IDENTICAL point intervals (the geometry where a
+    value-derived salt would collapse to one slice)."""
+    import numpy as np
+
+    from imdb_mapreduce_spark.operators.temporal import overlap_join_binned
+
+    rng = np.random.default_rng(5)
+    W = 100
+    rows = [(int(i), 250, 250) for i in range(40)]  # hot: identical points
+    rows += [
+        (int(100 + i), int(s), int(s) + int(d))
+        for i, (s, d) in enumerate(
+            zip(rng.integers(0, 3_000, 80), rng.integers(0, 250, 80))
+        )
+    ]
+    left = spark.createDataFrame(rows, ["lid", "ls", "le"])
+    right = spark.createDataFrame(
+        [(int(10_000 + i), s, e) for i, (_, s, e) in enumerate(rows)],
+        ["rid", "rs", "re"],
+    )
+
+    def pairs(**kw):
+        return {
+            (r["lid"], r["rid"])
+            for r in overlap_join_binned(
+                left, right, bin_width=W,
+                l_start="ls", l_end="le", r_start="rs", r_end="re", **kw
+            ).collect()
+        }
+
+    base = pairs()
+    salted = pairs(hot_bin_threshold=20, hot_bin_salts=4)
+    assert salted == base
+    assert base  # non-vacuous: the hot bin must actually produce pairs
