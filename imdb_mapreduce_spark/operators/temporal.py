@@ -236,6 +236,42 @@ def overlap_join_binned(
     return lb.join(rb, cond, "inner").drop(*drop)
 
 
+def suggest_bin_width(
+    intervals: DataFrame,
+    start: str,
+    end: str,
+    max_bins_per_row: int = 1024,
+) -> int:
+    """Data-proportional bin width for ``overlap_join_binned`` — one
+    cheap aggregate over the interval table, then the closed-form
+    optimum of the operator's own cost model (SCALING.md r12): explode
+    cost ≈ n·d̄/W rows, probe cost ≈ n²·W/T candidates (n intervals,
+    mean duration d̄, horizon T). d(total)/dW = 0 →
+    **W\\* = sqrt(d̄·T/n)**: W shrinks with the square root of density
+    growth, which is exactly the lever the measured W A/B showed paying
+    for quadratic density. Clamped below so the LONGEST interval stays
+    within half the explode budget (a legit long session must not trip
+    the fail-loud bin guard), and to ≥1 time unit. The result set is
+    W-invariant, so auto-sizing is a pure plan decision — same contract
+    as the engine's footer-probe persist/salt decisions.
+    """
+    row = intervals.select(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.col(end) - F.col(start)).alias("mean_dur"),
+        F.max(F.col(end) - F.col(start)).alias("max_dur"),
+        (F.max(end) - F.min(start)).alias("horizon"),
+    ).first()
+    n = row["n"] or 0
+    if n == 0:
+        return 1
+    mean_dur = max(float(row["mean_dur"] or 0.0), 1.0)
+    horizon = max(int(row["horizon"] or 1), 1)
+    w = int((mean_dur * horizon / n) ** 0.5)
+    # longest interval must fit in <= max_bins_per_row/2 bins
+    floor_w = (int(row["max_dur"] or 0) * 2) // max_bins_per_row + 1
+    return max(w, floor_w, 1)
+
+
 def band_join(
     facts: DataFrame, bands: DataFrame, value: str, lo: str = "lo", hi: str = "hi"
 ) -> DataFrame:

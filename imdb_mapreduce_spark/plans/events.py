@@ -16,7 +16,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from imdb_mapreduce_spark.functions.columns import epoch_us
-from imdb_mapreduce_spark.operators.temporal import overlap_join_binned
+from imdb_mapreduce_spark.operators.temporal import (
+    overlap_join_binned,
+    suggest_bin_width,
+)
 from imdb_mapreduce_spark.plans.registry import register
 from imdb_mapreduce_spark.sources.star import load_table
 
@@ -258,9 +261,14 @@ def session_overlap_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     condition, and top-k is a TakeOrdered. The oracle is the naive
     O(n²)-candidate overlap self-join — feasible for DuckDB at oracle
     SF, which is exactly the plan shape this operator exists to avoid
-    at 100 TB. Bin width (1 h) sits above the 30-min session gap bound,
-    so typical sessions cover 1-2 bins; ``max_bins_per_row`` fails
-    loudly if a pathological session would explode past budget.
+    at 100 TB. Bin width is DATA-PROPORTIONAL
+    (``suggest_bin_width``: the cost-model optimum W* = sqrt(d̄·T/n),
+    floor-clamped so the longest session fits the explode budget) — the
+    result set is W-invariant (pytest-pinned), so auto-sizing is a pure
+    plan decision, the same contract as the engine's footer-probe
+    persist/salt decisions; the measured W A/B behind the model is
+    SCALING.md r12's matrix. ``max_bins_per_row`` still fails loudly if
+    a pathological interval would explode past budget.
     Completes the temporal-join trilogy: AS-OF (`user_state_asof`),
     broadcast band join (`band_join`), large-large overlap (this).
     Reference analog: the co-occurrence pair scans the reference walks
@@ -282,7 +290,7 @@ def session_overlap_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = overlap_join_binned(
         a,
         b,
-        bin_width=3_600_000_000,
+        bin_width=suggest_bin_width(iv, "start_us", "end_us"),
         l_start="start1",
         l_end="end1",
         r_start="start2",

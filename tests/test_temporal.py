@@ -443,3 +443,32 @@ def test_overlap_join_binned_hot_bin_salting_preserves_results(spark):
     salted = pairs(hot_bin_threshold=20, hot_bin_salts=4)
     assert salted == base
     assert base  # non-vacuous: the hot bin must actually produce pairs
+
+
+def test_suggest_bin_width_cost_model_and_clamps(spark):
+    """W* = sqrt(mean_dur * horizon / n): shrinks ~sqrt(x) as density
+    grows x-fold; the floor clamp keeps the longest interval within half
+    the explode budget; empty input degrades to 1."""
+    from imdb_mapreduce_spark.operators.temporal import suggest_bin_width
+
+    def iv(n, dur, horizon):
+        return spark.range(n).select(
+            (F_col("id") * (horizon // n)).alias("s"),
+            (F_col("id") * (horizon // n) + dur).alias("e"),
+        )
+
+    from pyspark.sql.functions import col as F_col
+
+    w1 = suggest_bin_width(iv(1_000, 600, 1_000_000), "s", "e")
+    w2 = suggest_bin_width(iv(100_000, 600, 1_000_000), "s", "e")
+    # sqrt law: 100x density -> ~10x narrower bins (integer rounding slack)
+    assert 8 <= w1 / max(w2, 1) <= 12
+    # floor clamp: one interval spans the whole horizon -> W must keep
+    # its explode under max_bins_per_row/2 bins
+    long_iv = iv(1_000, 999_000, 1_000_000)
+    w3 = suggest_bin_width(long_iv, "s", "e", max_bins_per_row=100)
+    assert 999_000 // w3 + 1 <= 51
+    empty = spark.range(0).select(
+        F_col("id").alias("s"), F_col("id").alias("e")
+    )
+    assert suggest_bin_width(empty, "s", "e") == 1
