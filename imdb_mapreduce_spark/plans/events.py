@@ -182,6 +182,12 @@ def _session_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# boundaries-per-chunk budget for the distributed sweep: small enough that
+# a chunk's window sort is comfortably one-task-sized, large enough that
+# phase 2 (one row per chunk) stays trivially bounded
+_SWEEP_TARGET_ROWS = 250_000
+
+
 def sweep_peaks(iv: DataFrame, chunk_us: int = 86_400_000_000) -> DataFrame:
     """Per-chunk peak concurrency over CLOSED intervals
     (start_us/end_us columns) — the distributed sweep-line behind
@@ -371,8 +377,46 @@ def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     fabricates a spurious peak. At 100 TB the chunk just narrows (hour /
     minute) to keep per-chunk rows executor-sized; phase 2 stays tiny.
     Oracle: the naive global-window form of the same sweep.
+
+    The chunk is DATA-PROPORTIONAL (the "narrows at density" claim made
+    real after the 1000× run measured the day chunk super-linear —
+    120.2 s at 100M events, ~6.3M boundaries per day-partition): a
+    footer row-count probe plus one column-pruned min/max job size k =
+    2^m sub-day chunks targeting ≤ _SWEEP_TARGET_ROWS (250k) boundaries
+    per chunk (k ≤ 8192, which divides the day exactly), the sweep runs at
+    day/k granularity, and the per-day output is an EXACT rollup —
+    max over fine peaks — because every level attained during a day is
+    visible either at one of its boundaries or as the carry into a
+    represented fine chunk (`test_sweep_rollup_chunk_invariance`).
+    Footer-probe failure falls back to the day chunk with the engine's
+    standard fail-safe convention.
     """
-    return sweep_peaks(_session_intervals(spark, sf_dir))
+    iv = _session_intervals(spark, sf_dir)
+    day = 86_400_000_000
+    k = 1
+    try:
+        from imdb_mapreduce_spark.sources.star import parquet_num_rows
+
+        n = parquet_num_rows(f"{sf_dir}/events.parquet")
+        e = _events(spark, sf_dir)
+        r = e.select(
+            epoch_us(F.min("ts")).alias("lo"),
+            epoch_us(F.max("ts")).alias("hi"),
+        ).first()
+        days = max(1, (int(r["hi"]) - int(r["lo"])) // day + 1)
+        b_per_day = 2 * n / days
+        while k < 8192 and b_per_day / k > _SWEEP_TARGET_ROWS:
+            k *= 2
+    except Exception:  # noqa: BLE001 — probe failure -> day chunk, fail-safe
+        k = 1
+    fine = sweep_peaks(iv, day // k)
+    if k == 1:
+        return fine
+    return (
+        fine.select(F.expr(f"day_no div {k}").alias("day_no"), "peak")
+        .groupBy("day_no")
+        .agg(F.max("peak").cast("long").alias("peak"))
+    )
 
 
 @register(

@@ -472,3 +472,40 @@ def test_suggest_bin_width_cost_model_and_clamps(spark):
         F_col("id").alias("s"), F_col("id").alias("e")
     )
     assert suggest_bin_width(empty, "s", "e") == 1
+
+
+def test_sweep_rollup_chunk_invariance(spark):
+    """The registered query's day output must be chunk-granularity
+    invariant: sweeping at day/k and rolling up (max over fine peaks)
+    equals sweeping at the day directly — every level attained during a
+    day is visible at a boundary or as the carry into a represented
+    fine chunk."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from imdb_mapreduce_spark.plans.events import sweep_peaks
+
+    rng = np.random.default_rng(23)
+    D = 86_400_000_000
+    rows = []
+    for i in range(400):
+        s = int(rng.integers(0, 10 * D))
+        e = s + int(rng.integers(0, 2 * D))  # up to 2-day spans
+        rows.append((int(i % 13), int(i), s, e))
+    iv = _iv_df(spark, rows)
+    day_form = {
+        r["day_no"]: r["peak"] for r in sweep_peaks(iv, D).collect()
+    }
+    for k in (8, 128):
+        fine = sweep_peaks(iv, D // k)
+        rolled = {
+            r["day_no"]: r["peak"]
+            for r in fine.select(
+                F.expr(f"day_no div {k}").alias("day_no"), "peak"
+            )
+            .groupBy("day_no")
+            .agg(F.max("peak").alias("peak"))
+            .collect()
+        }
+        assert rolled == day_form, f"k={k}"
