@@ -236,24 +236,46 @@ def overlap_join_binned(
     return lb.join(rb, cond, "inner").drop(*drop)
 
 
-def suggest_bin_width(
+# sqrt of the explode-row : hash-probe cost ratio. The raw cost model
+# prices one exploded+shuffled row equal to one codegen hash probe; in
+# the measured W matrix (SCALING.md r12) the optimum sits ~1 decade of W
+# above the raw optimum at every density, i.e. a shuffled row costs
+# ~2 orders of magnitude more than a probe — physically plausible
+# (~100 B through serialize/write/read vs an in-memory comparison). The
+# basin is shallow (±5x in W moves wall <2x), so the constant needs to
+# be order-of-magnitude right, not tuned.
+_EXPLODE_COST_RATIO_SQRT = 10
+
+
+def suggest_bin_plan(
     intervals: DataFrame,
     start: str,
     end: str,
-    max_bins_per_row: int = 1024,
-) -> int:
-    """Data-proportional bin width for ``overlap_join_binned`` — one
-    cheap aggregate over the interval table, then the closed-form
-    optimum of the operator's own cost model (SCALING.md r12): explode
-    cost ≈ n·d̄/W rows, probe cost ≈ n²·W/T candidates (n intervals,
-    mean duration d̄, horizon T). d(total)/dW = 0 →
-    **W\\* = sqrt(d̄·T/n)**: W shrinks with the square root of density
-    growth, which is exactly the lever the measured W A/B showed paying
-    for quadratic density. Clamped below so the LONGEST interval stays
-    within half the explode budget (a legit long session must not trip
-    the fail-loud bin guard), and to ≥1 time unit. The result set is
-    W-invariant, so auto-sizing is a pure plan decision — same contract
-    as the engine's footer-probe persist/salt decisions.
+) -> tuple[int, int]:
+    """Data-proportional (bin_width, max_bins_per_row) for
+    ``overlap_join_binned`` — one cheap aggregate over the interval
+    table, then the closed-form optimum of the operator's own cost
+    model (SCALING.md r12): explode cost ≈ c·n·d̄/W rows, probe cost ≈
+    n²·W/T candidates (n intervals, MEAN duration d̄, horizon T, c the
+    explode:probe unit-cost ratio). d(total)/dW = 0 →
+    **W\\* = sqrt(c)·sqrt(d̄·T/n)**: W shrinks with the square root of
+    density growth — exactly the lever the measured W A/B showed paying
+    for quadratic density — scaled by the calibrated
+    ``_EXPLODE_COST_RATIO_SQRT`` (shuffled rows are ~2 orders costlier
+    than codegen probes; see the constant's comment).
+
+    The LONG TAIL sizes the explode BUDGET, not the width: an early
+    version floor-clamped W so the longest interval fit a fixed budget,
+    and the 1000× run showed that policy letting ONE long session cap
+    the resolution for all 95M — candidates blew up ×100+ and the drain
+    was killed at >38 min (SCALING.md r12 addendum 2/3). A long
+    interval exploding to many bin-rows is linear, honest work already
+    priced into the n·d̄/W term; so the returned budget is
+    max_dur//W + 2 (the guard still fails loud if data drifts LONGER
+    than the probed maximum — its real job), and W stays the mean-based
+    optimum. The result set is W-invariant, so auto-sizing is a pure
+    plan decision — same contract as the engine's footer-probe
+    persist/salt decisions.
     """
     row = intervals.select(
         F.count(F.lit(1)).alias("n"),
@@ -263,13 +285,14 @@ def suggest_bin_width(
     ).first()
     n = row["n"] or 0
     if n == 0:
-        return 1
+        return 1, 1024
     mean_dur = max(float(row["mean_dur"] or 0.0), 1.0)
     horizon = max(int(row["horizon"] or 1), 1)
-    w = int((mean_dur * horizon / n) ** 0.5)
-    # longest interval must fit in <= max_bins_per_row/2 bins
-    floor_w = (int(row["max_dur"] or 0) * 2) // max_bins_per_row + 1
-    return max(w, floor_w, 1)
+    w = max(
+        int(_EXPLODE_COST_RATIO_SQRT * (mean_dur * horizon / n) ** 0.5), 1
+    )
+    budget = int(row["max_dur"] or 0) // w + 2
+    return w, budget
 
 
 def band_join(

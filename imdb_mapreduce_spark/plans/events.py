@@ -18,7 +18,7 @@ from pyspark.sql.window import Window
 from imdb_mapreduce_spark.functions.columns import epoch_us
 from imdb_mapreduce_spark.operators.temporal import (
     overlap_join_binned,
-    suggest_bin_width,
+    suggest_bin_plan,
 )
 from imdb_mapreduce_spark.plans.registry import register
 from imdb_mapreduce_spark.sources.star import load_table
@@ -268,8 +268,9 @@ def session_overlap_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(n²)-candidate overlap self-join — feasible for DuckDB at oracle
     SF, which is exactly the plan shape this operator exists to avoid
     at 100 TB. Bin width is DATA-PROPORTIONAL
-    (``suggest_bin_width``: the cost-model optimum W* = sqrt(d̄·T/n),
-    floor-clamped so the longest session fits the explode budget) — the
+    (``suggest_bin_plan``: the cost-model optimum W* = sqrt(d̄·T/n),
+    with the explode BUDGET — not the width — sized by the longest
+    session, so one long interval cannot cap the resolution) — the
     result set is W-invariant (pytest-pinned), so auto-sizing is a pure
     plan decision, the same contract as the engine's footer-probe
     persist/salt decisions; the measured W A/B behind the model is
@@ -293,14 +294,16 @@ def session_overlap_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("start_us").alias("start2"),
         F.col("end_us").alias("end2"),
     )
+    bin_w, bin_budget = suggest_bin_plan(iv, "start_us", "end_us")
     pairs = overlap_join_binned(
         a,
         b,
-        bin_width=suggest_bin_width(iv, "start_us", "end_us"),
+        bin_width=bin_w,
         l_start="start1",
         l_end="end1",
         r_start="start2",
         r_end="end2",
+        max_bins_per_row=bin_budget,
     ).filter(F.col("user1") < F.col("user2"))
     return (
         pairs.select(
