@@ -278,6 +278,11 @@ def session_overlap_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     a pathological interval would explode past budget.
     Completes the temporal-join trilogy: AS-OF (`user_state_asof`),
     broadcast band join (`band_join`), large-large overlap (this).
+    Density-extreme sibling: when the pair LIST itself is the blow-up
+    (≈1.5e11 overlapping pairs at the measured 100M-event corpus — an
+    output-volume bound, SCALING.md r12 addendum 3), the scale-safe
+    question is `peak_concurrent_sessions`' sweep-line, which answers
+    "how concurrent" on the same corpus in ~53 s.
     Reference analog: the co-occurrence pair scans the reference walks
     per-key (master.erl's per-actor traversals); ours is set-oriented.
     """
