@@ -518,3 +518,20 @@ def test_sweep_rollup_chunk_invariance(spark):
             .collect()
         }
         assert rolled == day_form, f"k={k}"
+
+
+def test_sweep_phase1_never_single_partition(spark):
+    """The sweep's scale contract: the boundary stream's window runs
+    across day-chunk hash partitions; the ONLY single-partition exchange
+    allowed in the plan is phase 2's carry window over one-row-per-chunk
+    (the textbook global-ordered sweep would put the whole stream
+    through one partition — the exact anti-pattern this operator
+    exists to avoid)."""
+    from imdb_mapreduce_spark.plans.events import sweep_peaks
+
+    iv = _iv_df(spark, [(1, 1, 0, 100), (2, 1, 500, 900)])
+    plan = (
+        sweep_peaks(iv)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("SinglePartition") == 1, plan
