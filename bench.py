@@ -119,6 +119,9 @@ HEADLINE = (
     # sweep-line peak-concurrency readout over the same session intervals
     "session_overlap_topk",
     "peak_concurrent_sessions",
+    # added r12: the 3-tier continuous-aggregate cascade (minute from
+    # raw, hour from minute, day from hour)
+    "events_multires_rollup",
 )
 
 

@@ -54,6 +54,82 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_multires_rollup",
+    oracle="""
+    WITH m AS (
+      SELECT date_trunc('minute', ts) AS bucket, event_type,
+             COUNT(*) AS n, SUM(CAST(value AS DECIMAL(12,2))) AS s
+      FROM events GROUP BY 1, 2),
+    h AS (
+      SELECT date_trunc('hour', ts) AS bucket, event_type,
+             COUNT(*) AS n, SUM(CAST(value AS DECIMAL(12,2))) AS s
+      FROM events GROUP BY 1, 2),
+    d AS (
+      SELECT date_trunc('day', ts) AS bucket, event_type,
+             COUNT(*) AS n, SUM(CAST(value AS DECIMAL(12,2))) AS s
+      FROM events GROUP BY 1, 2)
+    SELECT 'minute' AS tier, bucket, event_type,
+           CAST(n AS BIGINT) AS n_events, CAST(s AS DOUBLE) AS total_value
+    FROM m
+    UNION ALL
+    SELECT 'hour', bucket, event_type, CAST(n AS BIGINT), CAST(s AS DOUBLE)
+    FROM h
+    UNION ALL
+    SELECT 'day', bucket, event_type, CAST(n AS BIGINT), CAST(s AS DOUBLE)
+    FROM d
+    """,
+    tags=("time", "agg", "rollup", "hypertable", "north-star"),
+)
+def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution continuous aggregate (the hypertable-rollup
+    pattern): the 1-MINUTE tier is the only pass over raw events; the
+    HOUR tier aggregates the minute tier and the DAY tier the hour tier
+    — coarse resolutions are DERIVED, never recomputed from raw, which
+    at 100 TB is the difference between scanning n rows once and three
+    times (and, maintained incrementally, between touching a day's raw
+    partition and touching 1,440 pre-aggregated rows). Sums stay in
+    exact DECIMAL between tiers with ONE final double cast, so the
+    cascade is bit-identical to direct aggregation — and the oracle
+    PROVES it: the DuckDB side computes every tier DIRECTLY from raw,
+    so the hash match certifies cascade ≡ direct (count/sum form a
+    commutative monoid over the bucket lattice). Every tier is a
+    map-side-combining groupBy with group counts bounded by
+    buckets×types regardless of corpus size.
+    """
+    e = _events(spark, sf_dir)
+    m = e.groupBy(
+        F.date_trunc("minute", F.col("ts")).alias("bucket"),
+        F.col("event_type"),
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast(D2)).alias("s"),
+    )
+    h = m.groupBy(
+        F.date_trunc("hour", F.col("bucket")).alias("bucket"),
+        F.col("event_type"),
+    ).agg(F.sum("n_events").alias("n_events"), F.sum("s").alias("s"))
+    d = h.groupBy(
+        F.date_trunc("day", F.col("bucket")).alias("bucket"),
+        F.col("event_type"),
+    ).agg(F.sum("n_events").alias("n_events"), F.sum("s").alias("s"))
+
+    def tiered(df: DataFrame, tier: str) -> DataFrame:
+        return df.select(
+            F.lit(tier).alias("tier"),
+            "bucket",
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("s").cast("double").alias("total_value"),
+        )
+
+    return (
+        tiered(m, "minute")
+        .unionByName(tiered(h, "hour"))
+        .unionByName(tiered(d, "day"))
+    )
+
+
+@register(
     "events_10min_windows",
     oracle="""
     SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,

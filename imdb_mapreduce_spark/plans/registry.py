@@ -84,9 +84,10 @@ _HEAD: tuple[str, ...] = (
     #   4) filled to 50 with the stalest r10-green entries (pagerank_
     #      coparts ...); the displaced r10-green fills
     #      (event_value_histogram, user_sessions, events_json_stats, and
-    #      mid-round, minhash_lsh_dups + semdedup_eval_metrics — displaced
-    #      when the never-green session_overlap_topk and
-    #      peak_concurrent_sessions landed, the r11 events_variant_stats
+    #      mid-round, minhash_lsh_dups + semdedup_eval_metrics +
+    #      semdedup_clusters — displaced when the never-green
+    #      session_overlap_topk, peak_concurrent_sessions, and
+    #      events_multires_rollup landed, the r11 events_variant_stats
     #      precedent) roll to the r13 queue head.
 
     "streaming_kmv_distinct_tws",
@@ -94,6 +95,7 @@ _HEAD: tuple[str, ...] = (
     "streaming_kmv_distinct_salted",
     "session_overlap_topk",
     "peak_concurrent_sessions",
+    "events_multires_rollup",
     "embedding_dim_profile",
     "hard_negative_lsh",
     "ann_recall_eval",
@@ -138,7 +140,6 @@ _HEAD: tuple[str, ...] = (
     "part_expr_catalog",
     "events_cube",
     "pagerank_coparts",
-    "semdedup_clusters",
 )
 _TAIL: tuple[str, ...] = (
     # beyond the window, stalest-first (the r13 promotion queue): the three
@@ -154,6 +155,7 @@ _TAIL: tuple[str, ...] = (
     "events_json_stats",
     "minhash_lsh_dups",
     "semdedup_eval_metrics",
+    "semdedup_clusters",
     "user_value_trend",
     "benchmark_decontam",
     "streaming_dedup_10min_counts",

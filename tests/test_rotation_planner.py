@@ -68,10 +68,11 @@ R12_HEAD = (
     # mid-round never-green additions (the r11 events_variant_stats
     # precedent): the planner forces them in-window directly after the
     # code-changed entries; the last fills (minhash_lsh_dups,
-    # semdedup_eval_metrics) were displaced to the r13 queue head when
-    # they landed.
+    # semdedup_eval_metrics, semdedup_clusters) were displaced to the
+    # r13 queue head as they landed.
     "session_overlap_topk",
     "peak_concurrent_sessions",
+    "events_multires_rollup",
     "embedding_dim_profile",
     "hard_negative_lsh",
     "ann_recall_eval",
@@ -116,7 +117,6 @@ R12_HEAD = (
     "part_expr_catalog",
     "events_cube",
     "pagerank_coparts",
-    "semdedup_clusters",
 )
 
 
