@@ -198,6 +198,16 @@ def main() -> None:
     # emitted. A bench must degrade, not die; r03's artifact was zeroed by
     # a single AnalysisException aborting the whole process.
     MAX_PASSES = 10
+    # Extension wall-time cap (ADVICE r12): with the absolute-seconds
+    # eligibility threshold gone, a LONG query whose ordinary pass-to-pass
+    # noise exceeds 3% (not a warming curve) could extend to 10 passes and
+    # add minutes per run. The cap bounds the total EXTRA time any one
+    # query may spend warming: cheap warming queries still reach their
+    # floor (~7 extension passes at 2 s each), while a noisy 10 s query
+    # burns at most ~2 extra passes instead of 7. A capped-out query
+    # simply records the best warm floor reached so far — attribution
+    # degrades to the r11-era min-of-N reading, never blocks the bench.
+    WARM_EXTEND_MAX_EXTRA_SEC = 15.0
     warm_mins: dict[str, float] = {}
     for name in HEADLINE:
         try:
@@ -220,9 +230,15 @@ def main() -> None:
             for i in range(1, len(passes)):
                 improved = passes[i] < 0.97 * min(passes[:i])
                 stale = 0 if improved else stale + 1
-            while stale < 2 and len(passes) < MAX_PASSES:
+            extra = 0.0
+            while (
+                stale < 2
+                and len(passes) < MAX_PASSES
+                and extra < WARM_EXTEND_MAX_EXTRA_SEC
+            ):
                 best = min(passes)
                 one_pass()
+                extra += passes[-1]
                 stale = 0 if passes[-1] < 0.97 * best else stale + 1
             all_passes[name] = passes
             warm_mins[name] = min(passes)

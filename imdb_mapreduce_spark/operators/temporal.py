@@ -47,6 +47,8 @@ double counting, whatever the interval lengths.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -118,6 +120,7 @@ def overlap_join_binned(
     max_bins_per_row: int | None = 1024,
     hot_bin_threshold: int | None = None,
     hot_bin_salts: int = 16,
+    hot_bin_sides: str = "both",
 ) -> DataFrame:
     """All (left, right) pairs whose CLOSED intervals overlap:
     ``l_start <= r_end AND r_start <= l_end``. Column names must be
@@ -143,7 +146,7 @@ def overlap_join_binned(
     bin is tiny on input (30k rows ≈ 1 MB) and quadratic only in probe
     WORK, so the engine sees nothing to split and one task eats
     |hot|² probes. ``hot_bin_threshold`` turns on the targeted fix: a
-    cheap pre-pass counts bin populations on the exploded left, bins
+    cheap pre-pass counts exploded bin populations, bins
     above the threshold get ``hot_bin_salts``-way parallelism — each
     LEFT row lands in one salt slice, the RIGHT rows in hot bins
     replicate across all slices, the join key becomes (bin, salt) so the
@@ -154,6 +157,16 @@ def overlap_join_binned(
     only. Salt assignment uses monotonically_increasing_id purely for
     load-spreading — which slice a row lands in never affects the output
     set.
+
+    ``hot_bin_sides`` picks which exploded side(s) the pre-pass counts
+    (ADVICE r12: left-only counting misses a bin that is hot only on
+    the right — small |L_bin| × huge |R_bin| is the same one-reducer
+    quadratic drain). ``"both"`` (default) counts both sides and salts
+    the UNION of the hot sets — the safe general contract. ``"left"`` /
+    ``"right"`` count one side only, halving the pre-pass; correct
+    whenever the caller KNOWS that side dominates — in particular the
+    self-join case, where both sides explode the SAME interval table
+    and the two hot sets coincide by construction.
     """
     w = int(bin_width)
 
@@ -196,13 +209,31 @@ def overlap_join_binned(
     )
     drop = ["_bin_l", "_bin_r"]
     if hot_bin_threshold is not None:
+        if hot_bin_sides not in ("left", "right", "both"):
+            raise ValueError(
+                "overlap_join_binned: hot_bin_sides must be 'left', "
+                f"'right' or 'both', got {hot_bin_sides!r}"
+            )
         s = int(hot_bin_salts)
-        hot = (
-            lb.groupBy("_bin_l")
-            .count()
-            .filter(F.col("count") > int(hot_bin_threshold))
-            .select(F.col("_bin_l").alias("_hot_bin"))
-        )
+
+        def hot_of(df: DataFrame, bin_col: str) -> DataFrame:
+            return (
+                df.groupBy(bin_col)
+                .count()
+                .filter(F.col("count") > int(hot_bin_threshold))
+                .select(F.col(bin_col).alias("_hot_bin"))
+            )
+
+        if hot_bin_sides == "left":
+            hot = hot_of(lb, "_bin_l")
+        elif hot_bin_sides == "right":
+            hot = hot_of(rb, "_bin_r")
+        else:
+            hot = (
+                hot_of(lb, "_bin_l")
+                .unionAll(hot_of(rb, "_bin_r"))
+                .distinct()
+            )
         lb = (
             lb.join(
                 F.broadcast(hot), lb["_bin_l"] == hot["_hot_bin"], "left"
@@ -247,6 +278,78 @@ def overlap_join_binned(
 _EXPLODE_COST_RATIO_SQRT = 10
 
 
+class OverlapPlan(NamedTuple):
+    """Full auto-plan for ``overlap_join_binned`` from one aggregate over
+    the interval table — width, explode budget, and the hot-bin salting
+    decision (VERDICT r12 item 3: the flash-crowd geometry is precisely
+    when nobody is reading docstrings, so the skew lever must arm
+    itself data-proportionally, not via a manual knob)."""
+
+    bin_width: int
+    max_bins_per_row: int
+    hot_bin_threshold: int
+    hot_bin_salts: int
+
+
+# Hot-bin arming constants. A bin is declared hot when its exploded
+# population exceeds max(floor, multiplier × expected):
+#   - the FLOOR is work-based: below ~10k rows a bin's |pop|² probe work
+#     is ≤1e8 comparisons — roughly one task-second of codegen probes —
+#     so salting it buys nothing and the replication tax is pure loss
+#     (tools/overlap_skew_probe.py used the same 10k cut when it
+#     measured the 80k-bin drain at 13.0 s under 32 salts vs 81-91 s
+#     with AQE's skew join, on or off);
+#   - the MULTIPLIER keeps dense-but-uniform corpora unsalted: at the
+#     cost-model optimum W* every bin carries ~expected rows by
+#     construction, so only a bin 8× over its uniform share — a genuine
+#     population spike, not model noise — pays the ×salts replication.
+# Salt count 32 is the measured plateau of the probe's salts sweep.
+_HOT_BIN_MIN_POP = 10_000
+_HOT_BIN_EXPECTED_MULT = 8
+_HOT_BIN_SALTS = 32
+
+
+def suggest_overlap_plan(
+    intervals: DataFrame,
+    start: str,
+    end: str,
+) -> OverlapPlan:
+    """Data-proportional (bin_width, max_bins_per_row, hot_bin_threshold,
+    hot_bin_salts) for ``overlap_join_binned`` — ``suggest_bin_plan``'s
+    width/budget cost model (see its docstring for the derivation and
+    calibration history) extended with the hot-bin ARMING decision, at
+    zero extra Spark jobs: the same single aggregate that sizes W also
+    yields n/d̄/horizon, from which the expected exploded population of
+    a uniform bin is n·(d̄+W)/(horizon+W); the threshold is
+    max(:data:`_HOT_BIN_MIN_POP`, :data:`_HOT_BIN_EXPECTED_MULT` ×
+    expected). The EXACT per-bin counting stays inside
+    ``overlap_join_binned``'s pre-pass — this estimate only places the
+    cut line, so a mis-estimate can only mis-price the salting tax,
+    never the result set (salting identity is pytest-pinned). With no
+    spike, the pre-pass finds no bin over threshold and the plan
+    degrades to the unsalted one plus one aggregate."""
+    row = intervals.select(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.col(end) - F.col(start)).alias("mean_dur"),
+        F.max(F.col(end) - F.col(start)).alias("max_dur"),
+        (F.max(end) - F.min(start)).alias("horizon"),
+    ).first()
+    n = row["n"] or 0
+    if n == 0:
+        return OverlapPlan(1, 1024, _HOT_BIN_MIN_POP, _HOT_BIN_SALTS)
+    mean_dur = max(float(row["mean_dur"] or 0.0), 1.0)
+    horizon = max(int(row["horizon"] or 1), 1)
+    w = max(
+        int(_EXPLODE_COST_RATIO_SQRT * (mean_dur * horizon / n) ** 0.5), 1
+    )
+    budget = int(row["max_dur"] or 0) // w + 2
+    expected_pop = n * (mean_dur + w) / (horizon + w)
+    threshold = max(
+        _HOT_BIN_MIN_POP, int(_HOT_BIN_EXPECTED_MULT * expected_pop)
+    )
+    return OverlapPlan(w, budget, threshold, _HOT_BIN_SALTS)
+
+
 def suggest_bin_plan(
     intervals: DataFrame,
     start: str,
@@ -277,22 +380,8 @@ def suggest_bin_plan(
     plan decision — same contract as the engine's footer-probe
     persist/salt decisions.
     """
-    row = intervals.select(
-        F.count(F.lit(1)).alias("n"),
-        F.avg(F.col(end) - F.col(start)).alias("mean_dur"),
-        F.max(F.col(end) - F.col(start)).alias("max_dur"),
-        (F.max(end) - F.min(start)).alias("horizon"),
-    ).first()
-    n = row["n"] or 0
-    if n == 0:
-        return 1, 1024
-    mean_dur = max(float(row["mean_dur"] or 0.0), 1.0)
-    horizon = max(int(row["horizon"] or 1), 1)
-    w = max(
-        int(_EXPLODE_COST_RATIO_SQRT * (mean_dur * horizon / n) ** 0.5), 1
-    )
-    budget = int(row["max_dur"] or 0) // w + 2
-    return w, budget
+    plan = suggest_overlap_plan(intervals, start, end)
+    return plan.bin_width, plan.max_bins_per_row
 
 
 def band_join(

@@ -18,7 +18,7 @@ from pyspark.sql.window import Window
 from imdb_mapreduce_spark.functions.columns import epoch_us
 from imdb_mapreduce_spark.operators.temporal import (
     overlap_join_binned,
-    suggest_bin_plan,
+    suggest_overlap_plan,
 )
 from imdb_mapreduce_spark.plans.registry import register
 from imdb_mapreduce_spark.sources.star import load_table
@@ -276,8 +276,13 @@ def sweep_peaks(iv: DataFrame, chunk_us: int = 86_400_000_000) -> DataFrame:
             (F.col("end_us") + 1).alias("b_us"), F.lit(-1).alias("delta")
         )
     )
-    # exact long floor-div (see overlap_join_binned): chunk of the
-    # boundary instant
+    # chunk of the boundary instant, in exact LONG arithmetic (never the
+    # double-division floor() — see overlap_join_binned). Raw SQL `div`
+    # TRUNCATES toward zero, not floors (-7 div 2 = -3), so pre-1970
+    # chunk labels are not true floor bins — deliberately kept (ADVICE
+    # r12): DuckDB `//` truncates identically so the oracle agrees, and
+    # the two-phase decomposition only needs the chunking to be a
+    # MONOTONE partition of the boundary order, which truncation is.
     d = bounds.withColumn("day_no", F.expr(f"b_us div {int(chunk_us)}"))
     w_in = Window.partitionBy("day_no").orderBy("b_us", "delta")
     within = d.withColumn("lvl_in", F.sum("delta").over(w_in))
@@ -344,14 +349,18 @@ def session_overlap_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(n²)-candidate overlap self-join — feasible for DuckDB at oracle
     SF, which is exactly the plan shape this operator exists to avoid
     at 100 TB. Bin width is DATA-PROPORTIONAL
-    (``suggest_bin_plan``: the cost-model optimum W* = sqrt(d̄·T/n),
+    (``suggest_overlap_plan``: the cost-model optimum W* = sqrt(d̄·T/n),
     with the explode BUDGET — not the width — sized by the longest
     session, so one long interval cannot cap the resolution) — the
     result set is W-invariant (pytest-pinned), so auto-sizing is a pure
     plan decision, the same contract as the engine's footer-probe
     persist/salt decisions; the measured W A/B behind the model is
     SCALING.md r12's matrix. ``max_bins_per_row`` still fails loudly if
-    a pathological interval would explode past budget.
+    a pathological interval would explode past budget. Hot-bin salting
+    is likewise AUTO-ARMED (r13): the plan's population threshold turns
+    the targeted-salting lever on whenever a flash-crowd bin exceeds
+    its uniform share — no manual knob between a skewed corpus and the
+    13.0 s-vs-81 s drain gap the r12 skew probe measured.
     Completes the temporal-join trilogy: AS-OF (`user_state_asof`),
     broadcast band join (`band_join`), large-large overlap (this).
     Density-extreme sibling: when the pair LIST itself is the blow-up
@@ -362,7 +371,18 @@ def session_overlap_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference analog: the co-occurrence pair scans the reference walks
     per-key (master.erl's per-actor traversals); ours is set-oriented.
     """
-    iv = _session_intervals(spark, sf_dir)
+    # Materialized ONCE (ADVICE r12): `suggest_overlap_plan`'s stats
+    # aggregate is a driver-side .first() BEFORE the join, so without
+    # this the sessionization window (shuffle + sort over all events)
+    # runs twice per call — once for the probe, once for the join.
+    # Retained-block contract (the verify_pairs_jaccard template): the
+    # checkpointed interval blocks — one row per (user, session), far
+    # smaller than raw events — stay in executor storage until the
+    # driver GCs the DataFrame refs and the ContextCleaner releases
+    # them; looping harnesses (bench.py) gc.collect() between queries.
+    # persist()+unpersist-by-caller was rejected for the same reason as
+    # there: the returned DataFrame is consumed lazily after return.
+    iv = _session_intervals(spark, sf_dir).localCheckpoint(eager=True)
     a = iv.select(
         F.col("user_id").alias("user1"),
         F.col("session_no").alias("session1"),
@@ -375,16 +395,27 @@ def session_overlap_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("start_us").alias("start2"),
         F.col("end_us").alias("end2"),
     )
-    bin_w, bin_budget = suggest_bin_plan(iv, "start_us", "end_us")
+    plan = suggest_overlap_plan(iv, "start_us", "end_us")
     pairs = overlap_join_binned(
         a,
         b,
-        bin_width=bin_w,
+        bin_width=plan.bin_width,
         l_start="start1",
         l_end="end1",
         r_start="start2",
         r_end="end2",
-        max_bins_per_row=bin_budget,
+        max_bins_per_row=plan.max_bins_per_row,
+        # hot-bin salting ARMED data-proportionally (VERDICT r12 item 3):
+        # the threshold comes from the same aggregate that sized W, the
+        # exact per-bin counting lives in the operator's pre-pass, and a
+        # corpus with no population spike pays only that one aggregate.
+        # Counting side "left" is exact here, not an approximation: both
+        # join inputs are projections of the SAME checkpointed interval
+        # table, so the two exploded bin populations coincide row-for-row
+        # and the union the default would compute is the left set itself.
+        hot_bin_threshold=plan.hot_bin_threshold,
+        hot_bin_salts=plan.hot_bin_salts,
+        hot_bin_sides="left",
     ).filter(F.col("user1") < F.col("user2"))
     return (
         pairs.select(

@@ -65,6 +65,8 @@ INVENTORY: dict[tuple[str, str, str], tuple[int, str]] = {
         (2, "lineage-truncation"),
     ("pipeline/dedup.py", "verify_pairs_jaccard", "localCheckpoint"):
         (1, "contract-documented"),
+    ("plans/events.py", "session_overlap_topk", "localCheckpoint"):
+        (1, "contract-documented"),
     ("pipeline/similarity.py", "semdedup_clusters", "localCheckpoint"):
         (1, "contract-documented"),
     ("pipeline/similarity.py", "semdedup_eval_metrics", "localCheckpoint"):

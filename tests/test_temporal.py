@@ -535,3 +535,115 @@ def test_sweep_phase1_never_single_partition(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("SinglePartition") == 1, plan
+
+
+def test_overlap_join_binned_hot_bin_sides(spark):
+    """ADVICE r12: a bin hot only on the RIGHT side must be salt-eligible.
+    All three `hot_bin_sides` settings are pure load-spreading rewrites,
+    so each must reproduce the unsalted pair set on an asymmetric corpus
+    (one left row in the bin where the right side piles up); a bogus
+    setting must fail at plan time with the parameter named."""
+    import pytest
+
+    from imdb_mapreduce_spark.operators.temporal import overlap_join_binned
+
+    W = 100
+    # left: sparse — one interval per bin; right: 60 point intervals all
+    # inside bin 2 (hot ONLY on the right) plus a background row per bin
+    left = spark.createDataFrame(
+        [(int(i), int(i * W), int(i * W + 10)) for i in range(8)],
+        ["lid", "ls", "le"],
+    )
+    rrows = [(int(1000 + i), 250, 250) for i in range(60)]
+    rrows += [(int(2000 + i), int(i * W + 5), int(i * W + 6)) for i in range(8)]
+    right = spark.createDataFrame(rrows, ["rid", "rs", "re"])
+
+    def pairs(**kw):
+        return {
+            (r["lid"], r["rid"])
+            for r in overlap_join_binned(
+                left, right, bin_width=W,
+                l_start="ls", l_end="le", r_start="rs", r_end="re", **kw
+            ).collect()
+        }
+
+    base = pairs()
+    assert base  # the hot bin overlaps left row 2 — non-vacuous
+    for sides in ("left", "right", "both"):
+        assert pairs(
+            hot_bin_threshold=20, hot_bin_salts=4, hot_bin_sides=sides
+        ) == base, sides
+    with pytest.raises(ValueError, match="hot_bin_sides"):
+        pairs(hot_bin_threshold=20, hot_bin_sides="upside-down")
+
+
+def test_suggest_overlap_plan_hot_bin_arming(spark, monkeypatch):
+    """The auto-plan's hot-bin threshold (VERDICT r12 item 3): the
+    work-based FLOOR binds on sparse corpora (salting a small bin buys
+    nothing); on a dense-but-UNIFORM corpus the threshold scales up with
+    the expected per-bin population so ordinary bins never pay the
+    replication tax; and with the floor patched down, a flash-crowd
+    geometry arms salting through the registered-path plan while
+    preserving the exact pair set."""
+    from pyspark.sql import functions as F
+
+    from imdb_mapreduce_spark.operators import temporal
+    from imdb_mapreduce_spark.operators.temporal import (
+        overlap_join_binned,
+        suggest_overlap_plan,
+    )
+
+    # sparse: expected population ≪ floor → the floor binds
+    sparse = spark.range(1_000).select(
+        (F.col("id") * 1_000).alias("s"),
+        (F.col("id") * 1_000 + 600).alias("e"),
+    )
+    p = suggest_overlap_plan(sparse, "s", "e")
+    assert p.hot_bin_threshold == temporal._HOT_BIN_MIN_POP
+    assert p.hot_bin_salts == temporal._HOT_BIN_SALTS
+
+    # dense uniform: 100k intervals on a 100-tick horizon → every bin
+    # legitimately carries ~2k rows; the threshold must rise ABOVE the
+    # uniform share (multiplier × expected > floor) so nothing arms
+    dense = spark.range(100_000).select(
+        F.pmod(F.col("id"), F.lit(100)).alias("s"),
+        (F.pmod(F.col("id"), F.lit(100)) + 1).alias("e"),
+    )
+    pd_ = suggest_overlap_plan(dense, "s", "e")
+    expected_pop = 100_000 * (1 + pd_.bin_width) / (100 + pd_.bin_width)
+    assert pd_.hot_bin_threshold > temporal._HOT_BIN_MIN_POP
+    assert pd_.hot_bin_threshold > expected_pop  # uniform bins stay cold
+
+    # flash crowd end-to-end at test scale: patch the floor down so the
+    # 40-row crowd bin arms, then check plan-driven salting is invisible
+    # in the result set (the registered query's exact wiring)
+    monkeypatch.setattr(temporal, "_HOT_BIN_MIN_POP", 25)
+    rows = [(int(i), 250, 250) for i in range(300)]
+    rows += [(int(1000 + i), int(i * 97) % 3_000, (int(i * 97) % 3_000) + 50)
+             for i in range(80)]
+    iv = spark.createDataFrame(rows, ["iid", "s", "e"])
+    crowd_plan = suggest_overlap_plan(iv.select("s", "e"), "s", "e")
+    assert crowd_plan.hot_bin_threshold < 300  # the crowd bin will arm
+
+    left = iv.select(
+        F.col("iid").alias("lid"), F.col("s").alias("ls"), F.col("e").alias("le")
+    )
+    right = iv.select(
+        F.col("iid").alias("rid"), F.col("s").alias("rs"), F.col("e").alias("re")
+    )
+
+    def pairs(**kw):
+        return {
+            (r["lid"], r["rid"])
+            for r in overlap_join_binned(
+                left, right, bin_width=crowd_plan.bin_width,
+                l_start="ls", l_end="le", r_start="rs", r_end="re",
+                max_bins_per_row=crowd_plan.max_bins_per_row, **kw
+            ).collect()
+        }
+
+    assert pairs(
+        hot_bin_threshold=crowd_plan.hot_bin_threshold,
+        hot_bin_salts=crowd_plan.hot_bin_salts,
+        hot_bin_sides="left",
+    ) == pairs()

@@ -54,7 +54,7 @@ def corpus(spark, hot: int, bg: int):
     return both.select("iid", "s", (F.col("s") + 60_000_000).alias("e"))
 
 
-def run(spark, iv, tag: str, **kw):
+def run(spark, iv, tag: str, bin_width: int = W_US, **kw):
     a = iv.select(
         F.col("iid").alias("lid"), F.col("s").alias("ls"), F.col("e").alias("le")
     )
@@ -62,7 +62,7 @@ def run(spark, iv, tag: str, **kw):
         F.col("iid").alias("rid"), F.col("s").alias("rs"), F.col("e").alias("re")
     )
     pairs = overlap_join_binned(
-        a, b, bin_width=W_US,
+        a, b, bin_width=bin_width,
         l_start="ls", l_end="le", r_start="rs", r_end="re", **kw
     ).filter(F.col("lid") < F.col("rid"))
     t0 = time.time()
@@ -93,6 +93,25 @@ def main() -> None:
             )
         )
         print(out["runs"][-1], file=sys.stderr)
+    # the REGISTERED path (r13): the full auto-plan — W, budget, and the
+    # hot-bin threshold all derived from suggest_overlap_plan's single
+    # aggregate, exactly what session_overlap_topk passes. The acceptance
+    # bar (VERDICT r12 item 3): within ~2× of the hand-set 32-salt drain.
+    from imdb_mapreduce_spark.operators.temporal import suggest_overlap_plan
+
+    plan = suggest_overlap_plan(iv, "s", "e")
+    out["auto_plan"] = plan._asdict()
+    out["runs"].append(
+        run(
+            spark, iv, "auto_plan",
+            bin_width=plan.bin_width,
+            max_bins_per_row=plan.max_bins_per_row,
+            hot_bin_threshold=plan.hot_bin_threshold,
+            hot_bin_salts=plan.hot_bin_salts,
+            hot_bin_sides="left",
+        )
+    )
+    print(out["runs"][-1], file=sys.stderr)
     counts = {r["pairs"] for r in out["runs"]}
     out["counts_agree"] = len(counts) == 1
     print(json.dumps(out))
