@@ -53,9 +53,11 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "events_multires_rollup",
-    oracle="""
+# Shared by `events_multires_rollup` (batch cascade) and the r13
+# `events_multires_rollup_incremental` (foreachBatch maintenance tier,
+# streaming/jobs.py): every tier computed DIRECTLY from raw, so a hash
+# match against it proves cascade ≡ direct and incremental ≡ direct.
+MULTIRES_ROLLUP_ORACLE = """
     WITH m AS (
       SELECT date_trunc('minute', ts) AS bucket, event_type,
              COUNT(*) AS n, SUM(CAST(value AS DECIMAL(12,2))) AS s
@@ -77,7 +79,12 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'day', bucket, event_type, CAST(n AS BIGINT), CAST(s AS DOUBLE)
     FROM d
-    """,
+    """
+
+
+@register(
+    "events_multires_rollup",
+    oracle=MULTIRES_ROLLUP_ORACLE,
     tags=("time", "agg", "rollup", "hypertable", "north-star"),
 )
 def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -112,6 +119,16 @@ def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("day", F.col("bucket")).alias("bucket"),
         F.col("event_type"),
     ).agg(F.sum("n_events").alias("n_events"), F.sum("s").alias("s"))
+
+    return multires_tiered_union(m, h, d)
+
+
+def multires_tiered_union(m: DataFrame, h: DataFrame, d: DataFrame) -> DataFrame:
+    """Final presentation of the three rollup tiers — shared by the batch
+    cascade above and the incremental maintenance tier
+    (``streaming/jobs.events_multires_rollup_incremental``) so both land
+    on :data:`MULTIRES_ROLLUP_ORACLE` with identical column shape: exact
+    DECIMAL sums get their ONE cast to double here."""
 
     def tiered(df: DataFrame, tier: str) -> DataFrame:
         return df.select(

@@ -68,88 +68,10 @@ def register(
 # Rotate these lists each round so coverage accumulates. See COVERAGE.md
 # ("Driver correctness window") for the per-round rotation record.
 _HEAD: tuple[str, ...] = (
-    # r12 rotation (VERDICT r11 item 1; COVERAGE.md "Driver correctness
-    # window" has the per-round record). Composition of the 50-slot window:
-    #   1) the queries whose CODE changed this round, re-verified in-window
-    #      per the rotation contract: streaming_kmv_distinct_tws (NEW in
-    #      r12 — never-green, the TWS tier registered once protobuf_compat
-    #      un-blocked the state client), streaming_kmv_distinct and
-    #      streaming_kmv_distinct_salted (share the _merge_kmv_state core,
-    #      which now reads the state tuple once per merge, and the
-    #      env-validated _subkey_target_rows — ADVICE r11);
-    #   2) the r12 queue head from the r11 notes: the 3 displaced r09-green
-    #      fills (embedding_dim_profile, hard_negative_lsh, ann_recall_eval);
-    #   3) the 40 remaining r09-green entries stalest-first — closing the
-    #      r09 refresh queue;
-    #   4) filled to 50 with the stalest r10-green entries (pagerank_
-    #      coparts ...); the displaced r10-green fills
-    #      (event_value_histogram, user_sessions, events_json_stats, and
-    #      mid-round, minhash_lsh_dups + semdedup_eval_metrics +
-    #      semdedup_clusters — displaced when the never-green
-    #      session_overlap_topk, peak_concurrent_sessions, and
-    #      events_multires_rollup landed, the r11 events_variant_stats
-    #      precedent) roll to the r13 queue head.
-
-    "streaming_kmv_distinct_tws",
-    "streaming_kmv_distinct",
-    "streaming_kmv_distinct_salted",
     "session_overlap_topk",
     "peak_concurrent_sessions",
     "events_multires_rollup",
-    "embedding_dim_profile",
-    "hard_negative_lsh",
-    "ann_recall_eval",
-    "hard_negative_mining",
-    "incremental_dedup_verdicts",
-    "streaming_foreachbatch_upsert",
-    "embedding_lsh_dups",
-    "split_leakage_audit",
-    "zorder_layout_plan",
-    "zone_map_prune_audit",
-    "rollup_grouping_flags",
-    "events_json_struct",
-    "embedding_label_dups",
-    "customer_order_window",
-    "orders_by_month",
-    "supplier_unpivot",
-    "early_not_recent_buyers",
-    "brand_top2_parts",
-    "user_running_stats_salted",
-    "inverted_index_postings",
-    "doc_chunk_windows",
-    "embedding_int8_quant",
-    "pricing_summary",
-    "revenue_topk",
-    "customers_without_orders",
-    "order_basket_lookup",
-    "nation_customer_sorted",
-    "asof_last_purchase",
-    "events_10min_windows",
-    "dedup_clusters",
-    "parts_above_brand_avg",
-    "doc_embedding_profile",
-    "supplier_part_facts",
-    "events_hourly",
-    "order_price_quantiles",
-    "region_rollup",
-    "token_pack_assignment",
-    "media_byte_histogram",
-    "token_count_bpe",
-    "doc_rarity_scores",
-    "tfidf_top_terms",
-    "part_expr_catalog",
-    "events_cube",
-    "pagerank_coparts",
-)
-_TAIL: tuple[str, ...] = (
-    # beyond the window, stalest-first (the r13 promotion queue): the three
-    # r10-green fills displaced from the r12 window by the code-changed
-    # re-verifies and the new streaming_kmv_distinct_tws (the established
-    # displacement precedent), then the remaining r10-green entries, then
-    # the r11-green entries displaced from the r11 window (freshest rows in
-    # the union); every name union-green, each family keeping an in-window
-    # sibling.
-
+    "events_multires_rollup_incremental",
     "event_value_histogram",
     "user_sessions",
     "events_json_stats",
@@ -196,6 +118,8 @@ _TAIL: tuple[str, ...] = (
     "user_running_stats",
     "local_supplier_revenue",
     "quantity_band_stats",
+)
+_TAIL: tuple[str, ...] = (
     "copurchase_bfs_l3",
     "events_variant_stats",
     "copurchase_sssp",
@@ -245,6 +169,53 @@ _TAIL: tuple[str, ...] = (
     "ngram_jaccard_pairs",
     "ngram_jaccard_capped",
     "dedup_exact_survivors",
+    "streaming_kmv_distinct_tws",
+    "streaming_kmv_distinct",
+    "streaming_kmv_distinct_salted",
+    "embedding_dim_profile",
+    "hard_negative_lsh",
+    "ann_recall_eval",
+    "hard_negative_mining",
+    "incremental_dedup_verdicts",
+    "streaming_foreachbatch_upsert",
+    "embedding_lsh_dups",
+    "split_leakage_audit",
+    "zorder_layout_plan",
+    "zone_map_prune_audit",
+    "rollup_grouping_flags",
+    "events_json_struct",
+    "embedding_label_dups",
+    "customer_order_window",
+    "orders_by_month",
+    "supplier_unpivot",
+    "early_not_recent_buyers",
+    "brand_top2_parts",
+    "user_running_stats_salted",
+    "inverted_index_postings",
+    "doc_chunk_windows",
+    "embedding_int8_quant",
+    "pricing_summary",
+    "revenue_topk",
+    "customers_without_orders",
+    "order_basket_lookup",
+    "nation_customer_sorted",
+    "asof_last_purchase",
+    "events_10min_windows",
+    "dedup_clusters",
+    "parts_above_brand_avg",
+    "doc_embedding_profile",
+    "supplier_part_facts",
+    "events_hourly",
+    "order_price_quantiles",
+    "region_rollup",
+    "token_pack_assignment",
+    "media_byte_histogram",
+    "token_count_bpe",
+    "doc_rarity_scores",
+    "tfidf_top_terms",
+    "part_expr_catalog",
+    "events_cube",
+    "pagerank_coparts",
 )
 
 

@@ -34,6 +34,7 @@ from pyspark.sql.types import (
 )
 
 from imdb_mapreduce_spark.functions.columns import epoch_us
+from imdb_mapreduce_spark.plans.events import MULTIRES_ROLLUP_ORACLE
 from imdb_mapreduce_spark.plans.registry import register
 from imdb_mapreduce_spark.sources.star import ensure_nanos_as_long
 
@@ -808,3 +809,248 @@ def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         # Materialize before the tempdir vanishes (bounded: one row per key).
         return final.localCheckpoint(eager=True)
+
+
+# ---------------------------------------------------------------------------
+# incremental multi-resolution rollup maintenance (r13, VERDICT r12 item 2)
+# ---------------------------------------------------------------------------
+
+# Cross-batch accumulator decimal: wide enough that re-summing partial
+# sums can never overflow or re-escalate precision between versions
+# (sum(decimal(38,2)) stays decimal(38,2)), exact over decimal(12,2)
+# inputs at any realistic corpus — the same exact-DECIMAL discipline as
+# the batch cascade, which is what makes incremental ≡ direct bit-true.
+_MULTIRES_DEC = "decimal(38,2)"
+
+
+def _multires_sum_merge(df: DataFrame, unit: str) -> DataFrame:
+    """Aggregate (bucket, event_type, n_events, s) rows to ``unit``
+    granularity by additive merge — the monoid step every tier shares."""
+    return (
+        df.groupBy(
+            F.date_trunc(unit, F.col("bucket")).alias("bucket"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("s").cast(_MULTIRES_DEC).alias("s"),
+        )
+    )
+
+
+def multires_merge_batch(
+    batch_df: DataFrame, prev: dict[str, DataFrame] | None
+) -> dict[str, DataFrame]:
+    """One incremental-refresh step of the hypertable-style cascade
+    (`plans/events.events_multires_rollup` is the batch rebuild whose
+    docstring promises exactly this): fold a micro-batch of raw events
+    into the three-tier (minute/hour/day) aggregate state, touching raw
+    ONLY for the batch and recomputing coarse tiers ONLY for the buckets
+    the batch touched.
+
+    - MINUTE: the batch pre-aggregates to minute partials (map-side
+      combining, batch-sized); rows for touched minute buckets are
+      additively merged (prev ⊎ delta — count/sum monoid), untouched
+      rows are carried as-is.
+    - HOUR/DAY: the touched bucket set coarsens (minute→hour→day, each a
+      DISTINCT over an already-small set, broadcast into the joins); a
+      touched hour is RE-DERIVED from the new minute tier (the
+      hypertable refresh contract — re-derivation, unlike delta-add,
+      also stays correct for non-additive refinements and self-heals a
+      corrected finer tier), untouched hours carry. Day from hour, same
+      shape.
+
+    Per-batch COMPUTE is O(batch + touched buckets): a batch spanning
+    one day touches ≤1,440 minute rows, ≤24 hour rows, ≤1 day row per
+    event type — never the full history. The carried rows pass through
+    as IO only (no shuffle: union of an anti-join with the merged
+    slice); at 100 TB the state table would be day-partitioned with
+    dynamic partition overwrite (or a Delta/Iceberg MERGE) so carried
+    partitions are not even rewritten — the versioned-directory harness
+    below is the test-scale idempotence scaffold, not the storage
+    layout.
+
+    ``prev`` is ``None`` for the first batch (empty state); returns the
+    new {tier: DataFrame} dict. Pure plan construction — no actions.
+    """
+    mb = (
+        batch_df.select(
+            F.date_trunc("minute", F.col("ts")).alias("bucket"),
+            "event_type",
+            F.lit(1).cast("long").alias("n_events"),
+            F.col("value").cast("decimal(12,2)").cast(_MULTIRES_DEC).alias("s"),
+        )
+    )
+    mb = _multires_sum_merge(mb, "minute")
+    touched = mb.select("bucket").distinct()
+
+    tiers: dict[str, DataFrame] = {}
+    if prev is None:
+        tiers["minute"] = mb
+    else:
+        t = touched.select(F.col("bucket").alias("_tb"))
+        hot = prev["minute"].join(
+            F.broadcast(t), F.col("bucket") == F.col("_tb"), "left_semi"
+        )
+        cold = prev["minute"].join(
+            F.broadcast(t), F.col("bucket") == F.col("_tb"), "left_anti"
+        )
+        tiers["minute"] = cold.unionByName(
+            _multires_sum_merge(hot.unionByName(mb), "minute")
+        )
+
+    finer = tiers["minute"]
+    for unit in ("hour", "day"):
+        touched = touched.select(
+            F.date_trunc(unit, F.col("bucket")).alias("bucket")
+        ).distinct()
+        t = touched.select(F.col("bucket").alias("_tb"))
+        derived = _multires_sum_merge(
+            finer.join(
+                F.broadcast(t),
+                F.date_trunc(unit, F.col("bucket")) == F.col("_tb"),
+                "left_semi",
+            ),
+            unit,
+        )
+        if prev is None:
+            tiers[unit] = derived
+        else:
+            carried = prev[unit].join(
+                F.broadcast(t), F.col("bucket") == F.col("_tb"), "left_anti"
+            )
+            tiers[unit] = carried.unionByName(derived)
+        finer = tiers[unit]
+    return tiers
+
+
+_MULTIRES_TIERS = ("minute", "hour", "day")
+
+
+def incremental_multires_drain(
+    spark: SparkSession,
+    src: str,
+    schema: StructType,
+    state_root: str,
+    ckpt: str,
+) -> dict[str, DataFrame] | None:
+    """Drain every unprocessed file under ``src`` (one micro-batch per
+    file, availableNow) through :func:`multires_merge_batch`, maintaining
+    versioned three-tier state under ``state_root`` with the engine's
+    exactly-once ``foreachBatch`` contract (the
+    ``streaming_foreachbatch_upsert`` pattern): batch ``n`` reads state
+    ``v(n-1)`` and OVERWRITES ``v(n)``, with a ``_COMMIT`` marker written
+    after all three tiers land — a batch replayed after a mid-write crash
+    rewrites its own version from its unchanged predecessor, so replay
+    cannot double-count (which pure delta-APPEND would). Restartable: a
+    later call with the same ``ckpt``/``state_root`` resumes batch
+    numbering from the checkpoint and state from the last committed
+    version (the restart drill pins this). Returns the latest committed
+    {tier: DataFrame} state, or ``None`` if no batch ever committed."""
+    import glob as _glob
+    import os
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        prev_dir = os.path.join(state_root, f"v{batch_id - 1}")
+        prev = None
+        if os.path.exists(os.path.join(prev_dir, "_COMMIT")):
+            prev = {
+                tier: spark.read.parquet(os.path.join(prev_dir, tier))
+                for tier in _MULTIRES_TIERS
+            }
+        new = multires_merge_batch(batch_df, prev)
+        cur_dir = os.path.join(state_root, f"v{batch_id}")
+        for tier in _MULTIRES_TIERS:
+            new[tier].write.mode("overwrite").parquet(
+                os.path.join(cur_dir, tier)
+            )
+        with open(os.path.join(cur_dir, "_COMMIT"), "w") as f:
+            f.write("ok\n")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    committed = sorted(
+        (
+            p
+            for p in _glob.glob(os.path.join(state_root, "v*"))
+            if os.path.exists(os.path.join(p, "_COMMIT"))
+        ),
+        key=lambda p: int(os.path.basename(p)[1:]),
+    )
+    if not committed:
+        return None
+    return {
+        tier: spark.read.parquet(os.path.join(committed[-1], tier))
+        for tier in _MULTIRES_TIERS
+    }
+
+
+@register(
+    "events_multires_rollup_incremental",
+    oracle=MULTIRES_ROLLUP_ORACLE,
+    tags=("streaming", "rollup", "hypertable", "foreachBatch",
+          "exactly-once", "north-star"),
+)
+def events_multires_rollup_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The INCREMENTAL maintenance tier of the multi-resolution rollup —
+    the capability `events_multires_rollup`'s docstring promises at
+    100 TB ("maintained incrementally ... touching a day's raw partition
+    and 1,440 pre-aggregated rows", `plans/events.py`): the events table
+    streams in as four time-range micro-batches, each folded into
+    versioned minute/hour/day state by :func:`multires_merge_batch`
+    (additive minute upsert; hour/day RE-DERIVED only for touched
+    buckets), under the exactly-once versioned-state ``foreachBatch``
+    contract. The oracle computes every tier DIRECTLY from raw in DuckDB
+    — the same :data:`~imdb_mapreduce_spark.plans.events.MULTIRES_ROLLUP_ORACLE`
+    the batch cascade certifies against — so a hash-green row proves
+    **incremental ≡ cascade ≡ direct** after N batches, closing the
+    triangle. Restart/replay behavior is pinned separately by the drill
+    in the stateful-streaming restart matrix.
+
+    The reference has no streaming or time-rollup surface at all (its
+    pipeline is one-shot batch MapReduce over IMDb TSVs); this family is
+    the engine's [NORTH-STAR] extension mandate."""
+    import os
+
+    from imdb_mapreduce_spark.plans.events import multires_tiered_union
+    from imdb_mapreduce_spark.sources.star import load_table
+
+    events = load_table(spark, "events", sf_dir).select(
+        "ts", "event_type", "value"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "src")
+        # four ts-range files → four micro-batches, each a contiguous
+        # time slice (the realistic arrival order for a rollup feed)
+        events.repartitionByRange(4, "ts").write.parquet(src)
+        state = incremental_multires_drain(
+            spark,
+            src,
+            events.schema,
+            os.path.join(d, "state"),
+            os.path.join(d, "ckpt"),
+        )
+        if state is None:  # empty source → no batches → empty rollup
+            return spark.createDataFrame(
+                [],
+                "tier string, bucket timestamp, event_type string,"
+                " n_events bigint, total_value double",
+            )
+        out = multires_tiered_union(
+            state["minute"], state["hour"], state["day"]
+        )
+        # Materialize before the tempdir vanishes (bounded: buckets×types
+        # rows — time-horizon-, not corpus-, proportional).
+        return out.localCheckpoint(eager=True)

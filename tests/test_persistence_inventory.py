@@ -73,6 +73,8 @@ INVENTORY: dict[tuple[str, str, str], tuple[int, str]] = {
         (1, "bounded-relation"),
     ("streaming/jobs.py", "streaming_foreachbatch_upsert",
      "localCheckpoint"): (1, "bounded-relation"),
+    ("streaming/jobs.py", "events_multires_rollup_incremental",
+     "localCheckpoint"): (1, "bounded-relation"),
     ("streaming/jobs.py", "streaming_kmv_distinct_salted",
      "localCheckpoint"): (1, "bounded-relation"),
 }

@@ -54,79 +54,75 @@ def test_overflow_and_unknown_names_fail_loud():
         )
 
 
-# The r12 window as committed in plans/registry.py at r12 close — a
-# LITERAL snapshot, deliberately not reg._HEAD. The replay target moves
-# forward each rotation (r11 -> r12 precedent): the planner's tie-break
-# among equally-stale fills follows the LIVE registry iteration order,
-# which each rotation rewrites — so only the latest landed rotation is
-# exactly replayable, and that is the one the rotation contract cares
-# about ("the landed window IS the planner output").
-R12_HEAD = (
-    "streaming_kmv_distinct_tws",
-    "streaming_kmv_distinct",
-    "streaming_kmv_distinct_salted",
-    # mid-round never-green additions (the r11 events_variant_stats
-    # precedent): the planner forces them in-window directly after the
-    # code-changed entries; the last fills (minhash_lsh_dups,
-    # semdedup_eval_metrics, semdedup_clusters) were displaced to the
-    # r13 queue head as they landed.
+# The r13 window as committed in plans/registry.py at the r13 rotation —
+# a LITERAL snapshot, deliberately not reg._HEAD. The replay target
+# moves forward each rotation (r11 -> r12 -> r13 precedent): the
+# planner's tie-break among equally-stale fills follows the LIVE
+# registry iteration order, which each rotation rewrites — so only the
+# latest landed rotation is exactly replayable, and that is the one the
+# rotation contract cares about ("the landed window IS the planner
+# output").
+R13_HEAD = (
     "session_overlap_topk",
     "peak_concurrent_sessions",
     "events_multires_rollup",
-    "embedding_dim_profile",
-    "hard_negative_lsh",
-    "ann_recall_eval",
-    "hard_negative_mining",
-    "incremental_dedup_verdicts",
-    "streaming_foreachbatch_upsert",
-    "embedding_lsh_dups",
-    "split_leakage_audit",
-    "zorder_layout_plan",
-    "zone_map_prune_audit",
-    "rollup_grouping_flags",
-    "events_json_struct",
-    "embedding_label_dups",
-    "customer_order_window",
-    "orders_by_month",
-    "supplier_unpivot",
-    "early_not_recent_buyers",
-    "brand_top2_parts",
-    "user_running_stats_salted",
-    "inverted_index_postings",
-    "doc_chunk_windows",
-    "embedding_int8_quant",
-    "pricing_summary",
-    "revenue_topk",
-    "customers_without_orders",
-    "order_basket_lookup",
-    "nation_customer_sorted",
-    "asof_last_purchase",
-    "events_10min_windows",
-    "dedup_clusters",
-    "parts_above_brand_avg",
-    "doc_embedding_profile",
-    "supplier_part_facts",
-    "events_hourly",
-    "order_price_quantiles",
-    "region_rollup",
-    "token_pack_assignment",
-    "media_byte_histogram",
-    "token_count_bpe",
-    "doc_rarity_scores",
-    "tfidf_top_terms",
-    "part_expr_catalog",
-    "events_cube",
-    "pagerank_coparts",
+    "events_multires_rollup_incremental",
+    "event_value_histogram",
+    "user_sessions",
+    "events_json_stats",
+    "minhash_lsh_dups",
+    "semdedup_eval_metrics",
+    "semdedup_clusters",
+    "user_value_trend",
+    "benchmark_decontam",
+    "streaming_dedup_10min_counts",
+    "dedup_exact_groups",
+    "streaming_click_attribution",
+    "streaming_10min_counts",
+    "orders_per_customer",
+    "corpus_keep_list",
+    "media_metadata_stats",
+    "media_feature_extract",
+    "media_resize_plan",
+    "media_frame_sample",
+    "media_format_rollup",
+    "doc_fingerprint_rolling",
+    "dataset_split_assignment",
+    "content_sample",
+    "doc_repetition_stats",
+    "source_quality_profile",
+    "user_event_pivot",
+    "fuzzy_name_match",
+    "embedding_norm_stats",
+    "doc_quality_stats",
+    "lang_id_heuristic",
+    "stratified_sample_hash",
+    "sample_n_per_group",
+    "cdc_orders_upsert",
+    "dq_expectations",
+    "events_sliding_windows",
+    "events_gapfill_zero",
+    "segment_reconciliation_fullouter",
+    "loyal_buyer_intersect",
+    "dedup_survivors_by_quality",
+    "corpus_mix_allocation",
+    "events_rolling_1h",
+    "key_skew_profile",
+    "priority_segment_union",
+    "active_buildings_semi",
+    "user_running_stats",
+    "local_supplier_revenue",
+    "quantity_band_stats",
 )
 
 
-def test_planner_matches_the_landed_r12_rotation():
+def test_planner_matches_the_landed_r13_rotation():
     """Ground truth: replaying the planner against the real landed
-    CORRECTNESS_r01..r11 union with r12's code-changed set must
-    reproduce the r12 window EXACTLY as committed at r12 close (the
-    literal above) — proof the executable policy and the prose policy
-    are one. Queries registered in FUTURE rounds are excluded from the
-    replay (they did not exist when r12 was planned)."""
+    CORRECTNESS_r01..r12 union with r13's code-changed set must
+    reproduce the r13 window EXACTLY as committed at the r13 rotation
+    (the literal above) — proof the executable policy and the prose
+    policy are one. Queries registered in FUTURE rounds are excluded
+    from the replay (they did not exist when r13 was planned)."""
     import glob
 
     from imdb_mapreduce_spark.plans.registry import all_queries
@@ -134,24 +130,25 @@ def test_planner_matches_the_landed_r12_rotation():
     paths = [
         p
         for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
-        if int(os.path.basename(p)[13:15]) <= 11
+        if int(os.path.basename(p)[13:15]) <= 12
     ]
     if not paths:
         pytest.skip("no CORRECTNESS files (round 1)")
     newest = plan_rotation.newest_green_rounds(paths)
     qs = all_queries()
-    known_at_r12 = set(R12_HEAD) | set(newest)
-    order = [n for n in qs if n in known_at_r12]
-    if set(R12_HEAD) - set(order):
-        pytest.skip("r12 queries renamed/removed — replay no longer applies")
+    known_at_r13 = set(R13_HEAD) | set(newest)
+    order = [n for n in qs if n in known_at_r13]
+    if set(R13_HEAD) - set(order):
+        pytest.skip("r13 queries renamed/removed — replay no longer applies")
     head, _tail, _notes = plan(
         order,
         {n for n in order if qs[n].oracle is not None},
         newest,
         code_changed=[
-            "streaming_kmv_distinct_tws",
-            "streaming_kmv_distinct",
-            "streaming_kmv_distinct_salted",
+            "session_overlap_topk",
+            "peak_concurrent_sessions",
+            "events_multires_rollup",
+            "events_multires_rollup_incremental",
         ],
     )
-    assert list(head) == list(R12_HEAD)
+    assert list(head) == list(R13_HEAD)

@@ -1013,3 +1013,168 @@ def test_checkpoint_state_is_introspectable_and_oracle_exact(spark, tmp_path):
         keep = pairs[:KMV_K]
         want[etype] = (len(grp), keep[-1][0], len(keep))
     assert got == want
+
+
+# --- incremental multi-resolution rollup maintenance (r13) -----------------
+
+
+def _multires_state_schema():
+    from pyspark.sql.types import (
+        DecimalType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    return StructType(
+        [
+            StructField("bucket", TimestampType()),
+            StructField("event_type", StringType()),
+            StructField("n_events", LongType()),
+            StructField("s", DecimalType(38, 2)),
+        ]
+    )
+
+
+def test_multires_merge_recomputes_touched_buckets_only(spark):
+    """The incremental-refresh contract: an hour the batch does NOT touch
+    is CARRIED, never re-derived — proven by planting a poisoned hour row
+    whose value disagrees with its own minute tier: re-derivation would
+    'heal' it, carry preserves it verbatim. The touched hour must be
+    re-derived from the new minute tier (batch delta included)."""
+    from decimal import Decimal
+
+    import pandas as pd
+
+    from imdb_mapreduce_spark.streaming.jobs import multires_merge_batch
+
+    h1 = pd.Timestamp("2026-01-01 10:00:00")
+    h2 = pd.Timestamp("2026-01-01 11:00:00")
+    mk = lambda rows: spark.createDataFrame(
+        [(b.to_pydatetime(), *rest) for b, *rest in rows],
+        _multires_state_schema(),
+    )
+    prev = {
+        "minute": mk(
+            [
+                (h1 + pd.Timedelta(minutes=1), "click", 2, Decimal("10.00")),
+                (h2 + pd.Timedelta(minutes=5), "click", 3, Decimal("30.00")),
+            ]
+        ),
+        "hour": mk(
+            [
+                (h1, "click", 2, Decimal("10.00")),
+                (h2, "click", 999, Decimal("999.99")),  # poisoned
+            ]
+        ),
+        "day": mk(
+            [(pd.Timestamp("2026-01-01"), "click", 1001, Decimal("1009.99"))]
+        ),
+    }
+    batch = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "ts": [h1 + pd.Timedelta(minutes=1, seconds=30)],
+                "event_type": ["click"],
+                "value": [5.0],
+            }
+        )
+    )
+    new = multires_merge_batch(batch, prev)
+    hour = {
+        (r["bucket"], r["event_type"]): (r["n_events"], float(r["s"]))
+        for r in new["hour"].collect()
+    }
+    # untouched hour: poisoned row carried VERBATIM (would be 3/30.00 if
+    # re-derived from its minute tier)
+    assert hour[(h2, "click")] == (999, 999.99)
+    # touched hour: re-derived from the merged minute tier (2+1 events)
+    assert hour[(h1, "click")] == (3, 15.0)
+    minute = {
+        r["bucket"]: (r["n_events"], float(r["s"]))
+        for r in new["minute"].collect()
+    }
+    assert minute[h1 + pd.Timedelta(minutes=1)] == (3, 15.0)  # additive
+    assert minute[h2 + pd.Timedelta(minutes=5)] == (3, 30.0)  # carried
+    # day: 2026-01-01 is touched → re-derived from the new hour tier,
+    # which SUMS the poisoned row — carry is layer-local by design
+    day = {r["bucket"]: r["n_events"] for r in new["day"].collect()}
+    assert day[pd.Timestamp("2026-01-01")] == 999 + 3
+
+
+def test_multires_incremental_restart_drill(spark, tmp_path):
+    """Restart-matrix drill for the incremental rollup: drain two files,
+    stop (availableNow exhausts the source), deliver two more files,
+    restart from the SAME checkpoint/state — batch numbering and state
+    resume; the final three-tier state equals the direct single-pass
+    derivation over ALL data. A third drain with nothing new must be a
+    no-op (idempotent under redundant restarts)."""
+    import os
+
+    import pandas as pd
+
+    from imdb_mapreduce_spark.streaming.jobs import (
+        incremental_multires_drain,
+        multires_merge_batch,
+    )
+
+    t0 = pd.Timestamp("2026-03-01 00:00:00")
+    m = pd.Timedelta(minutes=1)
+    batches = {
+        0: [(t0 + 1 * m, "click", 1.25), (t0 + 2 * m, "view", 2.50)],
+        1: [(t0 + 61 * m, "click", 4.00), (t0 + 1 * m, "click", 0.75)],
+        2: [(t0 + pd.Timedelta(days=1), "view", 8.00)],
+        3: [(t0 + 62 * m, "click", 1.00), (t0 + 2 * m, "view", 0.25)],
+    }
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def put_file(i: int) -> None:
+        pdf = pd.DataFrame(batches[i], columns=["ts", "event_type", "value"])
+        path = os.path.join(src, f"b{i}.parquet")
+        pdf.to_parquet(
+            path, coerce_timestamps="us", allow_truncated_timestamps=True
+        )
+        os.utime(path, (1_000_000 + i, 1_000_000 + i))
+
+    schema = "ts timestamp, event_type string, value double"
+    state_root = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def snap(state):
+        return {
+            tier: sorted(
+                (r["bucket"], r["event_type"], r["n_events"], float(r["s"]))
+                for r in state[tier].collect()
+            )
+            for tier in ("minute", "hour", "day")
+        }
+
+    put_file(0)
+    put_file(1)
+    from pyspark.sql.types import _parse_datatype_string
+
+    st = _parse_datatype_string(schema)
+    phase1 = incremental_multires_drain(spark, src, st, state_root, ckpt)
+    assert phase1 is not None
+    put_file(2)
+    put_file(3)
+    phase2 = incremental_multires_drain(spark, src, st, state_root, ckpt)
+    got = snap(phase2)
+    # versions continued across the restart (4 committed batches: v0..v3)
+    assert os.path.exists(os.path.join(state_root, "v3", "_COMMIT"))
+    # direct single-pass derivation over ALL rows (prev=None merge IS the
+    # batch cascade) — incremental-across-restart must land exactly on it
+    all_rows = [r for b in batches.values() for r in b]
+    direct = multires_merge_batch(
+        spark.createDataFrame(
+            pd.DataFrame(all_rows, columns=["ts", "event_type", "value"])
+        ),
+        None,
+    )
+    assert got == snap(direct)
+    # redundant restart: nothing new to process → state unchanged
+    phase3 = incremental_multires_drain(spark, src, st, state_root, ckpt)
+    assert snap(phase3) == got
