@@ -72,6 +72,7 @@ _HEAD: tuple[str, ...] = (
     "peak_concurrent_sessions",
     "events_multires_rollup",
     "events_multires_rollup_incremental",
+    "streaming_sessions_tws",
     "event_value_histogram",
     "user_sessions",
     "events_json_stats",
@@ -117,9 +118,9 @@ _HEAD: tuple[str, ...] = (
     "active_buildings_semi",
     "user_running_stats",
     "local_supplier_revenue",
-    "quantity_band_stats",
 )
 _TAIL: tuple[str, ...] = (
+    "quantity_band_stats",
     "copurchase_bfs_l3",
     "events_variant_stats",
     "copurchase_sssp",

@@ -1054,3 +1054,136 @@ def events_multires_rollup_incremental(
         # Materialize before the tempdir vanishes (bounded: buckets×types
         # rows — time-horizon-, not corpus-, proportional).
         return out.localCheckpoint(eager=True)
+
+
+# ---------------------------------------------------------------------------
+# TWS timers: session-timeout emission (r13, VERDICT r12 item 5)
+# ---------------------------------------------------------------------------
+
+# Synthetic key whose single far-future event advances the stream's
+# WATERMARK past every real user's open-session close instant, firing
+# their timers — how a bounded drain exercises the event-time timer
+# path end to end (in production the stream simply keeps running and
+# watermark progress does this continuously).
+SESSION_SENTINEL_UID = -1
+
+
+@register(
+    "streaming_sessions_tws",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '30 minutes'
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events),
+    sess AS (
+      SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+      FROM gaps)
+    SELECT user_id, session_no,
+           epoch_us(MIN(ts)) AS start_us, epoch_us(MAX(ts)) AS end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, session_no
+    """,
+    tags=("streaming", "stateful", "tws", "timers", "session",
+          "north-star"),
+)
+def streaming_sessions_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-timeout emission via TWS event-time TIMERS — the
+    capability register (VERDICT r12 item 5): r12 measured WHAT the TWS
+    runtime costs (the 4-5×/row protocol tax, SCALING.md r12); this
+    operator registers what the tax BUYS — ``registerTimer`` /
+    ``handleExpiredTimer``, which no apply* tier can express
+    (:func:`~imdb_mapreduce_spark.streaming.stateful.sessions_by_timeout_tws`
+    states the exact contrast with the hand-rolled TTL tier). Every
+    closed session is emitted exactly once, through one of two
+    race-free paths: gap-logic when the user's next event arrives, or
+    the per-key timer when the WATERMARK passes the session's close
+    instant — so users who go quiet still emit, with no polling sweep.
+
+    Harness: events stream as four time-range micro-batches (per-user
+    time-ordered by construction — the operator's input contract), then
+    one far-future sentinel event advances the watermark so the tail
+    sessions' timers fire in a second drain from the SAME checkpoint
+    (which doubles as a restart drill on the timer+state recovery
+    path). The oracle is the batch sessionization the `user_sessions`
+    family pins — a hash-green row proves the timer path and the
+    gap path TOGETHER partition the session set exactly: any double
+    emission, lost timer, or stale-timer misfire breaks the count.
+    RocksDB provider required as for all TWS (column families)."""
+    import glob as _glob
+    import os
+
+    from imdb_mapreduce_spark.sources.star import load_table
+    from imdb_mapreduce_spark.streaming.stateful import (
+        SESSION_GAP_US,
+        sessions_by_timeout_tws,
+    )
+
+    require_tws(spark)
+    events = load_table(spark, "events", sf_dir).select("user_id", "ts")
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "src")
+        events.repartitionByRange(4, "ts").write.parquet(src)
+        # file-source discovery order = modification time: pin it to the
+        # ts-range order so per-user event time is monotone across batches
+        for i, p in enumerate(
+            sorted(_glob.glob(os.path.join(src, "part-*.parquet")))
+        ):
+            os.utime(p, (1_000_000 + i, 1_000_000 + i))
+        out = os.path.join(d, "out")
+        ckpt = os.path.join(d, "ckpt")
+
+        def drain() -> None:
+            stream = (
+                spark.readStream.schema(events.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+
+            def sink(df: DataFrame, _batch_id: int) -> None:
+                df.write.mode("append").parquet(out)
+
+            q = (
+                sessions_by_timeout_tws(stream)
+                .writeStream.foreachBatch(sink)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        with rocksdb_state_store(spark):
+            drain()
+            hi = events.select(F.max("ts").alias("hi")).first()["hi"]
+            if hi is not None:
+                sent = spark.createDataFrame(
+                    [(SESSION_SENTINEL_UID, hi)], events.schema
+                ).select(
+                    "user_id",
+                    (
+                        F.col("ts")
+                        + F.expr(
+                            f"INTERVAL {10 * SESSION_GAP_US} MICROSECONDS"
+                        )
+                    ).alias("ts"),
+                )
+                # appended part file gets a fresh (newest) mtime — the
+                # already-processed originals are checkpoint-remembered
+                sent.coalesce(1).write.mode("append").parquet(src)
+                drain()
+        if not _glob.glob(os.path.join(out, "*.parquet")):
+            return spark.createDataFrame(
+                [],
+                "user_id bigint, session_no bigint, start_us bigint,"
+                " end_us bigint, n_events bigint",
+            )
+        res = spark.read.parquet(out).filter(
+            F.col("user_id") != SESSION_SENTINEL_UID
+        )
+        # Materialize before the tempdir vanishes (bounded: one row per
+        # closed session — the query's own output).
+        return res.localCheckpoint(eager=True)

@@ -371,6 +371,151 @@ def running_kmv_by_type_tws(events: DataFrame) -> DataFrame:
     )
 
 
+# --- TWS-native timers: session-timeout emission (r13) ---------------------
+
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+TWS_SESSION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_no", LongType()),
+        StructField("start_us", LongType()),
+        StructField("end_us", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+
+def _session_tws_processor(gap_us: int):
+    """Build the session-timeout StatefulProcessor lazily (same gating
+    as the other TWS factories: the protobuf-backed state client only
+    exists where ``require_tws`` passes)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    cols = ["user_id", "session_no", "start_us", "end_us", "n_events"]
+
+    class SessionTimeout(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            schema = StructType(
+                [
+                    StructField("session_no", LongType()),
+                    StructField("start_us", LongType()),
+                    StructField("end_us", LongType()),
+                    StructField("n_events", LongType()),
+                ]
+            )
+            self._state = handle.getValueState("session", schema)
+            self._handle = handle
+
+        def _close_time_ms(self, end_us: int) -> int:
+            # first millisecond STRICTLY past end + gap: the closed-gap
+            # rule is `next - end <= gap keeps the session`, so the
+            # timer must not fire until the gap is truly exceeded
+            # (integer ceil to ms of end+gap, then +1 ms)
+            return (int(end_us) + gap_us + 999) // 1000 + 1
+
+        def handleInputRows(self, key, rows, timer_values):
+            ts = np.sort(
+                np.concatenate(
+                    [pdf["ts_us"].to_numpy(dtype=np.int64) for pdf in rows]
+                )
+            )
+            if self._state.exists():
+                sno, s, e, n = (int(x) for x in self._state.get())
+            else:
+                sno, s, e, n = 0, None, None, 0
+            # vectorized in-batch sessionization: break where the gap is
+            # exceeded; each segment then merges into the carried open
+            # session or closes it and starts a new one
+            brk = np.flatnonzero(np.diff(ts) > gap_us) + 1
+            closed: list[tuple[int, int, int, int, int]] = []
+            uid = int(key[0])
+            for a, b in zip(
+                np.concatenate(([0], brk)), np.concatenate((brk, [len(ts)]))
+            ):
+                seg_s, seg_e, seg_n = int(ts[a]), int(ts[b - 1]), int(b - a)
+                if s is not None and seg_s - e <= gap_us:
+                    e, n = max(e, seg_e), n + seg_n
+                else:
+                    if s is not None:
+                        closed.append((uid, sno, s, e, n))
+                    sno, s, e, n = sno + 1, seg_s, seg_e, seg_n
+            self._state.update((sno, s, e, n))
+            # one live timer per key: re-arm at the open session's close
+            # time (stale timers are also guard-checked on expiry, so
+            # this delete is hygiene, not correctness)
+            for t in self._handle.listTimers():
+                self._handle.deleteTimer(t)
+            self._handle.registerTimer(self._close_time_ms(e))
+            if closed:
+                yield pd.DataFrame(closed, columns=cols)
+
+        # parameter names must match the base-class signature exactly —
+        # the TWS runtime invokes this hook with KEYWORD arguments
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            if not self._state.exists():
+                return
+            sno, s, e, n = (int(x) for x in self._state.get())
+            # the guard that makes stale timers harmless: only a timer at
+            # or past the CURRENT open session's close time closes it —
+            # a timer armed for a session that was since extended (or
+            # superseded) sits before the new close time and no-ops
+            if expiredTimerInfo.getExpiryTimeInMs() >= self._close_time_ms(e):
+                self._state.clear()
+                yield pd.DataFrame(
+                    [(int(key[0]), sno, s, e, n)], columns=cols
+                )
+
+        def close(self) -> None:
+            pass
+
+    return SessionTimeout()
+
+
+def sessions_by_timeout_tws(
+    events: DataFrame, gap_us: int = SESSION_GAP_US
+) -> DataFrame:
+    """Gap-based sessionization with TIMER-driven closure — the TWS
+    capability the apply* tiers cannot express (VERDICT r12 item 5):
+    ``applyInPandasWithState``'s hand-rolled TTL (``running_user_stats_ttl``)
+    can only act on a key WHEN THAT KEY RECEIVES ROWS (or at the coarse
+    whole-operator timeout sweep); an event-time timer registered per
+    key fires on WATERMARK progress alone, so a session whose user went
+    quiet is emitted the moment the stream's event time passes its
+    close instant — no poll, no per-batch sweep, no waiting for the
+    key's next row that may never come.
+
+    Contract: input must be a per-user time-ordered stream (batches
+    need not be sorted internally — each batch is sorted in the
+    processor — but a batch must not contain events older than a
+    previous batch's for the same user; time-range-partitioned sources
+    satisfy this by construction). Emits each closed session EXACTLY
+    once in append mode: via gap-logic when the user's next event
+    arrives, or via the expiry timer when the watermark passes
+    end+gap; the guard in ``handleExpiredTimer`` makes the two paths
+    race-free. State per user is one open session + one timer —
+    |users|-bounded, RocksDB-backed (TWS column-family requirement,
+    see ``jobs.rocksdb_state_store``)."""
+    from pyspark.sql import functions as F
+
+    from imdb_mapreduce_spark.functions.columns import epoch_us
+
+    with_us = events.withWatermark("ts", "0 seconds").select(
+        "ts", "user_id", epoch_us(F.col("ts")).alias("ts_us")
+    )
+    return with_us.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_session_tws_processor(int(gap_us)),
+        outputStructType=TWS_SESSION_OUTPUT_SCHEMA,
+        outputMode="Append",
+        timeMode="EventTime",
+    )
+
+
 # --- streaming KMV sketch (r05 session 2) ---------------------------------
 
 KMV_STATE_SCHEMA = StructType(

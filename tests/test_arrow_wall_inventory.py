@@ -67,6 +67,11 @@ INVENTORY: dict[tuple[str, str, tuple[str, ...]], str] = {
     # same waiver + skew warning as its apply* sibling.
     ("streaming/stateful.py", "running_kmv_by_type_tws", ("event_type",)):
         "key-bounded-waiver",
+    # TWS timer sessionization (r13): one open session + one timer per
+    # user — per-group rows per batch are that user's batch events,
+    # high-cardinality keyed so no group can own the stream.
+    ("streaming/stateful.py", "sessions_by_timeout_tws", ("user_id",)):
+        "high-cardinality",
 }
 
 ALLOWED = {"high-cardinality", "salt-sized", "key-bounded-waiver"}

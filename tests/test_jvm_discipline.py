@@ -71,14 +71,15 @@ def test_no_row_at_a_time_python_udfs_and_no_rdd_drops():
 
 # (relpath, enclosing function) → expected count of bare `pass` bodies.
 # Each is a PROTOCOL no-op, verified in place: StatefulProcessor.close()
-# has nothing to release for ValueState-only processors (×2: the TWS
-# user-totals and the TWS KMV twin); compaction_plan's
+# has nothing to release for ValueState-only processors (×3: the TWS
+# user-totals, the TWS KMV twin, and the r13 TWS session-timeout
+# processor); compaction_plan's
 # `with pq.ParquetFile(f): pass` exists only to close footer handles
 # promptly (ADVICE r06 — unclosed handles piled up fds); the Python
 # DataSource reader's commit() is the no-op half of its exactly-once
 # contract (the source is deterministic, nothing to acknowledge).
 PASS_INVENTORY: dict[tuple[str, str], int] = {
-    ("streaming/stateful.py", "close"): 2,
+    ("streaming/stateful.py", "close"): 3,
     ("sources/storage.py", "compaction_plan"): 1,
     ("sources/synthdocs.py", "commit"): 1,
 }

@@ -67,6 +67,7 @@ R13_HEAD = (
     "peak_concurrent_sessions",
     "events_multires_rollup",
     "events_multires_rollup_incremental",
+    "streaming_sessions_tws",
     "event_value_histogram",
     "user_sessions",
     "events_json_stats",
@@ -112,7 +113,6 @@ R13_HEAD = (
     "active_buildings_semi",
     "user_running_stats",
     "local_supplier_revenue",
-    "quantity_band_stats",
 )
 
 
@@ -149,6 +149,7 @@ def test_planner_matches_the_landed_r13_rotation():
             "peak_concurrent_sessions",
             "events_multires_rollup",
             "events_multires_rollup_incremental",
+            "streaming_sessions_tws",
         ],
     )
     assert list(head) == list(R13_HEAD)

@@ -1178,3 +1178,114 @@ def test_multires_incremental_restart_drill(spark, tmp_path):
     # redundant restart: nothing new to process → state unchanged
     phase3 = incremental_multires_drain(spark, src, st, state_root, ckpt)
     assert snap(phase3) == got
+
+
+# --- TWS timers: session-timeout emission (r13) ----------------------------
+
+
+def test_tws_session_timers_fire_across_restart(spark, tmp_path):
+    """Restart-matrix drill for the TWS timer path: drain two batches,
+    stop, deliver more files + the watermark-advancing sentinel,
+    restart from the SAME checkpoint. Pins the three claims the
+    registered query's hash match cannot isolate:
+
+    1. A user who goes QUIET (events only in batch 0, nothing after) is
+       emitted by the TIMER path alone — the gap path never sees a next
+       event for that key, so this session appearing at all proves
+       ``handleExpiredTimer`` fired off watermark progress, with the
+       registered timer having SURVIVED the checkpoint restart.
+    2. A session extended across the restart boundary emits ONCE with
+       the merged count (state recovery + stale-timer guard: the timer
+       armed pre-restart for the shorter session must no-op).
+    3. No session is emitted twice (exactly-once across both paths).
+    """
+    import os
+
+    import pandas as pd
+    import pytest
+
+    from imdb_mapreduce_spark.streaming.jobs import rocksdb_state_store
+    from imdb_mapreduce_spark.streaming.protobuf_compat import ensure_protobuf
+    from imdb_mapreduce_spark.streaming.stateful import (
+        SESSION_GAP_US,
+        sessions_by_timeout_tws,
+    )
+
+    if not ensure_protobuf(spark):
+        pytest.skip("no google.protobuf runtime — TWS state server needs it")
+
+    t0 = pd.Timestamp("2026-05-01 00:00:00")
+    m = pd.Timedelta(minutes=1)
+    g = pd.Timedelta(microseconds=SESSION_GAP_US)
+    batches = {
+        # user 1: QUIET after batch 0 — closeable only by timer
+        # user 2: session A starts here...
+        0: [(1, t0), (1, t0 + m), (2, t0 + 2 * m)],
+        # ...extends ACROSS the restart boundary (gap not exceeded)
+        1: [(2, t0 + 10 * m)],
+        # user 2's next event exceeds the gap → session A closes via
+        # gap path; session B opens
+        2: [(2, t0 + 10 * m + g + 2 * m)],
+        # sentinel: far-future watermark advance fires remaining timers
+        3: [(99, t0 + pd.Timedelta(days=30))],
+    }
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def put_file(i: int) -> None:
+        pdf = pd.DataFrame(batches[i], columns=["user_id", "ts"])
+        path = os.path.join(src, f"b{i}.parquet")
+        pdf.to_parquet(
+            path, coerce_timestamps="us", allow_truncated_timestamps=True
+        )
+        os.utime(path, (1_000_000 + i, 1_000_000 + i))
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain() -> None:
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+        def sink(df, _id):
+            df.write.mode("append").parquet(out)
+
+        q = (
+            sessions_by_timeout_tws(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    put_file(0)
+    put_file(1)
+    with rocksdb_state_store(spark):
+        drain()
+        put_file(2)
+        put_file(3)
+        drain()  # restart: state + timers recovered from the checkpoint
+
+    got = {
+        (r["user_id"], r["session_no"]): (
+            r["start_us"],
+            r["end_us"],
+            r["n_events"],
+        )
+        for r in spark.read.parquet(out).filter("user_id < 99").collect()
+    }
+    rows = spark.read.parquet(out).filter("user_id < 99").count()
+    assert rows == len(got), "a session was emitted more than once"
+    us = lambda t: int(t.value // 1_000)
+    assert got[(1, 1)] == (us(t0), us(t0 + m), 2)  # timer-only closure
+    # cross-restart extension: ONE session, merged count 2
+    assert got[(2, 1)] == (us(t0 + 2 * m), us(t0 + 10 * m), 2)
+    # session B: closed by the sentinel-driven timer in the second drain
+    b_start = t0 + 10 * m + g + 2 * m
+    assert got[(2, 2)] == (us(b_start), us(b_start), 1)
+    assert set(got) == {(1, 1), (2, 1), (2, 2)}
