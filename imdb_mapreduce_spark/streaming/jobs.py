@@ -19,6 +19,7 @@ from __future__ import annotations
 import contextlib
 import tempfile
 import uuid
+from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -839,7 +840,9 @@ def _multires_sum_merge(df: DataFrame, unit: str) -> DataFrame:
 
 
 def multires_merge_batch(
-    batch_df: DataFrame, prev: dict[str, DataFrame] | None
+    batch_df: DataFrame,
+    prev: dict[str, DataFrame] | None,
+    materialize: "Callable[[str, DataFrame], DataFrame] | None" = None,
 ) -> dict[str, DataFrame]:
     """One incremental-refresh step of the hypertable-style cascade
     (`plans/events.events_multires_rollup` is the batch rebuild whose
@@ -871,8 +874,20 @@ def multires_merge_batch(
     layout.
 
     ``prev`` is ``None`` for the first batch (empty state); returns the
-    new {tier: DataFrame} dict. Pure plan construction — no actions.
+    new {tier: DataFrame} dict.
+
+    ``materialize(name, df) -> df`` pins each computed relation (the
+    batch partials, then each tier) before the next one builds on it —
+    the drain passes its versioned-state writer so every relation is
+    written ONCE and coarser tiers read the written parquet. Without it
+    the tiers are pure lazy plans, fine for single-action consumers
+    (Spark's ReuseExchange dedupes the shared batch-aggregate shuffle
+    WITHIN one action) but 3-5× redundant when each tier is written by
+    its own action — the 1000×-corpus refresh probe measured per-batch
+    cost ≈ a full rebuild before this hook existed
+    (tools/multires_refresh_probe.py, SCALING.md r13).
     """
+    mat = materialize or (lambda _name, df: df)
     mb = (
         batch_df.select(
             F.date_trunc("minute", F.col("ts")).alias("bucket"),
@@ -881,7 +896,7 @@ def multires_merge_batch(
             F.col("value").cast("decimal(12,2)").cast(_MULTIRES_DEC).alias("s"),
         )
     )
-    mb = _multires_sum_merge(mb, "minute")
+    mb = mat("partials", _multires_sum_merge(mb, "minute"))
     touched = mb.select("bucket").distinct()
 
     tiers: dict[str, DataFrame] = {}
@@ -899,6 +914,7 @@ def multires_merge_batch(
             _multires_sum_merge(hot.unionByName(mb), "minute")
         )
 
+    tiers["minute"] = mat("minute", tiers["minute"])
     finer = tiers["minute"]
     for unit in ("hour", "day"):
         touched = touched.select(
@@ -920,6 +936,7 @@ def multires_merge_batch(
                 F.broadcast(t), F.col("bucket") == F.col("_tb"), "left_anti"
             )
             tiers[unit] = carried.unionByName(derived)
+        tiers[unit] = mat(unit, tiers[unit])
         finer = tiers[unit]
     return tiers
 
@@ -958,12 +975,19 @@ def incremental_multires_drain(
                 tier: spark.read.parquet(os.path.join(prev_dir, tier))
                 for tier in _MULTIRES_TIERS
             }
-        new = multires_merge_batch(batch_df, prev)
         cur_dir = os.path.join(state_root, f"v{batch_id}")
-        for tier in _MULTIRES_TIERS:
-            new[tier].write.mode("overwrite").parquet(
-                os.path.join(cur_dir, tier)
-            )
+
+        # the version write doubles as the merge's materializer: each
+        # relation (batch partials, then each tier) is computed by
+        # exactly ONE action and coarser tiers read the written parquet
+        # — without this, per-batch cost ≈ a full rebuild at the
+        # 1000×-corpus decade (see multires_merge_batch's doc)
+        def mat(name: str, df: DataFrame) -> DataFrame:
+            path = os.path.join(cur_dir, name)
+            df.write.mode("overwrite").parquet(path)
+            return spark.read.parquet(path)
+
+        multires_merge_batch(batch_df, prev, materialize=mat)
         with open(os.path.join(cur_dir, "_COMMIT"), "w") as f:
             f.write("ok\n")
 
