@@ -500,7 +500,13 @@ def sessions_by_timeout_tws(
     end+gap; the guard in ``handleExpiredTimer`` makes the two paths
     race-free. State per user is one open session + one timer —
     |users|-bounded, RocksDB-backed (TWS column-family requirement,
-    see ``jobs.rocksdb_state_store``)."""
+    see ``jobs.rocksdb_state_store``). Both sides are auditable OFFLINE
+    from the checkpoint alone: the state source reads the named state
+    variable (``option("stateVarName", "session")``) and the armed
+    timers (``option("readRegisteredTimers", "true")``), and the drill
+    ``test_tws_session_state_and_timers_introspectable_offline`` pins
+    the invariant joining them (one timer per open session, at exactly
+    the close-time function of that session's end)."""
     from pyspark.sql import functions as F
 
     from imdb_mapreduce_spark.functions.columns import epoch_us

@@ -1289,3 +1289,86 @@ def test_tws_session_timers_fire_across_restart(spark, tmp_path):
     b_start = t0 + 10 * m + g + 2 * m
     assert got[(2, 2)] == (us(b_start), us(b_start), 1)
     assert set(got) == {(1, 1), (2, 1), (2, 2)}
+
+
+def test_tws_session_state_and_timers_introspectable_offline(spark, tmp_path):
+    """Ops observability for the TWS timer operator — parity with the
+    apply* state-source drill above: Spark 4's state data source reads a
+    TWS checkpoint's named state variable (``stateVarName``) AND its
+    registered timers (``readRegisteredTimers``) as batch DataFrames.
+    Pins the runbook invariant connecting them: every open session on
+    disk has exactly one armed timer, at precisely the processor's
+    close-time function of that session's own end
+    ((end_us + gap + 999) // 1000 + 1) — so "which keys fire when" is
+    auditable offline, without draining or replaying the stream."""
+    import os
+
+    import pandas as pd
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from imdb_mapreduce_spark.streaming.jobs import rocksdb_state_store
+    from imdb_mapreduce_spark.streaming.protobuf_compat import ensure_protobuf
+    from imdb_mapreduce_spark.streaming.stateful import (
+        SESSION_GAP_US,
+        sessions_by_timeout_tws,
+    )
+
+    if not ensure_protobuf(spark):
+        pytest.skip("no google.protobuf runtime — TWS state server needs it")
+
+    t0 = pd.Timestamp("2026-05-01 00:00:00")
+    m = pd.Timedelta(minutes=1)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    pdf = pd.DataFrame(
+        {"user_id": [1, 1, 2], "ts": [t0, t0 + m, t0 + 2 * m]}
+    )
+    pdf.to_parquet(
+        os.path.join(src, "b0.parquet"),
+        coerce_timestamps="us",
+        allow_truncated_timestamps=True,
+    )
+    ckpt = str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    with rocksdb_state_store(spark):
+        q = (
+            sessions_by_timeout_tws(stream)
+            .writeStream.format("noop")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    state = {
+        r["user_id"]: (r["session_no"], r["start_us"], r["end_us"], r["n_events"])
+        for r in spark.read.format("statestore")
+        .option("stateVarName", "session")
+        .load(ckpt)
+        .select("key.user_id", "value.*")
+        .collect()
+    }
+    us = lambda t: int(t.value // 1_000)
+    assert state == {
+        1: (1, us(t0), us(t0 + m), 2),
+        2: (1, us(t0 + 2 * m), us(t0 + 2 * m), 1),
+    }
+    timers = {
+        r["user_id"]: r["expiration_timestamp_ms"]
+        for r in spark.read.format("statestore")
+        .option("readRegisteredTimers", "true")
+        .load(ckpt)
+        .select("key.user_id", "expiration_timestamp_ms")
+        .collect()
+    }
+    close_ms = lambda end_us: (end_us + SESSION_GAP_US + 999) // 1000 + 1
+    assert timers == {
+        uid: close_ms(end) for uid, (_sno, _s, end, _n) in state.items()
+    }
