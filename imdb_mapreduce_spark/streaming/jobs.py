@@ -903,12 +903,18 @@ def multires_merge_batch(
     if prev is None:
         tiers["minute"] = mb
     else:
+        # every touched-set join is NULL-SAFE (<=>): date_trunc of a
+        # NULL ts is a NULL bucket, which the oracle's GROUP BY keeps as
+        # an ordinary group — plain equality would never match it, so a
+        # NULL-bucket row would duplicate in the minute tier (anti-join
+        # keeps prev's copy AND the batch partial merges separately) and
+        # vanish from the re-derived coarse tiers (r13 review catch)
         t = touched.select(F.col("bucket").alias("_tb"))
         hot = prev["minute"].join(
-            F.broadcast(t), F.col("bucket") == F.col("_tb"), "left_semi"
+            F.broadcast(t), F.col("bucket").eqNullSafe(F.col("_tb")), "left_semi"
         )
         cold = prev["minute"].join(
-            F.broadcast(t), F.col("bucket") == F.col("_tb"), "left_anti"
+            F.broadcast(t), F.col("bucket").eqNullSafe(F.col("_tb")), "left_anti"
         )
         tiers["minute"] = cold.unionByName(
             _multires_sum_merge(hot.unionByName(mb), "minute")
@@ -924,7 +930,7 @@ def multires_merge_batch(
         derived = _multires_sum_merge(
             finer.join(
                 F.broadcast(t),
-                F.date_trunc(unit, F.col("bucket")) == F.col("_tb"),
+                F.date_trunc(unit, F.col("bucket")).eqNullSafe(F.col("_tb")),
                 "left_semi",
             ),
             unit,
@@ -933,7 +939,9 @@ def multires_merge_batch(
             tiers[unit] = derived
         else:
             carried = prev[unit].join(
-                F.broadcast(t), F.col("bucket") == F.col("_tb"), "left_anti"
+                F.broadcast(t),
+                F.col("bucket").eqNullSafe(F.col("_tb")),
+                "left_anti",
             )
             tiers[unit] = carried.unionByName(derived)
         tiers[unit] = mat(unit, tiers[unit])
@@ -942,6 +950,37 @@ def multires_merge_batch(
 
 
 _MULTIRES_TIERS = ("minute", "hour", "day")
+
+
+def multires_fold_version(
+    spark: SparkSession,
+    state_root: str,
+    version: int,
+    batch_df: DataFrame,
+    prev: dict[str, DataFrame] | None,
+) -> dict[str, DataFrame]:
+    """Fold one batch into versioned state ``v{version}`` — the drain's
+    per-batch body, shared with ``tools/multires_refresh_probe.py`` so
+    the probe measures the registered shape BY CONSTRUCTION. The version
+    write doubles as the merge's materializer: each relation (batch
+    partials, then each tier) is computed by exactly ONE action and
+    coarser tiers read the written parquet — without this, per-batch
+    cost ≈ a full rebuild at the 1000×-corpus decade (see
+    :func:`multires_merge_batch`'s doc). Writes the ``_COMMIT`` marker
+    last; returns read handles onto the committed tiers."""
+    import os
+
+    cur_dir = os.path.join(state_root, f"v{version}")
+
+    def mat(name: str, df: DataFrame) -> DataFrame:
+        path = os.path.join(cur_dir, name)
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    tiers = multires_merge_batch(batch_df, prev, materialize=mat)
+    with open(os.path.join(cur_dir, "_COMMIT"), "w") as f:
+        f.write("ok\n")
+    return tiers
 
 
 def incremental_multires_drain(
@@ -975,21 +1014,7 @@ def incremental_multires_drain(
                 tier: spark.read.parquet(os.path.join(prev_dir, tier))
                 for tier in _MULTIRES_TIERS
             }
-        cur_dir = os.path.join(state_root, f"v{batch_id}")
-
-        # the version write doubles as the merge's materializer: each
-        # relation (batch partials, then each tier) is computed by
-        # exactly ONE action and coarser tiers read the written parquet
-        # — without this, per-batch cost ≈ a full rebuild at the
-        # 1000×-corpus decade (see multires_merge_batch's doc)
-        def mat(name: str, df: DataFrame) -> DataFrame:
-            path = os.path.join(cur_dir, name)
-            df.write.mode("overwrite").parquet(path)
-            return spark.read.parquet(path)
-
-        multires_merge_batch(batch_df, prev, materialize=mat)
-        with open(os.path.join(cur_dir, "_COMMIT"), "w") as f:
-            f.write("ok\n")
+        multires_fold_version(spark, state_root, batch_id, batch_df, prev)
 
     stream = (
         spark.readStream.schema(schema)
@@ -1092,6 +1117,30 @@ def events_multires_rollup_incremental(
 SESSION_SENTINEL_UID = -1
 
 
+def session_sentinel_df(spark: SparkSession, events: DataFrame) -> DataFrame | None:
+    """The watermark-advancing sentinel for a bounded TWS-session drain:
+    one event for :data:`SESSION_SENTINEL_UID` placed 10 gaps past the
+    corpus maximum, so every real user's open-session close timer sits
+    strictly before the advanced watermark. ``None`` on an empty corpus.
+    Shared by the registered query and ``tools/tws_session_drain_probe``
+    so the probe measures the registered shape by construction. The max
+    probe is one column-pruned aggregate — bounded, driver-side."""
+    from imdb_mapreduce_spark.streaming.stateful import SESSION_GAP_US
+
+    hi = events.select(F.max("ts").alias("hi")).first()["hi"]
+    if hi is None:
+        return None
+    return spark.createDataFrame(
+        [(SESSION_SENTINEL_UID, hi)], events.schema
+    ).select(
+        "user_id",
+        (
+            F.col("ts")
+            + F.expr(f"INTERVAL {10 * SESSION_GAP_US} MICROSECONDS")
+        ).alias("ts"),
+    )
+
+
 @register(
     "streaming_sessions_tws",
     oracle="""
@@ -1141,10 +1190,7 @@ def streaming_sessions_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from imdb_mapreduce_spark.sources.star import load_table
-    from imdb_mapreduce_spark.streaming.stateful import (
-        SESSION_GAP_US,
-        sessions_by_timeout_tws,
-    )
+    from imdb_mapreduce_spark.streaming.stateful import sessions_by_timeout_tws
 
     require_tws(spark)
     events = load_table(spark, "events", sf_dir).select("user_id", "ts")
@@ -1182,19 +1228,8 @@ def streaming_sessions_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         with rocksdb_state_store(spark):
             drain()
-            hi = events.select(F.max("ts").alias("hi")).first()["hi"]
-            if hi is not None:
-                sent = spark.createDataFrame(
-                    [(SESSION_SENTINEL_UID, hi)], events.schema
-                ).select(
-                    "user_id",
-                    (
-                        F.col("ts")
-                        + F.expr(
-                            f"INTERVAL {10 * SESSION_GAP_US} MICROSECONDS"
-                        )
-                    ).alias("ts"),
-                )
+            sent = session_sentinel_df(spark, events)
+            if sent is not None:
                 # appended part file gets a fresh (newest) mtime — the
                 # already-processed originals are checkpoint-remembered
                 sent.coalesce(1).write.mode("append").parquet(src)

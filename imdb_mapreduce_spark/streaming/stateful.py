@@ -426,7 +426,19 @@ def _session_tws_processor(gap_us: int):
                 )
             )
             if self._state.exists():
-                sno, s, e, n = (int(x) for x in self._state.get())
+                # start_us is NULL when the last session was closed by a
+                # TIMER: the counter must survive that closure — wiping
+                # the whole tuple would restart a returning user's
+                # session_no at 1 and break the oracle's cumulative
+                # numbering (caught in the r13 review before it shipped;
+                # the 3-SF gates missed it because a return usually lands
+                # in the SAME batch as the firing timer, where input rows
+                # run first and the gap path renumbers correctly)
+                sno_, s_, e_, n_ = self._state.get()
+                sno = int(sno_)
+                s = None if s_ is None else int(s_)
+                e = None if e_ is None else int(e_)
+                n = int(n_)
             else:
                 sno, s, e, n = 0, None, None, 0
             # vectorized in-batch sessionization: break where the gap is
@@ -460,13 +472,19 @@ def _session_tws_processor(gap_us: int):
         def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
             if not self._state.exists():
                 return
-            sno, s, e, n = (int(x) for x in self._state.get())
+            sno_, s_, e_, n_ = self._state.get()
+            if s_ is None:  # already timer-closed; stale second timer
+                return
+            sno, s, e, n = int(sno_), int(s_), int(e_), int(n_)
             # the guard that makes stale timers harmless: only a timer at
             # or past the CURRENT open session's close time closes it —
             # a timer armed for a session that was since extended (or
             # superseded) sits before the new close time and no-ops
             if expiredTimerInfo.getExpiryTimeInMs() >= self._close_time_ms(e):
-                self._state.clear()
+                # keep the session counter, drop the open session: a NULL
+                # start marks "closed by timer" so a returning user
+                # continues numbering at sno+1 (never restarts at 1)
+                self._state.update((sno, None, None, 0))
                 yield pd.DataFrame(
                     [(int(key[0]), sno, s, e, n)], columns=cols
                 )

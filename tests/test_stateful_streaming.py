@@ -1372,3 +1372,103 @@ def test_tws_session_state_and_timers_introspectable_offline(spark, tmp_path):
     assert timers == {
         uid: close_ms(end) for uid, (_sno, _s, end, _n) in state.items()
     }
+
+
+def test_tws_session_numbering_survives_timer_closure(spark, tmp_path):
+    """r13 review catch: a user whose session is closed BY TIMER and who
+    then RETURNS must continue session numbering (1, then 2) — state
+    wiped wholesale on timer expiry would restart the counter at 1 and
+    break the oracle's cumulative numbering. The geometry the 3-SF gates
+    rarely produce: the return lands two batches after the closing
+    watermark advance, so the gap path cannot renumber for the timer."""
+    import os
+
+    import pandas as pd
+    import pytest
+
+    from imdb_mapreduce_spark.streaming.jobs import rocksdb_state_store
+    from imdb_mapreduce_spark.streaming.protobuf_compat import ensure_protobuf
+    from imdb_mapreduce_spark.streaming.stateful import sessions_by_timeout_tws
+
+    if not ensure_protobuf(spark):
+        pytest.skip("no google.protobuf runtime — TWS state server needs it")
+
+    t0 = pd.Timestamp("2026-06-01 00:00:00")
+    h = pd.Timedelta(hours=1)
+    batches = {
+        0: [(7, t0)],                 # user 7's first session
+        1: [(8, t0 + 5 * h)],         # other user: watermark passes 7's
+                                      # close time -> timer fires, closes
+        2: [(8, t0 + 10 * h)],        # watermark moves again; 7 still out
+        3: [(7, t0 + 20 * h)],        # 7 RETURNS: must be session_no 2
+        4: [(9, t0 + 60 * h)],        # flush: closes the open tails
+    }
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, rows in batches.items():
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts"])
+        path = os.path.join(src, f"b{i}.parquet")
+        pdf.to_parquet(
+            path, coerce_timestamps="us", allow_truncated_timestamps=True
+        )
+        os.utime(path, (1_000_000 + i, 1_000_000 + i))
+    out = str(tmp_path / "out")
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def sink(df, _id):
+        df.write.mode("append").parquet(out)
+
+    with rocksdb_state_store(spark):
+        q = (
+            sessions_by_timeout_tws(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    got = sorted(
+        (r["user_id"], r["session_no"])
+        for r in spark.read.parquet(out).filter("user_id = 7").collect()
+    )
+    assert got == [(7, 1), (7, 2)], got
+
+
+def test_multires_merge_null_ts_is_an_ordinary_group(spark):
+    """r13 review catch: date_trunc of a NULL ts is a NULL bucket, which
+    the oracle's GROUP BY keeps as an ordinary group — the touched-set
+    joins must therefore be NULL-SAFE. Plain equality would duplicate
+    the NULL row in the minute tier (anti-join keeps prev's copy while
+    the batch partial merges separately) and drop it from the re-derived
+    hour/day tiers."""
+    import pandas as pd
+
+    from imdb_mapreduce_spark.streaming.jobs import multires_merge_batch
+
+    def batch(rows):
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["ts", "event_type", "value"])
+        )
+
+    t0 = pd.Timestamp("2026-01-01 10:00:30")
+    b1 = batch([(t0, "click", 1.0), (pd.NaT, "click", 2.0)])
+    v1 = multires_merge_batch(b1, None)
+    b2 = batch([(pd.NaT, "click", 3.0)])
+    v2 = multires_merge_batch(b2, v1)
+
+    for tier in ("minute", "hour", "day"):
+        rows = {
+            (r["bucket"], r["event_type"]): (r["n_events"], float(r["s"]))
+            for r in v2[tier].collect()
+        }
+        null_rows = [k for k in rows if k[0] is None]
+        assert len(null_rows) == 1, (tier, rows)
+        # both NULL-ts events merged into the single NULL group
+        assert rows[(None, "click")] == (2, 5.0), (tier, rows)
+        # the real bucket survived alongside
+        assert any(k[0] is not None for k in rows), (tier, rows)

@@ -43,22 +43,10 @@ from imdb_mapreduce_spark.session import get_spark  # noqa: E402
 from imdb_mapreduce_spark.sources.star import load_table  # noqa: E402
 from imdb_mapreduce_spark.streaming.jobs import (  # noqa: E402
     _MULTIRES_TIERS,
+    multires_fold_version,
     multires_merge_batch,
 )
 import scale10x  # noqa: E402
-
-
-def _fold(spark, state_root: str, version: int, batch_df, prev):
-    """One incremental fold, drain-identical: the versioned write IS the
-    materializer, so every relation computes in exactly one action."""
-    cur = os.path.join(state_root, f"v{version}")
-
-    def mat(name, df):
-        path = os.path.join(cur, name)
-        df.write.mode("overwrite").parquet(path)
-        return spark.read.parquet(path)
-
-    return multires_merge_batch(batch_df, prev, materialize=mat)
 
 
 def main() -> None:
@@ -91,7 +79,7 @@ def main() -> None:
         for i, p in enumerate(parts):
             bdf = spark.read.parquet(p)
             t0 = time.time()
-            prev = _fold(spark, state_root, i, bdf, prev)
+            prev = multires_fold_version(spark, state_root, i, bdf, prev)
             per_batch.append(round(time.time() - t0, 2))
         out["incremental_sec"] = per_batch
         out["incremental_total_sec"] = round(sum(per_batch), 2)
@@ -106,10 +94,13 @@ def main() -> None:
             )
         )
         t0 = time.time()
-        _fold(spark, state_root, k, late, prev)
+        after = multires_fold_version(spark, state_root, k, late, prev)
         out["late_batch_sec"] = round(time.time() - t0, 2)
-        out["state_rows"] = {
-            t: prev[t].count() for t in _MULTIRES_TIERS
+        # the POST-correction state (the version the late fold wrote) —
+        # counting `prev` here would report the state one version behind
+        # the step being measured (r13 review catch)
+        out["state_rows_after_late"] = {
+            t: after[t].count() for t in _MULTIRES_TIERS
         }
     print(json.dumps(out))
 

@@ -42,6 +42,7 @@ from imdb_mapreduce_spark.streaming.jobs import (  # noqa: E402
     SESSION_SENTINEL_UID,
     require_tws,
     rocksdb_state_store,
+    session_sentinel_df,
 )
 from imdb_mapreduce_spark.streaming.stateful import (  # noqa: E402
     SESSION_GAP_US,
@@ -119,16 +120,9 @@ def main() -> None:
 
         with rocksdb_state_store(spark):
             out["stream_drain_sec"] = drain()
-            hi = events.select(F.max("ts").alias("hi")).first()["hi"]
-            spark.createDataFrame(
-                [(SESSION_SENTINEL_UID, hi)], events.schema
-            ).select(
-                "user_id",
-                (
-                    F.col("ts")
-                    + F.expr(f"INTERVAL {10 * SESSION_GAP_US} MICROSECONDS")
-                ).alias("ts"),
-            ).coalesce(1).write.mode("append").parquet(src)
+            session_sentinel_df(spark, events).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
             out["sentinel_flush_sec"] = drain()
         emitted = spark.read.parquet(sink_dir).filter(
             F.col("user_id") != SESSION_SENTINEL_UID
