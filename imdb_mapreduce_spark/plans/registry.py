@@ -73,6 +73,7 @@ _HEAD: tuple[str, ...] = (
     "events_multires_rollup",
     "events_multires_rollup_incremental",
     "streaming_sessions_tws",
+    "events_multires_rollup_realtime",
     "event_value_histogram",
     "user_sessions",
     "events_json_stats",
@@ -117,9 +118,9 @@ _HEAD: tuple[str, ...] = (
     "priority_segment_union",
     "active_buildings_semi",
     "user_running_stats",
-    "local_supplier_revenue",
 )
 _TAIL: tuple[str, ...] = (
+    "local_supplier_revenue",
     "quantity_band_stats",
     "copurchase_bfs_l3",
     "events_variant_stats",

@@ -1246,3 +1246,60 @@ def streaming_sessions_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Materialize before the tempdir vanishes (bounded: one row per
         # closed session — the query's own output).
         return res.localCheckpoint(eager=True)
+
+
+@register(
+    "events_multires_rollup_realtime",
+    oracle=MULTIRES_ROLLUP_ORACLE,
+    tags=("streaming", "rollup", "hypertable", "realtime", "north-star"),
+)
+def events_multires_rollup_realtime(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The REAL-TIME AGGREGATE read — the third leg of the hypertable
+    pattern, completing the triple: batch cascade
+    (`events_multires_rollup`), incremental refresh
+    (`events_multires_rollup_incremental`), and this — serving a query
+    that must include data NEWER than the last refresh. The folded
+    state answers for history; the unfolded TAIL (raw events that
+    arrived since batch N) is aggregated and merged AT READ TIME,
+    lazily: :func:`multires_merge_batch` with ``materialize=None`` IS
+    the read-time union plan — one pass over tail raw plus the
+    touched-bucket merges, nothing written, ReuseExchange deduping the
+    shared tail aggregate inside the single read action. At 100 TB the
+    tail is minutes of ingest while the state covers years — the read
+    costs O(tail + touched buckets) on top of the state scan, which is
+    why the pattern serves fresh dashboards without waiting for (or
+    paying) a refresh.
+
+    Harness: the first 3 of 4 ts-range slices are FOLDED into versioned
+    state (the incremental path, batch-per-file), the 4th is left raw
+    as the tail. The oracle computes every tier directly from ALL raw
+    in DuckDB — the hash match proves state ⊎ tail ≡ direct, i.e. the
+    read-time union is exact, not eventually-consistent."""
+    import glob as _glob
+    import os
+
+    from imdb_mapreduce_spark.plans.events import multires_tiered_union
+    from imdb_mapreduce_spark.sources.star import load_table
+
+    events = load_table(spark, "events", sf_dir).select(
+        "ts", "event_type", "value"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "src")
+        events.repartitionByRange(4, "ts").write.parquet(src)
+        parts = sorted(_glob.glob(os.path.join(src, "part-*.parquet")))
+        state_root = os.path.join(d, "state")
+        state = None
+        for i, p in enumerate(parts[:-1]):  # fold all but the tail
+            state = multires_fold_version(
+                spark, state_root, i, spark.read.parquet(p), state
+            )
+        tail = spark.read.parquet(parts[-1]) if parts else events.limit(0)
+        merged = multires_merge_batch(tail, state)  # lazy read-time union
+        out = multires_tiered_union(
+            merged["minute"], merged["hour"], merged["day"]
+        )
+        # Materialize before the tempdir vanishes (bounded: buckets×types).
+        return out.localCheckpoint(eager=True)

@@ -77,6 +77,8 @@ INVENTORY: dict[tuple[str, str, str], tuple[int, str]] = {
      "localCheckpoint"): (1, "bounded-relation"),
     ("streaming/jobs.py", "streaming_sessions_tws",
      "localCheckpoint"): (1, "bounded-relation"),
+    ("streaming/jobs.py", "events_multires_rollup_realtime",
+     "localCheckpoint"): (1, "bounded-relation"),
     ("streaming/jobs.py", "streaming_kmv_distinct_salted",
      "localCheckpoint"): (1, "bounded-relation"),
 }

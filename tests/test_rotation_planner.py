@@ -68,6 +68,7 @@ R13_HEAD = (
     "events_multires_rollup",
     "events_multires_rollup_incremental",
     "streaming_sessions_tws",
+    "events_multires_rollup_realtime",
     "event_value_histogram",
     "user_sessions",
     "events_json_stats",
@@ -112,7 +113,6 @@ R13_HEAD = (
     "priority_segment_union",
     "active_buildings_semi",
     "user_running_stats",
-    "local_supplier_revenue",
 )
 
 
@@ -150,6 +150,7 @@ def test_planner_matches_the_landed_r13_rotation():
             "events_multires_rollup",
             "events_multires_rollup_incremental",
             "streaming_sessions_tws",
+            "events_multires_rollup_realtime",
         ],
     )
     assert list(head) == list(R13_HEAD)
