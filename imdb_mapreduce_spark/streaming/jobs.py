@@ -1297,7 +1297,21 @@ def events_multires_rollup_realtime(
                 spark, state_root, i, spark.read.parquet(p), state
             )
         tail = spark.read.parquet(parts[-1]) if parts else events.limit(0)
-        merged = multires_merge_batch(tail, state)  # lazy read-time union
+        # Read-time materializer: localCheckpoint each relation (batch
+        # partials, then each tier) instead of writing a state version —
+        # the read is served once, nothing durable. Without it the union
+        # action embeds the tail aggregate under every tier branch AND
+        # every touched-set broadcast (the broadcast chains defeat
+        # exchange reuse, measured ~3-4× the single-tier cost at the
+        # 1000× decade; the pure m→h→d cascade DOES reuse — see
+        # SCALING.md r13). Retention: four buckets×types-bounded
+        # relations, released when the driver GCs the refs and the
+        # ContextCleaner runs — the same bounded-relation contract as
+        # the final checkpoint below.
+        merged = multires_merge_batch(
+            tail, state,
+            materialize=lambda _n, df: df.localCheckpoint(eager=True),
+        )
         out = multires_tiered_union(
             merged["minute"], merged["hour"], merged["day"]
         )

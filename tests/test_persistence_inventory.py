@@ -78,7 +78,7 @@ INVENTORY: dict[tuple[str, str, str], tuple[int, str]] = {
     ("streaming/jobs.py", "streaming_sessions_tws",
      "localCheckpoint"): (1, "bounded-relation"),
     ("streaming/jobs.py", "events_multires_rollup_realtime",
-     "localCheckpoint"): (1, "bounded-relation"),
+     "localCheckpoint"): (2, "bounded-relation"),
     ("streaming/jobs.py", "streaming_kmv_distinct_salted",
      "localCheckpoint"): (1, "bounded-relation"),
 }
