@@ -33,7 +33,6 @@ sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tools"))
 
 from pyspark.sql import functions as F  # noqa: E402
-from pyspark.sql.window import Window  # noqa: E402
 
 import scale10x  # noqa: E402
 from imdb_mapreduce_spark.session import get_spark  # noqa: E402
@@ -45,7 +44,6 @@ from imdb_mapreduce_spark.streaming.jobs import (  # noqa: E402
     session_sentinel_df,
 )
 from imdb_mapreduce_spark.streaming.stateful import (  # noqa: E402
-    SESSION_GAP_US,
     sessions_by_timeout_tws,
 )
 
@@ -58,30 +56,17 @@ def main() -> None:
     events = load_table(spark, "events", corpus).select("user_id", "ts")
     out = {"factor": factor, "rows": events.count()}
 
-    # batch comparison point: the user_sessions window plan, noop-sunk
+    # batch comparison point: the REGISTERED sessionization plan itself
+    # (plans/events._session_intervals — the same intervals feeding
+    # user_sessions / session_overlap_topk), noop-sunk; one interval row
+    # per session, so its count is the session count. Reusing the
+    # registered plan keeps this baseline in lockstep with the engine
+    # (the r13 probe-reuse principle) instead of a hand-copy that
+    # silently drifts.
+    from imdb_mapreduce_spark.plans.events import _session_intervals
+
     t0 = time.time()
-    w = Window.partitionBy("user_id").orderBy("ts")
-    gaps = events.withColumn(
-        "prev", F.lag("ts").over(w)
-    ).withColumn(
-        "is_new",
-        (
-            F.col("prev").isNull()
-            | (
-                F.unix_micros("ts") - F.unix_micros("prev")
-                > SESSION_GAP_US
-            )
-        ).cast("long"),
-    )
-    sess = gaps.withColumn(
-        "session_no",
-        F.sum("is_new").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    )
-    batch = sess.groupBy("user_id", "session_no").agg(
-        F.count("*").alias("n_events")
-    )
+    batch = _session_intervals(spark, corpus)
     batch.write.format("noop").mode("overwrite").save()
     out["batch_window_sec"] = round(time.time() - t0, 2)
     out["batch_sessions"] = batch.count()
@@ -120,10 +105,10 @@ def main() -> None:
 
         with rocksdb_state_store(spark):
             out["stream_drain_sec"] = drain()
-            session_sentinel_df(spark, events).coalesce(1).write.mode(
-                "append"
-            ).parquet(src)
-            out["sentinel_flush_sec"] = drain()
+            sent = session_sentinel_df(spark, events)
+            if sent is not None:  # empty corpus -> nothing to flush
+                sent.coalesce(1).write.mode("append").parquet(src)
+                out["sentinel_flush_sec"] = drain()
         emitted = spark.read.parquet(sink_dir).filter(
             F.col("user_id") != SESSION_SENTINEL_UID
         )
