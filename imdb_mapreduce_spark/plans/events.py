@@ -1150,3 +1150,131 @@ def ab_experiment_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue_per_user"
         ),
     )
+
+
+@register(
+    "events_multires_distinct_rollup",
+    oracle="""
+    WITH hm AS (
+      SELECT DISTINCT date_trunc('minute', ts) AS bucket,
+             ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM events),
+    hh AS (
+      SELECT DISTINCT date_trunc('hour', ts) AS bucket,
+             ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM events),
+    hd AS (
+      SELECT DISTINCT date_trunc('day', ts) AS bucket,
+             ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM events),
+    km AS (SELECT bucket, MAX(h) AS kth_hash, CAST(COUNT(*) AS BIGINT) AS m
+           FROM (SELECT bucket, h,
+                        ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY h) AS rn
+                 FROM hm) WHERE rn <= 64 GROUP BY bucket),
+    kh AS (SELECT bucket, MAX(h) AS kth_hash, CAST(COUNT(*) AS BIGINT) AS m
+           FROM (SELECT bucket, h,
+                        ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY h) AS rn
+                 FROM hh) WHERE rn <= 64 GROUP BY bucket),
+    kd AS (SELECT bucket, MAX(h) AS kth_hash, CAST(COUNT(*) AS BIGINT) AS m
+           FROM (SELECT bucket, h,
+                        ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY h) AS rn
+                 FROM hd) WHERE rn <= 64 GROUP BY bucket),
+    allt AS (
+      SELECT 'minute' AS tier, * FROM km
+      UNION ALL SELECT 'hour', * FROM kh
+      UNION ALL SELECT 'day', * FROM kd)
+    SELECT tier, bucket, kth_hash, m,
+           CASE WHEN m < 64 THEN CAST(m AS DOUBLE)
+                ELSE 63 * CAST(1152921504606846976 AS DOUBLE)
+                     / CAST(kth_hash AS DOUBLE) END AS est_distinct
+    FROM allt
+    """,
+    tags=("time", "rollup", "hypertable", "sketch", "north-star"),
+)
+def events_multires_distinct_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distinct users per minute/hour/day — the rollup cascade for a
+    NON-ADDITIVE aggregate, which is the case the hypertable pattern
+    actually exists for: counts and sums re-aggregate by addition
+    (`events_multires_rollup`), but an hour's distinct count is NOT the
+    sum of its minutes' — it needs a MERGEABLE sketch carried between
+    tiers. The KMV k-smallest set is that sketch (union, re-take the K
+    smallest — the merge law `plans/quality.py`'s pytests prove): the
+    minute tier ranks raw (bucket, user-hash) pairs once, the HOUR tier
+    merges its minutes' k-smallest ARRAYS (≤ 60·K rows per hour — never
+    raw), the DAY tier merges hours (≤ 24·K). Raw is scanned exactly
+    once, and every coarse tier's sketch is IDENTICAL to the one
+    direct computation would build — the oracle computes each tier's
+    KMV directly from raw in DuckDB (same md5 15-hex-char hash, same
+    rank/cut), so the hash match proves merge-cascade ≡ direct at all
+    three resolutions, the sketch-valued twin of the count/sum
+    cascade's proof. Estimates use the standard (K−1)·M/h(K) form with
+    the repo's deterministic md5 hash (`kmv_distinct_users` is the
+    single-resolution sibling; K=64, hashes uniform on [0, 2^60)).
+
+    At 100 TB: this is how a time-series store serves "unique users
+    last hour/day" without re-scanning raw per resolution — and the
+    same arrays are what an INCREMENTAL maintenance step would merge
+    per batch (the count/sum incremental tier shows the refresh
+    machinery; sketches slot into the same versioned state because
+    KMV-merge is associative and commutative).
+    """
+    from imdb_mapreduce_spark.plans.quality import KMV_K, KMV_SPACE
+
+    e = _events(spark, sf_dir)
+    hm = e.select(
+        F.date_trunc("minute", F.col("ts")).alias("bucket"),
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    ).distinct()
+
+    def k_smallest(pairs: DataFrame) -> DataFrame:
+        """(bucket, h) pairs → one row per bucket with the sorted
+        K-smallest hash array + its stats."""
+        w = Window.partitionBy("bucket").orderBy("h")
+        return (
+            pairs.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= KMV_K)
+            .groupBy("bucket")
+            .agg(F.sort_array(F.collect_list("h")).alias("hashes"))
+        )
+
+    def merge_up(fine: DataFrame, unit: str) -> DataFrame:
+        """Coarsen one tier by the KMV merge law: union the fine
+        arrays, dedupe, re-take the K smallest — bounded input
+        (≤ children·K rows per bucket), raw never touched."""
+        pairs = (
+            fine.select(
+                F.date_trunc(unit, F.col("bucket")).alias("bucket"),
+                F.explode("hashes").alias("h"),
+            ).distinct()
+        )
+        return k_smallest(pairs)
+
+    m = k_smallest(hm)
+    h = merge_up(m, "hour")
+    d = merge_up(h, "day")
+
+    def stats(df: DataFrame, tier: str) -> DataFrame:
+        kth = F.element_at("hashes", -1)
+        msz = F.size("hashes").cast("long")
+        est = F.when(msz < KMV_K, msz.cast("double")).otherwise(
+            F.lit(float(KMV_K - 1))
+            * F.lit(float(KMV_SPACE))
+            / kth.cast("double")
+        )
+        return df.select(
+            F.lit(tier).alias("tier"),
+            "bucket",
+            kth.cast("long").alias("kth_hash"),
+            msz.alias("m"),
+            est.alias("est_distinct"),
+        )
+
+    return (
+        stats(m, "minute")
+        .unionByName(stats(h, "hour"))
+        .unionByName(stats(d, "day"))
+    )

@@ -74,6 +74,7 @@ _HEAD: tuple[str, ...] = (
     "events_multires_rollup_incremental",
     "streaming_sessions_tws",
     "events_multires_rollup_realtime",
+    "events_multires_distinct_rollup",
     "event_value_histogram",
     "user_sessions",
     "events_json_stats",
@@ -117,9 +118,9 @@ _HEAD: tuple[str, ...] = (
     "key_skew_profile",
     "priority_segment_union",
     "active_buildings_semi",
-    "user_running_stats",
 )
 _TAIL: tuple[str, ...] = (
+    "user_running_stats",
     "local_supplier_revenue",
     "quantity_band_stats",
     "copurchase_bfs_l3",

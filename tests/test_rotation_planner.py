@@ -69,6 +69,7 @@ R13_HEAD = (
     "events_multires_rollup_incremental",
     "streaming_sessions_tws",
     "events_multires_rollup_realtime",
+    "events_multires_distinct_rollup",
     "event_value_histogram",
     "user_sessions",
     "events_json_stats",
@@ -112,7 +113,6 @@ R13_HEAD = (
     "key_skew_profile",
     "priority_segment_union",
     "active_buildings_semi",
-    "user_running_stats",
 )
 
 
@@ -151,6 +151,7 @@ def test_planner_matches_the_landed_r13_rotation():
             "events_multires_rollup_incremental",
             "streaming_sessions_tws",
             "events_multires_rollup_realtime",
+            "events_multires_distinct_rollup",
         ],
     )
     assert list(head) == list(R13_HEAD)
