@@ -168,6 +168,15 @@ def overlap_join_binned(
     self-join case, where both sides explode the SAME interval table
     and the two hot sets coincide by construction.
     """
+    # Plan-time validation regardless of whether salting is armed: a
+    # typo'd value with threshold=None must not pass silently only to
+    # raise (or dead-letter) when the threshold is armed later
+    # (ADVICE r13).
+    if hot_bin_sides not in ("left", "right", "both"):
+        raise ValueError(
+            "overlap_join_binned: hot_bin_sides must be 'left', "
+            f"'right' or 'both', got {hot_bin_sides!r}"
+        )
     w = int(bin_width)
 
     def floordiv(expr: str) -> "F.Column":
@@ -209,11 +218,6 @@ def overlap_join_binned(
     )
     drop = ["_bin_l", "_bin_r"]
     if hot_bin_threshold is not None:
-        if hot_bin_sides not in ("left", "right", "both"):
-            raise ValueError(
-                "overlap_join_binned: hot_bin_sides must be 'left', "
-                f"'right' or 'both', got {hot_bin_sides!r}"
-            )
         s = int(hot_bin_salts)
 
         def hot_of(df: DataFrame, bin_col: str) -> DataFrame:

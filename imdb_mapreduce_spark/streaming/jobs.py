@@ -1005,6 +1005,7 @@ def incremental_multires_drain(
     {tier: DataFrame} state, or ``None`` if no batch ever committed."""
     import glob as _glob
     import os
+    import re as _re
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         prev_dir = os.path.join(state_root, f"v{batch_id - 1}")
@@ -1014,6 +1015,19 @@ def incremental_multires_drain(
                 tier: spark.read.parquet(os.path.join(prev_dir, tier))
                 for tier in _MULTIRES_TIERS
             }
+        elif batch_id > 0:
+            # By the foreachBatch contract, batch n > 0 only runs after
+            # batch n-1 committed — the ONLY legitimate empty-prev is
+            # batch 0. A missing v(n-1)/_COMMIT here means state_root is
+            # out of sync with the checkpoint (lost / cleaned / wrong
+            # path); silently rebuilding from just this batch's files
+            # would return a wrong "latest committed" state with all
+            # prior data dropped. Fail loud instead (ADVICE r13).
+            raise RuntimeError(
+                f"incremental_multires_drain: state_root {state_root!r} is"
+                f" out of sync with checkpoint {ckpt!r}: batch {batch_id}"
+                f" found no committed predecessor at {prev_dir!r}"
+            )
         multires_fold_version(spark, state_root, batch_id, batch_df, prev)
 
     stream = (
@@ -1028,11 +1042,17 @@ def incremental_multires_drain(
         .start()
     )
     q.awaitTermination()
+    # Only v<digits> DIRECTORIES are state versions — a stray file or
+    # editor artifact matching the v* glob (e.g. "vXtmp") must not make
+    # the post-drain listing raise after the stream already ran
+    # (ADVICE r13).
     committed = sorted(
         (
             p
             for p in _glob.glob(os.path.join(state_root, "v*"))
-            if os.path.exists(os.path.join(p, "_COMMIT"))
+            if _re.fullmatch(r"v\d+", os.path.basename(p))
+            and os.path.isdir(p)
+            and os.path.exists(os.path.join(p, "_COMMIT"))
         ),
         key=lambda p: int(os.path.basename(p)[1:]),
     )
@@ -1117,16 +1137,28 @@ def events_multires_rollup_incremental(
 SESSION_SENTINEL_UID = -1
 
 
-def session_sentinel_df(spark: SparkSession, events: DataFrame) -> DataFrame | None:
+def session_sentinel_df(
+    spark: SparkSession, events: DataFrame, gap_us: int | None = None
+) -> DataFrame | None:
     """The watermark-advancing sentinel for a bounded TWS-session drain:
     one event for :data:`SESSION_SENTINEL_UID` placed 10 gaps past the
     corpus maximum, so every real user's open-session close timer sits
     strictly before the advanced watermark. ``None`` on an empty corpus.
     Shared by the registered query and ``tools/tws_session_drain_probe``
     so the probe measures the registered shape by construction. The max
-    probe is one column-pruned aggregate — bounded, driver-side."""
+    probe is one column-pruned aggregate — bounded, driver-side.
+
+    ``gap_us`` MUST match the ``sessions_by_timeout_tws`` gap the drain
+    uses (default :data:`~imdb_mapreduce_spark.streaming.stateful.SESSION_GAP_US`)
+    — the offset derives from it, so a caller-supplied gap keeps the
+    sentinel and processor in lockstep; hardcoding the default here
+    would advance the watermark short of some open sessions' close
+    instants under a larger gap, silently never flushing the tail
+    sessions (ADVICE r13)."""
     from imdb_mapreduce_spark.streaming.stateful import SESSION_GAP_US
 
+    if gap_us is None:
+        gap_us = SESSION_GAP_US
     hi = events.select(F.max("ts").alias("hi")).first()["hi"]
     if hi is None:
         return None
@@ -1136,7 +1168,7 @@ def session_sentinel_df(spark: SparkSession, events: DataFrame) -> DataFrame | N
         "user_id",
         (
             F.col("ts")
-            + F.expr(f"INTERVAL {10 * SESSION_GAP_US} MICROSECONDS")
+            + F.expr(f"INTERVAL {10 * int(gap_us)} MICROSECONDS")
         ).alias("ts"),
     )
 

@@ -1472,3 +1472,116 @@ def test_multires_merge_null_ts_is_an_ordinary_group(spark):
         assert rows[(None, "click")] == (2, 5.0), (tier, rows)
         # the real bucket survived alongside
         assert any(k[0] is not None for k in rows), (tier, rows)
+
+
+def test_multires_drain_fails_loud_on_desynced_state_root(spark, tmp_path):
+    """ADVICE r13 (medium): by the foreachBatch contract the ONLY
+    legitimate missing-predecessor is batch 0 — if state_root is lost or
+    points elsewhere while the CHECKPOINT remembers processed batches,
+    silently treating prev as empty would rebuild from only the new
+    files and report a wrong 'latest committed' state with all prior
+    data dropped. The drain must raise a named error instead."""
+    import os
+
+    import pandas as pd
+    import pytest
+    from pyspark.sql.types import _parse_datatype_string
+
+    from imdb_mapreduce_spark.streaming.jobs import incremental_multires_drain
+
+    t0 = pd.Timestamp("2026-04-01 00:00:00")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def put_file(i: int) -> None:
+        pdf = pd.DataFrame(
+            [(t0 + pd.Timedelta(minutes=i), "click", 1.0)],
+            columns=["ts", "event_type", "value"],
+        )
+        path = os.path.join(src, f"b{i}.parquet")
+        pdf.to_parquet(
+            path, coerce_timestamps="us", allow_truncated_timestamps=True
+        )
+        os.utime(path, (1_000_000 + i, 1_000_000 + i))
+
+    st = _parse_datatype_string("ts timestamp, event_type string, value double")
+    state_root = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    put_file(0)
+    assert incremental_multires_drain(spark, src, st, state_root, ckpt)
+
+    # Desync: the checkpoint has processed batch 0, but the state is gone
+    # (scratch disk cleaned / wrong path). Batch 1 must NOT silently
+    # rebuild from its own file alone.
+    import shutil
+
+    shutil.rmtree(state_root)
+    put_file(1)
+    with pytest.raises(Exception, match="out of sync"):
+        incremental_multires_drain(spark, src, st, state_root, ckpt)
+
+
+def test_multires_drain_committed_scan_ignores_stray_v_entries(spark, tmp_path):
+    """ADVICE r13 (low): the post-drain committed-version listing parses
+    int(basename[1:]) over a v* glob — a stray file or editor artifact
+    matching v* (e.g. 'vXtmp', 'v1.bak') must be skipped, not raise
+    ValueError after the stream already ran."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql.types import _parse_datatype_string
+
+    from imdb_mapreduce_spark.streaming.jobs import incremental_multires_drain
+
+    t0 = pd.Timestamp("2026-04-02 00:00:00")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    pdf = pd.DataFrame(
+        [(t0, "click", 2.0)], columns=["ts", "event_type", "value"]
+    )
+    pdf.to_parquet(
+        os.path.join(src, "b0.parquet"),
+        coerce_timestamps="us",
+        allow_truncated_timestamps=True,
+    )
+    st = _parse_datatype_string("ts timestamp, event_type string, value double")
+    state_root = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(state_root)
+    # stray entries that match the v* glob but are not state versions
+    with open(os.path.join(state_root, "vXtmp"), "w") as f:
+        f.write("junk\n")
+    os.makedirs(os.path.join(state_root, "v1.bak"))
+    with open(os.path.join(state_root, "v1.bak", "_COMMIT"), "w") as f:
+        f.write("ok\n")  # committed-looking but NOT a version directory
+
+    state = incremental_multires_drain(spark, src, st, state_root, ckpt)
+    assert state is not None
+    rows = state["minute"].collect()
+    assert len(rows) == 1 and rows[0]["n_events"] == 1
+
+
+def test_session_sentinel_tracks_caller_gap(spark):
+    """ADVICE r13 (low): the sentinel offset derives from the SAME gap
+    the processor uses — a caller-supplied gap_us > 10x the default must
+    still place the sentinel past every open session's close instant."""
+    import datetime
+
+    from imdb_mapreduce_spark.streaming.jobs import (
+        SESSION_SENTINEL_UID,
+        session_sentinel_df,
+    )
+    from imdb_mapreduce_spark.streaming.stateful import SESSION_GAP_US
+
+    hi = datetime.datetime(2026, 5, 1, 12, 0, 0)
+    events = spark.createDataFrame([(7, hi)], "user_id bigint, ts timestamp")
+
+    big_gap = 20 * SESSION_GAP_US
+    for gap in (None, big_gap):
+        sent = session_sentinel_df(spark, events, *(() if gap is None else (gap,)))
+        row = sent.first()
+        assert row["user_id"] == SESSION_SENTINEL_UID
+        eff = SESSION_GAP_US if gap is None else gap
+        delta_us = (row["ts"] - hi) // datetime.timedelta(microseconds=1)
+        assert delta_us == 10 * eff, (gap, delta_us)

@@ -575,6 +575,11 @@ def test_overlap_join_binned_hot_bin_sides(spark):
         ) == base, sides
     with pytest.raises(ValueError, match="hot_bin_sides"):
         pairs(hot_bin_threshold=20, hot_bin_sides="upside-down")
+    # Validated even with salting DISARMED (threshold None) — a typo'd
+    # value must fail at plan time, not when the threshold is armed
+    # later elsewhere (ADVICE r13).
+    with pytest.raises(ValueError, match="hot_bin_sides"):
+        pairs(hot_bin_sides="upside-down")
 
 
 def test_suggest_overlap_plan_hot_bin_arming(spark, monkeypatch):
