@@ -1220,61 +1220,118 @@ def events_multires_distinct_rollup(
     machinery; sketches slot into the same versioned state because
     KMV-merge is associative and commutative).
     """
-    from imdb_mapreduce_spark.plans.quality import KMV_K, KMV_SPACE
-
     e = _events(spark, sf_dir)
-    hm = e.select(
+    # The minute sketch fans out THREE ways (its own readout, the hour
+    # derivation, and day via hour) — the broadcast-fan-out shape where
+    # exchange reuse stops (the realtime read's lesson, SCALING.md r13;
+    # the salted-rank minute plan measured 0 ReusedExchange and 3 raw
+    # scans without this). Materialize it once — bounded: one row per
+    # minute bucket, time-horizon-, not corpus-, proportional.
+    m = kmv_k_smallest(kmv_minute_pairs(e)).localCheckpoint(eager=True)
+    h = kmv_merge_up(m, "hour")
+    d = kmv_merge_up(h, "day")
+    return (
+        kmv_bucket_stats(m, "minute")
+        .unionByName(kmv_bucket_stats(h, "hour"))
+        .unionByName(kmv_bucket_stats(d, "day"))
+    )
+
+
+# Module-level so the flash-crowd probe (`tools/kmv_rank_probe.py`) and
+# the incremental sketch drain (`streaming/jobs.py`) measure/maintain the
+# registered shape BY CONSTRUCTION — the same sharing discipline as
+# `session_sentinel_df` / `multires_merge_batch`.
+
+
+def kmv_minute_pairs(e: DataFrame) -> DataFrame:
+    """Raw events → distinct (minute bucket, user-hash) pairs — the only
+    pass over raw the whole cascade makes. The md5 15-hex-char prefix is
+    the repo's deterministic cross-engine hash (uniform on [0, 2^60))."""
+    return e.select(
         F.date_trunc("minute", F.col("ts")).alias("bucket"),
         F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
         .cast("bigint")
         .alias("h"),
     ).distinct()
 
-    def k_smallest(pairs: DataFrame) -> DataFrame:
-        """(bucket, h) pairs → one row per bucket with the sorted
-        K-smallest hash array + its stats."""
-        w = Window.partitionBy("bucket").orderBy("h")
-        return (
-            pairs.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= KMV_K)
-            .groupBy("bucket")
-            .agg(F.sort_array(F.collect_list("h")).alias("hashes"))
-        )
 
-    def merge_up(fine: DataFrame, unit: str) -> DataFrame:
-        """Coarsen one tier by the KMV merge law: union the fine
-        arrays, dedupe, re-take the K smallest — bounded input
-        (≤ children·K rows per bucket), raw never touched."""
-        pairs = (
-            fine.select(
-                F.date_trunc(unit, F.col("bucket")).alias("bucket"),
-                F.explode("hashes").alias("h"),
-            ).distinct()
-        )
-        return k_smallest(pairs)
+def kmv_k_smallest(pairs: DataFrame, salt: int = 32) -> DataFrame:
+    """(bucket, h) pairs → one row per bucket with the sorted K-smallest
+    hash array. TWO-LEVEL by the KMV merge law (VERDICT r13), so no
+    single task ever ranks a bucket's full distinct set: a per-bucket
+    ``row_number`` window funnels a flash-crowd minute's U distinct
+    users into ONE task's sort to keep 64 rows — the exact skew geometry
+    the overlap join's hot-bin salting exists for. Instead, level 1
+    takes PARTIAL k-smallest arrays per (bucket, input-partition) —
+    each group bounded by the upstream shuffle's partition share of the
+    bucket, never the bucket — and level 2 merges the ≤ partitions·K
+    survivors per bucket by union + re-take-K-smallest, the same merge
+    law ``kmv_merge_up`` applies between tiers. Output is IDENTICAL to
+    the single-window rank by that law (any global top-K hash is top-K
+    in its own partition), so the direct-from-raw oracle is unchanged.
 
-    m = k_smallest(hm)
-    h = merge_up(m, "hour")
-    d = merge_up(h, "day")
+    CONTRACT: ``pairs`` must be distinct per (bucket, h) — both call
+    sites guarantee it (``kmv_minute_pairs`` / ``kmv_merge_up`` end in
+    ``.distinct()``) — so each h lands in exactly one level-1 group and
+    the final ``collect_list`` needs no dedup.
 
-    def stats(df: DataFrame, tier: str) -> DataFrame:
-        kth = F.element_at("hashes", -1)
-        msz = F.size("hashes").cast("long")
-        est = F.when(msz < KMV_K, msz.cast("double")).otherwise(
-            F.lit(float(KMV_K - 1))
-            * F.lit(float(KMV_SPACE))
-            / kth.cast("double")
-        )
-        return df.select(
-            F.lit(tier).alias("tier"),
-            "bucket",
-            kth.cast("long").alias("kth_hash"),
-            msz.alias("m"),
-            est.alias("est_distinct"),
-        )
+    Level 1 is a SALTED window rank, not a collect+sort aggregate: the
+    salt derives from h itself (uniform by construction, so the crowd
+    splits evenly and the plan stays deterministic), the rank runs
+    through Tungsten's unsafe-row sort + a streaming row_number filter
+    — the probe measured collect_list/collect_set partial ARRAYS at
+    1.3-1.9x this shape's cost at the 50M-crowd geometry (array
+    materialization beats boxing but both lose to the binary sort)."""
+    from imdb_mapreduce_spark.plans.quality import KMV_K
 
+    # Salt width: max level-1 sort group = bucket_distinct / salt, and
+    # the level-2 survivor set is ≤ salt·K per bucket — raising it for a
+    # bigger crowd costs only survivors (shuffle volume of level 1 is
+    # the pair set either way).
+    S = int(salt)
+    lvl1 = (
+        pairs.withColumn("_s", F.pmod(F.col("h"), F.lit(S)))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("bucket", "_s").orderBy("h")
+            ),
+        )
+        .filter(F.col("_rn") <= KMV_K)
+    )
     return (
-        stats(m, "minute")
-        .unionByName(stats(h, "hour"))
-        .unionByName(stats(d, "day"))
+        lvl1.groupBy("bucket")
+        .agg(F.slice(F.sort_array(F.collect_list("h")), 1, KMV_K).alias("hashes"))
+    )
+
+
+def kmv_merge_up(fine: DataFrame, unit: str) -> DataFrame:
+    """Coarsen one sketch tier by the KMV merge law: union the fine
+    arrays, dedupe, re-take the K smallest — bounded input
+    (≤ children·K rows per bucket), raw never touched."""
+    pairs = (
+        fine.select(
+            F.date_trunc(unit, F.col("bucket")).alias("bucket"),
+            F.explode("hashes").alias("h"),
+        ).distinct()
+    )
+    return kmv_k_smallest(pairs)
+
+
+def kmv_bucket_stats(df: DataFrame, tier: str) -> DataFrame:
+    """Sketch rows → the registered readout: kth hash, fill m, and the
+    standard (K−1)·M/h(K) distinct estimate (exact below fill)."""
+    from imdb_mapreduce_spark.plans.quality import KMV_K, KMV_SPACE
+
+    kth = F.element_at("hashes", -1)
+    msz = F.size("hashes").cast("long")
+    est = F.when(msz < KMV_K, msz.cast("double")).otherwise(
+        F.lit(float(KMV_K - 1)) * F.lit(float(KMV_SPACE)) / kth.cast("double")
+    )
+    return df.select(
+        F.lit(tier).alias("tier"),
+        "bucket",
+        kth.cast("long").alias("kth_hash"),
+        msz.alias("m"),
+        est.alias("est_distinct"),
     )

@@ -212,3 +212,35 @@ def test_doubly_wrong_checkpoint_reports_version_first():
         raise AssertionError(
             "doubly-wrong checkpoint did not report the version root cause"
         )
+
+
+def test_kmv_k_smallest_salted_rank_matches_naive(spark):
+    """The cascade's minute tier (r14): the SALTED two-level rank
+    (`plans/events.kmv_k_smallest`) must emit, for every bucket, exactly
+    the sorted K smallest distinct hashes — identical to a naive
+    per-bucket rank — for any salt width, including widths far above and
+    below the bucket populations (the merge law: any global top-K hash
+    is top-K in its own salt slice)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from imdb_mapreduce_spark.plans.events import kmv_k_smallest
+
+    rng = random.Random(14)
+    rows = []
+    # bucket 0: tiny (below K); bucket 1: exactly K; bucket 2: a crowd
+    sizes = {0: 5, 1: KMV_K, 2: 10 * KMV_K + 7}
+    expected = {}
+    for b, n in sizes.items():
+        hs = rng.sample(range(1, 1 << 40), n)
+        rows += [(b, h) for h in hs]
+        expected[b] = sorted(hs)[:KMV_K]
+    pairs = spark.createDataFrame(rows, "bucket int, h long").repartition(7)
+
+    for salt in (1, 4, 32, 1000):
+        got = {
+            r["bucket"]: list(r["hashes"])
+            for r in kmv_k_smallest(pairs, salt=salt).collect()
+        }
+        assert got == expected, salt

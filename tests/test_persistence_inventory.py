@@ -67,6 +67,12 @@ INVENTORY: dict[tuple[str, str, str], tuple[int, str]] = {
         (1, "contract-documented"),
     ("plans/events.py", "session_overlap_topk", "localCheckpoint"):
         (1, "contract-documented"),
+    # r14: the minute sketch fans out three ways (readout + hour + day
+    # via hour) — the broadcast-fan-out shape where exchange reuse
+    # stops; bounded at one row per minute bucket (time-horizon-, not
+    # corpus-, proportional).
+    ("plans/events.py", "events_multires_distinct_rollup",
+     "localCheckpoint"): (1, "bounded-relation"),
     ("pipeline/similarity.py", "semdedup_clusters", "localCheckpoint"):
         (1, "contract-documented"),
     ("pipeline/similarity.py", "semdedup_eval_metrics", "localCheckpoint"):
