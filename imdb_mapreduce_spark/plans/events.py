@@ -1152,9 +1152,12 @@ def ab_experiment_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "events_multires_distinct_rollup",
-    oracle="""
+# Shared by `events_multires_distinct_rollup` (batch sketch cascade) and
+# the r14 `events_multires_distinct_incremental` (foreachBatch sketch
+# maintenance, streaming/jobs.py): every tier's KMV sketch computed
+# DIRECTLY from raw, so a hash match proves merge-cascade ≡ direct and
+# incremental-sketch ≡ direct.
+MULTIRES_DISTINCT_ORACLE = """
     WITH hm AS (
       SELECT DISTINCT date_trunc('minute', ts) AS bucket,
              ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
@@ -1188,7 +1191,12 @@ def ab_experiment_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE 63 * CAST(1152921504606846976 AS DOUBLE)
                      / CAST(kth_hash AS DOUBLE) END AS est_distinct
     FROM allt
-    """,
+    """
+
+
+@register(
+    "events_multires_distinct_rollup",
+    oracle=MULTIRES_DISTINCT_ORACLE,
     tags=("time", "rollup", "hypertable", "sketch", "north-star"),
 )
 def events_multires_distinct_rollup(

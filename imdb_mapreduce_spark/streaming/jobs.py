@@ -35,7 +35,14 @@ from pyspark.sql.types import (
 )
 
 from imdb_mapreduce_spark.functions.columns import epoch_us
-from imdb_mapreduce_spark.plans.events import MULTIRES_ROLLUP_ORACLE
+from imdb_mapreduce_spark.plans.events import (
+    MULTIRES_DISTINCT_ORACLE,
+    MULTIRES_ROLLUP_ORACLE,
+    kmv_bucket_stats,
+    kmv_k_smallest,
+    kmv_merge_up,
+    kmv_minute_pairs,
+)
 from imdb_mapreduce_spark.plans.registry import register
 from imdb_mapreduce_spark.sources.star import ensure_nanos_as_long
 
@@ -949,6 +956,83 @@ def multires_merge_batch(
     return tiers
 
 
+def multires_kmv_merge_batch(
+    batch_df: DataFrame,
+    prev: dict[str, DataFrame] | None,
+    materialize: "Callable[[str, DataFrame], DataFrame] | None" = None,
+) -> dict[str, DataFrame]:
+    """One incremental-refresh step for the NON-ADDITIVE rollup — the
+    sketch-valued twin of :func:`multires_merge_batch`, proving the
+    distinct-rollup docstring's promise ("sketches slot into the same
+    versioned state because KMV-merge is associative and commutative",
+    `plans/events.py`). Same refresh contract, different monoid:
+
+    - MINUTE: the batch pre-aggregates to per-minute KMV k-smallest
+      arrays (``kmv_k_smallest`` over the batch's distinct (bucket,
+      user-hash) pairs — batch-sized); touched minute buckets merge by
+      the KMV law (union prev's and the batch's hashes, dedupe,
+      re-take the K smallest — exact by the law the merge-law pytests
+      prove), untouched rows carry as-is.
+    - HOUR/DAY: touched coarse buckets RE-DERIVE from the new minute
+      tier's arrays via ``kmv_merge_up`` (never raw), untouched carry
+      — identical cascade shape to the batch query, so the oracle that
+      certifies merge-cascade ≡ direct certifies this fold too.
+
+    Every touched-set join is NULL-SAFE for the same reason as the
+    additive merge (NULL ts → NULL bucket is an ordinary group).
+    Per-batch COMPUTE is O(batch + touched buckets · K): state rows are
+    (bucket, ≤K-array) — time-horizon-, not corpus-, proportional."""
+    mat = materialize or (lambda _name, df: df)
+    mb = mat("partials", kmv_k_smallest(kmv_minute_pairs(batch_df)))
+    touched = mb.select("bucket").distinct()
+
+    tiers: dict[str, DataFrame] = {}
+    if prev is None:
+        tiers["minute"] = mb
+    else:
+        t = touched.select(F.col("bucket").alias("_tb"))
+        hot = prev["minute"].join(
+            F.broadcast(t), F.col("bucket").eqNullSafe(F.col("_tb")), "left_semi"
+        )
+        cold = prev["minute"].join(
+            F.broadcast(t), F.col("bucket").eqNullSafe(F.col("_tb")), "left_anti"
+        )
+        merged = kmv_k_smallest(
+            hot.select("bucket", F.explode("hashes").alias("h"))
+            .unionByName(mb.select("bucket", F.explode("hashes").alias("h")))
+            .distinct()
+        )
+        tiers["minute"] = cold.unionByName(merged)
+
+    tiers["minute"] = mat("minute", tiers["minute"])
+    finer = tiers["minute"]
+    for unit in ("hour", "day"):
+        touched = touched.select(
+            F.date_trunc(unit, F.col("bucket")).alias("bucket")
+        ).distinct()
+        t = touched.select(F.col("bucket").alias("_tb"))
+        derived = kmv_merge_up(
+            finer.join(
+                F.broadcast(t),
+                F.date_trunc(unit, F.col("bucket")).eqNullSafe(F.col("_tb")),
+                "left_semi",
+            ),
+            unit,
+        )
+        if prev is None:
+            tiers[unit] = derived
+        else:
+            carried = prev[unit].join(
+                F.broadcast(t),
+                F.col("bucket").eqNullSafe(F.col("_tb")),
+                "left_anti",
+            )
+            tiers[unit] = carried.unionByName(derived)
+        tiers[unit] = mat(unit, tiers[unit])
+        finer = tiers[unit]
+    return tiers
+
+
 _MULTIRES_TIERS = ("minute", "hour", "day")
 
 
@@ -958,6 +1042,7 @@ def multires_fold_version(
     version: int,
     batch_df: DataFrame,
     prev: dict[str, DataFrame] | None,
+    merge_fn: "Callable[..., dict[str, DataFrame]] | None" = None,
 ) -> dict[str, DataFrame]:
     """Fold one batch into versioned state ``v{version}`` — the drain's
     per-batch body, shared with ``tools/multires_refresh_probe.py`` so
@@ -967,7 +1052,12 @@ def multires_fold_version(
     coarser tiers read the written parquet — without this, per-batch
     cost ≈ a full rebuild at the 1000×-corpus decade (see
     :func:`multires_merge_batch`'s doc). Writes the ``_COMMIT`` marker
-    last; returns read handles onto the committed tiers."""
+    last; returns read handles onto the committed tiers.
+
+    ``merge_fn(batch_df, prev, materialize=...)`` defaults to the
+    additive :func:`multires_merge_batch`; the r14 sketch tier passes
+    :func:`multires_kmv_merge_batch` — the versioned exactly-once
+    scaffold is aggregate-agnostic (any mergeable state slots in)."""
     import os
 
     cur_dir = os.path.join(state_root, f"v{version}")
@@ -977,7 +1067,7 @@ def multires_fold_version(
         df.write.mode("overwrite").parquet(path)
         return spark.read.parquet(path)
 
-    tiers = multires_merge_batch(batch_df, prev, materialize=mat)
+    tiers = (merge_fn or multires_merge_batch)(batch_df, prev, materialize=mat)
     with open(os.path.join(cur_dir, "_COMMIT"), "w") as f:
         f.write("ok\n")
     return tiers
@@ -989,6 +1079,7 @@ def incremental_multires_drain(
     schema: StructType,
     state_root: str,
     ckpt: str,
+    merge_fn: "Callable[..., dict[str, DataFrame]] | None" = None,
 ) -> dict[str, DataFrame] | None:
     """Drain every unprocessed file under ``src`` (one micro-batch per
     file, availableNow) through :func:`multires_merge_batch`, maintaining
@@ -1028,7 +1119,9 @@ def incremental_multires_drain(
                 f" out of sync with checkpoint {ckpt!r}: batch {batch_id}"
                 f" found no committed predecessor at {prev_dir!r}"
             )
-        multires_fold_version(spark, state_root, batch_id, batch_df, prev)
+        multires_fold_version(
+            spark, state_root, batch_id, batch_df, prev, merge_fn=merge_fn
+        )
 
     stream = (
         spark.readStream.schema(schema)
@@ -1122,6 +1215,67 @@ def events_multires_rollup_incremental(
         )
         # Materialize before the tempdir vanishes (bounded: buckets×types
         # rows — time-horizon-, not corpus-, proportional).
+        return out.localCheckpoint(eager=True)
+
+
+@register(
+    "events_multires_distinct_incremental",
+    oracle=MULTIRES_DISTINCT_ORACLE,
+    tags=("streaming", "rollup", "hypertable", "sketch", "foreachBatch",
+          "exactly-once", "north-star"),
+)
+def events_multires_distinct_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental maintenance for the NON-ADDITIVE rollup (VERDICT r13
+    item 4): the events table streams in as four time-range
+    micro-batches, each folded into versioned minute/hour/day KMV
+    sketch state by :func:`multires_kmv_merge_batch` — the SAME
+    versioned exactly-once ``foreachBatch`` scaffold as the count/sum
+    tier (:func:`incremental_multires_drain` with a different
+    ``merge_fn``), demonstrating the distinct-rollup docstring's claim
+    that mergeable sketches slot straight into it. The oracle is the
+    same direct-from-raw sketch SQL
+    (:data:`~imdb_mapreduce_spark.plans.events.MULTIRES_DISTINCT_ORACLE`)
+    the batch cascade certifies against, so a hash-green row proves
+    **incremental-sketch ≡ merge-cascade ≡ direct-sketch** at all three
+    resolutions after N batches. Restart/replay is pinned by the drill
+    in the stateful-streaming restart matrix (same contract: batch n
+    reads v(n-1), overwrites v(n), commits last).
+
+    The reference has no streaming or sketch surface at all; this
+    family is the engine's [NORTH-STAR] extension mandate."""
+    import os
+
+    from imdb_mapreduce_spark.sources.star import load_table
+
+    events = load_table(spark, "events", sf_dir).select("ts", "user_id")
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "src")
+        # four ts-range files → four micro-batches, each a contiguous
+        # time slice (the realistic arrival order for a rollup feed)
+        events.repartitionByRange(4, "ts").write.parquet(src)
+        state = incremental_multires_drain(
+            spark,
+            src,
+            events.schema,
+            os.path.join(d, "state"),
+            os.path.join(d, "ckpt"),
+            merge_fn=multires_kmv_merge_batch,
+        )
+        if state is None:  # empty source → no batches → empty rollup
+            return spark.createDataFrame(
+                [],
+                "tier string, bucket timestamp, kth_hash bigint,"
+                " m bigint, est_distinct double",
+            )
+        out = (
+            kmv_bucket_stats(state["minute"], "minute")
+            .unionByName(kmv_bucket_stats(state["hour"], "hour"))
+            .unionByName(kmv_bucket_stats(state["day"], "day"))
+        )
+        # Materialize before the tempdir vanishes (bounded: one row per
+        # bucket — time-horizon-, not corpus-, proportional).
         return out.localCheckpoint(eager=True)
 
 
