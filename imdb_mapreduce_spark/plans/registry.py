@@ -68,58 +68,12 @@ def register(
 # Rotate these lists each round so coverage accumulates. See COVERAGE.md
 # ("Driver correctness window") for the per-round rotation record.
 _HEAD: tuple[str, ...] = (
-    "session_overlap_topk",
-    "peak_concurrent_sessions",
-    "events_multires_rollup",
-    "events_multires_rollup_incremental",
-    "streaming_sessions_tws",
-    "events_multires_rollup_realtime",
     "events_multires_distinct_rollup",
-    "event_value_histogram",
-    "user_sessions",
-    "events_json_stats",
-    "minhash_lsh_dups",
-    "semdedup_eval_metrics",
-    "semdedup_clusters",
-    "user_value_trend",
-    "benchmark_decontam",
-    "streaming_dedup_10min_counts",
-    "dedup_exact_groups",
-    "streaming_click_attribution",
-    "streaming_10min_counts",
-    "orders_per_customer",
-    "corpus_keep_list",
-    "media_metadata_stats",
-    "media_feature_extract",
-    "media_resize_plan",
-    "media_frame_sample",
-    "media_format_rollup",
-    "doc_fingerprint_rolling",
-    "dataset_split_assignment",
-    "content_sample",
-    "doc_repetition_stats",
-    "source_quality_profile",
-    "user_event_pivot",
-    "fuzzy_name_match",
-    "embedding_norm_stats",
-    "doc_quality_stats",
-    "lang_id_heuristic",
-    "stratified_sample_hash",
-    "sample_n_per_group",
-    "cdc_orders_upsert",
-    "dq_expectations",
-    "events_sliding_windows",
-    "events_gapfill_zero",
-    "segment_reconciliation_fullouter",
-    "loyal_buyer_intersect",
-    "dedup_survivors_by_quality",
-    "corpus_mix_allocation",
-    "events_rolling_1h",
-    "key_skew_profile",
-    "priority_segment_union",
-    "active_buildings_semi",
-)
-_TAIL: tuple[str, ...] = (
+    "events_multires_rollup_incremental",
+    "events_multires_rollup_realtime",
+    "streaming_sessions_tws",
+    "session_overlap_topk",
+    "events_multires_distinct_incremental",
     "user_running_stats",
     "local_supplier_revenue",
     "quantity_band_stats",
@@ -164,6 +118,8 @@ _TAIL: tuple[str, ...] = (
     "embedding_random_projection",
     "text_feature_hashing",
     "ngram_containment_pairs",
+)
+_TAIL: tuple[str, ...] = (
     "lang_id_confusion",
     "media_phash_dedup",
     "streaming_cm_sketch_cells",
@@ -219,6 +175,51 @@ _TAIL: tuple[str, ...] = (
     "part_expr_catalog",
     "events_cube",
     "pagerank_coparts",
+    "peak_concurrent_sessions",
+    "events_multires_rollup",
+    "event_value_histogram",
+    "user_sessions",
+    "events_json_stats",
+    "minhash_lsh_dups",
+    "semdedup_eval_metrics",
+    "semdedup_clusters",
+    "user_value_trend",
+    "benchmark_decontam",
+    "streaming_dedup_10min_counts",
+    "dedup_exact_groups",
+    "streaming_click_attribution",
+    "streaming_10min_counts",
+    "orders_per_customer",
+    "corpus_keep_list",
+    "media_metadata_stats",
+    "media_feature_extract",
+    "media_resize_plan",
+    "media_frame_sample",
+    "media_format_rollup",
+    "doc_fingerprint_rolling",
+    "dataset_split_assignment",
+    "content_sample",
+    "doc_repetition_stats",
+    "source_quality_profile",
+    "user_event_pivot",
+    "fuzzy_name_match",
+    "embedding_norm_stats",
+    "doc_quality_stats",
+    "lang_id_heuristic",
+    "stratified_sample_hash",
+    "sample_n_per_group",
+    "cdc_orders_upsert",
+    "dq_expectations",
+    "events_sliding_windows",
+    "events_gapfill_zero",
+    "segment_reconciliation_fullouter",
+    "loyal_buyer_intersect",
+    "dedup_survivors_by_quality",
+    "corpus_mix_allocation",
+    "events_rolling_1h",
+    "key_skew_profile",
+    "priority_segment_union",
+    "active_buildings_semi",
 )
 
 

@@ -62,67 +62,67 @@ def test_overflow_and_unknown_names_fail_loud():
 # latest landed rotation is exactly replayable, and that is the one the
 # rotation contract cares about ("the landed window IS the planner
 # output").
-R13_HEAD = (
-    "session_overlap_topk",
-    "peak_concurrent_sessions",
-    "events_multires_rollup",
-    "events_multires_rollup_incremental",
-    "streaming_sessions_tws",
-    "events_multires_rollup_realtime",
+R14_HEAD = (
     "events_multires_distinct_rollup",
-    "event_value_histogram",
-    "user_sessions",
-    "events_json_stats",
-    "minhash_lsh_dups",
-    "semdedup_eval_metrics",
-    "semdedup_clusters",
-    "user_value_trend",
-    "benchmark_decontam",
-    "streaming_dedup_10min_counts",
-    "dedup_exact_groups",
-    "streaming_click_attribution",
-    "streaming_10min_counts",
-    "orders_per_customer",
-    "corpus_keep_list",
-    "media_metadata_stats",
-    "media_feature_extract",
-    "media_resize_plan",
-    "media_frame_sample",
-    "media_format_rollup",
-    "doc_fingerprint_rolling",
-    "dataset_split_assignment",
-    "content_sample",
-    "doc_repetition_stats",
-    "source_quality_profile",
-    "user_event_pivot",
-    "fuzzy_name_match",
-    "embedding_norm_stats",
-    "doc_quality_stats",
-    "lang_id_heuristic",
-    "stratified_sample_hash",
-    "sample_n_per_group",
-    "cdc_orders_upsert",
-    "dq_expectations",
-    "events_sliding_windows",
-    "events_gapfill_zero",
-    "segment_reconciliation_fullouter",
-    "loyal_buyer_intersect",
-    "dedup_survivors_by_quality",
-    "corpus_mix_allocation",
-    "events_rolling_1h",
-    "key_skew_profile",
-    "priority_segment_union",
-    "active_buildings_semi",
+    "events_multires_rollup_incremental",
+    "events_multires_rollup_realtime",
+    "streaming_sessions_tws",
+    "session_overlap_topk",
+    "events_multires_distinct_incremental",
+    "user_running_stats",
+    "local_supplier_revenue",
+    "quantity_band_stats",
+    "copurchase_bfs_l3",
+    "events_variant_stats",
+    "copurchase_sssp",
+    "copurchase_triangles",
+    "copart_pairs_topk",
+    "basket_association_rules",
+    "ann_cosine_topk",
+    "simhash_near_dups",
+    "hll_distinct_users",
+    "duplicate_span_pairs",
+    "bpe_merge_candidates",
+    "weighted_sample_tokens",
+    "user_state_asof",
+    "paragraph_scrub_rebuild",
+    "minhash_eval_metrics",
+    "ngram_jaccard_thresholded",
+    "paragraph_dedup_stats",
+    "table_profile_orders",
+    "quality_decile_filter",
+    "user_retention_cohorts",
+    "training_shuffle_order",
+    "streaming_segment_purchase_totals",
+    "kmv_distinct_users",
+    "props_redaction_stats",
+    "event_funnel_conversion",
+    "event_transition_bigrams",
+    "incremental_priority_rollup",
+    "corpus_build_manifest",
+    "event_value_anomalies",
+    "embedding_label_centroids",
+    "shipping_lag_stats",
+    "packed_training_rows",
+    "ann_lsh_topk",
+    "ann_ivf_det_topk",
+    "cm_sketch_heavy_hitters",
+    "bloom_filter_prune",
+    "user_state_scd2",
+    "kmv_set_ops",
+    "embedding_random_projection",
+    "text_feature_hashing",
+    "ngram_containment_pairs",
 )
 
 
-def test_planner_matches_the_landed_r13_rotation():
+def test_planner_matches_the_landed_r14_rotation():
     """Ground truth: replaying the planner against the real landed
-    CORRECTNESS_r01..r12 union with r13's code-changed set must
-    reproduce the r13 window EXACTLY as committed at the r13 rotation
+    CORRECTNESS_r01..r13 union with r14's code-changed set must
+    reproduce the r14 window EXACTLY as committed at the r14 rotation
     (the literal above) — proof the executable policy and the prose
     policy are one. Queries registered in FUTURE rounds are excluded
-    from the replay (they did not exist when r13 was planned)."""
+    from the replay (they did not exist when r14 was planned)."""
     import glob
 
     from imdb_mapreduce_spark.plans.registry import all_queries
@@ -130,28 +130,26 @@ def test_planner_matches_the_landed_r13_rotation():
     paths = [
         p
         for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
-        if int(os.path.basename(p)[13:15]) <= 12
+        if int(os.path.basename(p)[13:15]) <= 13
     ]
     if not paths:
         pytest.skip("no CORRECTNESS files (round 1)")
     newest = plan_rotation.newest_green_rounds(paths)
     qs = all_queries()
-    known_at_r13 = set(R13_HEAD) | set(newest)
-    order = [n for n in qs if n in known_at_r13]
-    if set(R13_HEAD) - set(order):
-        pytest.skip("r13 queries renamed/removed — replay no longer applies")
+    known_at_r14 = set(R14_HEAD) | set(newest)
+    order = [n for n in qs if n in known_at_r14]
+    if set(R14_HEAD) - set(order):
+        pytest.skip("r14 queries renamed/removed — replay no longer applies")
     head, _tail, _notes = plan(
         order,
         {n for n in order if qs[n].oracle is not None},
         newest,
         code_changed=[
-            "session_overlap_topk",
-            "peak_concurrent_sessions",
-            "events_multires_rollup",
-            "events_multires_rollup_incremental",
-            "streaming_sessions_tws",
-            "events_multires_rollup_realtime",
             "events_multires_distinct_rollup",
+            "events_multires_rollup_incremental",
+            "events_multires_rollup_realtime",
+            "streaming_sessions_tws",
+            "session_overlap_topk",
         ],
     )
-    assert list(head) == list(R13_HEAD)
+    assert list(head) == list(R14_HEAD)
