@@ -122,6 +122,12 @@ HEADLINE = (
     # added r12: the 3-tier continuous-aggregate cascade (minute from
     # raw, hour from minute, day from hour)
     "events_multires_rollup",
+    # added r14 (VERDICT r13 item 1): the NON-additive sketch cascade —
+    # keeps the salted minute-rank plan perf-visible round over round —
+    # and the read-time state ⊎ tail union (the hypertable triple's
+    # serving leg; its fold runs per-read, so its cost belongs in bench)
+    "events_multires_distinct_rollup",
+    "events_multires_rollup_realtime",
 )
 
 
