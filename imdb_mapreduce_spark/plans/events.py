@@ -1223,10 +1223,11 @@ def events_multires_distinct_rollup(
 
     At 100 TB: this is how a time-series store serves "unique users
     last hour/day" without re-scanning raw per resolution — and the
-    same arrays are what an INCREMENTAL maintenance step would merge
-    per batch (the count/sum incremental tier shows the refresh
-    machinery; sketches slot into the same versioned state because
-    KMV-merge is associative and commutative).
+    same arrays are what the INCREMENTAL maintenance step merges per
+    batch: `events_multires_distinct_incremental` (streaming/jobs.py,
+    r14) folds them into the count/sum tier's versioned exactly-once
+    state via the same scaffold, certified by this very oracle —
+    KMV-merge is associative and commutative, so sketches slot in.
     """
     e = _events(spark, sf_dir)
     # The minute sketch fans out THREE ways (its own readout, the hour
