@@ -81,6 +81,11 @@ INVENTORY: dict[tuple[str, str, str], tuple[int, str]] = {
      "localCheckpoint"): (1, "bounded-relation"),
     ("streaming/jobs.py", "events_multires_rollup_incremental",
      "localCheckpoint"): (1, "bounded-relation"),
+    # r14: the sketch incremental tier's readout — one row per bucket,
+    # materialized before its tempdir state vanishes (same contract as
+    # the additive tier above).
+    ("streaming/jobs.py", "events_multires_distinct_incremental",
+     "localCheckpoint"): (1, "bounded-relation"),
     ("streaming/jobs.py", "streaming_sessions_tws",
      "localCheckpoint"): (1, "bounded-relation"),
     ("streaming/jobs.py", "events_multires_rollup_realtime",
