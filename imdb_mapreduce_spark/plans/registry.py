@@ -74,6 +74,7 @@ _HEAD: tuple[str, ...] = (
     "streaming_sessions_tws",
     "session_overlap_topk",
     "events_multires_distinct_incremental",
+    "events_multires_distinct_realtime",
     "user_running_stats",
     "local_supplier_revenue",
     "quantity_band_stats",
@@ -117,9 +118,9 @@ _HEAD: tuple[str, ...] = (
     "kmv_set_ops",
     "embedding_random_projection",
     "text_feature_hashing",
-    "ngram_containment_pairs",
 )
 _TAIL: tuple[str, ...] = (
+    "ngram_containment_pairs",
     "lang_id_confusion",
     "media_phash_dedup",
     "streaming_cm_sketch_cells",
@@ -221,6 +222,7 @@ _TAIL: tuple[str, ...] = (
     "priority_segment_union",
     "active_buildings_semi",
 )
+
 
 
 def all_queries() -> dict[str, Query]:

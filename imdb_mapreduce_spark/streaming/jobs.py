@@ -1503,3 +1503,66 @@ def events_multires_rollup_realtime(
         )
         # Materialize before the tempdir vanishes (bounded: buckets×types).
         return out.localCheckpoint(eager=True)
+
+
+@register(
+    "events_multires_distinct_realtime",
+    oracle=MULTIRES_DISTINCT_ORACLE,
+    tags=("streaming", "rollup", "hypertable", "sketch", "realtime",
+          "north-star"),
+)
+def events_multires_distinct_realtime(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The REAL-TIME read for the NON-additive rollup — completing the
+    SKETCH hypertable triple symmetrically with the count/sum family
+    (r14): batch cascade (`events_multires_distinct_rollup`),
+    incremental refresh (`events_multires_distinct_incremental`), and
+    this — serving per-bucket distinct-user estimates that must include
+    data NEWER than the last refresh. The folded sketch state answers
+    for history; the unfolded TAIL's (bucket, user-hash) pairs are
+    sketched and merged AT READ TIME: :func:`multires_kmv_merge_batch`
+    with a localCheckpoint materializer IS the read-time union plan —
+    exact by the KMV merge law, one pass over tail raw plus
+    touched-bucket array merges, nothing written. At 100 TB the tail is
+    minutes of ingest while the state covers years — the read costs
+    O(tail + touched buckets · K) on top of the state scan.
+
+    Harness: the first 3 of 4 ts-range slices are FOLDED into versioned
+    sketch state (the incremental path), the 4th is left raw as the
+    tail. The oracle computes every tier's sketch directly from ALL raw
+    in DuckDB (:data:`~imdb_mapreduce_spark.plans.events.MULTIRES_DISTINCT_ORACLE`)
+    — the hash match proves state ⊎ tail ≡ direct-sketch, i.e. the
+    read-time union is exact, not eventually-consistent. The read-time
+    materializer carries the same bounded-relation contract as the
+    additive realtime read above (four one-row-per-bucket relations)."""
+    import glob as _glob
+    import os
+
+    from imdb_mapreduce_spark.sources.star import load_table
+
+    events = load_table(spark, "events", sf_dir).select("ts", "user_id")
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "src")
+        events.repartitionByRange(4, "ts").write.parquet(src)
+        parts = sorted(_glob.glob(os.path.join(src, "part-*.parquet")))
+        state_root = os.path.join(d, "state")
+        state = None
+        for i, p in enumerate(parts[:-1]):  # fold all but the tail
+            state = multires_fold_version(
+                spark, state_root, i, spark.read.parquet(p), state,
+                merge_fn=multires_kmv_merge_batch,
+            )
+        tail = spark.read.parquet(parts[-1]) if parts else events.limit(0)
+        merged = multires_kmv_merge_batch(
+            tail, state,
+            materialize=lambda _n, df: df.localCheckpoint(eager=True),
+        )
+        out = (
+            kmv_bucket_stats(merged["minute"], "minute")
+            .unionByName(kmv_bucket_stats(merged["hour"], "hour"))
+            .unionByName(kmv_bucket_stats(merged["day"], "day"))
+        )
+        # Materialize before the tempdir vanishes (bounded: one row per
+        # bucket).
+        return out.localCheckpoint(eager=True)

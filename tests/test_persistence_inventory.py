@@ -90,6 +90,10 @@ INVENTORY: dict[tuple[str, str, str], tuple[int, str]] = {
      "localCheckpoint"): (1, "bounded-relation"),
     ("streaming/jobs.py", "events_multires_rollup_realtime",
      "localCheckpoint"): (2, "bounded-relation"),
+    # r14: the sketch realtime read — same two sites as the additive
+    # twin (read-time materializer + final readout), same bounds.
+    ("streaming/jobs.py", "events_multires_distinct_realtime",
+     "localCheckpoint"): (2, "bounded-relation"),
     ("streaming/jobs.py", "streaming_kmv_distinct_salted",
      "localCheckpoint"): (1, "bounded-relation"),
 }

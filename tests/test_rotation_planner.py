@@ -69,6 +69,7 @@ R14_HEAD = (
     "streaming_sessions_tws",
     "session_overlap_topk",
     "events_multires_distinct_incremental",
+    "events_multires_distinct_realtime",
     "user_running_stats",
     "local_supplier_revenue",
     "quantity_band_stats",
@@ -112,7 +113,6 @@ R14_HEAD = (
     "kmv_set_ops",
     "embedding_random_projection",
     "text_feature_hashing",
-    "ngram_containment_pairs",
 )
 
 
