@@ -128,6 +128,9 @@ HEADLINE = (
     # serving leg; its fold runs per-read, so its cost belongs in bench)
     "events_multires_distinct_rollup",
     "events_multires_rollup_realtime",
+    # added r14 mid-round with the query: the sketch family's realtime
+    # read (same per-read fold convention as its additive twin above)
+    "events_multires_distinct_realtime",
 )
 
 

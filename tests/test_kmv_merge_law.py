@@ -7,6 +7,10 @@ global k-smallest over distinct pairs — the exact claim
 Runs `_merge_kmv_state` itself (version check, monotone kth prefilter,
 np.unique merge, trim) through a GroupState stub, so the property covers
 the production code path, not a re-derivation of it.
+
+(The r14 salted-rank test at the bottom is the one exception to the
+no-Spark rule here: it pins the engine-side `kmv_k_smallest` against a
+naive rank, which needs a session.)
 """
 
 from __future__ import annotations
