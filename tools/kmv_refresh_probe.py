@@ -14,7 +14,12 @@ cascade re-scans ALL raw rows. Same probe shape as
      folded one by one through `multires_kmv_merge_batch` with
      versioned parquet state (the registered query's exact merge +
      state IO, minus the streaming trigger machinery).
-  3. LATE CORRECTION BATCH: 1,000 rows landing in ONE minute bucket,
+  3. REAL-TIME READ: before the last slice is folded, time the
+     state ⊎ tail union (`events_multires_distinct_realtime`'s plan —
+     `multires_kmv_merge_batch` with the localCheckpoint materializer)
+     — the serve-fresh-data cost must be ~(tail sketch + touched
+     bucket merges + state scan), not a rebuild.
+  4. LATE CORRECTION BATCH: 1,000 rows landing in ONE minute bucket,
      folded into the FULL state — the money case: at any corpus size
      this must cost ~(touched-bucket sketch merge + carried-state IO),
      never a raw re-scan.
@@ -80,9 +85,10 @@ def main() -> None:
         state_root = os.path.join(tmp, "state")
 
         # 2. incremental: fold each ts-range batch, state IO included
+        # (all but the last slice, which step 3 reads as the raw tail)
         prev = None
         folds = []
-        for i, p in enumerate(parts):
+        for i, p in enumerate(parts[:-1]):
             bdf = spark.read.parquet(p)
             t0 = time.monotonic()
             prev = multires_fold_version(
@@ -90,10 +96,30 @@ def main() -> None:
                 merge_fn=multires_kmv_merge_batch,
             )
             folds.append(round(time.monotonic() - t0, 2))
+
+        # 3. real-time read: state ⊎ unfolded tail, the registered
+        # query's exact shape (read-time localCheckpoint materializer)
+        tail = spark.read.parquet(parts[-1])
+        t0 = time.monotonic()
+        rt = multires_kmv_merge_batch(
+            tail, prev,
+            materialize=lambda _n, df: df.localCheckpoint(eager=True),
+        )
+        out["realtime_rows"] = {t: rt[t].count() for t in _MULTIRES_TIERS}
+        out["realtime_read_sec"] = round(time.monotonic() - t0, 2)
+
+        # ...then fold the tail too so the late-correction cell runs
+        # against the FULL state
+        t0 = time.monotonic()
+        prev = multires_fold_version(
+            spark, state_root, len(parts) - 1, tail, prev,
+            merge_fn=multires_kmv_merge_batch,
+        )
+        folds.append(round(time.monotonic() - t0, 2))
         out["fold_secs"] = folds
         out["fold_total_sec"] = round(sum(folds), 2)
 
-        # 3. late correction: 1,000 rows in ONE minute bucket
+        # 4. late correction: 1,000 rows in ONE minute bucket
         lo = events.select(F.min("ts").alias("lo")).first()["lo"]
         late = spark.range(1000).select(
             F.lit(lo).alias("ts"),
