@@ -1161,15 +1161,15 @@ MULTIRES_DISTINCT_ORACLE = """
     WITH hm AS (
       SELECT DISTINCT date_trunc('minute', ts) AS bucket,
              ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
-      FROM events),
+      FROM events WHERE user_id IS NOT NULL),
     hh AS (
       SELECT DISTINCT date_trunc('hour', ts) AS bucket,
              ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
-      FROM events),
+      FROM events WHERE user_id IS NOT NULL),
     hd AS (
       SELECT DISTINCT date_trunc('day', ts) AS bucket,
              ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
-      FROM events),
+      FROM events WHERE user_id IS NOT NULL),
     km AS (SELECT bucket, MAX(h) AS kth_hash, CAST(COUNT(*) AS BIGINT) AS m
            FROM (SELECT bucket, h,
                         ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY h) AS rn
@@ -1253,18 +1253,25 @@ def events_multires_distinct_rollup(
 
 
 def kmv_minute_pairs(e: DataFrame) -> DataFrame:
-    """Raw events → distinct (minute bucket, user-hash) pairs — the only
-    pass over raw the whole cascade makes. The md5 15-hex-char prefix is
-    the repo's deterministic cross-engine hash (uniform on [0, 2^60))."""
-    return e.select(
+    """Raw events → (minute bucket, user-hash) pairs — the only pass
+    over raw the whole cascade makes. The md5 15-hex-char prefix is the
+    repo's deterministic cross-engine hash (uniform on [0, 2^60)).
+    NULL users are excluded up front (the SQL ``COUNT(DISTINCT ...)``
+    convention — a NULL user is not a user; and a NULL hash would rank
+    differently in the two engines: Spark sorts NULLS FIRST, DuckDB
+    NULLS LAST — the oracle carries the same predicate). NOT
+    pre-deduplicated: ``kmv_k_smallest`` dedups inside its salted sort
+    (r14), so emitting raw pairs here saves the whole cascade a full
+    shuffle of its largest relation."""
+    return e.filter(F.col("user_id").isNotNull()).select(
         F.date_trunc("minute", F.col("ts")).alias("bucket"),
         F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
         .cast("bigint")
         .alias("h"),
-    ).distinct()
+    )
 
 
-def kmv_k_smallest(pairs: DataFrame, salt: int = 32) -> DataFrame:
+def kmv_k_smallest(pairs: DataFrame, salt: int = 1024) -> DataFrame:
     """(bucket, h) pairs → one row per bucket with the sorted K-smallest
     hash array. TWO-LEVEL by the KMV merge law (VERDICT r13), so no
     single task ever ranks a bucket's full distinct set: a per-bucket
@@ -1279,34 +1286,46 @@ def kmv_k_smallest(pairs: DataFrame, salt: int = 32) -> DataFrame:
     the single-window rank by that law (any global top-K hash is top-K
     in its own partition), so the direct-from-raw oracle is unchanged.
 
-    CONTRACT: ``pairs`` must be distinct per (bucket, h) — both call
-    sites guarantee it (``kmv_minute_pairs`` / ``kmv_merge_up`` end in
-    ``.distinct()``) — so each h lands in exactly one level-1 group and
-    the final ``collect_list`` needs no dedup.
+    CONTRACT: ``pairs`` need NOT be deduplicated, but ``h`` must be
+    non-null (``kmv_minute_pairs`` filters NULL users; array explodes
+    are non-null by construction). Dedup rides the salted sort: the
+    salt is a FUNCTION of h, so every copy of a (bucket, h) pair lands
+    in the same (bucket, salt) partition, adjacent after the sort — a
+    one-pass ``lag`` filter removes them with NO separate distinct
+    exchange, saving the cascade a full shuffle of its largest
+    relation (the raw pair set). The second window (rank) reuses the
+    first's partitioning+ordering — filter preserves both — so the
+    whole level-1 is ONE exchange + ONE Tungsten sort.
 
     Level 1 is a SALTED window rank, not a collect+sort aggregate: the
     salt derives from h itself (uniform by construction, so the crowd
     splits evenly and the plan stays deterministic), the rank runs
-    through Tungsten's unsafe-row sort + a streaming row_number filter
-    — the probe measured collect_list/collect_set partial ARRAYS at
-    1.3-1.9x this shape's cost at the 50M-crowd geometry (array
-    materialization beats boxing but both lose to the binary sort)."""
+    through Tungsten's unsafe-row sort + streaming lag/row_number
+    filters — the probe measured collect_list/collect_set partial
+    ARRAYS at 1.3-1.9x this shape's cost at the 50M-crowd geometry
+    (array materialization beats boxing but both lose to the binary
+    sort)."""
     from imdb_mapreduce_spark.plans.quality import KMV_K
 
     # Salt width: max level-1 sort group = bucket_distinct / salt, and
-    # the level-2 survivor set is ≤ salt·K per bucket — raising it for a
-    # bigger crowd costs only survivors (shuffle volume of level 1 is
-    # the pair set either way).
+    # the level-2 survivor set is ≤ min(salt·K, bucket_distinct) per
+    # bucket — raising it costs nothing on uniform corpora (survivors =
+    # distinct count regardless) and only ~64k rows per mega-crowd
+    # bucket. It must sit WELL ABOVE spark.sql.shuffle.partitions: at
+    # salt ≈ partitions, a crowd bucket's few salt groups hash onto few
+    # reducers (balls-into-bins) and one straggler sorts several groups
+    # — measured ×3 at the 50M-crowd geometry (salt 32 → 24.2 s,
+    # 256 → 11.5 s, 1024 → 7.8 s; uniform decade corpus flat across all
+    # three — SCALING.md r14).
     S = int(salt)
-    lvl1 = (
+    w = Window.partitionBy("bucket", "_s").orderBy("h")
+    deduped = (
         pairs.withColumn("_s", F.pmod(F.col("h"), F.lit(S)))
-        .withColumn(
-            "_rn",
-            F.row_number().over(
-                Window.partitionBy("bucket", "_s").orderBy("h")
-            ),
-        )
-        .filter(F.col("_rn") <= KMV_K)
+        .withColumn("_prev", F.lag("h").over(w))
+        .filter(F.col("_prev").isNull() | (F.col("_prev") != F.col("h")))
+    )
+    lvl1 = deduped.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= KMV_K
     )
     return (
         lvl1.groupBy("bucket")
@@ -1316,15 +1335,15 @@ def kmv_k_smallest(pairs: DataFrame, salt: int = 32) -> DataFrame:
 
 def kmv_merge_up(fine: DataFrame, unit: str) -> DataFrame:
     """Coarsen one sketch tier by the KMV merge law: union the fine
-    arrays, dedupe, re-take the K smallest — bounded input
-    (≤ children·K rows per bucket), raw never touched."""
-    pairs = (
+    arrays, dedupe (inside ``kmv_k_smallest``'s salted sort), re-take
+    the K smallest — bounded input (≤ children·K rows per bucket), raw
+    never touched."""
+    return kmv_k_smallest(
         fine.select(
             F.date_trunc(unit, F.col("bucket")).alias("bucket"),
             F.explode("hashes").alias("h"),
-        ).distinct()
+        )
     )
-    return kmv_k_smallest(pairs)
 
 
 def kmv_bucket_stats(df: DataFrame, tier: str) -> DataFrame:

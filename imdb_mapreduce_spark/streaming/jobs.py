@@ -1000,7 +1000,6 @@ def multires_kmv_merge_batch(
         merged = kmv_k_smallest(
             hot.select("bucket", F.explode("hashes").alias("h"))
             .unionByName(mb.select("bucket", F.explode("hashes").alias("h")))
-            .distinct()
         )
         tiers["minute"] = cold.unionByName(merged)
 

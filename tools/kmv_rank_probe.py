@@ -61,12 +61,15 @@ def corpus(spark, crowd: int, bg: int):
 
 
 def window_rank_k_smallest(pairs):
-    """The r13 shape, kept here verbatim for the A/B: one per-bucket
+    """The r13 shape, kept here verbatim for the A/B: pre-distinct (the
+    r13 `kmv_minute_pairs` ended in `.distinct()`) + one per-bucket
     row_number window — a flash-crowd bucket's full distinct set sorts
-    in ONE task."""
+    in ONE task. The r14 shape folds the dedup into its salted sort, so
+    the distinct's shuffle is charged to the shape that needs it."""
     w = Window.partitionBy("bucket").orderBy("h")
     return (
-        pairs.withColumn("_rn", F.row_number().over(w))
+        pairs.distinct()
+        .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= KMV_K)
         .groupBy("bucket")
         .agg(F.sort_array(F.collect_list("h")).alias("hashes"))
@@ -94,12 +97,19 @@ def main() -> None:
     bg = int(sys.argv[2]) if len(sys.argv) > 2 else 5_000_000
     spark = get_spark()
     e = corpus(spark, crowd, bg)
-    # Checkpoint the distinct PAIRS, not raw: the distinct is one
-    # identical shuffle both shapes share — timing it with the rank
-    # would dilute the A/B the probe exists to read. (At 100 TB the
-    # distinct is embarrassingly parallel; the single-task window sort
-    # is the part that cannot be.)
-    pairs = kmv_minute_pairs(e).localCheckpoint(eager=True)
+    # Stage the RAW pairs to parquet (hash projection only): each shape
+    # then pays its own dedup+rank — the r13 shape its distinct shuffle
+    # + single-task window sort, the r14 shape its one salted
+    # sort-with-inline-dedup — while the shared raw-scan/md5 cost stays
+    # out of the A/B. Parquet, not localCheckpoint: a 50M-row cached
+    # corpus evicts/OOMs the 8g local driver heap and the memory
+    # pressure pollutes the very timings the probe reads.
+    import tempfile
+
+    tmp = tempfile.mkdtemp()
+    pairs_path = os.path.join(tmp, "pairs")
+    kmv_minute_pairs(e).write.parquet(pairs_path)
+    pairs = spark.read.parquet(pairs_path)
 
     out: dict[str, object] = {"crowd": crowd, "bg": bg, "kmv_k": KMV_K}
     shapes = {
