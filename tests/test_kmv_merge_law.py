@@ -239,6 +239,11 @@ def test_kmv_k_smallest_salted_rank_matches_naive(spark):
     for b, n in sizes.items():
         hs = rng.sample(range(1, 1 << 40), n)
         rows += [(b, h) for h in hs]
+        # r14: dedup is INTERNAL (the lag filter riding the salted
+        # sort) — feed heavy duplication and the smallest hash many
+        # times; the output must not change
+        rows += [(b, h) for h in hs[: n // 2]]
+        rows += [(b, min(hs))] * 10
         expected[b] = sorted(hs)[:KMV_K]
     pairs = spark.createDataFrame(rows, "bucket int, h long").repartition(7)
 
