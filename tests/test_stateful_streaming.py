@@ -1802,3 +1802,36 @@ def test_multires_kmv_incremental_restart_drill(spark, tmp_path):
         spark, src, st, state_root, ckpt, merge_fn=multires_kmv_merge_batch
     )
     assert snap(phase3) == got
+
+
+def test_multires_kmv_merge_null_ts_is_an_ordinary_group(spark):
+    """The sketch twin of the additive NULL-bucket drill above (r14):
+    NULL ts → NULL minute bucket, an ordinary group to the oracle's
+    GROUP BY, so the sketch merge's touched-set joins must be NULL-SAFE
+    too — plain equality would duplicate the NULL row in the minute tier
+    and drop it from the re-derived hour/day tiers. (Testdata carries no
+    NULL ts, so only this drill exercises the geometry.)"""
+    import pandas as pd
+
+    from imdb_mapreduce_spark.streaming.jobs import multires_kmv_merge_batch
+
+    def batch(rows):
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["ts", "user_id"])
+        )
+
+    t0 = pd.Timestamp("2026-01-01 10:00:30")
+    b1 = batch([(t0, 1), (pd.NaT, 2)])
+    v1 = multires_kmv_merge_batch(b1, None)
+    b2 = batch([(pd.NaT, 3), (pd.NaT, 2)])  # 2 again: dedup across batches
+    v2 = multires_kmv_merge_batch(b2, v1)
+
+    for tier in ("minute", "hour", "day"):
+        rows = {r["bucket"]: list(r["hashes"]) for r in v2[tier].collect()}
+        null_keys = [k for k in rows if k is None]
+        assert len(null_keys) == 1, (tier, rows)
+        # users {2, 3} merged into the single NULL group, exactly once each
+        assert len(rows[None]) == 2, (tier, rows)
+        # the real bucket survived alongside with user 1
+        real = [v for k, v in rows.items() if k is not None]
+        assert len(real) == 1 and len(real[0]) == 1, (tier, rows)
