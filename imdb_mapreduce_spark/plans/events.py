@@ -1271,7 +1271,7 @@ def kmv_minute_pairs(e: DataFrame) -> DataFrame:
     )
 
 
-def kmv_k_smallest(pairs: DataFrame, salt: int = 1024) -> DataFrame:
+def kmv_k_smallest(pairs: DataFrame, salt: int | None = None) -> DataFrame:
     """(bucket, h) pairs → one row per bucket with the sorted K-smallest
     hash array. TWO-LEVEL by the KMV merge law (VERDICT r13), so no
     single task ever ranks a bucket's full distinct set: a per-bucket
@@ -1310,13 +1310,25 @@ def kmv_k_smallest(pairs: DataFrame, salt: int = 1024) -> DataFrame:
     # Salt width: max level-1 sort group = bucket_distinct / salt, and
     # the level-2 survivor set is ≤ min(salt·K, bucket_distinct) per
     # bucket — raising it costs nothing on uniform corpora (survivors =
-    # distinct count regardless) and only ~64k rows per mega-crowd
+    # distinct count regardless) and only ~salt·K rows per mega-crowd
     # bucket. It must sit WELL ABOVE spark.sql.shuffle.partitions: at
     # salt ≈ partitions, a crowd bucket's few salt groups hash onto few
     # reducers (balls-into-bins) and one straggler sorts several groups
     # — measured ×3 at the 50M-crowd geometry (salt 32 → 24.2 s,
     # 256 → 11.5 s, 1024 → 7.8 s; uniform decade corpus flat across all
-    # three — SCALING.md r14).
+    # three — SCALING.md r14). The default therefore DERIVES from the
+    # session (32× the partition count, floor 1024): a static 1024
+    # would re-create the collision geometry on a cluster running
+    # shuffle.partitions = 2000+. Output is salt-invariant by the merge
+    # law, so the derivation can never change results.
+    if salt is None:
+        try:
+            parts = int(
+                pairs.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            )
+        except ValueError:  # e.g. a vendor build reporting "auto"
+            parts = 0
+        salt = max(1024, 32 * parts)
     S = int(salt)
     w = Window.partitionBy("bucket", "_s").orderBy("h")
     deduped = (

@@ -104,9 +104,12 @@ def main() -> None:
     # out of the A/B. Parquet, not localCheckpoint: a 50M-row cached
     # corpus evicts/OOMs the 8g local driver heap and the memory
     # pressure pollutes the very timings the probe reads.
+    import atexit
+    import shutil
     import tempfile
 
     tmp = tempfile.mkdtemp()
+    atexit.register(shutil.rmtree, tmp, True)
     pairs_path = os.path.join(tmp, "pairs")
     kmv_minute_pairs(e).write.parquet(pairs_path)
     pairs = spark.read.parquet(pairs_path)
