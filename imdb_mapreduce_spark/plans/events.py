@@ -1375,3 +1375,339 @@ def kmv_bucket_stats(df: DataFrame, tier: str) -> DataFrame:
         msz.alias("m"),
         est.alias("est_distinct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Right-to-be-forgotten: user erasure with continuous-aggregate repair (r14)
+# ---------------------------------------------------------------------------
+
+# The deterministic erasure set both engines share (null-safe on both
+# sides: a NULL user is neither erased nor silently dropped by the
+# remaining-side predicate).
+_ERASED_SQL = "user_id IS NOT NULL AND user_id % 7 = 3"
+_REMAINING_SQL = "(user_id IS NULL OR user_id % 7 <> 3)"
+_ERASURE_DEC = "decimal(38,2)"
+
+
+def _erased_col() -> "F.Column":
+    return F.col("user_id").isNotNull() & (F.col("user_id") % 7 == 3)
+
+
+def _erasure_sum_merge(df: DataFrame, unit: str) -> DataFrame:
+    """The additive monoid step with the COALESCED-total convention:
+    ``s`` is the sum of NON-NULL values with 0 when none — unlike plain
+    SUM (NULL for an all-NULL group), this total forms a GROUP (has
+    inverses and no NULL absorbing state), which is what makes the
+    subtract-repair below exact under EVERY null geometry, not just
+    corpora without NULL values."""
+    return df.groupBy(
+        F.date_trunc(unit, F.col("bucket")).alias("bucket"),
+        "event_type",
+    ).agg(
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.coalesce(F.sum("s"), F.lit(0).cast(_ERASURE_DEC))
+        .cast(_ERASURE_DEC)
+        .alias("s"),
+    )
+
+
+def rollup_erasure_repair(
+    prev: dict[str, DataFrame],
+    neg: DataFrame,
+    materialize: "object | None" = None,
+) -> dict[str, DataFrame]:
+    """Repair the three-tier additive rollup after erasing a user set,
+    via the ADDITIVE INVERSE: ``neg`` holds the erased rows' per-minute
+    partials NEGATED, so merging them into the touched minute buckets
+    subtracts exactly (counts and coalesced totals form a group); rows
+    whose count reaches zero are dropped (the group no longer exists);
+    touched hour/day buckets RE-DERIVE from the repaired minute tier —
+    the standard hypertable refresh contract. Untouched rows carry.
+    All touched-set joins NULL-SAFE (NULL ts → NULL bucket is an
+    ordinary group).
+
+    At 100 TB this is the cheap path GDPR deletion wants: compute cost
+    is O(erased rows + touched buckets) — the erased rows come from a
+    user-keyed index/pruned scan, raw is never re-read. Contrast the
+    SKETCH twin (`events_distinct_user_erasure`): KMV has no inverse
+    (erasing a hash cannot resurrect the ones it evicted), so its
+    touched minutes must re-derive from remaining RAW in those buckets
+    — the mergeability asymmetry, measured in SCALING.md r14."""
+    touched = neg.select("bucket").distinct()
+    t = F.broadcast(touched.select(F.col("bucket").alias("_tb")))
+    hot = prev["minute"].join(
+        t, F.col("bucket").eqNullSafe(F.col("_tb")), "left_semi"
+    )
+    cold = prev["minute"].join(
+        t, F.col("bucket").eqNullSafe(F.col("_tb")), "left_anti"
+    )
+    repaired = _erasure_sum_merge(hot.unionByName(neg), "minute").filter(
+        F.col("n_events") > 0
+    )
+    mat = materialize or (lambda _name, df: df)
+    # the repaired minute fans out (its own readout + hour + day via
+    # hour) — the broadcast-fan-out reuse gap again; callers pass a
+    # bounded materializer (one row per (bucket, type))
+    tiers = {"minute": mat("minute", cold.unionByName(repaired))}
+    finer, touched_c = tiers["minute"], touched
+    for unit in ("hour", "day"):
+        touched_c = touched_c.select(
+            F.date_trunc(unit, F.col("bucket")).alias("bucket")
+        ).distinct()
+        t = F.broadcast(touched_c.select(F.col("bucket").alias("_tb")))
+        derived = _erasure_sum_merge(
+            finer.join(
+                t,
+                F.date_trunc(unit, F.col("bucket")).eqNullSafe(F.col("_tb")),
+                "left_semi",
+            ),
+            unit,
+        )
+        carried = prev[unit].join(
+            t, F.col("bucket").eqNullSafe(F.col("_tb")), "left_anti"
+        )
+        tiers[unit] = mat(unit, carried.unionByName(derived))
+        finer = tiers[unit]
+    return tiers
+
+
+@register(
+    "events_rollup_user_erasure",
+    oracle=f"""
+    WITH remaining AS (SELECT * FROM events WHERE {_REMAINING_SQL}),
+    m AS (
+      SELECT date_trunc('minute', ts) AS bucket, event_type,
+             COUNT(*) AS n,
+             COALESCE(SUM(CAST(value AS DECIMAL(12,2))), 0) AS s
+      FROM remaining GROUP BY 1, 2),
+    h AS (
+      SELECT date_trunc('hour', ts) AS bucket, event_type,
+             COUNT(*) AS n,
+             COALESCE(SUM(CAST(value AS DECIMAL(12,2))), 0) AS s
+      FROM remaining GROUP BY 1, 2),
+    d AS (
+      SELECT date_trunc('day', ts) AS bucket, event_type,
+             COUNT(*) AS n,
+             COALESCE(SUM(CAST(value AS DECIMAL(12,2))), 0) AS s
+      FROM remaining GROUP BY 1, 2)
+    SELECT 'minute' AS tier, bucket, event_type,
+           CAST(n AS BIGINT) AS n_events, CAST(s AS DOUBLE) AS total_value
+    FROM m
+    UNION ALL
+    SELECT 'hour', bucket, event_type, CAST(n AS BIGINT), CAST(s AS DOUBLE)
+    FROM h
+    UNION ALL
+    SELECT 'day', bucket, event_type, CAST(n AS BIGINT), CAST(s AS DOUBLE)
+    FROM d
+    """,
+    tags=("time", "rollup", "hypertable", "erasure", "gdpr", "north-star"),
+)
+def events_rollup_user_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten with CONTINUOUS-AGGREGATE REPAIR, additive
+    family: erase a deterministic user set (user_id % 7 = 3) and repair
+    the minute/hour/day rollup by the ADDITIVE INVERSE — the erased
+    rows' per-minute partials are negated and merged into ONLY the
+    buckets they touch (`rollup_erasure_repair`); coarse tiers
+    re-derive for touched buckets and carry otherwise. The oracle
+    computes every tier DIRECTLY from the remaining rows in DuckDB, so
+    a hash-green row proves subtract-repair ≡ rebuild-without-them —
+    deletion served by state math, raw never re-read.
+
+    The value total uses the COALESCED convention (sum of non-null
+    values, 0 when none): unlike plain SUM, that total has an inverse
+    for every geometry — see `_erasure_sum_merge`. The harness builds
+    the pre-erasure state in-query (one raw pass); in production the
+    state already exists and only the erased rows (user-indexed) are
+    read. Erasure-set choice: ~1/7 of users, so the driver-SF gate
+    exercises dense touching; the decade probe erases a handful of
+    users to demonstrate the state-proportional repair cost."""
+    e = _events(spark, sf_dir).select("ts", "event_type", "value", "user_id")
+    rows = e.select(
+        F.date_trunc("minute", F.col("ts")).alias("bucket"),
+        "event_type",
+        F.lit(1).cast("long").alias("n_events"),
+        F.coalesce(
+            F.col("value").cast("decimal(12,2)").cast(_ERASURE_DEC),
+            F.lit(0).cast(_ERASURE_DEC),
+        ).alias("s"),
+        _erased_col().alias("_erased"),
+    )
+    # pre-erasure state: minute from raw (the fan-out relation —
+    # bounded, one row per (bucket, type)), hour/day derived from it
+    m = _erasure_sum_merge(rows.drop("_erased"), "minute").localCheckpoint(
+        eager=True
+    )
+    prev = {"minute": m}
+    prev["hour"] = _erasure_sum_merge(m, "hour")
+    prev["day"] = _erasure_sum_merge(prev["hour"], "day")
+    # the erased rows' negated minute partials (second raw pass — the
+    # pass a user-keyed index serves at scale), bounded output
+    neg = _erasure_sum_merge(rows.filter(F.col("_erased")), "minute").select(
+        "bucket",
+        "event_type",
+        (-F.col("n_events")).cast("long").alias("n_events"),
+        (-F.col("s")).cast(_ERASURE_DEC).alias("s"),
+    )
+    tiers = rollup_erasure_repair(
+        prev,
+        neg,
+        materialize=lambda name, df: (
+            df.localCheckpoint(eager=True) if name == "minute" else df
+        ),
+    )
+    return multires_tiered_union(
+        tiers["minute"], tiers["hour"], tiers["day"]
+    )
+
+
+@register(
+    "events_distinct_user_erasure",
+    oracle=f"""
+    WITH remaining AS (
+      SELECT * FROM events
+      WHERE user_id IS NOT NULL AND user_id % 7 <> 3),
+    hm AS (
+      SELECT DISTINCT date_trunc('minute', ts) AS bucket,
+             ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM remaining),
+    hh AS (
+      SELECT DISTINCT date_trunc('hour', ts) AS bucket,
+             ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM remaining),
+    hd AS (
+      SELECT DISTINCT date_trunc('day', ts) AS bucket,
+             ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM remaining),
+    km AS (SELECT bucket, MAX(h) AS kth_hash, CAST(COUNT(*) AS BIGINT) AS m
+           FROM (SELECT bucket, h,
+                        ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY h) AS rn
+                 FROM hm) WHERE rn <= 64 GROUP BY bucket),
+    kh AS (SELECT bucket, MAX(h) AS kth_hash, CAST(COUNT(*) AS BIGINT) AS m
+           FROM (SELECT bucket, h,
+                        ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY h) AS rn
+                 FROM hh) WHERE rn <= 64 GROUP BY bucket),
+    kd AS (SELECT bucket, MAX(h) AS kth_hash, CAST(COUNT(*) AS BIGINT) AS m
+           FROM (SELECT bucket, h,
+                        ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY h) AS rn
+                 FROM hd) WHERE rn <= 64 GROUP BY bucket),
+    allt AS (
+      SELECT 'minute' AS tier, * FROM km
+      UNION ALL SELECT 'hour', * FROM kh
+      UNION ALL SELECT 'day', * FROM kd)
+    SELECT tier, bucket, kth_hash, m,
+           CASE WHEN m < 64 THEN CAST(m AS DOUBLE)
+                ELSE 63 * CAST(1152921504606846976 AS DOUBLE)
+                     / CAST(kth_hash AS DOUBLE) END AS est_distinct
+    FROM allt
+    """,
+    tags=("time", "rollup", "hypertable", "sketch", "erasure", "gdpr",
+          "north-star"),
+)
+def events_distinct_user_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten for the NON-additive rollup — the
+    mergeability asymmetry made concrete: KMV has NO inverse (removing
+    an erased user's hash cannot resurrect the hashes it evicted from
+    the K-set), so unlike the additive twin
+    (`events_rollup_user_erasure`, pure state math over the erased
+    rows), the sketch repair must RE-DERIVE every touched minute from
+    the REMAINING raw rows in that minute — still bounded by the
+    erased users' bucket footprint (a time-partitioned scan at 100 TB),
+    never the corpus — then merge touched hours/days up from the
+    repaired minute arrays by the usual law, carrying everything
+    untouched. The oracle builds each tier's sketch directly from the
+    remaining rows, so hash-green proves repair ≡ rebuild-without-them
+    at all three resolutions.
+
+    Measured at the decade (SCALING.md r14): the additive subtract-
+    repair is state-proportional; this one adds the touched-minute
+    remaining-raw pass — the price of non-invertibility, and the
+    reason erasure-heavy deployments favor invertible aggregates or
+    per-user sub-sketches."""
+    e = _events(spark, sf_dir).select("ts", "user_id")
+    # pre-erasure sketch state (one raw pass; exists already in prod)
+    prev_m = kmv_k_smallest(kmv_minute_pairs(e)).localCheckpoint(eager=True)
+    tiers = sketch_erasure_repair(e, prev_m, _erased_col())
+    return (
+        kmv_bucket_stats(tiers["minute"], "minute")
+        .unionByName(kmv_bucket_stats(tiers["hour"], "hour"))
+        .unionByName(kmv_bucket_stats(tiers["day"], "day"))
+    )
+
+
+def sketch_erasure_repair(
+    e: DataFrame,
+    prev_m: DataFrame,
+    erased: "F.Column",
+    erased_rows: DataFrame | None = None,
+) -> dict[str, DataFrame]:
+    """The sketch-family erasure repair (shared with
+    ``tools/erasure_probe.py`` so the probe measures the registered
+    shape by construction): re-derive the erased users' touched minutes
+    from REMAINING raw in those buckets, carry the rest, merge touched
+    hours/days up from the repaired minute arrays. ``prev_m`` is the
+    pre-erasure minute sketch (callers materialize it — it is the
+    carried relation AND the source of the carried coarse tiers).
+
+    The repair trigger is EXACT sketch membership, not mere activity:
+    a minute's K-array changes only if an erased user's hash IS one of
+    its members — a non-member sits below the kth cut, so removing it
+    cannot alter the K smallest (and under fill, the array holds ALL
+    distinct hashes, so membership is still the exact test; a colliding
+    surviving user makes the re-derivation a no-op, which is correct,
+    never wrong). At 2.5k distinct users per minute that prunes the
+    re-derive set ~40x below the raw activity footprint (P(hash in
+    top-64) ~= 64/2500), and with it the touched-partition scan a
+    time-partitioned layout would pay."""
+    # the erased users' hashes per active minute — served from a
+    # user-keyed index when the caller has one (``erased_rows``; the
+    # probe stages it, a deployment keeps it), else a filtered scan —
+    # kept only where they are sketch MEMBERS
+    erased_pairs = kmv_minute_pairs(
+        erased_rows if erased_rows is not None else e.filter(erased)
+    )
+    touched = (
+        erased_pairs.alias("p")
+        .join(
+            prev_m.alias("s"),
+            F.col("p.bucket").eqNullSafe(F.col("s.bucket")),
+            "inner",
+        )
+        .filter(F.array_contains(F.col("s.hashes"), F.col("p.h")))
+        .select(F.col("p.bucket").alias("bucket"))
+        .distinct()
+    )
+    t = F.broadcast(touched.select(F.col("bucket").alias("_tb")))
+    # re-derive touched minutes from REMAINING rows in those buckets
+    remaining_touched = e.filter(~erased).join(
+        t,
+        F.date_trunc("minute", F.col("ts")).eqNullSafe(F.col("_tb")),
+        "left_semi",
+    )
+    rederived = kmv_k_smallest(kmv_minute_pairs(remaining_touched))
+    carried_m = prev_m.join(
+        t, F.col("bucket").eqNullSafe(F.col("_tb")), "left_anti"
+    )
+    m2 = carried_m.unionByName(rederived).localCheckpoint(eager=True)
+    # coarse tiers: carry untouched, merge touched up from repaired m2
+    tiers = {"minute": m2}
+    prev_c, finer, touched_c = prev_m, m2, touched
+    for unit in ("hour", "day"):
+        prev_c = kmv_merge_up(prev_c, unit)
+        touched_c = touched_c.select(
+            F.date_trunc(unit, F.col("bucket")).alias("bucket")
+        ).distinct()
+        t = F.broadcast(touched_c.select(F.col("bucket").alias("_tb")))
+        derived = kmv_merge_up(
+            finer.join(
+                t,
+                F.date_trunc(unit, F.col("bucket")).eqNullSafe(F.col("_tb")),
+                "left_semi",
+            ),
+            unit,
+        )
+        carried = prev_c.join(
+            t, F.col("bucket").eqNullSafe(F.col("_tb")), "left_anti"
+        )
+        tiers[unit] = carried.unionByName(derived)
+        finer = tiers[unit]
+    return tiers

@@ -75,6 +75,8 @@ _HEAD: tuple[str, ...] = (
     "session_overlap_topk",
     "events_multires_distinct_incremental",
     "events_multires_distinct_realtime",
+    "events_rollup_user_erasure",
+    "events_distinct_user_erasure",
     "user_running_stats",
     "local_supplier_revenue",
     "quantity_band_stats",
@@ -116,10 +118,10 @@ _HEAD: tuple[str, ...] = (
     "bloom_filter_prune",
     "user_state_scd2",
     "kmv_set_ops",
-    "embedding_random_projection",
-    "text_feature_hashing",
 )
 _TAIL: tuple[str, ...] = (
+    "embedding_random_projection",
+    "text_feature_hashing",
     "ngram_containment_pairs",
     "lang_id_confusion",
     "media_phash_dedup",
@@ -222,6 +224,7 @@ _TAIL: tuple[str, ...] = (
     "priority_segment_union",
     "active_buildings_semi",
 )
+
 
 
 

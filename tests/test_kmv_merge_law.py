@@ -253,3 +253,59 @@ def test_kmv_k_smallest_salted_rank_matches_naive(spark):
             for r in kmv_k_smallest(pairs, salt=salt).collect()
         }
         assert got == expected, salt
+
+
+def test_sketch_erasure_membership_trigger(spark):
+    """The erasure repair's EXACT pruning claim (r14): a minute's sketch
+    is re-derived ONLY when an erased user's hash is a member of its
+    K-array. Pins both directions on a bucket with > K distinct users:
+    erasing the LARGEST-hash user (never a member) must leave every
+    tier's sketch byte-identical to the pre-erasure state AND to the
+    rebuild-without-them (they sit below the cut either way); erasing
+    the SMALLEST-hash user (always a member) must change the sketch and
+    land exactly on the rebuild."""
+    import datetime
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from imdb_mapreduce_spark.plans.events import (
+        kmv_k_smallest,
+        kmv_minute_pairs,
+        sketch_erasure_repair,
+    )
+
+    def h(uid: int) -> int:
+        return int(hashlib.md5(str(uid).encode()).hexdigest()[:15], 16)
+
+    users = list(range(200, 200 + KMV_K + 6))  # > K distinct in one bucket
+    ts = datetime.datetime(2026, 9, 1, 10, 0, 30)
+    e = spark.createDataFrame(
+        [(ts, u) for u in users], "ts timestamp, user_id bigint"
+    )
+    prev_m = kmv_k_smallest(kmv_minute_pairs(e)).localCheckpoint(eager=True)
+
+    def snap(tiers):
+        return {
+            u: sorted((r["bucket"], tuple(r["hashes"])) for r in df.collect())
+            for u, df in tiers.items()
+        }
+
+    def rebuild(pred):
+        m = kmv_k_smallest(kmv_minute_pairs(e.filter(~pred)))
+        from imdb_mapreduce_spark.plans.events import kmv_merge_up
+
+        hh = kmv_merge_up(m, "hour")
+        return {"minute": m, "hour": hh, "day": kmv_merge_up(hh, "day")}
+
+    by_hash = sorted(users, key=h)
+    largest, smallest = by_hash[-1], by_hash[0]
+
+    for uid, changes in ((largest, False), (smallest, True)):
+        pred = F.col("user_id") == uid
+        rep = snap(sketch_erasure_repair(e, prev_m, pred))
+        assert rep == snap(rebuild(pred)), uid
+        prev_snap = sorted(
+            (r["bucket"], tuple(r["hashes"])) for r in prev_m.collect()
+        )
+        assert (rep["minute"] != prev_snap) == changes, uid

@@ -73,6 +73,15 @@ INVENTORY: dict[tuple[str, str, str], tuple[int, str]] = {
     # corpus-, proportional).
     ("plans/events.py", "events_multires_distinct_rollup",
      "localCheckpoint"): (1, "bounded-relation"),
+    # r14: erasure repair — pre-erasure minute state + the repaired
+    # minute (via the repair's materializer lambda); both one row per
+    # (bucket[, type]), time-horizon-proportional.
+    ("plans/events.py", "events_rollup_user_erasure",
+     "localCheckpoint"): (2, "bounded-relation"),
+    ("plans/events.py", "events_distinct_user_erasure",
+     "localCheckpoint"): (1, "bounded-relation"),
+    ("plans/events.py", "sketch_erasure_repair",
+     "localCheckpoint"): (1, "bounded-relation"),
     ("pipeline/similarity.py", "semdedup_clusters", "localCheckpoint"):
         (1, "contract-documented"),
     ("pipeline/similarity.py", "semdedup_eval_metrics", "localCheckpoint"):

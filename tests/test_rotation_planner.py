@@ -70,6 +70,8 @@ R14_HEAD = (
     "session_overlap_topk",
     "events_multires_distinct_incremental",
     "events_multires_distinct_realtime",
+    "events_rollup_user_erasure",
+    "events_distinct_user_erasure",
     "user_running_stats",
     "local_supplier_revenue",
     "quantity_band_stats",
@@ -111,8 +113,6 @@ R14_HEAD = (
     "bloom_filter_prune",
     "user_state_scd2",
     "kmv_set_ops",
-    "embedding_random_projection",
-    "text_feature_hashing",
 )
 
 
