@@ -131,6 +131,11 @@ HEADLINE = (
     # added r14 mid-round with the query: the sketch family's realtime
     # read (same per-read fold convention as its additive twin above)
     "events_multires_distinct_realtime",
+    # added r14: the erasure-repair pair — subtract-repair (additive
+    # inverse) and membership-triggered sketch re-derivation; tracked so
+    # the repair paths' cost stays perf-visible round over round
+    "events_rollup_user_erasure",
+    "events_distinct_user_erasure",
 )
 
 
