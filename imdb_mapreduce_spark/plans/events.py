@@ -1271,6 +1271,18 @@ def kmv_minute_pairs(e: DataFrame) -> DataFrame:
     )
 
 
+# Max salt width whose level-2 merge may collect in ONE task: the
+# collect holds ≤ fan-in·K longs per bucket (4096·64 = 256Ki ≈ 2 MB) —
+# comfortably one-task-sized on any executor. Above it, `kmv_k_smallest`
+# folds through one extra salted rank at this width instead of letting
+# the single-task collect grow linearly with the session's derived salt
+# (= 32× shuffle partitions — ADVICE r14). Output-invariant by the KMV
+# merge law; the extra exchange only exists on sessions whose partition
+# count exceeds 128, i.e. real clusters, where it is noise next to the
+# skew it removes.
+_KMV_L2_FANIN = 4096
+
+
 def kmv_k_smallest(pairs: DataFrame, salt: int | None = None) -> DataFrame:
     """(bucket, h) pairs → one row per bucket with the sorted K-smallest
     hash array. TWO-LEVEL by the KMV merge law (VERDICT r13), so no
@@ -1339,6 +1351,24 @@ def kmv_k_smallest(pairs: DataFrame, salt: int | None = None) -> DataFrame:
     lvl1 = deduped.withColumn("_rn", F.row_number().over(w)).filter(
         F.col("_rn") <= KMV_K
     )
+    if S > _KMV_L2_FANIN:
+        # The level-2 collect below holds ≤ salt·K elements of one bucket
+        # in ONE aggregation task — bounded, but with the session-derived
+        # salt it GROWS with cluster size (salt = 32× shuffle partitions,
+        # so a 2000-partition cluster's mega-crowd bucket would collect
+        # ~4.1M longs in a single task; ADVICE r14). When the salt
+        # exceeds the fan-in cap, fold through ONE more salted rank at
+        # the cap width instead: the survivors re-enter this same
+        # function as (bucket, h) pairs (already distinct — the salt is
+        # a function of h, so no hash ever survives in two salt groups;
+        # the dedup pass is then a streaming no-op riding the sort) and
+        # the recursive call's S = the constant cap hits the collect
+        # branch, bounding every level-2 task at ≤ cap·K elements
+        # regardless of cluster size. Output is IDENTICAL by the KMV
+        # merge law (any global top-K hash is top-K in its own salt
+        # group) — the same law that makes the salt width itself
+        # output-invariant — pinned by `test_kmv_rank_recursive_merge`.
+        return kmv_k_smallest(lvl1.select("bucket", "h"), salt=_KMV_L2_FANIN)
     return (
         lvl1.groupBy("bucket")
         .agg(F.slice(F.sort_array(F.collect_list("h")), 1, KMV_K).alias("hashes"))

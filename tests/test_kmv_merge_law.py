@@ -255,6 +255,51 @@ def test_kmv_k_smallest_salted_rank_matches_naive(spark):
         assert got == expected, salt
 
 
+def test_kmv_rank_recursive_merge(spark):
+    """ADVICE r14: above the fan-in cap the level-2 merge must NOT be a
+    single collect of salt·K elements — `kmv_k_smallest` folds through
+    one more salted rank at `_KMV_L2_FANIN` width. Pins (a) that the
+    recursive branch structurally engages above the cap (a second
+    window pass appears in the plan) and not below it, and (b) that the
+    output is byte-identical to the non-recursive small-salt rank — the
+    KMV merge law's output-invariance, now across the recursion
+    boundary too."""
+    import io
+    import random
+    from contextlib import redirect_stdout
+
+    from imdb_mapreduce_spark.plans.events import (
+        _KMV_L2_FANIN,
+        kmv_k_smallest,
+    )
+
+    rng = random.Random(15)
+    hs = rng.sample(range(1, 1 << 40), 5 * KMV_K + 3)
+    pairs = spark.createDataFrame(
+        [(1, h) for h in hs + hs[: KMV_K]], "bucket int, h long"
+    ).repartition(5)
+    expected = {1: sorted(set(hs))[:KMV_K]}
+
+    def plan(df) -> str:
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    flat = kmv_k_smallest(pairs, salt=_KMV_L2_FANIN)
+    deep = kmv_k_smallest(pairs, salt=4 * _KMV_L2_FANIN)
+    # the rank window runs once per level — the per-level count of
+    # row_number mentions in the formatted plan is renderer-dependent
+    # (node line + detail line), so pin the RATIO: the recursive path
+    # must show exactly twice the flat path's rank windows
+    n_flat = plan(flat).count("row_number")
+    n_deep = plan(deep).count("row_number")
+    assert n_flat >= 1 and n_deep == 2 * n_flat, (n_flat, n_deep)
+    for df in (flat, deep):
+        got = {r["bucket"]: list(r["hashes"]) for r in df.collect()}
+        assert got == expected
+
+
 def test_sketch_erasure_membership_trigger(spark):
     """The erasure repair's EXACT pruning claim (r14): a minute's sketch
     is re-derived ONLY when an erased user's hash is a member of its

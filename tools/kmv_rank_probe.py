@@ -115,9 +115,15 @@ def main() -> None:
     pairs = spark.read.parquet(pairs_path)
 
     out: dict[str, object] = {"crowd": crowd, "bg": bg, "kmv_k": KMV_K}
+    # salt_64k = the width a 2048-partition cluster's derivation picks
+    # (32× partitions): r15's recursion cell — ABOVE `_KMV_L2_FANIN`,
+    # so level 2 folds through one more salted rank instead of
+    # collecting salt·K (= 4.2M) longs of the crowd bucket in one task
+    # (ADVICE r14). Same fingerprint by the merge law.
     shapes = {
         "window_rank_r13": window_rank_k_smallest,
         "two_level_merge_r14": kmv_k_smallest,
+        "salt_64k_recursive_r15": lambda p: kmv_k_smallest(p, salt=65536),
     }
     sigs = {}
     for name, fn in shapes.items():
@@ -125,6 +131,7 @@ def main() -> None:
         sigs[name] = fingerprint(full_tier(pairs, fn))
         out[f"{name}_sec"] = round(time.monotonic() - t0, 2)
     assert sigs["window_rank_r13"] == sigs["two_level_merge_r14"], sigs
+    assert sigs["salt_64k_recursive_r15"] == sigs["two_level_merge_r14"], sigs
     out["fingerprint"] = sigs["two_level_merge_r14"]
     print(json.dumps(out))
 
