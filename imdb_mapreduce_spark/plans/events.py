@@ -1501,9 +1501,12 @@ def rollup_erasure_repair(
     return tiers
 
 
-@register(
-    "events_rollup_user_erasure",
-    oracle=f"""
+# Shared by `events_rollup_user_erasure` (batch repair) and the r15
+# `events_rollup_erasure_incremental` (erasure folded through the
+# versioned foreachBatch scaffold, streaming/jobs.py): the oracle
+# rebuilds every tier DIRECTLY from the remaining rows, so hash-green
+# proves repair ≡ rebuild-without-them for both harnesses.
+ROLLUP_ERASURE_ORACLE = f"""
     WITH remaining AS (SELECT * FROM events WHERE {_REMAINING_SQL}),
     m AS (
       SELECT date_trunc('minute', ts) AS bucket, event_type,
@@ -1529,7 +1532,12 @@ def rollup_erasure_repair(
     UNION ALL
     SELECT 'day', bucket, event_type, CAST(n AS BIGINT), CAST(s AS DOUBLE)
     FROM d
-    """,
+    """
+
+
+@register(
+    "events_rollup_user_erasure",
+    oracle=ROLLUP_ERASURE_ORACLE,
     tags=("time", "rollup", "hypertable", "erasure", "gdpr", "north-star"),
 )
 def events_rollup_user_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1590,9 +1598,42 @@ def events_rollup_user_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "events_distinct_user_erasure",
-    oracle=f"""
+def erasure_minute_partials(e: DataFrame, negate: bool = False) -> DataFrame:
+    """Per-minute coalesced-total partials of ``e`` — the erased-rows
+    relation a user-keyed index serves at scale. ``negate=True`` yields
+    the ADDITIVE INVERSE rows `rollup_erasure_repair` consumes; the
+    construction mirrors `events_rollup_user_erasure`'s inline rows
+    projection exactly (per-row coalesce, so totals form a group) and
+    is shared with the r15 incremental-erasure fold
+    (`streaming/jobs.events_rollup_erasure_incremental`) so both
+    harnesses repair with the identical relation shape."""
+    agg = _erasure_sum_merge(
+        e.select(
+            F.date_trunc("minute", F.col("ts")).alias("bucket"),
+            "event_type",
+            F.lit(1).cast("long").alias("n_events"),
+            F.coalesce(
+                F.col("value").cast("decimal(12,2)").cast(_ERASURE_DEC),
+                F.lit(0).cast(_ERASURE_DEC),
+            ).alias("s"),
+        ),
+        "minute",
+    )
+    if not negate:
+        return agg
+    return agg.select(
+        "bucket",
+        "event_type",
+        (-F.col("n_events")).cast("long").alias("n_events"),
+        (-F.col("s")).cast(_ERASURE_DEC).alias("s"),
+    )
+
+
+# Shared by `events_distinct_user_erasure` (batch repair) and the r15
+# `events_distinct_erasure_incremental` (erasure folded through the
+# versioned sketch state, streaming/jobs.py): the oracle builds each
+# tier's KMV sketch DIRECTLY from the remaining rows.
+DISTINCT_ERASURE_ORACLE = f"""
     WITH remaining AS (
       SELECT * FROM events
       WHERE user_id IS NOT NULL AND user_id % 7 <> 3),
@@ -1629,7 +1670,12 @@ def events_rollup_user_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE 63 * CAST(1152921504606846976 AS DOUBLE)
                      / CAST(kth_hash AS DOUBLE) END AS est_distinct
     FROM allt
-    """,
+    """
+
+
+@register(
+    "events_distinct_user_erasure",
+    oracle=DISTINCT_ERASURE_ORACLE,
     tags=("time", "rollup", "hypertable", "sketch", "erasure", "gdpr",
           "north-star"),
 )
@@ -1669,6 +1715,7 @@ def sketch_erasure_repair(
     prev_m: DataFrame,
     erased: "F.Column",
     erased_rows: DataFrame | None = None,
+    prev_coarse: "dict[str, DataFrame] | None" = None,
 ) -> dict[str, DataFrame]:
     """The sketch-family erasure repair (shared with
     ``tools/erasure_probe.py`` so the probe measures the registered
@@ -1676,7 +1723,9 @@ def sketch_erasure_repair(
     from REMAINING raw in those buckets, carry the rest, merge touched
     hours/days up from the repaired minute arrays. ``prev_m`` is the
     pre-erasure minute sketch (callers materialize it — it is the
-    carried relation AND the source of the carried coarse tiers).
+    carried relation AND, unless ``prev_coarse`` supplies maintained
+    hour/day state (the r15 incremental fold), the source of the
+    carried coarse tiers).
 
     The repair trigger is EXACT sketch membership, not mere activity:
     a minute's K-array changes only if an erased user's hash IS one of
@@ -1722,7 +1771,14 @@ def sketch_erasure_repair(
     tiers = {"minute": m2}
     prev_c, finer, touched_c = prev_m, m2, touched
     for unit in ("hour", "day"):
-        prev_c = kmv_merge_up(prev_c, unit)
+        # the carried coarse tier: when the caller maintains versioned
+        # coarse state (the r15 incremental fold), use it directly —
+        # identical to re-merging prev_m up by the law the oracle
+        # certifies, minus the recompute
+        prev_c = (
+            prev_coarse[unit] if prev_coarse is not None
+            else kmv_merge_up(prev_c, unit)
+        )
         touched_c = touched_c.select(
             F.date_trunc(unit, F.col("bucket")).alias("bucket")
         ).distinct()

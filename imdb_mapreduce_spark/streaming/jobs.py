@@ -36,12 +36,18 @@ from pyspark.sql.types import (
 
 from imdb_mapreduce_spark.functions.columns import epoch_us
 from imdb_mapreduce_spark.plans.events import (
+    DISTINCT_ERASURE_ORACLE,
     MULTIRES_DISTINCT_ORACLE,
     MULTIRES_ROLLUP_ORACLE,
+    ROLLUP_ERASURE_ORACLE,
+    _erased_col,
+    erasure_minute_partials,
     kmv_bucket_stats,
     kmv_k_smallest,
     kmv_merge_up,
     kmv_minute_pairs,
+    rollup_erasure_repair,
+    sketch_erasure_repair,
 )
 from imdb_mapreduce_spark.plans.registry import register
 from imdb_mapreduce_spark.sources.star import ensure_nanos_as_long
@@ -850,6 +856,7 @@ def multires_merge_batch(
     batch_df: DataFrame,
     prev: dict[str, DataFrame] | None,
     materialize: "Callable[[str, DataFrame], DataFrame] | None" = None,
+    coalesce_values: bool = False,
 ) -> dict[str, DataFrame]:
     """One incremental-refresh step of the hypertable-style cascade
     (`plans/events.events_multires_rollup` is the batch rebuild whose
@@ -895,12 +902,20 @@ def multires_merge_batch(
     (tools/multires_refresh_probe.py, SCALING.md r13).
     """
     mat = materialize or (lambda _name, df: df)
+    sval = F.col("value").cast("decimal(12,2)").cast(_MULTIRES_DEC)
+    if coalesce_values:
+        # the COALESCED-total convention (a NULL value contributes 0, so
+        # totals form a GROUP — have additive inverses): required when
+        # this state will later be REPAIRED by `rollup_erasure_repair`
+        # (the r15 incremental-erasure fold); matches the erasure
+        # oracle's COALESCE(SUM(...), 0)
+        sval = F.coalesce(sval, F.lit(0).cast(_MULTIRES_DEC))
     mb = (
         batch_df.select(
             F.date_trunc("minute", F.col("ts")).alias("bucket"),
             "event_type",
             F.lit(1).cast("long").alias("n_events"),
-            F.col("value").cast("decimal(12,2)").cast(_MULTIRES_DEC).alias("s"),
+            sval.alias("s"),
         )
     )
     mb = mat("partials", _multires_sum_merge(mb, "minute"))
@@ -1072,6 +1087,41 @@ def multires_fold_version(
     return tiers
 
 
+def latest_committed_state(
+    spark: SparkSession, state_root: str
+) -> "tuple[int, dict[str, DataFrame]] | None":
+    """(version, {tier: DataFrame}) of the newest COMMITTED version under
+    ``state_root``, or ``None`` when nothing ever committed. Only
+    ``v<digits>`` DIRECTORIES bearing the ``_COMMIT`` marker count — a
+    stray file or editor artifact matching the glob must not make the
+    listing raise (ADVICE r13). Shared by the drain's post-run read and
+    the r15 erasure fold (which needs the predecessor version number to
+    slot its repair into the same lineage)."""
+    import glob as _glob
+    import os
+    import re as _re
+
+    committed = sorted(
+        (
+            p
+            for p in _glob.glob(os.path.join(state_root, "v*"))
+            if _re.fullmatch(r"v\d+", os.path.basename(p))
+            and os.path.isdir(p)
+            and os.path.exists(os.path.join(p, "_COMMIT"))
+        ),
+        key=lambda p: int(os.path.basename(p)[1:]),
+    )
+    if not committed:
+        return None
+    return (
+        int(os.path.basename(committed[-1])[1:]),
+        {
+            tier: spark.read.parquet(os.path.join(committed[-1], tier))
+            for tier in _MULTIRES_TIERS
+        },
+    )
+
+
 def incremental_multires_drain(
     spark: SparkSession,
     src: str,
@@ -1079,6 +1129,7 @@ def incremental_multires_drain(
     state_root: str,
     ckpt: str,
     merge_fn: "Callable[..., dict[str, DataFrame]] | None" = None,
+    version_offset: int = 0,
 ) -> dict[str, DataFrame] | None:
     """Drain every unprocessed file under ``src`` (one micro-batch per
     file, availableNow) through :func:`multires_merge_batch`, maintaining
@@ -1093,33 +1144,36 @@ def incremental_multires_drain(
     numbering from the checkpoint and state from the last committed
     version (the restart drill pins this). Returns the latest committed
     {tier: DataFrame} state, or ``None`` if no batch ever committed."""
-    import glob as _glob
     import os
-    import re as _re
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
-        prev_dir = os.path.join(state_root, f"v{batch_id - 1}")
+        # ``version_offset`` shifts batch→version mapping when a
+        # non-batch version sits in the lineage (the r15 erasure fold
+        # occupies one version slot between two drains of the SAME
+        # checkpoint): batch n reads v(n+offset-1), writes v(n+offset).
+        v = batch_id + version_offset
+        prev_dir = os.path.join(state_root, f"v{v - 1}")
         prev = None
         if os.path.exists(os.path.join(prev_dir, "_COMMIT")):
             prev = {
                 tier: spark.read.parquet(os.path.join(prev_dir, tier))
                 for tier in _MULTIRES_TIERS
             }
-        elif batch_id > 0:
+        elif v > 0:
             # By the foreachBatch contract, batch n > 0 only runs after
             # batch n-1 committed — the ONLY legitimate empty-prev is
-            # batch 0. A missing v(n-1)/_COMMIT here means state_root is
-            # out of sync with the checkpoint (lost / cleaned / wrong
-            # path); silently rebuilding from just this batch's files
-            # would return a wrong "latest committed" state with all
-            # prior data dropped. Fail loud instead (ADVICE r13).
+            # version 0. A missing v(n-1)/_COMMIT here means state_root
+            # is out of sync with the checkpoint (lost / cleaned / wrong
+            # path / wrong offset); silently rebuilding from just this
+            # batch's files would return a wrong "latest committed"
+            # state with all prior data dropped. Fail loud (ADVICE r13).
             raise RuntimeError(
                 f"incremental_multires_drain: state_root {state_root!r} is"
                 f" out of sync with checkpoint {ckpt!r}: batch {batch_id}"
                 f" found no committed predecessor at {prev_dir!r}"
             )
         multires_fold_version(
-            spark, state_root, batch_id, batch_df, prev, merge_fn=merge_fn
+            spark, state_root, v, batch_df, prev, merge_fn=merge_fn
         )
 
     stream = (
@@ -1134,26 +1188,8 @@ def incremental_multires_drain(
         .start()
     )
     q.awaitTermination()
-    # Only v<digits> DIRECTORIES are state versions — a stray file or
-    # editor artifact matching the v* glob (e.g. "vXtmp") must not make
-    # the post-drain listing raise after the stream already ran
-    # (ADVICE r13).
-    committed = sorted(
-        (
-            p
-            for p in _glob.glob(os.path.join(state_root, "v*"))
-            if _re.fullmatch(r"v\d+", os.path.basename(p))
-            and os.path.isdir(p)
-            and os.path.exists(os.path.join(p, "_COMMIT"))
-        ),
-        key=lambda p: int(os.path.basename(p)[1:]),
-    )
-    if not committed:
-        return None
-    return {
-        tier: spark.read.parquet(os.path.join(committed[-1], tier))
-        for tier in _MULTIRES_TIERS
-    }
+    latest = latest_committed_state(spark, state_root)
+    return None if latest is None else latest[1]
 
 
 @register(
@@ -1272,6 +1308,258 @@ def events_multires_distinct_incremental(
             kmv_bucket_stats(state["minute"], "minute")
             .unionByName(kmv_bucket_stats(state["hour"], "hour"))
             .unionByName(kmv_bucket_stats(state["day"], "day"))
+        )
+        # Materialize before the tempdir vanishes (bounded: one row per
+        # bucket — time-horizon-, not corpus-, proportional).
+        return out.localCheckpoint(eager=True)
+
+
+# ---------------------------------------------------------------------------
+# Erasure folded through the versioned incremental state (r15,
+# VERDICT r14 item 3): right-to-be-forgotten as a VERSION STEP in the
+# same exactly-once lineage the per-batch folds use, then ordinary
+# batches keep folding on top of the repaired state.
+# ---------------------------------------------------------------------------
+
+
+def rollup_erasure_fold_merge(
+    neg: DataFrame,
+    prev: dict[str, DataFrame] | None,
+    materialize: "Callable[[str, DataFrame], DataFrame] | None" = None,
+) -> dict[str, DataFrame]:
+    """`rollup_erasure_repair` shaped to the versioned fold's merge_fn
+    contract (`multires_fold_version`): the "batch" is the erased rows'
+    NEGATED minute partials (`erasure_minute_partials(..., negate=True)`)
+    — state math, raw never read. An erasure with no prior state is a
+    caller bug, not an empty-state bootstrap."""
+    if prev is None:
+        raise ValueError(
+            "erasure fold requires a committed predecessor version"
+        )
+    return rollup_erasure_repair(prev, neg, materialize)
+
+
+def sketch_erasure_fold_merge(
+    raw_so_far: DataFrame,
+    prev: dict[str, DataFrame] | None,
+    materialize: "Callable[[str, DataFrame], DataFrame] | None" = None,
+) -> dict[str, DataFrame]:
+    """`sketch_erasure_repair` shaped to the versioned fold's merge_fn
+    contract: KMV has no inverse, so the "batch" is the RAW rows
+    received so far (a time-partitioned scan at 100 TB — the
+    mergeability asymmetry, SCALING.md r14); touched minutes re-derive
+    from its remaining rows under the exact membership trigger, and the
+    maintained hour/day state carries via ``prev_coarse`` instead of
+    being re-merged from the minute tier."""
+    if prev is None:
+        raise ValueError(
+            "erasure fold requires a committed predecessor version"
+        )
+    mat = materialize or (lambda _name, df: df)
+    tiers = sketch_erasure_repair(
+        raw_so_far, prev["minute"], _erased_col(), prev_coarse=prev
+    )
+    return {u: mat(u, tiers[u]) for u in _MULTIRES_TIERS}
+
+
+def _stage_ts_slices(events: DataFrame, d: str) -> "tuple[str, list[str]]":
+    """Write ``events`` as four contiguous ts-range parquet slices (the
+    realistic arrival order for a rollup feed) under a staging dir and
+    return (src_dir, ordered slice paths). Slices are DELIVERED to src
+    in two halves around the erasure step; mtimes are pinned ascending
+    so the file source's oldest-first ordering is deterministic."""
+    import glob as _glob
+    import os
+
+    stage = os.path.join(d, "stage")
+    events.repartitionByRange(4, "ts").write.parquet(stage)
+    files = sorted(_glob.glob(os.path.join(stage, "part-*")))
+    src = os.path.join(d, "src")
+    os.makedirs(src)
+    return src, files
+
+
+def _deliver(src: str, files: "list[str]", start: int) -> None:
+    import os
+    import shutil
+
+    for i, f in enumerate(files, start=start):
+        dst = os.path.join(src, os.path.basename(f))
+        shutil.copy(f, dst)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+
+
+@register(
+    "events_rollup_erasure_incremental",
+    oracle=ROLLUP_ERASURE_ORACLE,
+    tags=("streaming", "rollup", "hypertable", "erasure", "gdpr",
+          "foreachBatch", "exactly-once", "north-star"),
+)
+def events_rollup_erasure_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Right-to-be-forgotten COMPOSED with the versioned incremental
+    state (VERDICT r14 item 3): two ts-range micro-batches fold into the
+    additive rollup (v0, v1 — the coalesced-total convention, so the
+    state forms a group), then the erasure lands as its OWN VERSION in
+    the same exactly-once lineage (v2 = `rollup_erasure_repair` over the
+    erased rows' negated partials, via the same `multires_fold_version`
+    scaffold — replay a crashed erasure and it rewrites v2 from the
+    unchanged v1), then two MORE batches fold on top of the repaired
+    state (v3, v4 — the SAME checkpoint resumes batch numbering, shifted
+    one version slot by ``version_offset``), with the erased users
+    SUPPRESSED at ingest from every post-erasure batch (the suppression
+    list production deletion pipelines keep). The oracle rebuilds every
+    tier from the remaining rows of the WHOLE corpus in DuckDB
+    (:data:`~imdb_mapreduce_spark.plans.events.ROLLUP_ERASURE_ORACLE`,
+    shared with the batch-repair twin `events_rollup_user_erasure`), so
+    hash-green proves fold → erase → keep-folding ≡ rebuild-without-them
+    — deletion does NOT force a rebuild OR stop the feed. The
+    erase-then-resume replay boundary is pinned by the restart drill in
+    the stateful-streaming matrix.
+
+    The reference has no streaming, rollup, or deletion surface (one-
+    shot batch MapReduce over IMDb TSVs); this family is the engine's
+    [NORTH-STAR] extension mandate."""
+    import functools
+    import os
+
+    from imdb_mapreduce_spark.plans.events import multires_tiered_union
+    from imdb_mapreduce_spark.sources.star import load_table
+
+    events = load_table(spark, "events", sf_dir).select(
+        "ts", "event_type", "value", "user_id"
+    )
+    merge = functools.partial(multires_merge_batch, coalesce_values=True)
+    with tempfile.TemporaryDirectory() as d:
+        src, files = _stage_ts_slices(events, d)
+        state_root = os.path.join(d, "state")
+        ckpt = os.path.join(d, "ckpt")
+        _deliver(src, files[:2], start=0)
+        pre = incremental_multires_drain(
+            spark, src, events.schema, state_root, ckpt, merge_fn=merge
+        )
+        if pre is None:  # empty source → no state → empty rollup
+            return spark.createDataFrame(
+                [],
+                "tier string, bucket timestamp, event_type string,"
+                " n_events bigint, total_value double",
+            )
+        # the erasure version: negated minute partials of the erased
+        # rows RECEIVED SO FAR (served by a user-keyed index at scale)
+        latest = latest_committed_state(spark, state_root)
+        assert latest is not None
+        neg = erasure_minute_partials(
+            spark.read.parquet(src).filter(_erased_col()), negate=True
+        )
+        multires_fold_version(
+            spark,
+            state_root,
+            latest[0] + 1,
+            neg,
+            latest[1],
+            merge_fn=rollup_erasure_fold_merge,
+        )
+        # resume the SAME checkpoint over the remaining slices, erased
+        # users suppressed at ingest; the erasure shifted versions by 1
+        _deliver(src, files[2:], start=2)
+        post = incremental_multires_drain(
+            spark,
+            src,
+            events.schema,
+            state_root,
+            ckpt,
+            merge_fn=lambda b, prev, materialize=None: merge(
+                b.filter(~_erased_col()), prev, materialize=materialize
+            ),
+            version_offset=1,
+        )
+        assert post is not None
+        out = multires_tiered_union(post["minute"], post["hour"], post["day"])
+        # Materialize before the tempdir vanishes (bounded: buckets×types
+        # rows — time-horizon-, not corpus-, proportional).
+        return out.localCheckpoint(eager=True)
+
+
+@register(
+    "events_distinct_erasure_incremental",
+    oracle=DISTINCT_ERASURE_ORACLE,
+    tags=("streaming", "rollup", "hypertable", "sketch", "erasure", "gdpr",
+          "foreachBatch", "exactly-once", "north-star"),
+)
+def events_distinct_erasure_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The sketch twin of `events_rollup_erasure_incremental`: erasure
+    as a version step in the KMV sketch state's exactly-once lineage.
+    Two micro-batches fold per-minute K-smallest arrays (v0, v1 —
+    `multires_kmv_merge_batch`), the erasure lands as v2
+    (`sketch_erasure_fold_merge`: KMV has no inverse, so touched
+    minutes RE-DERIVE from the remaining raw received so far under the
+    exact membership trigger, while maintained hour/day state carries
+    via ``prev_coarse``), then two more SUPPRESSED batches fold on top
+    (v3, v4). The oracle builds each tier's sketch directly from the
+    remaining rows of the whole corpus
+    (:data:`~imdb_mapreduce_spark.plans.events.DISTINCT_ERASURE_ORACLE`,
+    shared with the batch twin `events_distinct_user_erasure`), so
+    hash-green proves the KMV merge law composes with erasure across
+    the version boundary: sketch(remaining₁₂) ⊎ sketch(remaining₃₄) ≡
+    sketch(remaining) — the non-invertible family's deletion story,
+    measured for cost in SCALING.md r14's asymmetry table.
+
+    The reference has no streaming or sketch surface at all; this
+    family is the engine's [NORTH-STAR] extension mandate."""
+    import os
+
+    from imdb_mapreduce_spark.sources.star import load_table
+
+    events = load_table(spark, "events", sf_dir).select("ts", "user_id")
+    with tempfile.TemporaryDirectory() as d:
+        src, files = _stage_ts_slices(events, d)
+        state_root = os.path.join(d, "state")
+        ckpt = os.path.join(d, "ckpt")
+        _deliver(src, files[:2], start=0)
+        pre = incremental_multires_drain(
+            spark,
+            src,
+            events.schema,
+            state_root,
+            ckpt,
+            merge_fn=multires_kmv_merge_batch,
+        )
+        if pre is None:  # empty source → no state → empty rollup
+            return spark.createDataFrame(
+                [],
+                "tier string, bucket timestamp, kth_hash bigint,"
+                " m bigint, est_distinct double",
+            )
+        latest = latest_committed_state(spark, state_root)
+        assert latest is not None
+        multires_fold_version(
+            spark,
+            state_root,
+            latest[0] + 1,
+            spark.read.parquet(src),  # raw so far — no inverse to apply
+            latest[1],
+            merge_fn=sketch_erasure_fold_merge,
+        )
+        _deliver(src, files[2:], start=2)
+        post = incremental_multires_drain(
+            spark,
+            src,
+            events.schema,
+            state_root,
+            ckpt,
+            merge_fn=lambda b, prev, materialize=None: multires_kmv_merge_batch(
+                b.filter(~_erased_col()), prev, materialize=materialize
+            ),
+            version_offset=1,
+        )
+        assert post is not None
+        out = (
+            kmv_bucket_stats(post["minute"], "minute")
+            .unionByName(kmv_bucket_stats(post["hour"], "hour"))
+            .unionByName(kmv_bucket_stats(post["day"], "day"))
         )
         # Materialize before the tempdir vanishes (bounded: one row per
         # bucket — time-horizon-, not corpus-, proportional).

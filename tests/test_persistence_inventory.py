@@ -105,6 +105,14 @@ INVENTORY: dict[tuple[str, str, str], tuple[int, str]] = {
      "localCheckpoint"): (2, "bounded-relation"),
     ("streaming/jobs.py", "streaming_kmv_distinct_salted",
      "localCheckpoint"): (1, "bounded-relation"),
+    # r15: the incremental-erasure pair's final readout — one row per
+    # (bucket[, type]) across three tiers, time-horizon-proportional;
+    # materialized because the backing versioned state lives in a
+    # tempdir that vanishes when the query body returns.
+    ("streaming/jobs.py", "events_rollup_erasure_incremental",
+     "localCheckpoint"): (1, "bounded-relation"),
+    ("streaming/jobs.py", "events_distinct_erasure_incremental",
+     "localCheckpoint"): (1, "bounded-relation"),
 }
 
 ALLOWED = {

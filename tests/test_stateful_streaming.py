@@ -1180,6 +1180,125 @@ def test_multires_incremental_restart_drill(spark, tmp_path):
     assert snap(phase3) == got
 
 
+def test_erasure_fold_restart_drill(spark, tmp_path):
+    """Restart-matrix drill for the r15 erase-then-resume boundary
+    (VERDICT r14 item 3): drain two files into versioned additive state,
+    fold an erasure as its OWN version (v2), deliver two more files and
+    resume the SAME checkpoint shifted by ``version_offset=1`` — final
+    state must equal the direct derivation over all remaining rows.
+    Then the two replay legs the exactly-once contract promises:
+
+    1. REPLAY THE ERASURE (crash after v2 committed but before its
+       effect was consumed → the fold re-runs): rewriting v2 from the
+       unchanged v1 must be byte-idempotent.
+    2. REDUNDANT RESUME (restart with nothing new): state unchanged.
+    """
+    import functools
+    import os
+
+    import pandas as pd
+
+    from imdb_mapreduce_spark.plans.events import (
+        _erased_col,
+        erasure_minute_partials,
+    )
+    from imdb_mapreduce_spark.streaming.jobs import (
+        incremental_multires_drain,
+        latest_committed_state,
+        multires_fold_version,
+        multires_merge_batch,
+        rollup_erasure_fold_merge,
+    )
+
+    t0 = pd.Timestamp("2026-03-01 00:00:00")
+    m = pd.Timedelta(minutes=1)
+    # user 3 and 10 are erased (uid % 7 == 3); user 10 also sends rows
+    # AFTER the erasure (batch 2) — suppression must drop them
+    batches = {
+        0: [(t0 + 1 * m, "click", 1.25, 1), (t0 + 1 * m, "click", 2.50, 3)],
+        1: [(t0 + 61 * m, "click", 4.00, 10), (t0 + 2 * m, "view", 0.75, 2)],
+        2: [(t0 + pd.Timedelta(days=1), "view", 8.00, 10),
+            (t0 + 61 * m, "click", 0.50, 1)],
+        3: [(t0 + 62 * m, "click", 1.00, 2), (t0 + 2 * m, "view", 0.25, 3)],
+    }
+    cols = ["ts", "event_type", "value", "user_id"]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def put_file(i: int) -> None:
+        path = os.path.join(src, f"b{i}.parquet")
+        pd.DataFrame(batches[i], columns=cols).to_parquet(
+            path, coerce_timestamps="us", allow_truncated_timestamps=True
+        )
+        os.utime(path, (1_000_000 + i, 1_000_000 + i))
+
+    from pyspark.sql.types import _parse_datatype_string
+
+    st = _parse_datatype_string(
+        "ts timestamp, event_type string, value double, user_id bigint"
+    )
+    state_root = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    merge = functools.partial(multires_merge_batch, coalesce_values=True)
+
+    def snap(state):
+        return {
+            tier: sorted(
+                (r["bucket"], r["event_type"], r["n_events"], float(r["s"]))
+                for r in state[tier].collect()
+            )
+            for tier in ("minute", "hour", "day")
+        }
+
+    put_file(0)
+    put_file(1)
+    incremental_multires_drain(spark, src, st, state_root, ckpt, merge_fn=merge)
+    latest = latest_committed_state(spark, state_root)
+    assert latest is not None and latest[0] == 1  # v0, v1 committed
+    seen = spark.read.parquet(src)
+    neg = erasure_minute_partials(seen.filter(_erased_col()), negate=True)
+    erased_state = multires_fold_version(
+        spark, state_root, 2, neg, latest[1],
+        merge_fn=rollup_erasure_fold_merge,
+    )
+    erased_snap = snap(erased_state)
+    # replay leg 1: the erasure version re-runs from its unchanged
+    # predecessor — must be byte-idempotent
+    replayed = multires_fold_version(
+        spark, state_root, 2, neg, latest[1],
+        merge_fn=rollup_erasure_fold_merge,
+    )
+    assert snap(replayed) == erased_snap
+    # resume: two more files, same checkpoint, versions shifted by 1
+    put_file(2)
+    put_file(3)
+    final = incremental_multires_drain(
+        spark, src, st, state_root, ckpt,
+        merge_fn=lambda b, prev, materialize=None: merge(
+            b.filter(~_erased_col()), prev, materialize=materialize
+        ),
+        version_offset=1,
+    )
+    assert os.path.exists(os.path.join(state_root, "v4", "_COMMIT"))
+    got = snap(final)
+    # direct single-pass derivation over all REMAINING rows
+    all_rows = [r for b in batches.values() for r in b]
+    remaining = spark.createDataFrame(
+        pd.DataFrame(all_rows, columns=cols)
+    ).filter(~_erased_col())
+    assert got == snap(multires_merge_batch(remaining, None,
+                                            coalesce_values=True))
+    # replay leg 2: redundant resume with nothing new → unchanged
+    again = incremental_multires_drain(
+        spark, src, st, state_root, ckpt,
+        merge_fn=lambda b, prev, materialize=None: merge(
+            b.filter(~_erased_col()), prev, materialize=materialize
+        ),
+        version_offset=1,
+    )
+    assert snap(again) == got
+
+
 # --- TWS timers: session-timeout emission (r13) ----------------------------
 
 
