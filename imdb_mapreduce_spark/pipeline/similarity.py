@@ -1263,6 +1263,202 @@ def ann_ivf_det_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Right-to-be-forgotten for the persisted ANN index (r15, VERDICT r14
+# item 7): delete erased documents' vectors from the cell-partitioned
+# IVF index WITHOUT a rebuild, then serve top-k off the repaired index.
+# ---------------------------------------------------------------------------
+
+# The deterministic erased-document set (the embedding-side mirror of
+# the events family's user erasure predicate).
+_ERASED_VEC_SQL = "vec_id % 7 = 3"
+
+
+def _ivf_erasure_oracle() -> str:
+    cos = (
+        f"{_sql_dot_unrolled('p.qe', 'c.embedding')}"
+        f" / (sqrt({_sql_dot_unrolled('p.qe', 'p.qe')})"
+        f" * sqrt({_sql_dot_unrolled('c.embedding', 'c.embedding')}))"
+    )
+    # `kept` IS the index rebuilt without the erased vectors: the pivots
+    # deliberately rank the FULL corpus (a deployment does not retrain
+    # its quantizer on every deletion — cell geometry is sticky), so
+    # rebuild-without-them = same cells minus erased rows, and a hash
+    # match proves delete-in-place ≡ rebuild.
+    return f"""
+    WITH {_pivot_cells_ctes(str(IVF_DET_K))},
+    kept AS (SELECT * FROM cells WHERE NOT ({_ERASED_VEC_SQL})),
+    probes AS (
+      SELECT vec_id AS query_id, embedding AS qe, cell FROM (
+        SELECT vec_id, embedding, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        FROM assign
+        WHERE vec_id < {N_QUERIES} AND NOT ({_ERASED_VEC_SQL})) t
+      WHERE rn <= {IVF_DET_NPROBE})
+    SELECT query_id, neighbor_id, cosine, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM (
+        SELECT p.query_id, c.vec_id AS neighbor_id, {cos} AS cosine
+        FROM probes p
+        JOIN kept c ON c.cell = p.cell AND c.vec_id <> p.query_id) s) t
+    WHERE rnk <= {TOP_K}
+    """
+
+
+def ivf_delete_in_place(
+    spark: SparkSession,
+    cells_dir: str,
+    erased: DataFrame,
+    pivots,
+) -> "list[int]":
+    """Erase vectors from a cell-partitioned IVF index without touching
+    untouched cells (shared by the registered query, the probe, and the
+    layout pytest, so all three exercise the same shape). Three bounded
+    steps:
+
+    1. The erased vectors' owning cells are RE-COMPUTED from the
+       stateless quantizer (`_assigned_cells` over just the erased rows
+       — k distance folds each, no index scan): the deterministic
+       argmin means deletion never needs a vec_id-keyed lookup
+       structure on the cell-partitioned layout.
+    2. Only those cell partitions are read back (the IN-list lands in
+       PartitionFilters — directory pruning, same read path the query
+       side uses) and the erased ids anti-joined out (broadcast: an
+       erasure batch is small by nature).
+    3. Dynamic partition OVERWRITE rewrites exactly the touched
+       ``cell=<i>`` directories; every other cell's files are never
+       opened, moved, or rewritten (pinned by
+       ``test_ivf_delete_in_place_touches_only_erased_cells``).
+
+    The repaired slice is localCheckpoint-ed before the write because
+    the write overwrites the very directories its lineage reads —
+    lineage truncation, not caching (the slice is
+    erasure-footprint-proportional: the touched cells' rows).
+
+    Returns the touched cell ids. At 100 TB this is the difference
+    between rewriting a few cell directories and re-assigning the
+    corpus: deletion cost scales with the erased set's cell footprint,
+    not the index size."""
+    touched = sorted(
+        int(r["cell"])
+        for r in _assigned_cells(erased, pivots).select("cell").distinct().collect()
+    )
+    if not touched:
+        return []
+    repaired = (
+        spark.read.parquet(cells_dir)
+        .filter(F.col("cell").isin(touched))
+        .join(F.broadcast(erased.select("vec_id")), "vec_id", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        repaired.write.mode("overwrite").partitionBy("cell").parquet(cells_dir)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return touched
+
+
+@register(
+    "ann_ivf_erasure_topk",
+    oracle=_ivf_erasure_oracle(),
+    tags=("similarity", "ivf", "erasure", "gdpr", "north-star"),
+)
+def ann_ivf_erasure_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten reaching the persisted ANN index: erased
+    documents' vectors are deleted from the cell-partitioned IVF index
+    IN PLACE (`ivf_delete_in_place`: recompute just the erased rows'
+    owning cells from the stateless quantizer, rewrite only those
+    ``cell=<i>`` directories via dynamic partition overwrite), then
+    top-k is served off the repaired index through the standard pruned
+    read (probe-list IN-list → PartitionFilters). The quantizer is NOT
+    retrained — pivots keep ranking the full corpus, exactly what a
+    deployment does on deletion — so the oracle's rebuild-without-them
+    (`kept` = det-IVF cells minus erased) is the ground truth, and a
+    hash-green row proves delete-in-place ≡ full rebuild for every
+    query's entire top-k (same md5-anchored determinism as
+    `ann_ivf_det_topk`; erased vectors also leave the query set).
+
+    The untouched-cells-never-rewritten claim is pinned byte-level by
+    ``test_ivf_delete_in_place_touches_only_erased_cells``; the
+    delete-vs-rebuild cost asymmetry is measured at the decades in
+    ``tools/ivf_erasure_probe.py`` (SCALING.md r15). The reference has
+    no similarity or deletion surface; this is the engine's
+    [NORTH-STAR] extension mandate meeting its GDPR story."""
+    import os
+    import tempfile
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    pivots = ivf_det_pivots(spark, sf_dir)
+    with tempfile.TemporaryDirectory() as d:
+        cells_dir = os.path.join(d, "cells")
+        # the one-time index WRITE (exists already in production)
+        _assigned_cells(emb, pivots).write.partitionBy("cell").parquet(
+            cells_dir
+        )
+        erased = emb.filter(F.expr(_ERASED_VEC_SQL)).select(
+            "vec_id", "embedding"
+        )
+        ivf_delete_in_place(spark, cells_dir, erased, pivots)
+        # the served READ off the repaired index
+        ranked = _ivf_det_ranked(pivots)
+        probes = (
+            emb.filter(
+                (F.col("vec_id") < N_QUERIES) & ~F.expr(_ERASED_VEC_SQL)
+            )
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("qe"),
+                norm("embedding").alias("qn"),
+                F.explode(F.slice(ranked, 1, IVF_DET_NPROBE)).alias("pr"),
+            )
+            .select("query_id", "qe", "qn", F.col("pr.cell").alias("cell"))
+        )
+        probe_cells = sorted(
+            int(r["cell"]) for r in probes.select("cell").distinct().collect()
+        )
+        if not probe_cells:  # degenerate corpus: nothing left to query
+            return spark.createDataFrame(
+                [], "query_id long, neighbor_id long, cosine double, rnk long"
+            )
+        idx = (
+            spark.read.parquet(cells_dir)
+            # literal IN-list → PartitionFilters → only probed dirs read
+            .filter(F.col("cell").isin(probe_cells))
+            .select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("ce"),
+                "cell",
+                norm("embedding").alias("cn"),
+            )
+        )
+        scored = (
+            F.broadcast(probes)
+            .join(idx, "cell")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                (dot("qe", "ce") / (F.col("qn") * F.col("cn"))).alias(
+                    "cosine"
+                ),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id")
+        )
+        out = (
+            scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rnk") <= TOP_K)
+            .select("query_id", "neighbor_id", "cosine", "rnk")
+        )
+        # Materialize before the tempdir vanishes (bounded: ≤
+        # N_QUERIES·TOP_K rows).
+        return out.localCheckpoint(eager=True)
+
+
+# ---------------------------------------------------------------------------
 # Random-projection dimensionality reduction (r05 session 2)
 # ---------------------------------------------------------------------------
 

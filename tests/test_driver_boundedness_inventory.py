@@ -95,6 +95,14 @@ INVENTORY: dict[tuple[str, str, str], tuple[int, str]] = {
         (1, "bounded-dims"),
     ("pipeline/text.py", "lang_id_confusion", "crossJoin"):
         (1, "one-row-attach"),
+    # r15: the erased rows' distinct owning cells (≤ k cell ids) — the
+    # IN-list the partition-pruned rewrite needs as plan literals.
+    ("pipeline/similarity.py", "ivf_delete_in_place", "collect"):
+        (1, "bounded-rows"),
+    # r15: the probe-list cell ids (≤ N_QUERIES·nprobe distinct) — the
+    # IN-list the pruned index read needs as plan literals.
+    ("pipeline/similarity.py", "ann_ivf_erasure_topk", "collect"):
+        (1, "bounded-rows"),
 }
 
 ALLOWED = {

@@ -113,6 +113,16 @@ INVENTORY: dict[tuple[str, str, str], tuple[int, str]] = {
      "localCheckpoint"): (1, "bounded-relation"),
     ("streaming/jobs.py", "events_distinct_erasure_incremental",
      "localCheckpoint"): (1, "bounded-relation"),
+    # r15: the IVF delete-in-place writes OVER the very cell directories
+    # its lineage reads — the checkpoint truncates that read-overwrite
+    # cycle; the slice is erasure-footprint-proportional (touched cells'
+    # rows), released with the query's driver scope.
+    ("pipeline/similarity.py", "ivf_delete_in_place",
+     "localCheckpoint"): (1, "lineage-truncation"),
+    # r15: final top-k readout (≤ N_QUERIES·TOP_K rows) materialized
+    # before the tempdir holding the index vanishes.
+    ("pipeline/similarity.py", "ann_ivf_erasure_topk",
+     "localCheckpoint"): (1, "bounded-relation"),
 }
 
 ALLOWED = {

@@ -167,6 +167,82 @@ def test_registered_ivf_query_reads_persisted_index(spark):
         assert json.load(f)["k"] == 8
 
 
+def test_ivf_delete_in_place_touches_only_erased_cells(spark, tmp_path):
+    """The r15 index-erasure claim (`ivf_delete_in_place`): deleting
+    erased vectors rewrites ONLY the cell directories that held them —
+    untouched cells' files are byte-level undisturbed (same names,
+    sizes, mtimes: never opened for write, moved, or rewritten) — and
+    the repaired index content equals the original minus the erased
+    rows exactly."""
+    import os
+
+    from imdb_mapreduce_spark.pipeline.similarity import (
+        _assigned_cells,
+        ivf_delete_in_place,
+    )
+
+    # 4 well-separated unit pivots; 40 vectors each perturbed toward its
+    # owning pivot → deterministic cells 0..3
+    pivots = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 0.0, 1.0]),
+    ]
+    rows = []
+    for i in range(40):
+        base = [0.05, 0.05, 0.05, 0.05]
+        base[i % 4] = 1.0
+        base[(i // 4) % 4] += 0.01 * (i % 3)
+        rows.append((i, [float(x) for x in base]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cells_dir = str(tmp_path / "cells")
+    _assigned_cells(emb, pivots).write.partitionBy("cell").parquet(cells_dir)
+
+    def listing():
+        out = {}
+        for entry in os.listdir(cells_dir):
+            if not entry.startswith("cell="):
+                continue
+            d = os.path.join(cells_dir, entry)
+            out[entry] = sorted(
+                (f, os.stat(os.path.join(d, f)).st_size,
+                 os.stat(os.path.join(d, f)).st_mtime_ns)
+                for f in os.listdir(d)
+            )
+        return out
+
+    before_files = listing()
+    before_rows = {
+        (r["vec_id"], r["cell"])
+        for r in spark.read.parquet(cells_dir).collect()
+    }
+    # erase two vectors that both live in cell 0 (vec_id ≡ 0 mod 4)
+    erased_ids = [0, 4]
+    erased = emb.filter(F.col("vec_id").isin(erased_ids)).select(
+        "vec_id", "embedding"
+    )
+    touched = ivf_delete_in_place(spark, cells_dir, erased, pivots)
+    assert touched == [0]
+    after_files = listing()
+    # untouched cells: byte-level undisturbed
+    for entry, files in before_files.items():
+        if entry != "cell=0":
+            assert after_files[entry] == files, entry
+    # touched cell: rewritten (different file set) and erased rows gone
+    assert after_files["cell=0"] != before_files["cell=0"]
+    after_rows = {
+        (r["vec_id"], r["cell"])
+        for r in spark.read.parquet(cells_dir).collect()
+    }
+    assert after_rows == {
+        (v, c) for v, c in before_rows if v not in erased_ids
+    }
+    # erasing nothing is a no-op that touches no directory
+    assert ivf_delete_in_place(spark, cells_dir, emb.filter("false"), pivots) == []
+    assert listing() == after_files
+
+
 def test_cdc_join_on_bucketed_base_shuffles_only_updates(spark):
     """The bucketed-base CDC claim: with orders bucketed on the merge key,
     the join-formulated upsert exchanges ONLY the update batch — the base
