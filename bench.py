@@ -267,6 +267,23 @@ def main() -> None:
 
         gc.collect()
 
+    # Harness-vs-read split for the realtime rows (VERDICT r14 item 3):
+    # the two realtime queries build their fixture (4 parquet slices + 3
+    # state folds) inside the timed body; their end-to-end number is
+    # therefore a state-IO floor, not read-plan signal. The queries
+    # record their read-leg seconds per pass in REALTIME_READ_SEC;
+    # emit min + passes so a read-plan regression is directly visible.
+    try:
+        from imdb_mapreduce_spark.streaming.jobs import REALTIME_READ_SEC
+
+        realtime_read_sec = {
+            n: {"min": min(ps), "passes": ps}
+            for n, ps in REALTIME_READ_SEC.items()
+            if ps
+        }
+    except Exception:  # noqa: BLE001 — detail channel must not kill bench
+        realtime_read_sec = {}
+
     # "value" is the steady-state total: sum of per-query min-of-3 wall
     # times, session startup excluded (reported separately) — directly
     # comparable round over round per query.
@@ -315,6 +332,7 @@ def main() -> None:
                 "drift_factor": drift_factor,
                 "drift_canaries": drift_each,
                 "drift_band": drift_band,
+                "realtime_read_sec": realtime_read_sec,
                 "errors": errors,
             }
         )

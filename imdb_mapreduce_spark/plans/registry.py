@@ -69,57 +69,15 @@ def register(
 # ("Driver correctness window") for the per-round rotation record.
 _HEAD: tuple[str, ...] = (
     "events_multires_distinct_rollup",
-    "events_multires_rollup_incremental",
-    "events_multires_rollup_realtime",
-    "streaming_sessions_tws",
-    "session_overlap_topk",
     "events_multires_distinct_incremental",
     "events_multires_distinct_realtime",
-    "events_rollup_user_erasure",
     "events_distinct_user_erasure",
-    "user_running_stats",
-    "local_supplier_revenue",
-    "quantity_band_stats",
-    "copurchase_bfs_l3",
-    "events_variant_stats",
-    "copurchase_sssp",
-    "copurchase_triangles",
-    "copart_pairs_topk",
-    "basket_association_rules",
-    "ann_cosine_topk",
-    "simhash_near_dups",
-    "hll_distinct_users",
-    "duplicate_span_pairs",
-    "bpe_merge_candidates",
-    "weighted_sample_tokens",
-    "user_state_asof",
-    "paragraph_scrub_rebuild",
-    "minhash_eval_metrics",
-    "ngram_jaccard_thresholded",
-    "paragraph_dedup_stats",
-    "table_profile_orders",
-    "quality_decile_filter",
-    "user_retention_cohorts",
-    "training_shuffle_order",
-    "streaming_segment_purchase_totals",
-    "kmv_distinct_users",
-    "props_redaction_stats",
-    "event_funnel_conversion",
-    "event_transition_bigrams",
-    "incremental_priority_rollup",
-    "corpus_build_manifest",
-    "event_value_anomalies",
-    "embedding_label_centroids",
-    "shipping_lag_stats",
-    "packed_training_rows",
-    "ann_lsh_topk",
-    "ann_ivf_det_topk",
-    "cm_sketch_heavy_hitters",
-    "bloom_filter_prune",
-    "user_state_scd2",
-    "kmv_set_ops",
-)
-_TAIL: tuple[str, ...] = (
+    "events_rollup_user_erasure",
+    "events_multires_rollup_incremental",
+    "events_multires_rollup_realtime",
+    "ann_ivf_erasure_topk",
+    "events_rollup_erasure_incremental",
+    "events_distinct_erasure_incremental",
     "embedding_random_projection",
     "text_feature_hashing",
     "ngram_containment_pairs",
@@ -160,6 +118,8 @@ _TAIL: tuple[str, ...] = (
     "revenue_topk",
     "customers_without_orders",
     "order_basket_lookup",
+)
+_TAIL: tuple[str, ...] = (
     "nation_customer_sorted",
     "asof_last_purchase",
     "events_10min_windows",
@@ -223,7 +183,51 @@ _TAIL: tuple[str, ...] = (
     "key_skew_profile",
     "priority_segment_union",
     "active_buildings_semi",
+    "streaming_sessions_tws",
+    "session_overlap_topk",
+    "user_running_stats",
+    "local_supplier_revenue",
+    "quantity_band_stats",
+    "copurchase_bfs_l3",
+    "events_variant_stats",
+    "copurchase_sssp",
+    "copurchase_triangles",
+    "copart_pairs_topk",
+    "basket_association_rules",
+    "ann_cosine_topk",
+    "simhash_near_dups",
+    "hll_distinct_users",
+    "duplicate_span_pairs",
+    "bpe_merge_candidates",
+    "weighted_sample_tokens",
+    "user_state_asof",
+    "paragraph_scrub_rebuild",
+    "minhash_eval_metrics",
+    "ngram_jaccard_thresholded",
+    "paragraph_dedup_stats",
+    "table_profile_orders",
+    "quality_decile_filter",
+    "user_retention_cohorts",
+    "training_shuffle_order",
+    "streaming_segment_purchase_totals",
+    "kmv_distinct_users",
+    "props_redaction_stats",
+    "event_funnel_conversion",
+    "event_transition_bigrams",
+    "incremental_priority_rollup",
+    "corpus_build_manifest",
+    "event_value_anomalies",
+    "embedding_label_centroids",
+    "shipping_lag_stats",
+    "packed_training_rows",
+    "ann_lsh_topk",
+    "ann_ivf_det_topk",
+    "cm_sketch_heavy_hitters",
+    "bloom_filter_prune",
+    "user_state_scd2",
+    "kmv_set_ops",
 )
+
 
 
 

@@ -62,67 +62,69 @@ def test_overflow_and_unknown_names_fail_loud():
 # latest landed rotation is exactly replayable, and that is the one the
 # rotation contract cares about ("the landed window IS the planner
 # output").
-R14_HEAD = (
+R15_HEAD = (
     "events_multires_distinct_rollup",
-    "events_multires_rollup_incremental",
-    "events_multires_rollup_realtime",
-    "streaming_sessions_tws",
-    "session_overlap_topk",
     "events_multires_distinct_incremental",
     "events_multires_distinct_realtime",
-    "events_rollup_user_erasure",
     "events_distinct_user_erasure",
-    "user_running_stats",
-    "local_supplier_revenue",
-    "quantity_band_stats",
-    "copurchase_bfs_l3",
-    "events_variant_stats",
-    "copurchase_sssp",
-    "copurchase_triangles",
-    "copart_pairs_topk",
-    "basket_association_rules",
-    "ann_cosine_topk",
-    "simhash_near_dups",
-    "hll_distinct_users",
-    "duplicate_span_pairs",
-    "bpe_merge_candidates",
-    "weighted_sample_tokens",
-    "user_state_asof",
-    "paragraph_scrub_rebuild",
-    "minhash_eval_metrics",
-    "ngram_jaccard_thresholded",
-    "paragraph_dedup_stats",
-    "table_profile_orders",
-    "quality_decile_filter",
-    "user_retention_cohorts",
-    "training_shuffle_order",
-    "streaming_segment_purchase_totals",
-    "kmv_distinct_users",
-    "props_redaction_stats",
-    "event_funnel_conversion",
-    "event_transition_bigrams",
-    "incremental_priority_rollup",
-    "corpus_build_manifest",
-    "event_value_anomalies",
-    "embedding_label_centroids",
-    "shipping_lag_stats",
-    "packed_training_rows",
-    "ann_lsh_topk",
-    "ann_ivf_det_topk",
-    "cm_sketch_heavy_hitters",
-    "bloom_filter_prune",
-    "user_state_scd2",
-    "kmv_set_ops",
+    "events_rollup_user_erasure",
+    "events_multires_rollup_incremental",
+    "events_multires_rollup_realtime",
+    "ann_ivf_erasure_topk",
+    "events_rollup_erasure_incremental",
+    "events_distinct_erasure_incremental",
+    "embedding_random_projection",
+    "text_feature_hashing",
+    "ngram_containment_pairs",
+    "lang_id_confusion",
+    "media_phash_dedup",
+    "streaming_cm_sketch_cells",
+    "snapshot_diff",
+    "ab_experiment_metrics",
+    "ngram_jaccard_pairs",
+    "ngram_jaccard_capped",
+    "dedup_exact_survivors",
+    "streaming_kmv_distinct_tws",
+    "streaming_kmv_distinct",
+    "streaming_kmv_distinct_salted",
+    "embedding_dim_profile",
+    "hard_negative_lsh",
+    "ann_recall_eval",
+    "hard_negative_mining",
+    "incremental_dedup_verdicts",
+    "streaming_foreachbatch_upsert",
+    "embedding_lsh_dups",
+    "split_leakage_audit",
+    "zorder_layout_plan",
+    "zone_map_prune_audit",
+    "rollup_grouping_flags",
+    "events_json_struct",
+    "embedding_label_dups",
+    "customer_order_window",
+    "orders_by_month",
+    "supplier_unpivot",
+    "early_not_recent_buyers",
+    "brand_top2_parts",
+    "user_running_stats_salted",
+    "inverted_index_postings",
+    "doc_chunk_windows",
+    "embedding_int8_quant",
+    "pricing_summary",
+    "revenue_topk",
+    "customers_without_orders",
+    "order_basket_lookup",
 )
 
 
-def test_planner_matches_the_landed_r14_rotation():
+def test_planner_matches_the_landed_r15_rotation():
     """Ground truth: replaying the planner against the real landed
-    CORRECTNESS_r01..r13 union with r14's code-changed set must
-    reproduce the r14 window EXACTLY as committed at the r14 rotation
+    CORRECTNESS_r01..r14 union with r15's code-changed set must
+    reproduce the r15 window EXACTLY as committed at the r15 rotation
     (the literal above) — proof the executable policy and the prose
     policy are one. Queries registered in FUTURE rounds are excluded
-    from the replay (they did not exist when r14 was planned)."""
+    from the replay (they did not exist when r15 was planned). The
+    r15 never-green trio (the erasure-incremental pair + the IVF index
+    erasure) IS part of the replay: it existed at planning time."""
     import glob
 
     from imdb_mapreduce_spark.plans.registry import all_queries
@@ -130,26 +132,28 @@ def test_planner_matches_the_landed_r14_rotation():
     paths = [
         p
         for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
-        if int(os.path.basename(p)[13:15]) <= 13
+        if int(os.path.basename(p)[13:15]) <= 14
     ]
     if not paths:
         pytest.skip("no CORRECTNESS files (round 1)")
     newest = plan_rotation.newest_green_rounds(paths)
     qs = all_queries()
-    known_at_r14 = set(R14_HEAD) | set(newest)
-    order = [n for n in qs if n in known_at_r14]
-    if set(R14_HEAD) - set(order):
-        pytest.skip("r14 queries renamed/removed — replay no longer applies")
+    known_at_r15 = set(R15_HEAD) | set(newest)
+    order = [n for n in qs if n in known_at_r15]
+    if set(R15_HEAD) - set(order):
+        pytest.skip("r15 queries renamed/removed — replay no longer applies")
     head, _tail, _notes = plan(
         order,
         {n for n in order if qs[n].oracle is not None},
         newest,
         code_changed=[
             "events_multires_distinct_rollup",
+            "events_multires_distinct_incremental",
+            "events_multires_distinct_realtime",
+            "events_distinct_user_erasure",
+            "events_rollup_user_erasure",
             "events_multires_rollup_incremental",
             "events_multires_rollup_realtime",
-            "streaming_sessions_tws",
-            "session_overlap_topk",
         ],
     )
-    assert list(head) == list(R14_HEAD)
+    assert list(head) == list(R15_HEAD)
