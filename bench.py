@@ -136,6 +136,14 @@ HEADLINE = (
     # the repair paths' cost stays perf-visible round over round
     "events_rollup_user_erasure",
     "events_distinct_user_erasure",
+    # added r15: erasure for the persisted ANN index — index build +
+    # delete-in-place (touched-cells-only rewrite) + pruned top-k read;
+    # tracked so the partition-overwrite repair path stays perf-visible.
+    # The two erasure-INCREMENTAL queries stay out by the streaming
+    # convention (their wall time is versioned-state IO + foreachBatch
+    # trigger overhead, not operator throughput — the probes carry that
+    # signal).
+    "ann_ivf_erasure_topk",
 )
 
 
