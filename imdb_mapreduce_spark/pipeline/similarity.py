@@ -1339,6 +1339,9 @@ def ivf_delete_in_place(
     between rewriting a few cell directories and re-assigning the
     corpus: deletion cost scales with the erased set's cell footprint,
     not the index size."""
+    import os
+    import shutil
+
     touched = sorted(
         int(r["cell"])
         for r in _assigned_cells(erased, pivots).select("cell").distinct().collect()
@@ -1351,12 +1354,32 @@ def ivf_delete_in_place(
         .join(F.broadcast(erased.select("vec_id")), "vec_id", "left_anti")
         .localCheckpoint(eager=True)
     )
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        repaired.write.mode("overwrite").partitionBy("cell").parquet(cells_dir)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # Dynamic partition overwrite only rewrites partitions PRESENT in
+    # the written data — a touched cell whose rows are ALL erased
+    # contributes zero rows to `repaired`, so its ``cell=<i>`` directory
+    # would survive the write and keep serving the deleted vectors
+    # (r15 review catch). Such cells are dropped at the directory level,
+    # the same move a table format's DELETE makes in metadata. The
+    # remaining-cell probe is bounded (≤ touched cells).
+    present = {
+        int(r["cell"]) for r in repaired.select("cell").distinct().collect()
+    }
+    if present:
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            repaired.write.mode("overwrite").partitionBy("cell").parquet(
+                cells_dir
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    for cell in touched:
+        if cell not in present:
+            shutil.rmtree(
+                os.path.join(cells_dir, f"cell={cell}"), ignore_errors=True
+            )
     return touched
 
 
@@ -1414,6 +1437,10 @@ def ann_ivf_erasure_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.explode(F.slice(ranked, 1, IVF_DET_NPROBE)).alias("pr"),
             )
             .select("query_id", "qe", "qn", F.col("pr.cell").alias("cell"))
+            # consumed twice (probe-cell collect + the broadcast join) —
+            # without this the embeddings scan + k distance folds run
+            # twice; bounded: ≤ N_QUERIES·nprobe rows
+            .localCheckpoint(eager=True)
         )
         probe_cells = sorted(
             int(r["cell"]) for r in probes.select("cell").distinct().collect()

@@ -1716,6 +1716,7 @@ def sketch_erasure_repair(
     erased: "F.Column",
     erased_rows: DataFrame | None = None,
     prev_coarse: "dict[str, DataFrame] | None" = None,
+    materialize: "object | None" = None,
 ) -> dict[str, DataFrame]:
     """The sketch-family erasure repair (shared with
     ``tools/erasure_probe.py`` so the probe measures the registered
@@ -1766,7 +1767,18 @@ def sketch_erasure_repair(
     carried_m = prev_m.join(
         t, F.col("bucket").eqNullSafe(F.col("_tb")), "left_anti"
     )
-    m2 = carried_m.unionByName(rederived).localCheckpoint(eager=True)
+    # Each tier is pinned THROUGH the caller's materializer so every
+    # relation is computed by exactly one action (the fold's versioned
+    # write is the materializer — the multires_fold_version contract;
+    # without this the hour plan re-executed under the day write, r15
+    # review catch). Default: pin only the fan-out minute tier (its own
+    # readout + hour + day via hour), coarse tiers stay lazy — the
+    # one-action shape the batch query and probe always had.
+    if materialize is None:
+        materialize = lambda name, df: (  # noqa: E731
+            df.localCheckpoint(eager=True) if name == "minute" else df
+        )
+    m2 = materialize("minute", carried_m.unionByName(rederived))
     # coarse tiers: carry untouched, merge touched up from repaired m2
     tiers = {"minute": m2}
     prev_c, finer, touched_c = prev_m, m2, touched
@@ -1794,6 +1806,6 @@ def sketch_erasure_repair(
         carried = prev_c.join(
             t, F.col("bucket").eqNullSafe(F.col("_tb")), "left_anti"
         )
-        tiers[unit] = carried.unionByName(derived)
+        tiers[unit] = materialize(unit, carried.unionByName(derived))
         finer = tiers[unit]
     return tiers

@@ -1355,11 +1355,16 @@ def sketch_erasure_fold_merge(
         raise ValueError(
             "erasure fold requires a committed predecessor version"
         )
-    mat = materialize or (lambda _name, df: df)
-    tiers = sketch_erasure_repair(
-        raw_so_far, prev["minute"], _erased_col(), prev_coarse=prev
+    # the fold's versioned write IS the materializer — threaded through
+    # so each tier is computed by exactly one action (the
+    # multires_fold_version contract)
+    return sketch_erasure_repair(
+        raw_so_far,
+        prev["minute"],
+        _erased_col(),
+        prev_coarse=prev,
+        materialize=materialize or (lambda _name, df: df),
     )
-    return {u: mat(u, tiers[u]) for u in _MULTIRES_TIERS}
 
 
 def _stage_ts_slices(events: DataFrame, d: str) -> "tuple[str, list[str]]":
@@ -1436,10 +1441,13 @@ def events_rollup_erasure_incremental(
         state_root = os.path.join(d, "state")
         ckpt = os.path.join(d, "ckpt")
         _deliver(src, files[:2], start=0)
-        pre = incremental_multires_drain(
+        incremental_multires_drain(
             spark, src, events.schema, state_root, ckpt, merge_fn=merge
         )
-        if pre is None:  # empty source → no state → empty rollup
+        # one listing serves both the empty-source check and the
+        # erasure version number (the drain's return would duplicate it)
+        latest = latest_committed_state(spark, state_root)
+        if latest is None:  # empty source → no state → empty rollup
             return spark.createDataFrame(
                 [],
                 "tier string, bucket timestamp, event_type string,"
@@ -1447,8 +1455,6 @@ def events_rollup_erasure_incremental(
             )
         # the erasure version: negated minute partials of the erased
         # rows RECEIVED SO FAR (served by a user-keyed index at scale)
-        latest = latest_committed_state(spark, state_root)
-        assert latest is not None
         neg = erasure_minute_partials(
             spark.read.parquet(src).filter(_erased_col()), negate=True
         )
@@ -1519,7 +1525,7 @@ def events_distinct_erasure_incremental(
         state_root = os.path.join(d, "state")
         ckpt = os.path.join(d, "ckpt")
         _deliver(src, files[:2], start=0)
-        pre = incremental_multires_drain(
+        incremental_multires_drain(
             spark,
             src,
             events.schema,
@@ -1527,14 +1533,15 @@ def events_distinct_erasure_incremental(
             ckpt,
             merge_fn=multires_kmv_merge_batch,
         )
-        if pre is None:  # empty source → no state → empty rollup
+        # one listing serves both the empty-source check and the
+        # erasure version number (the drain's return would duplicate it)
+        latest = latest_committed_state(spark, state_root)
+        if latest is None:  # empty source → no state → empty rollup
             return spark.createDataFrame(
                 [],
                 "tier string, bucket timestamp, kth_hash bigint,"
                 " m bigint, est_distinct double",
             )
-        latest = latest_committed_state(spark, state_root)
-        assert latest is not None
         multires_fold_version(
             spark,
             state_root,

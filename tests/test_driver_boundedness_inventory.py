@@ -96,9 +96,11 @@ INVENTORY: dict[tuple[str, str, str], tuple[int, str]] = {
     ("pipeline/text.py", "lang_id_confusion", "crossJoin"):
         (1, "one-row-attach"),
     # r15: the erased rows' distinct owning cells (≤ k cell ids) — the
-    # IN-list the partition-pruned rewrite needs as plan literals.
+    # IN-list the partition-pruned rewrite needs as plan literals — and
+    # the repaired slice's remaining cells (≤ touched cells), which
+    # decide directory drops for fully-erased cells.
     ("pipeline/similarity.py", "ivf_delete_in_place", "collect"):
-        (1, "bounded-rows"),
+        (2, "bounded-rows"),
     # r15: the probe-list cell ids (≤ N_QUERIES·nprobe distinct) — the
     # IN-list the pruned index read needs as plan literals.
     ("pipeline/similarity.py", "ann_ivf_erasure_topk", "collect"):

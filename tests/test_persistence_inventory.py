@@ -119,10 +119,12 @@ INVENTORY: dict[tuple[str, str, str], tuple[int, str]] = {
     # rows), released with the query's driver scope.
     ("pipeline/similarity.py", "ivf_delete_in_place",
      "localCheckpoint"): (1, "lineage-truncation"),
-    # r15: final top-k readout (≤ N_QUERIES·TOP_K rows) materialized
-    # before the tempdir holding the index vanishes.
+    # r15: the probes relation (≤ N_QUERIES·nprobe rows — consumed by
+    # the probe-cell collect AND the broadcast join) and the final top-k
+    # readout (≤ N_QUERIES·TOP_K rows) materialized before the tempdir
+    # holding the index vanishes.
     ("pipeline/similarity.py", "ann_ivf_erasure_topk",
-     "localCheckpoint"): (1, "bounded-relation"),
+     "localCheckpoint"): (2, "bounded-relation"),
 }
 
 ALLOWED = {

@@ -241,6 +241,24 @@ def test_ivf_delete_in_place_touches_only_erased_cells(spark, tmp_path):
     # erasing nothing is a no-op that touches no directory
     assert ivf_delete_in_place(spark, cells_dir, emb.filter("false"), pivots) == []
     assert listing() == after_files
+    # erasing EVERY remaining vector of one cell must remove its
+    # directory outright: dynamic partition overwrite cannot rewrite a
+    # partition with zero rows, so without the directory drop the
+    # deleted vectors would survive on disk (r15 review catch)
+    cell1_ids = [v for v, c in after_rows if c == 1]
+    assert cell1_ids, "fixture must populate cell 1"
+    wipe = emb.filter(F.col("vec_id").isin(cell1_ids)).select(
+        "vec_id", "embedding"
+    )
+    assert ivf_delete_in_place(spark, cells_dir, wipe, pivots) == [1]
+    assert "cell=1" not in listing()
+    final_rows = {
+        (r["vec_id"], r["cell"])
+        for r in spark.read.parquet(cells_dir).collect()
+    }
+    assert final_rows == {
+        (v, c) for v, c in after_rows if v not in set(cell1_ids)
+    }
 
 
 def test_cdc_join_on_bucketed_base_shuffles_only_updates(spark):

@@ -108,6 +108,13 @@ def main() -> None:
                 (F.col("vec_id") % step == 3) & (F.col("vec_id") < step * N_ERASED)
             ).select("vec_id", "embedding")
             n_erased = erased.count()
+            # `vec_id % step == 3` is unsatisfiable when step <= 3 (tiny
+            # corpora) — a no-op delete timed against a no-op rebuild
+            # would print a misleading row; fail loud instead.
+            assert n_erased > 0, (
+                f"degenerate probe geometry: n={n} yields an empty erased"
+                " set — use a corpus of at least ~200 vectors"
+            )
 
             t0 = time.monotonic()
             touched = ivf_delete_in_place(spark, cells_dir, erased, pivots)
