@@ -78,6 +78,7 @@ _HEAD: tuple[str, ...] = (
     "ann_ivf_erasure_topk",
     "events_rollup_erasure_incremental",
     "events_distinct_erasure_incremental",
+    "events_rollup_time_travel",
     "embedding_random_projection",
     "text_feature_hashing",
     "ngram_containment_pairs",
@@ -117,9 +118,9 @@ _HEAD: tuple[str, ...] = (
     "pricing_summary",
     "revenue_topk",
     "customers_without_orders",
-    "order_basket_lookup",
 )
 _TAIL: tuple[str, ...] = (
+    "order_basket_lookup",
     "nation_customer_sorted",
     "asof_last_purchase",
     "events_10min_windows",
@@ -227,6 +228,7 @@ _TAIL: tuple[str, ...] = (
     "user_state_scd2",
     "kmv_set_ops",
 )
+
 
 
 

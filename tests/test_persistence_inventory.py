@@ -113,6 +113,10 @@ INVENTORY: dict[tuple[str, str, str], tuple[int, str]] = {
      "localCheckpoint"): (1, "bounded-relation"),
     ("streaming/jobs.py", "events_distinct_erasure_incremental",
      "localCheckpoint"): (1, "bounded-relation"),
+    # r15: the as-of-version readout — one row per (bucket, type) across
+    # three tiers, materialized before the tempdir state vanishes.
+    ("streaming/jobs.py", "events_rollup_time_travel",
+     "localCheckpoint"): (1, "bounded-relation"),
     # r15: the IVF delete-in-place writes OVER the very cell directories
     # its lineage reads — the checkpoint truncates that read-overwrite
     # cycle; the slice is erasure-footprint-proportional (touched cells'

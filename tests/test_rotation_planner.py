@@ -73,6 +73,7 @@ R15_HEAD = (
     "ann_ivf_erasure_topk",
     "events_rollup_erasure_incremental",
     "events_distinct_erasure_incremental",
+    "events_rollup_time_travel",
     "embedding_random_projection",
     "text_feature_hashing",
     "ngram_containment_pairs",
@@ -112,7 +113,6 @@ R15_HEAD = (
     "pricing_summary",
     "revenue_topk",
     "customers_without_orders",
-    "order_basket_lookup",
 )
 
 

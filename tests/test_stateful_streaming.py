@@ -1299,6 +1299,50 @@ def test_erasure_fold_restart_drill(spark, tmp_path):
     assert snap(again) == got
 
 
+def test_state_as_of_rejects_uncommitted_version(spark, tmp_path):
+    """`state_as_of` must fail loud on a version that never committed —
+    serving a torn write (or a nonexistent version) as history would
+    silently time-travel to a state that never existed. A committed
+    version reads normally; history is unperturbed by later folds."""
+    import os
+
+    import pandas as pd
+    import pytest
+
+    from imdb_mapreduce_spark.streaming.jobs import (
+        multires_fold_version,
+        state_as_of,
+    )
+
+    root = str(tmp_path / "state")
+    batch = spark.createDataFrame(
+        pd.DataFrame(
+            [(pd.Timestamp("2026-03-01 00:01:00"), "click", 1.0)],
+            columns=["ts", "event_type", "value"],
+        )
+    )
+    multires_fold_version(spark, root, 0, batch, None)
+    snap0 = sorted(
+        (r["bucket"], r["event_type"], r["n_events"])
+        for r in state_as_of(spark, root, 0)["minute"].collect()
+    )
+    assert snap0
+    with pytest.raises(ValueError, match="never committed"):
+        state_as_of(spark, root, 1)
+    # a torn write (dir present, no _COMMIT) is equally rejected
+    os.makedirs(os.path.join(root, "v1", "minute"), exist_ok=True)
+    with pytest.raises(ValueError, match="never committed"):
+        state_as_of(spark, root, 1)
+    # folding a later batch never mutates committed history
+    multires_fold_version(
+        spark, root, 1, batch, state_as_of(spark, root, 0)
+    )
+    assert snap0 == sorted(
+        (r["bucket"], r["event_type"], r["n_events"])
+        for r in state_as_of(spark, root, 0)["minute"].collect()
+    )
+
+
 # --- TWS timers: session-timeout emission (r13) ----------------------------
 
 
