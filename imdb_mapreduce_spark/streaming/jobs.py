@@ -1145,6 +1145,95 @@ def state_as_of(
     }
 
 
+def erase_versioned_history(
+    spark: SparkSession,
+    state_root: str,
+    purged_root: str,
+    batches: "list[DataFrame]",
+    erased: "F.Column",
+) -> "list[int]":
+    """Right-to-be-forgotten for HISTORY: the erasure-as-a-version fold
+    (`events_rollup_erasure_incremental`) repairs the LATEST state, but
+    a ``VERSION AS OF`` read (`state_as_of`) of any version committed
+    BEFORE the erasure still serves the erased rows — time travel and
+    deletion compose only if history itself is purged. This rewrites
+    every committed version's additive state with the erased rows'
+    contribution SUBTRACTED (the additive-inverse repair, per version),
+    under a NEW root:
+
+    - version k saw only batches ≤ k, so the subtrahend is the RUNNING
+      negated partials of the erased rows in ``batches[0..k]`` — never
+      the full erased set (subtracting rows a version never contained
+      would corrupt it);
+    - versions before the first erased row are carried byte-unrepaired
+      (running neg empty → nothing to subtract — cheap hardlink-less
+      copy of the tier dirs);
+    - the rewrite lands under ``purged_root`` with fresh ``_COMMIT``
+      markers, NEVER in place: an in-place purge would double-subtract
+      on replay, while rewrite-to-new-root is idempotent (always
+      derived from the unchanged source root) and crash-safe (an
+      incomplete purged root is simply discarded) — the same move a
+      table format's file-rewrite + snapshot-pointer-swap makes.
+
+    Requires the coalesced-total state convention
+    (``multires_merge_batch(coalesce_values=True)``) — the group
+    property the subtraction needs. The SKETCH family has no inverse;
+    its history purge is per-version re-derivation from remaining raw
+    (the r14 asymmetry), deliberately not implemented here.
+
+    Returns the rewritten version numbers. Cost: versions × (erased
+    batch partials + touched buckets) — never versions × corpus."""
+    import os
+    import shutil
+
+    from imdb_mapreduce_spark.plans.events import (
+        _erasure_sum_merge,
+        erasure_minute_partials,
+        rollup_erasure_repair,
+    )
+
+    running: DataFrame | None = None
+    purged: list[int] = []
+    for k, batch in enumerate(batches):
+        src_dir = os.path.join(state_root, f"v{k}")
+        if not os.path.exists(os.path.join(src_dir, "_COMMIT")):
+            break
+        nk = erasure_minute_partials(batch.filter(erased), negate=True)
+        # pinned per step: the running subtrahend is consumed twice per
+        # version (emptiness probe + repair) and would otherwise deepen
+        # into a V-long union chain re-scanning every erased batch;
+        # bounded at one row per erased (bucket, type)
+        running = (
+            nk
+            if running is None
+            else _erasure_sum_merge(running.unionByName(nk), "minute")
+        ).localCheckpoint(eager=True)
+        dst_dir = os.path.join(purged_root, f"v{k}")
+        if running.isEmpty():
+            # no erased contribution reached this version yet — history
+            # is already clean; carry the tier dirs as-is
+            os.makedirs(dst_dir, exist_ok=True)
+            for tier in _MULTIRES_TIERS:
+                shutil.copytree(
+                    os.path.join(src_dir, tier), os.path.join(dst_dir, tier)
+                )
+        else:
+            prev = state_as_of(spark, state_root, k)
+
+            def mat(name: str, df: DataFrame) -> DataFrame:
+                path = os.path.join(dst_dir, name)
+                df.write.mode("overwrite").parquet(path)
+                return spark.read.parquet(path)
+
+            # every tier rides the materializer, so all three land as
+            # parquet under dst_dir before the commit marker below
+            rollup_erasure_repair(prev, running, mat)
+        with open(os.path.join(dst_dir, "_COMMIT"), "w") as f:
+            f.write("ok\n")
+        purged.append(k)
+    return purged
+
+
 def incremental_multires_drain(
     spark: SparkSession,
     src: str,

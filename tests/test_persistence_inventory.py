@@ -117,6 +117,11 @@ INVENTORY: dict[tuple[str, str, str], tuple[int, str]] = {
     # three tiers, materialized before the tempdir state vanishes.
     ("streaming/jobs.py", "events_rollup_time_travel",
      "localCheckpoint"): (1, "bounded-relation"),
+    # r15: the history purge's running subtrahend — consumed twice per
+    # version (emptiness probe + repair) and otherwise a V-long union
+    # chain; bounded at one row per erased (bucket, type).
+    ("streaming/jobs.py", "erase_versioned_history",
+     "localCheckpoint"): (1, "bounded-relation"),
     # r15: the IVF delete-in-place writes OVER the very cell directories
     # its lineage reads — the checkpoint truncates that read-overwrite
     # cycle; the slice is erasure-footprint-proportional (touched cells'

@@ -1299,6 +1299,108 @@ def test_erasure_fold_restart_drill(spark, tmp_path):
     assert snap(again) == got
 
 
+def test_erase_versioned_history_purges_every_as_of_read(spark, tmp_path):
+    """Time travel × right-to-be-forgotten (r15): after
+    `erase_versioned_history`, EVERY ``VERSION AS OF`` read under the
+    purged root must equal the direct derivation over the REMAINING
+    rows of that version's batch prefix — deletion reaches history, not
+    just the latest state. Also pins: versions before the first erased
+    row carry byte-equal (nothing to subtract), and the purge is
+    idempotent (a second run to a fresh root lands on identical
+    snapshots — the rewrite always derives from the unchanged source
+    root, never in place)."""
+    import functools
+    import os
+
+    import pandas as pd
+
+    from imdb_mapreduce_spark.plans.events import _erased_col
+    from imdb_mapreduce_spark.streaming.jobs import (
+        erase_versioned_history,
+        incremental_multires_drain,
+        multires_merge_batch,
+        state_as_of,
+    )
+
+    t0 = pd.Timestamp("2026-03-01 00:00:00")
+    m = pd.Timedelta(minutes=1)
+    # batch 0 has NO erased users (uid % 7 != 3) — its purged version
+    # must be a byte-equal carry; users 3 and 10 are erased later
+    batches = {
+        0: [(t0 + 1 * m, "click", 1.25, 1), (t0 + 2 * m, "view", 0.75, 2)],
+        1: [(t0 + 1 * m, "click", 2.50, 3), (t0 + 61 * m, "click", 4.00, 10)],
+        2: [(t0 + pd.Timedelta(days=1), "view", 8.00, 10),
+            (t0 + 61 * m, "click", 0.50, 1)],
+        3: [(t0 + 62 * m, "click", 1.00, 2), (t0 + 2 * m, "view", 0.25, 3)],
+    }
+    cols = ["ts", "event_type", "value", "user_id"]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, rows in batches.items():
+        path = os.path.join(src, f"b{i}.parquet")
+        pd.DataFrame(rows, columns=cols).to_parquet(
+            path, coerce_timestamps="us", allow_truncated_timestamps=True
+        )
+        os.utime(path, (1_000_000 + i, 1_000_000 + i))
+    from pyspark.sql.types import _parse_datatype_string
+
+    st = _parse_datatype_string(
+        "ts timestamp, event_type string, value double, user_id bigint"
+    )
+    state_root = str(tmp_path / "state")
+    incremental_multires_drain(
+        spark, src, st, state_root, str(tmp_path / "ckpt"),
+        merge_fn=functools.partial(multires_merge_batch, coalesce_values=True),
+    )
+    bdfs = [
+        spark.createDataFrame(pd.DataFrame(batches[i], columns=cols))
+        for i in range(4)
+    ]
+    purged_root = str(tmp_path / "purged")
+    assert erase_versioned_history(
+        spark, state_root, purged_root, bdfs, _erased_col()
+    ) == [0, 1, 2, 3]
+
+    def snap(state):
+        return {
+            tier: sorted(
+                (r["bucket"], r["event_type"], r["n_events"], float(r["s"]))
+                for r in state[tier].collect()
+            )
+            for tier in ("minute", "hour", "day")
+        }
+
+    for k in range(4):
+        prefix = [r for i in range(k + 1) for r in batches[i]]
+        direct = multires_merge_batch(
+            spark.createDataFrame(pd.DataFrame(prefix, columns=cols)).filter(
+                ~_erased_col()
+            ),
+            None,
+            coalesce_values=True,
+        )
+        assert snap(state_as_of(spark, purged_root, k)) == snap(direct), k
+    # v0 saw no erased rows → byte-equal carry of the source tier files
+    for tier in ("minute", "hour", "day"):
+        a = os.path.join(state_root, "v0", tier)
+        b = os.path.join(purged_root, "v0", tier)
+        assert sorted(os.listdir(a)) == sorted(os.listdir(b))
+        for f in os.listdir(a):
+            if f.endswith(".parquet"):
+                assert (
+                    open(os.path.join(a, f), "rb").read()
+                    == open(os.path.join(b, f), "rb").read()
+                )
+    # idempotent: a second purge from the unchanged source root lands
+    # on identical snapshots
+    again_root = str(tmp_path / "purged2")
+    erase_versioned_history(spark, state_root, again_root, bdfs, _erased_col())
+    for k in range(4):
+        assert snap(state_as_of(spark, again_root, k)) == snap(
+            state_as_of(spark, purged_root, k)
+        ), k
+
+
 def test_state_as_of_rejects_uncommitted_version(spark, tmp_path):
     """`state_as_of` must fail loud on a version that never committed —
     serving a torn write (or a nonexistent version) as history would
