@@ -1145,6 +1145,40 @@ def state_as_of(
     }
 
 
+def vacuum_versions(state_root: str, keep_last: int) -> "list[int]":
+    """Retention for the versioned lineage: drop every committed version
+    older than the newest ``keep_last`` — the knob that bounds how far
+    back `state_as_of` can travel (unbounded history is a storage AND a
+    GDPR liability; vacuum is the blunt instrument,
+    `erase_versioned_history` the surgical one). Crash-ordering: the
+    ``_COMMIT`` marker is removed FIRST, then the directory — a crash
+    mid-vacuum leaves an uncommitted version that `state_as_of` and the
+    drain's committed-scan already refuse to serve, never a torn
+    readable one. Returns the dropped version numbers."""
+    import glob as _glob
+    import os
+    import re as _re
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("vacuum_versions: keep_last must be >= 1")
+    committed = sorted(
+        (
+            int(os.path.basename(p)[1:])
+            for p in _glob.glob(os.path.join(state_root, "v*"))
+            if _re.fullmatch(r"v\d+", os.path.basename(p))
+            and os.path.isdir(p)
+            and os.path.exists(os.path.join(p, "_COMMIT"))
+        )
+    )
+    dropped = committed[:-keep_last] if len(committed) > keep_last else []
+    for v in dropped:
+        vdir = os.path.join(state_root, f"v{v}")
+        os.remove(os.path.join(vdir, "_COMMIT"))
+        shutil.rmtree(vdir, ignore_errors=True)
+    return dropped
+
+
 def erase_versioned_history(
     spark: SparkSession,
     state_root: str,

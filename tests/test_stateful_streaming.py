@@ -1401,6 +1401,67 @@ def test_erase_versioned_history_purges_every_as_of_read(spark, tmp_path):
         ), k
 
 
+def test_vacuum_versions_bounds_time_travel_and_resumes(spark, tmp_path):
+    """Retention drill: vacuum to the newest 2 versions — the dropped
+    versions' as-of reads fail loud (never serve a half-deleted
+    snapshot), the kept ones read normally, `latest_committed_state`
+    still lands on the newest, and the SAME checkpoint resumes folding
+    on top of the vacuumed lineage (batch n only needs v(n-1), which
+    retention keeps)."""
+    import os
+
+    import pandas as pd
+    import pytest
+
+    from imdb_mapreduce_spark.plans.events import _erased_col  # noqa: F401
+    from imdb_mapreduce_spark.streaming.jobs import (
+        incremental_multires_drain,
+        latest_committed_state,
+        state_as_of,
+        vacuum_versions,
+    )
+
+    t0 = pd.Timestamp("2026-03-01 00:00:00")
+    m = pd.Timedelta(minutes=1)
+    cols = ["ts", "event_type", "value"]
+    batches = {
+        i: [(t0 + (i * 10 + 1) * m, "click", float(i) + 0.25)]
+        for i in range(4)
+    }
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def put_file(i: int) -> None:
+        path = os.path.join(src, f"b{i}.parquet")
+        pd.DataFrame(batches[i], columns=cols).to_parquet(
+            path, coerce_timestamps="us", allow_truncated_timestamps=True
+        )
+        os.utime(path, (1_000_000 + i, 1_000_000 + i))
+
+    from pyspark.sql.types import _parse_datatype_string
+
+    st = _parse_datatype_string("ts timestamp, event_type string, value double")
+    state_root = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    for i in range(3):
+        put_file(i)
+    incremental_multires_drain(spark, src, st, state_root, ckpt)
+    assert vacuum_versions(state_root, keep_last=2) == [0]
+    with pytest.raises(ValueError, match="never committed"):
+        state_as_of(spark, state_root, 0)
+    assert state_as_of(spark, state_root, 2)["minute"].count() == 3
+    latest = latest_committed_state(spark, state_root)
+    assert latest is not None and latest[0] == 2
+    # resume on the vacuumed lineage: batch 3 reads v2 (kept) → v3
+    put_file(3)
+    final = incremental_multires_drain(spark, src, st, state_root, ckpt)
+    assert final is not None and final["minute"].count() == 4
+    # keep_last must be positive; vacuum with room to spare drops nothing
+    with pytest.raises(ValueError, match="keep_last"):
+        vacuum_versions(state_root, keep_last=0)
+    assert vacuum_versions(state_root, keep_last=10) == []
+
+
 def test_state_as_of_rejects_uncommitted_version(spark, tmp_path):
     """`state_as_of` must fail loud on a version that never committed —
     serving a torn write (or a nonexistent version) as history would
