@@ -1268,6 +1268,65 @@ def erase_versioned_history(
     return purged
 
 
+def erase_versioned_history_sketch(
+    spark: SparkSession,
+    state_root: str,
+    purged_root: str,
+    batches: "list[DataFrame]",
+    erased: "F.Column",
+) -> "list[int]":
+    """The SKETCH family's history purge — the r14 mergeability
+    asymmetry extended to time travel: KMV has no inverse, so each
+    committed version's touched minutes must RE-DERIVE from the
+    remaining RAW of ITS OWN batch prefix (the exact membership trigger
+    inside `sketch_erasure_repair` prunes the re-derive set; maintained
+    hour/day state carries via ``prev_coarse``). Per-version cost is
+    therefore PREFIX-shaped — version k re-reads up to k batches'
+    remaining rows for its touched minutes — where the additive twin
+    (`erase_versioned_history`) is state-shaped and corpus-flat; the
+    history-purge probe measures exactly this gap. Same
+    rewrite-to-new-root discipline (idempotent, crash-safe), same
+    byte-equal carry for versions before the first erased row.
+
+    Requires ``batches`` columns (ts, user_id) in the drain's order —
+    one file per batch with strictly increasing mtimes at staging."""
+    import os
+    import shutil
+
+    prefix: DataFrame | None = None
+    any_erased = False
+    purged: list[int] = []
+    for k, batch in enumerate(batches):
+        src_dir = os.path.join(state_root, f"v{k}")
+        if not os.path.exists(os.path.join(src_dir, "_COMMIT")):
+            break
+        prefix = batch if prefix is None else prefix.unionByName(batch)
+        any_erased = any_erased or not batch.filter(erased).isEmpty()
+        dst_dir = os.path.join(purged_root, f"v{k}")
+        if not any_erased:
+            os.makedirs(dst_dir, exist_ok=True)
+            for tier in _MULTIRES_TIERS:
+                shutil.copytree(
+                    os.path.join(src_dir, tier), os.path.join(dst_dir, tier)
+                )
+        else:
+            prev = state_as_of(spark, state_root, k)
+
+            def mat(name: str, df: DataFrame) -> DataFrame:
+                path = os.path.join(dst_dir, name)
+                df.write.mode("overwrite").parquet(path)
+                return spark.read.parquet(path)
+
+            sketch_erasure_repair(
+                prefix, prev["minute"], erased,
+                prev_coarse=prev, materialize=mat,
+            )
+        with open(os.path.join(dst_dir, "_COMMIT"), "w") as f:
+            f.write("ok\n")
+        purged.append(k)
+    return purged
+
+
 def incremental_multires_drain(
     spark: SparkSession,
     src: str,

@@ -44,9 +44,15 @@ from pyspark.sql import functions as F  # noqa: E402
 import scale10x  # noqa: E402
 from imdb_mapreduce_spark.session import get_spark  # noqa: E402
 from imdb_mapreduce_spark.sources.star import load_table  # noqa: E402
+from imdb_mapreduce_spark.plans.events import (  # noqa: E402
+    kmv_k_smallest,
+    kmv_minute_pairs,
+)
 from imdb_mapreduce_spark.streaming.jobs import (  # noqa: E402
     erase_versioned_history,
+    erase_versioned_history_sketch,
     incremental_multires_drain,
+    multires_kmv_merge_batch,
     multires_merge_batch,
     state_as_of,
 )
@@ -156,6 +162,52 @@ def main() -> None:
             )
             assert a == b, (k, a, b)
         out["fingerprint_v_last"] = a
+
+        # --- the SKETCH family's history purge: per-version prefix
+        # re-derivation (no inverse) — the asymmetry, for history ---
+        sk_root = os.path.join(d, "sk_state")
+        incremental_multires_drain(
+            spark, src, batches[0].schema, sk_root,
+            os.path.join(d, "sk_ckpt"), merge_fn=multires_kmv_merge_batch,
+        )
+        sk_purged = os.path.join(d, "sk_purged")
+        t0 = time.monotonic()
+        erase_versioned_history_sketch(
+            spark, sk_root, sk_purged, batches, F.expr(ERASED)
+        )
+        out["sketch_purge_sec"] = round(time.monotonic() - t0, 2)
+        # last-version check vs the direct remaining-prefix sketch
+        prefix = batches[0]
+        for b in batches[1:]:
+            prefix = prefix.unionByName(b)
+        direct_m = kmv_k_smallest(
+            kmv_minute_pairs(prefix.filter(f"NOT ({ERASED})"))
+        )
+
+        def sk_fp(df):
+            return (
+                df.select(
+                    F.count("*").alias("n"),
+                    F.sum(
+                        F.crc32(
+                            F.concat_ws(
+                                ",",
+                                F.col("bucket").cast("string"),
+                                F.concat_ws("|", "hashes"),
+                            )
+                        )
+                    ).alias("sig"),
+                )
+                .first()
+                .asDict()
+            )
+
+        a = sk_fp(
+            state_as_of(spark, sk_purged, n_versions - 1)["minute"]
+        )
+        b = sk_fp(direct_m)
+        assert a == b, (a, b)
+        out["sketch_fingerprint_v_last"] = a
     print(json.dumps(out))
 
 
