@@ -79,6 +79,7 @@ _HEAD: tuple[str, ...] = (
     "events_rollup_erasure_incremental",
     "events_distinct_erasure_incremental",
     "events_rollup_time_travel",
+    "events_rollup_erasure_asof",
     "embedding_random_projection",
     "text_feature_hashing",
     "ngram_containment_pairs",
@@ -117,9 +118,9 @@ _HEAD: tuple[str, ...] = (
     "embedding_int8_quant",
     "pricing_summary",
     "revenue_topk",
-    "customers_without_orders",
 )
 _TAIL: tuple[str, ...] = (
+    "customers_without_orders",
     "order_basket_lookup",
     "nation_customer_sorted",
     "asof_last_purchase",
@@ -228,6 +229,7 @@ _TAIL: tuple[str, ...] = (
     "user_state_scd2",
     "kmv_set_ops",
 )
+
 
 
 

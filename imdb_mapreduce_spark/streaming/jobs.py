@@ -1886,6 +1886,133 @@ def events_rollup_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
 
 
+@register(
+    "events_rollup_erasure_asof",
+    oracle="""
+    WITH sliced AS (
+      SELECT ts, event_type, value, user_id,
+             ('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 4 AS slc
+      FROM events),
+    seen AS (
+      SELECT ts, event_type, value FROM sliced
+      WHERE slc IN (0, 1) AND (user_id IS NULL OR user_id % 7 <> 3)),
+    m AS (
+      SELECT date_trunc('minute', ts) AS bucket, event_type,
+             COUNT(*) AS n,
+             COALESCE(SUM(CAST(value AS DECIMAL(12,2))), 0) AS s
+      FROM seen GROUP BY 1, 2),
+    h AS (
+      SELECT date_trunc('hour', ts) AS bucket, event_type,
+             COUNT(*) AS n,
+             COALESCE(SUM(CAST(value AS DECIMAL(12,2))), 0) AS s
+      FROM seen GROUP BY 1, 2),
+    d AS (
+      SELECT date_trunc('day', ts) AS bucket, event_type,
+             COUNT(*) AS n,
+             COALESCE(SUM(CAST(value AS DECIMAL(12,2))), 0) AS s
+      FROM seen GROUP BY 1, 2)
+    SELECT 'minute' AS tier, bucket, event_type,
+           CAST(n AS BIGINT) AS n_events, CAST(s AS DOUBLE) AS total_value
+    FROM m
+    UNION ALL
+    SELECT 'hour', bucket, event_type, CAST(n AS BIGINT), CAST(s AS DOUBLE)
+    FROM h
+    UNION ALL
+    SELECT 'day', bucket, event_type, CAST(n AS BIGINT), CAST(s AS DOUBLE)
+    FROM d
+    """,
+    tags=("streaming", "rollup", "hypertable", "time-travel", "erasure",
+          "gdpr", "foreachBatch", "exactly-once", "north-star"),
+)
+def events_rollup_erasure_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel × right-to-be-forgotten under the HASH GATE: fold
+    four md5-slice batches into versioned state, purge the erased users
+    from EVERY committed version (`erase_versioned_history` — the
+    per-version running additive inverse, rewritten to a new root), and
+    serve ``VERSION AS OF v1`` off the purged lineage. The oracle
+    computes the rollup directly over the REMAINING rows of batches
+    0-1, so a hash-green row proves the purge's central claim —
+    history(k) ≡ rollup(remaining prefix ≤ k) — end to end in the
+    driver's gate, not just in the pytest drill (which additionally
+    pins every version, the byte-equal carry, and idempotence). The
+    erased contribution in v1 differs from the final state's (the
+    purge subtracts each version's OWN prefix), which is exactly the
+    per-version geometry a blanket subtract would get wrong.
+
+    The reference has no streaming, versioning, deletion, or
+    time-travel surface; this family is the engine's [NORTH-STAR]
+    extension mandate."""
+    import functools
+    import glob as _glob
+    import os
+    import shutil
+
+    from imdb_mapreduce_spark.plans.events import (
+        _erased_col,
+        multires_tiered_union,
+    )
+    from imdb_mapreduce_spark.sources.star import load_table
+
+    events = load_table(spark, "events", sf_dir).select(
+        "ts", "event_type", "value", "user_id", "event_id"
+    )
+    slc = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 15),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(4),
+    )
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "src")
+        os.makedirs(src)
+        staged = []
+        for i in range(4):
+            part = os.path.join(d, f"slice{i}")
+            (
+                events.filter(slc == i)
+                .drop("event_id")
+                .coalesce(1)
+                .write.parquet(part)
+            )
+            files = _glob.glob(os.path.join(part, "part-*"))
+            if not files:  # empty slice (degenerate corpus)
+                continue
+            dst = os.path.join(src, f"b{i}.parquet")
+            shutil.copy(files[0], dst)
+            os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+            staged.append(dst)
+        schema = events.drop("event_id").schema
+        state_root = os.path.join(d, "state")
+        incremental_multires_drain(
+            spark, src, schema, state_root, os.path.join(d, "ckpt"),
+            merge_fn=functools.partial(
+                multires_merge_batch, coalesce_values=True
+            ),
+        )
+        empty = spark.createDataFrame(
+            [],
+            "tier string, bucket timestamp, event_type string,"
+            " n_events bigint, total_value double",
+        )
+        if len(staged) < 2:  # degenerate: v1 never exists
+            return empty
+        purged_root = os.path.join(d, "purged")
+        erase_versioned_history(
+            spark,
+            state_root,
+            purged_root,
+            [spark.read.parquet(p) for p in staged],
+            _erased_col(),
+        )
+        asof = state_as_of(spark, purged_root, 1)
+        out = multires_tiered_union(asof["minute"], asof["hour"], asof["day"])
+        # Materialize before the tempdir vanishes (bounded: buckets×types
+        # rows — time-horizon-, not corpus-, proportional).
+        return out.localCheckpoint(eager=True)
+
+
 # ---------------------------------------------------------------------------
 # TWS timers: session-timeout emission (r13, VERDICT r12 item 5)
 # ---------------------------------------------------------------------------

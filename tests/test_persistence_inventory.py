@@ -122,6 +122,10 @@ INVENTORY: dict[tuple[str, str, str], tuple[int, str]] = {
     # chain; bounded at one row per erased (bucket, type).
     ("streaming/jobs.py", "erase_versioned_history",
      "localCheckpoint"): (1, "bounded-relation"),
+    # r15: the purged-as-of readout — one row per (bucket, type) across
+    # three tiers, materialized before the tempdir lineage vanishes.
+    ("streaming/jobs.py", "events_rollup_erasure_asof",
+     "localCheckpoint"): (1, "bounded-relation"),
     # r15: the IVF delete-in-place writes OVER the very cell directories
     # its lineage reads — the checkpoint truncates that read-overwrite
     # cycle; the slice is erasure-footprint-proportional (touched cells'

@@ -74,6 +74,7 @@ R15_HEAD = (
     "events_rollup_erasure_incremental",
     "events_distinct_erasure_incremental",
     "events_rollup_time_travel",
+    "events_rollup_erasure_asof",
     "embedding_random_projection",
     "text_feature_hashing",
     "ngram_containment_pairs",
@@ -112,7 +113,6 @@ R15_HEAD = (
     "embedding_int8_quant",
     "pricing_summary",
     "revenue_topk",
-    "customers_without_orders",
 )
 
 
