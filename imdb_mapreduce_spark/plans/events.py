@@ -1809,3 +1809,254 @@ def sketch_erasure_repair(
         tiers[unit] = materialize(unit, carried.unionByName(derived))
         finer = tiers[unit]
     return tiers
+
+
+# ---------------------------------------------------------------------------
+# Multi-resolution QUANTILE rollup (r15): the THIRD aggregate class
+# through the hypertable cascade. Counts/sums re-aggregate by addition
+# (`events_multires_rollup`); distinct counts need the KMV hash-set
+# sketch (`events_multires_distinct_rollup`); ORDER STATISTICS need a
+# sketch too — but Spark's Greenwald-Khanna `approx_percentile` is not
+# cross-engine-deterministic, so it could never ride this repo's hash
+# gate. The BOTTOM-K ROW SAMPLE is: keep, per bucket, the K rows whose
+# md5(event_id) prefix is smallest — a uniform-without-replacement
+# sample (the hash is uniform on [0, 2^60) and event_id is row-unique),
+# mergeable by EXACTLY the KMV law (any row in the union's bottom-K is
+# in its own child's bottom-K, with multiplicity), and deterministic in
+# both engines. One sketch, two estimator families: the K-th hash gives
+# the KMV distinct estimate; the sampled VALUES give quantiles — exact
+# whenever the bucket holds ≤ K rows (the sample is then the bucket).
+# ---------------------------------------------------------------------------
+
+QTL_K = 128  # sample rows kept per bucket (p99 from index ceil(.99·m))
+
+# Max salt width whose level-2 merge may collect in ONE task — the
+# quantile twin of `_KMV_L2_FANIN`, lower because sample elements are
+# (h, v, uh) structs (~24 B), not bare longs: 1024·128 ≈ 131k structs
+# ≈ 3 MB per mega-crowd bucket. Above it, `bottomk_sample` folds through
+# one more salted rank at this width (same recursion as
+# `kmv_k_smallest`; output-invariant by the merge law).
+_QTL_L2_FANIN = 1024
+
+
+def qtl_minute_pairs(e: DataFrame) -> DataFrame:
+    """Raw events → (minute bucket, h, v, uh) — the only pass over raw
+    the whole quantile cascade makes. ``h`` = md5 15-hex-char prefix of
+    the ROW key ``event_id`` (uniform on [0, 2^60), row-unique — the
+    sample is over ROWS, unlike `kmv_minute_pairs`' distinct-user
+    hashes), ``v`` the sampled value, ``uh`` the same md5 prefix of
+    ``user_id`` carried INSIDE the sample so a future erasure repair
+    can test membership without re-reading raw (the exact-trigger move
+    `events_distinct_user_erasure` uses — if no sampled row belongs to
+    an erased user, bottom-K of the remaining rows IS the stored
+    sample). NULL values are excluded (quantiles are over values, the
+    SQL aggregate convention); NULL event_ids would hash NULL and rank
+    differently across engines, so they are excluded and the oracle
+    carries the same predicate."""
+    return e.filter(
+        F.col("value").isNotNull() & F.col("event_id").isNotNull()
+    ).select(
+        F.date_trunc("minute", F.col("ts")).alias("bucket"),
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10
+        )
+        .cast("bigint")
+        .alias("h"),
+        F.col("value").alias("v"),
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+        )
+        .cast("bigint")
+        .alias("uh"),
+    )
+
+
+def bottomk_sample(pairs: DataFrame, salt: int | None = None) -> DataFrame:
+    """(bucket, h, v, uh) rows → one row per bucket with the sorted
+    bottom-``QTL_K``-by-hash sample array — `kmv_k_smallest`'s shape
+    (two-level salted Tungsten rank, session-derived salt width,
+    recursion above the fan-in cap) with two deliberate differences:
+
+    - NO dedup pass: the sample is over ROWS and must keep
+      multiplicity (two events sharing an md5-colliding (h, v) are two
+      sample rows — top-K selection over a totally ordered multiset is
+      mergeable WITH multiplicity: a row in the union's bottom-K ranks
+      ≤ K in its own child too);
+    - the payload rides the sort: ordering is (h, v, uh) so rank ties
+      beyond the hash stay deterministic engine-side; the oracle orders
+      by (h, v) only, which is enough because the READOUT (m + value
+      quantiles) is invariant to which of two all-but-uh-equal rows
+      survives.
+
+    Output is salt-invariant by the same merge law, so the derivation
+    can never change results."""
+    if salt is None:
+        try:
+            parts = int(
+                pairs.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            )
+        except ValueError:  # e.g. a vendor build reporting "auto"
+            parts = 0
+        salt = max(1024, 32 * parts)
+    S = int(salt)
+    w = Window.partitionBy("bucket", "_s").orderBy("h", "v", "uh")
+    lvl1 = (
+        pairs.withColumn("_s", F.pmod(F.col("h"), F.lit(S)))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= QTL_K)
+    )
+    if S > _QTL_L2_FANIN:
+        return bottomk_sample(
+            lvl1.select("bucket", "h", "v", "uh"), salt=_QTL_L2_FANIN
+        )
+    return lvl1.groupBy("bucket").agg(
+        F.slice(
+            F.sort_array(F.collect_list(F.struct("h", "v", "uh"))), 1, QTL_K
+        ).alias("sample")
+    )
+
+
+def bottomk_merge_up(fine: DataFrame, unit: str) -> DataFrame:
+    """Coarsen one sample tier by the bottom-K merge law: union the
+    fine buckets' sample rows, re-take the K smallest by hash — bounded
+    input (≤ children·K rows per bucket), raw never touched."""
+    ex = fine.select(
+        F.date_trunc(unit, F.col("bucket")).alias("bucket"),
+        F.explode("sample").alias("e"),
+    )
+    return bottomk_sample(
+        ex.select(
+            "bucket",
+            F.col("e.h").alias("h"),
+            F.col("e.v").alias("v"),
+            F.col("e.uh").alias("uh"),
+        )
+    )
+
+
+def qtl_bucket_stats(df: DataFrame, tier: str) -> DataFrame:
+    """Sample rows → the registered readout: sample fill m and the
+    p50/p90/p99 estimates. The estimator is PICK-A-SAMPLED-VALUE (no
+    interpolation, hence no float arithmetic to diverge between
+    engines): sort the sampled values ascending, take index
+    ceil(p·m/100) — computed in EXACT integer form
+    floor((p·m + 99) / 100) in both engines (the naive double
+    ``CEIL(0.99 * m)`` rounds UP spuriously whenever p·m is exactly
+    integral but inexact in binary, e.g. 0.99·100 → 99.00000000000001).
+    Exact below fill: m < QTL_K ⟺ the sample IS the bucket, so the
+    estimates are the true percentiles."""
+    vals = F.array_sort(F.transform(F.col("sample"), lambda x: x["v"]))
+    m = F.size("sample").cast("long")
+
+    def q(p: int) -> F.Column:
+        idx = F.floor((F.lit(p) * m + F.lit(99)) / F.lit(100)).cast("int")
+        return F.element_at(vals, idx)
+
+    return df.select(
+        F.lit(tier).alias("tier"),
+        "bucket",
+        m.alias("m"),
+        q(50).alias("p50"),
+        q(90).alias("p90"),
+        q(99).alias("p99"),
+    )
+
+
+# Shared by `events_multires_quantile_rollup` (batch cascade) and the
+# r15 `events_multires_quantile_incremental` (foreachBatch sample
+# maintenance, streaming/jobs.py): every tier's bottom-K sample computed
+# DIRECTLY from raw, so a hash match proves merge-cascade ≡ direct and
+# incremental-sample ≡ direct.
+MULTIRES_QUANTILE_ORACLE = f"""
+    WITH pr AS (
+      SELECT ts,
+             ('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS h,
+             value AS v
+      FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL),
+    tp AS (
+      SELECT 'minute' AS tier, date_trunc('minute', ts) AS bucket, h, v FROM pr
+      UNION ALL
+      SELECT 'hour', date_trunc('hour', ts), h, v FROM pr
+      UNION ALL
+      SELECT 'day', date_trunc('day', ts), h, v FROM pr),
+    ks AS (
+      SELECT tier, bucket, v
+      FROM (SELECT tier, bucket, v,
+                   ROW_NUMBER() OVER (PARTITION BY tier, bucket
+                                      ORDER BY h, v) AS rn
+            FROM tp)
+      WHERE rn <= {QTL_K}),
+    rv AS (
+      SELECT tier, bucket, v,
+             ROW_NUMBER() OVER (PARTITION BY tier, bucket ORDER BY v) AS rv,
+             COUNT(*) OVER (PARTITION BY tier, bucket) AS m
+      FROM ks)
+    SELECT tier, bucket, CAST(MAX(m) AS BIGINT) AS m,
+           MAX(CASE WHEN rv = CAST(FLOOR((50 * m + 99) / 100.0) AS INTEGER)
+                    THEN v END) AS p50,
+           MAX(CASE WHEN rv = CAST(FLOOR((90 * m + 99) / 100.0) AS INTEGER)
+                    THEN v END) AS p90,
+           MAX(CASE WHEN rv = CAST(FLOOR((99 * m + 99) / 100.0) AS INTEGER)
+                    THEN v END) AS p99
+    FROM rv GROUP BY tier, bucket
+    """
+
+
+@register(
+    "events_multires_quantile_rollup",
+    oracle=MULTIRES_QUANTILE_ORACLE,
+    tags=("time", "rollup", "hypertable", "sketch", "quantile",
+          "north-star"),
+)
+def events_multires_quantile_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Value percentiles per minute/hour/day — the rollup cascade for
+    ORDER STATISTICS, the third aggregate class through the hypertable
+    scaffold (additive count/sum: `events_multires_rollup`; distinct
+    via KMV hash sets: `events_multires_distinct_rollup`; and now
+    quantiles via bottom-K row samples). An hour's median is not any
+    function of its minutes' medians — like distinct counts, order
+    statistics need a MERGEABLE summary carried between tiers, and the
+    bottom-K-by-row-hash sample is that summary: uniform (md5 prefix of
+    the row-unique event_id), mergeable by the KMV law with
+    multiplicity (union the children's samples, re-take the K smallest
+    — `bottomk_sample`'s doc gives the argument), and deterministic in
+    both engines, which GK/t-digest sketches are not.
+
+    The minute tier ranks raw (bucket, h, v) rows once; HOUR merges its
+    minutes' sample ARRAYS (≤ 60·K rows per hour — never raw); DAY
+    merges hours (≤ 24·K). Raw is scanned exactly once, every coarse
+    tier's sample is IDENTICAL to what direct computation would build,
+    and the oracle computes each tier's sample directly from raw in
+    DuckDB (same hash, same rank/cut, same integer-exact index rule) —
+    so the hash match proves merge-cascade ≡ direct at all three
+    resolutions. Quantiles are EXACT below fill (a bucket with ≤ K rows
+    is fully sampled); above fill they are the sample's percentiles
+    (±O(1/√K) in rank). Row counts per bucket are deliberately NOT in
+    this sketch — they are the additive cascade's job, over the same
+    bucket keys.
+
+    At 100 TB: this is how a time-series store serves "p99 latency last
+    hour/day" without re-scanning raw per resolution — and the same
+    arrays are what the INCREMENTAL maintenance step merges per batch
+    (`events_multires_quantile_incremental`, streaming/jobs.py):
+    bottom-K-merge is associative and commutative, so samples slot into
+    the versioned exactly-once scaffold exactly as KMV sketches did.
+
+    The reference has no quantile, sketch, or time-rollup surface at
+    all (its pipeline is one-shot batch MapReduce over IMDb TSVs,
+    `/root/reference/src/server/master.erl`); this family is the
+    engine's [NORTH-STAR] extension mandate."""
+    e = _events(spark, sf_dir)
+    # The minute sample fans out THREE ways (own readout, hour, day via
+    # hour) — materialize once (bounded: one ≤K-array row per minute;
+    # the same broadcast-fan-out lesson as the distinct cascade).
+    m = bottomk_sample(qtl_minute_pairs(e)).localCheckpoint(eager=True)
+    h = bottomk_merge_up(m, "hour")
+    d = bottomk_merge_up(h, "day")
+    return (
+        qtl_bucket_stats(m, "minute")
+        .unionByName(qtl_bucket_stats(h, "hour"))
+        .unionByName(qtl_bucket_stats(d, "day"))
+    )

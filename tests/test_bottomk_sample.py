@@ -1,0 +1,218 @@
+"""The bottom-K row-sample merge law (r15) — the quantile cascade's
+foundation. Unlike the KMV hash-SET law (`test_kmv_merge_law`), this one
+is over ROW MULTISETS: the sample keeps multiplicity (two rows sharing
+(h, v) are two sample rows), and the law is that top-K selection over a
+totally ordered multiset is mergeable WITH multiplicity — any row in the
+union's bottom-K ranks ≤ K within its own child. The pure-python
+property test pins the law itself; the Spark tests pin that
+`bottomk_sample` / `bottomk_merge_up` implement it (salt-invariant,
+recursion-invariant, multiplicity-preserving) and that the quantile
+readout is EXACT below fill."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from imdb_mapreduce_spark.plans.events import QTL_K
+
+triples = st.tuples(
+    st.integers(0, 30),  # tiny hash space → heavy (h, v) collisions
+    st.integers(0, 5),
+    st.integers(0, 3),
+)
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    rows=st.lists(triples, min_size=1, max_size=300),
+    n_children=st.integers(1, 6),
+    k=st.integers(1, 12),
+)
+def test_bottomk_multiset_merge_law(rows, n_children, k):
+    """bottom-k(union of children's bottom-k's) == bottom-k(all rows),
+    as MULTISETS, for any split of the rows into children — the claim
+    `bottomk_merge_up` relies on at every cascade level."""
+    children = [rows[i::n_children] for i in range(n_children)]
+    merged: list = []
+    for c in children:
+        merged += sorted(c)[:k]
+    assert sorted(merged)[:k] == sorted(rows)[:k]
+
+
+def _pairs_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "bucket int, h long, v double, uh long"
+    ).repartition(7)
+
+
+def test_bottomk_sample_matches_naive(spark):
+    """For every bucket, `bottomk_sample` must emit exactly the sorted
+    K smallest (h, v, uh) ROWS — multiplicity preserved (duplicated
+    rows below the cut appear as many times as they occur), identical
+    to a naive per-bucket sort — for any salt width."""
+    import random
+
+    from imdb_mapreduce_spark.plans.events import bottomk_sample
+
+    rng = random.Random(15)
+    rows = []
+    expected = {}
+    # bucket 0: tiny (below K); bucket 1: exactly K; bucket 2: a crowd
+    # with heavy duplication of the SMALLEST row (multiplicity must
+    # survive — the KMV dedup would be a bug here)
+    sizes = {0: 5, 1: QTL_K, 2: 4 * QTL_K + 7}
+    for b, n in sizes.items():
+        hs = rng.sample(range(1, 1 << 40), n)
+        bucket_rows = [
+            (b, h, float(rng.randint(0, 99)), rng.randrange(1 << 30))
+            for h in hs
+        ]
+        smallest = min(bucket_rows, key=lambda r: (r[1], r[2], r[3]))
+        bucket_rows += [smallest] * 3  # duplicate rows, same (h, v, uh)
+        rows += bucket_rows
+        expected[b] = sorted(
+            (r[1], r[2], r[3]) for r in bucket_rows
+        )[:QTL_K]
+
+    for salt in (1, 4, 32, 1000):
+        got = {
+            r["bucket"]: [(e["h"], e["v"], e["uh"]) for e in r["sample"]]
+            for r in bottomk_sample(_pairs_df(spark, rows), salt=salt).collect()
+        }
+        assert got == expected, salt
+
+
+def test_bottomk_recursive_merge(spark):
+    """Above `_QTL_L2_FANIN` the level-2 merge folds through one more
+    salted rank instead of a single salt·K collect — same recursion
+    contract as `kmv_k_smallest` (ADVICE r14): the plan grows exactly
+    one more rank level, the output not at all."""
+    import io
+    import random
+    from contextlib import redirect_stdout
+
+    from imdb_mapreduce_spark.plans.events import (
+        _QTL_L2_FANIN,
+        bottomk_sample,
+    )
+
+    rng = random.Random(16)
+    rows = [
+        (1, h, float(rng.randint(0, 99)), rng.randrange(1 << 30))
+        for h in rng.sample(range(1, 1 << 40), 3 * QTL_K + 5)
+    ]
+    rows += rows[:QTL_K]  # duplicates across the cut
+    expected = {1: sorted((r[1], r[2], r[3]) for r in rows)[:QTL_K]}
+
+    def plan(df) -> str:
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    pairs = _pairs_df(spark, rows)
+    flat = bottomk_sample(pairs, salt=_QTL_L2_FANIN)
+    deep = bottomk_sample(pairs, salt=4 * _QTL_L2_FANIN)
+    n_flat = plan(flat).count("row_number")
+    n_deep = plan(deep).count("row_number")
+    assert n_flat >= 1 and n_deep == 2 * n_flat, (n_flat, n_deep)
+    for df in (flat, deep):
+        got = {
+            r["bucket"]: [(e["h"], e["v"], e["uh"]) for e in r["sample"]]
+            for r in df.collect()
+        }
+        assert got == expected
+
+
+def test_bottomk_merge_up_equals_direct(spark):
+    """One cascade level: merging the minutes' sample arrays up to the
+    hour must equal the direct bottom-K over the hour's rows — including
+    a row duplicated ACROSS two minutes (both copies must survive into
+    the hour sample when both rank ≤ K)."""
+    import datetime
+    import random
+
+    from imdb_mapreduce_spark.plans.events import (
+        bottomk_merge_up,
+        bottomk_sample,
+        qtl_minute_pairs,
+    )
+
+    rng = random.Random(17)
+    base = datetime.datetime(2026, 9, 1, 10, 0, 0)
+    rows = []
+    eid = 0
+    for minute in range(3):
+        for _ in range(QTL_K // 2 + rng.randint(0, QTL_K)):
+            eid += 1
+            rows.append(
+                (
+                    eid,
+                    base + datetime.timedelta(minutes=minute, seconds=1),
+                    rng.randrange(1, 1 << 30),
+                    float(rng.randint(0, 99)),
+                )
+            )
+    e = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    pairs = qtl_minute_pairs(e)
+    minute_tier = bottomk_sample(pairs).localCheckpoint(eager=True)
+    hour = bottomk_merge_up(minute_tier, "hour")
+
+    import pyspark.sql.functions as F
+
+    direct = bottomk_sample(
+        pairs.select(
+            F.date_trunc("hour", F.col("bucket")).alias("bucket"),
+            "h",
+            "v",
+            "uh",
+        )
+    )
+
+    def snap(df):
+        return sorted(
+            (r["bucket"], tuple((e["h"], e["v"], e["uh"]) for e in r["sample"]))
+            for r in df.collect()
+        )
+
+    assert snap(hour) == snap(direct)
+
+
+def test_qtl_exact_below_fill(spark):
+    """m < QTL_K ⟺ the sample IS the bucket, so p50/p90/p99 must be the
+    TRUE percentiles (ceil-index rule over the full sorted values) —
+    the exactness property the rollup docstring promises."""
+    import datetime
+    import math
+    import random
+
+    from imdb_mapreduce_spark.plans.events import (
+        bottomk_sample,
+        qtl_bucket_stats,
+        qtl_minute_pairs,
+    )
+
+    rng = random.Random(18)
+    base = datetime.datetime(2026, 9, 2, 8, 30, 0)
+    n = QTL_K - 10
+    values = [float(rng.randint(0, 10_000)) for _ in range(n)]
+    e = spark.createDataFrame(
+        [
+            (i + 1, base + datetime.timedelta(seconds=i % 50), i, v)
+            for i, v in enumerate(values)
+        ],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+    out = qtl_bucket_stats(
+        bottomk_sample(qtl_minute_pairs(e)), "minute"
+    ).collect()
+    assert len(out) == 1
+    row = out[0]
+    sv = sorted(values)
+    assert row["m"] == n
+    for p, col in ((50, "p50"), (90, "p90"), (99, "p99")):
+        idx = math.floor((p * n + 99) / 100)  # == ceil(p·n/100), exact
+        assert row[col] == sv[idx - 1], (p, row[col], sv[idx - 1])
