@@ -144,6 +144,15 @@ HEADLINE = (
     # trigger overhead, not operator throughput — the probes carry that
     # signal).
     "ann_ivf_erasure_topk",
+    # added r15 session 2: the quantile (bottom-K row sample) hypertable
+    # family — batch cascade (keeps the salted sample-rank plan
+    # perf-visible), realtime read (per-read fold convention, read leg
+    # split out via realtime_read_sec), and the sample-family erasure
+    # repair (user-membership trigger). The two quantile-INCREMENTAL
+    # queries stay out by the streaming convention.
+    "events_multires_quantile_rollup",
+    "events_multires_quantile_realtime",
+    "events_quantile_user_erasure",
 )
 
 

@@ -2060,3 +2060,177 @@ def events_multires_quantile_rollup(
         .unionByName(qtl_bucket_stats(h, "hour"))
         .unionByName(qtl_bucket_stats(d, "day"))
     )
+
+
+# Shared by `events_quantile_user_erasure` (batch repair); the oracle
+# builds each tier's bottom-K sample DIRECTLY from the remaining rows.
+# NULL-user rows REMAIN (erasure is per-user; a NULL user is nobody's
+# data subject) — unlike the distinct family, whose pairs excluded NULL
+# users up front, the quantile sample keeps their values.
+QUANTILE_ERASURE_ORACLE = f"""
+    WITH remaining AS (
+      SELECT * FROM events
+      WHERE user_id IS NULL OR user_id % 7 <> 3),
+    pr AS (
+      SELECT ts,
+             ('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS h,
+             value AS v
+      FROM remaining WHERE value IS NOT NULL AND event_id IS NOT NULL),
+    tp AS (
+      SELECT 'minute' AS tier, date_trunc('minute', ts) AS bucket, h, v FROM pr
+      UNION ALL
+      SELECT 'hour', date_trunc('hour', ts), h, v FROM pr
+      UNION ALL
+      SELECT 'day', date_trunc('day', ts), h, v FROM pr),
+    ks AS (
+      SELECT tier, bucket, v
+      FROM (SELECT tier, bucket, v,
+                   ROW_NUMBER() OVER (PARTITION BY tier, bucket
+                                      ORDER BY h, v) AS rn
+            FROM tp)
+      WHERE rn <= {QTL_K}),
+    rv AS (
+      SELECT tier, bucket, v,
+             ROW_NUMBER() OVER (PARTITION BY tier, bucket ORDER BY v) AS rv,
+             COUNT(*) OVER (PARTITION BY tier, bucket) AS m
+      FROM ks)
+    SELECT tier, bucket, CAST(MAX(m) AS BIGINT) AS m,
+           MAX(CASE WHEN rv = CAST(FLOOR((50 * m + 99) / 100.0) AS INTEGER)
+                    THEN v END) AS p50,
+           MAX(CASE WHEN rv = CAST(FLOOR((90 * m + 99) / 100.0) AS INTEGER)
+                    THEN v END) AS p90,
+           MAX(CASE WHEN rv = CAST(FLOOR((99 * m + 99) / 100.0) AS INTEGER)
+                    THEN v END) AS p99
+    FROM rv GROUP BY tier, bucket
+    """
+
+
+@register(
+    "events_quantile_user_erasure",
+    oracle=QUANTILE_ERASURE_ORACLE,
+    tags=("time", "rollup", "hypertable", "sketch", "quantile",
+          "erasure", "gdpr", "north-star"),
+)
+def events_quantile_user_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten for the QUANTILE rollup — the sample
+    family sits on the non-invertible side of the mergeability
+    asymmetry with KMV (removing a sampled row cannot resurrect the
+    rows it evicted from the bottom-K), so the repair re-derives
+    touched minutes from REMAINING raw — but with its own exact
+    trigger, and this is why `qtl_minute_pairs` carries ``uh`` inside
+    every sample element: a minute's bottom-K sample changes only if a
+    sampled row BELONGS to an erased user. A non-sampled erased row
+    ranks below the kth cut, and removing rows below the cut cannot
+    alter the K smallest (under fill the sample holds ALL rows, so any
+    erased row is sampled and the test stays exact; an md5-colliding
+    surviving user can only fire the trigger spuriously — the
+    re-derivation then lands on the same arrays, correct, never
+    wrong). Membership is tested against the STORED sample arrays —
+    state, not raw — so the pruning costs one broadcast join, and with
+    it the touched-partition scan a time-partitioned layout would pay.
+    Expected pruning is ~K/rows-per-bucket below the activity
+    footprint, the same geometry as the KMV trigger's.
+
+    The oracle builds each tier's sample directly from the remaining
+    rows (NULL-user rows remain — a NULL user is nobody's data
+    subject), so hash-green proves repair ≡ rebuild-without-them at all
+    three resolutions."""
+    e = _events(spark, sf_dir).select("ts", "event_id", "user_id", "value")
+    # pre-erasure sample state (one raw pass; exists already in prod)
+    prev_m = bottomk_sample(qtl_minute_pairs(e)).localCheckpoint(eager=True)
+    tiers = sample_erasure_repair(e, prev_m, _erased_col())
+    return (
+        qtl_bucket_stats(tiers["minute"], "minute")
+        .unionByName(qtl_bucket_stats(tiers["hour"], "hour"))
+        .unionByName(qtl_bucket_stats(tiers["day"], "day"))
+    )
+
+
+def sample_erasure_repair(
+    e: DataFrame,
+    prev_m: DataFrame,
+    erased: "F.Column",
+    erased_rows: DataFrame | None = None,
+    prev_coarse: "dict[str, DataFrame] | None" = None,
+    materialize: "object | None" = None,
+) -> dict[str, DataFrame]:
+    """The sample-family erasure repair — `sketch_erasure_repair`'s
+    twin over bottom-K row samples, same contract (callers materialize
+    ``prev_m``; ``prev_coarse`` lets a versioned fold carry maintained
+    hour/day state; ``materialize`` threads the caller's
+    one-action-per-relation pin). The repair trigger is exact USER
+    membership in the stored sample: the erased users' per-minute user
+    hashes join the minute arrays and fire only where some sample
+    element's ``uh`` matches (see `events_quantile_user_erasure`'s doc
+    for the exactness argument)."""
+    erased_src = erased_rows if erased_rows is not None else e.filter(erased)
+    erased_uh = (
+        erased_src.filter(F.col("user_id").isNotNull())
+        .select(
+            F.date_trunc("minute", F.col("ts")).alias("bucket"),
+            F.conv(
+                F.substring(
+                    F.md5(F.col("user_id").cast("string")), 1, 15
+                ),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("uh"),
+        )
+        .distinct()
+    )
+    touched = (
+        erased_uh.alias("p")
+        .join(
+            prev_m.alias("s"),
+            F.col("p.bucket").eqNullSafe(F.col("s.bucket")),
+            "inner",
+        )
+        .filter(
+            F.exists(F.col("s.sample"), lambda x: x["uh"] == F.col("p.uh"))
+        )
+        .select(F.col("p.bucket").alias("bucket"))
+        .distinct()
+    )
+    t = F.broadcast(touched.select(F.col("bucket").alias("_tb")))
+    # re-derive touched minutes from REMAINING rows in those buckets
+    remaining_touched = e.filter(~erased).join(
+        t,
+        F.date_trunc("minute", F.col("ts")).eqNullSafe(F.col("_tb")),
+        "left_semi",
+    )
+    rederived = bottomk_sample(qtl_minute_pairs(remaining_touched))
+    carried_m = prev_m.join(
+        t, F.col("bucket").eqNullSafe(F.col("_tb")), "left_anti"
+    )
+    if materialize is None:
+        materialize = lambda name, df: (  # noqa: E731
+            df.localCheckpoint(eager=True) if name == "minute" else df
+        )
+    m2 = materialize("minute", carried_m.unionByName(rederived))
+    tiers = {"minute": m2}
+    prev_c, finer, touched_c = prev_m, m2, touched
+    for unit in ("hour", "day"):
+        prev_c = (
+            prev_coarse[unit] if prev_coarse is not None
+            else bottomk_merge_up(prev_c, unit)
+        )
+        touched_c = touched_c.select(
+            F.date_trunc(unit, F.col("bucket")).alias("bucket")
+        ).distinct()
+        t = F.broadcast(touched_c.select(F.col("bucket").alias("_tb")))
+        derived = bottomk_merge_up(
+            finer.join(
+                t,
+                F.date_trunc(unit, F.col("bucket")).eqNullSafe(F.col("_tb")),
+                "left_semi",
+            ),
+            unit,
+        )
+        carried = prev_c.join(
+            t, F.col("bucket").eqNullSafe(F.col("_tb")), "left_anti"
+        )
+        tiers[unit] = materialize(unit, carried.unionByName(derived))
+        finer = tiers[unit]
+    return tiers

@@ -80,6 +80,11 @@ _HEAD: tuple[str, ...] = (
     "events_distinct_erasure_incremental",
     "events_rollup_time_travel",
     "events_rollup_erasure_asof",
+    "events_multires_quantile_rollup",
+    "events_quantile_user_erasure",
+    "events_multires_quantile_incremental",
+    "events_quantile_erasure_incremental",
+    "events_multires_quantile_realtime",
     "embedding_random_projection",
     "text_feature_hashing",
     "ngram_containment_pairs",
@@ -113,13 +118,13 @@ _HEAD: tuple[str, ...] = (
     "early_not_recent_buyers",
     "brand_top2_parts",
     "user_running_stats_salted",
+)
+_TAIL: tuple[str, ...] = (
     "inverted_index_postings",
     "doc_chunk_windows",
     "embedding_int8_quant",
     "pricing_summary",
     "revenue_topk",
-)
-_TAIL: tuple[str, ...] = (
     "customers_without_orders",
     "order_basket_lookup",
     "nation_customer_sorted",

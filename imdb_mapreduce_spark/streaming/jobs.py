@@ -38,15 +38,22 @@ from imdb_mapreduce_spark.functions.columns import epoch_us
 from imdb_mapreduce_spark.plans.events import (
     DISTINCT_ERASURE_ORACLE,
     MULTIRES_DISTINCT_ORACLE,
+    MULTIRES_QUANTILE_ORACLE,
     MULTIRES_ROLLUP_ORACLE,
+    QUANTILE_ERASURE_ORACLE,
     ROLLUP_ERASURE_ORACLE,
     _erased_col,
+    bottomk_merge_up,
+    bottomk_sample,
     erasure_minute_partials,
     kmv_bucket_stats,
     kmv_k_smallest,
     kmv_merge_up,
     kmv_minute_pairs,
+    qtl_bucket_stats,
+    qtl_minute_pairs,
     rollup_erasure_repair,
+    sample_erasure_repair,
     sketch_erasure_repair,
 )
 from imdb_mapreduce_spark.plans.registry import register
@@ -1047,6 +1054,91 @@ def multires_kmv_merge_batch(
     return tiers
 
 
+def multires_qtl_merge_batch(
+    batch_df: DataFrame,
+    prev: dict[str, DataFrame] | None,
+    materialize: "Callable[[str, DataFrame], DataFrame] | None" = None,
+) -> dict[str, DataFrame]:
+    """One incremental-refresh step for the QUANTILE rollup — the
+    bottom-K-sample twin of :func:`multires_kmv_merge_batch`, proving
+    the quantile cascade's claim that row samples slot into the
+    versioned exactly-once scaffold exactly as KMV hash sets did
+    (bottom-K-merge over row multisets is associative and commutative,
+    `plans/events.bottomk_sample`). Same refresh contract, third
+    monoid:
+
+    - MINUTE: the batch pre-aggregates to per-minute bottom-K sample
+      arrays (``bottomk_sample`` over the batch's (bucket, h, v, uh)
+      rows — batch-sized); touched minute buckets merge by the
+      multiset law (union prev's and the batch's sample rows, re-take
+      the K smallest — multiplicity preserved), untouched carry as-is.
+    - HOUR/DAY: touched coarse buckets RE-DERIVE from the new minute
+      tier's arrays via ``bottomk_merge_up`` (never raw), untouched
+      carry — identical cascade shape to the batch query, so the
+      oracle that certifies merge-cascade ≡ direct certifies this fold
+      too.
+
+    Every touched-set join is NULL-SAFE for the same reason as the
+    additive merge (NULL ts → NULL bucket is an ordinary group).
+    Per-batch COMPUTE is O(batch + touched buckets · K): state rows
+    are (bucket, ≤K struct array) — time-horizon-, not corpus-,
+    proportional."""
+    mat = materialize or (lambda _name, df: df)
+    mb = mat("partials", bottomk_sample(qtl_minute_pairs(batch_df)))
+    touched = mb.select("bucket").distinct()
+
+    def _explode(df: DataFrame) -> DataFrame:
+        ex = df.select("bucket", F.explode("sample").alias("e"))
+        return ex.select(
+            "bucket",
+            F.col("e.h").alias("h"),
+            F.col("e.v").alias("v"),
+            F.col("e.uh").alias("uh"),
+        )
+
+    tiers: dict[str, DataFrame] = {}
+    if prev is None:
+        tiers["minute"] = mb
+    else:
+        t = touched.select(F.col("bucket").alias("_tb"))
+        hot = prev["minute"].join(
+            F.broadcast(t), F.col("bucket").eqNullSafe(F.col("_tb")), "left_semi"
+        )
+        cold = prev["minute"].join(
+            F.broadcast(t), F.col("bucket").eqNullSafe(F.col("_tb")), "left_anti"
+        )
+        merged = bottomk_sample(_explode(hot).unionByName(_explode(mb)))
+        tiers["minute"] = cold.unionByName(merged)
+
+    tiers["minute"] = mat("minute", tiers["minute"])
+    finer = tiers["minute"]
+    for unit in ("hour", "day"):
+        touched = touched.select(
+            F.date_trunc(unit, F.col("bucket")).alias("bucket")
+        ).distinct()
+        t = touched.select(F.col("bucket").alias("_tb"))
+        derived = bottomk_merge_up(
+            finer.join(
+                F.broadcast(t),
+                F.date_trunc(unit, F.col("bucket")).eqNullSafe(F.col("_tb")),
+                "left_semi",
+            ),
+            unit,
+        )
+        if prev is None:
+            tiers[unit] = derived
+        else:
+            carried = prev[unit].join(
+                F.broadcast(t),
+                F.col("bucket").eqNullSafe(F.col("_tb")),
+                "left_anti",
+            )
+            tiers[unit] = carried.unionByName(derived)
+        tiers[unit] = mat(unit, tiers[unit])
+        finer = tiers[unit]
+    return tiers
+
+
 _MULTIRES_TIERS = ("minute", "hour", "day")
 
 
@@ -1519,6 +1611,67 @@ def events_multires_distinct_incremental(
         return out.localCheckpoint(eager=True)
 
 
+@register(
+    "events_multires_quantile_incremental",
+    oracle=MULTIRES_QUANTILE_ORACLE,
+    tags=("streaming", "rollup", "hypertable", "sketch", "quantile",
+          "foreachBatch", "exactly-once", "north-star"),
+)
+def events_multires_quantile_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental maintenance for the QUANTILE rollup — the third
+    aggregate class through the SAME versioned exactly-once
+    ``foreachBatch`` scaffold (:func:`incremental_multires_drain` with
+    :func:`multires_qtl_merge_batch` as the ``merge_fn``; additive
+    count/sum and KMV distinct are the first two): the events table
+    streams in as four time-range micro-batches, each folded into
+    versioned minute/hour/day bottom-K sample state. The oracle is the
+    same direct-from-raw sample SQL
+    (:data:`~imdb_mapreduce_spark.plans.events.MULTIRES_QUANTILE_ORACLE`)
+    the batch cascade certifies against, so a hash-green row proves
+    **incremental-sample ≡ merge-cascade ≡ direct-sample** at all three
+    resolutions after N batches — the scaffold is aggregate-agnostic in
+    the strongest sense the hash gate can state.
+
+    The reference has no streaming, sketch, or quantile surface at all;
+    this family is the engine's [NORTH-STAR] extension mandate."""
+    import os
+
+    from imdb_mapreduce_spark.sources.star import load_table
+
+    events = load_table(spark, "events", sf_dir).select(
+        "ts", "event_id", "user_id", "value"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "src")
+        # four ts-range files → four micro-batches, each a contiguous
+        # time slice (the realistic arrival order for a rollup feed)
+        events.repartitionByRange(4, "ts").write.parquet(src)
+        state = incremental_multires_drain(
+            spark,
+            src,
+            events.schema,
+            os.path.join(d, "state"),
+            os.path.join(d, "ckpt"),
+            merge_fn=multires_qtl_merge_batch,
+        )
+        if state is None:  # empty source → no batches → empty rollup
+            return spark.createDataFrame(
+                [],
+                "tier string, bucket timestamp, m bigint,"
+                " p50 double, p90 double, p99 double",
+            )
+        out = (
+            qtl_bucket_stats(state["minute"], "minute")
+            .unionByName(qtl_bucket_stats(state["hour"], "hour"))
+            .unionByName(qtl_bucket_stats(state["day"], "day"))
+        )
+        # Materialize before the tempdir vanishes (bounded: one row per
+        # bucket — time-horizon-, not corpus-, proportional).
+        return out.localCheckpoint(eager=True)
+
+
 # ---------------------------------------------------------------------------
 # Erasure folded through the versioned incremental state (r15,
 # VERDICT r14 item 3): right-to-be-forgotten as a VERSION STEP in the
@@ -1772,6 +1925,117 @@ def events_distinct_erasure_incremental(
             kmv_bucket_stats(post["minute"], "minute")
             .unionByName(kmv_bucket_stats(post["hour"], "hour"))
             .unionByName(kmv_bucket_stats(post["day"], "day"))
+        )
+        # Materialize before the tempdir vanishes (bounded: one row per
+        # bucket — time-horizon-, not corpus-, proportional).
+        return out.localCheckpoint(eager=True)
+
+
+def sample_erasure_fold_merge(
+    raw_so_far: DataFrame,
+    prev: dict[str, DataFrame] | None,
+    materialize: "Callable[[str, DataFrame], DataFrame] | None" = None,
+) -> dict[str, DataFrame]:
+    """`sample_erasure_repair` shaped to the versioned fold's merge_fn
+    contract — the quantile family's erasure-as-a-version step. Like
+    KMV, the bottom-K sample has no inverse, so the "batch" is the RAW
+    rows received so far; touched minutes re-derive from its remaining
+    rows under the exact USER-membership trigger (the ``uh`` field the
+    sample carries for exactly this), and maintained hour/day state
+    carries via ``prev_coarse``."""
+    if prev is None:
+        raise ValueError(
+            "erasure fold requires a committed predecessor version"
+        )
+    return sample_erasure_repair(
+        raw_so_far,
+        prev["minute"],
+        _erased_col(),
+        prev_coarse=prev,
+        materialize=materialize or (lambda _name, df: df),
+    )
+
+
+@register(
+    "events_quantile_erasure_incremental",
+    oracle=QUANTILE_ERASURE_ORACLE,
+    tags=("streaming", "rollup", "hypertable", "sketch", "quantile",
+          "erasure", "gdpr", "foreachBatch", "exactly-once",
+          "north-star"),
+)
+def events_quantile_erasure_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Erasure as a version step in the QUANTILE sample state's
+    exactly-once lineage — the third family through the same
+    choreography as `events_rollup_erasure_incremental` (additive) and
+    `events_distinct_erasure_incremental` (KMV): two micro-batches fold
+    per-minute bottom-K samples (v0, v1 — `multires_qtl_merge_batch`),
+    the erasure lands as v2 (`sample_erasure_fold_merge`: touched
+    minutes re-derive from the remaining raw received so far under the
+    exact user-membership trigger, maintained hour/day carried via
+    ``prev_coarse``), then two more SUPPRESSED batches fold on top
+    (v3, v4 — the production suppression-list move). The oracle builds
+    each tier's sample directly from the remaining rows of the whole
+    corpus (:data:`~imdb_mapreduce_spark.plans.events.QUANTILE_ERASURE_ORACLE`,
+    shared with the batch twin `events_quantile_user_erasure`), so
+    hash-green proves the bottom-K multiset law composes with erasure
+    across the version boundary: deletion neither forces a rebuild nor
+    stops the feed, now for order statistics too."""
+    import os
+
+    from imdb_mapreduce_spark.sources.star import load_table
+
+    events = load_table(spark, "events", sf_dir).select(
+        "ts", "event_id", "user_id", "value"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        src, files = _stage_ts_slices(events, d)
+        state_root = os.path.join(d, "state")
+        ckpt = os.path.join(d, "ckpt")
+        _deliver(src, files[:2], start=0)
+        incremental_multires_drain(
+            spark,
+            src,
+            events.schema,
+            state_root,
+            ckpt,
+            merge_fn=multires_qtl_merge_batch,
+        )
+        # one listing serves both the empty-source check and the
+        # erasure version number (the drain's return would duplicate it)
+        latest = latest_committed_state(spark, state_root)
+        if latest is None:  # empty source → no state → empty rollup
+            return spark.createDataFrame(
+                [],
+                "tier string, bucket timestamp, m bigint,"
+                " p50 double, p90 double, p99 double",
+            )
+        multires_fold_version(
+            spark,
+            state_root,
+            latest[0] + 1,
+            spark.read.parquet(src),  # raw so far — no inverse to apply
+            latest[1],
+            merge_fn=sample_erasure_fold_merge,
+        )
+        _deliver(src, files[2:], start=2)
+        post = incremental_multires_drain(
+            spark,
+            src,
+            events.schema,
+            state_root,
+            ckpt,
+            merge_fn=lambda b, prev, materialize=None: multires_qtl_merge_batch(
+                b.filter(~_erased_col()), prev, materialize=materialize
+            ),
+            version_offset=1,
+        )
+        assert post is not None
+        out = (
+            qtl_bucket_stats(post["minute"], "minute")
+            .unionByName(qtl_bucket_stats(post["hour"], "hour"))
+            .unionByName(qtl_bucket_stats(post["day"], "day"))
         )
         # Materialize before the tempdir vanishes (bounded: one row per
         # bucket — time-horizon-, not corpus-, proportional).
@@ -2326,5 +2590,77 @@ def events_multires_distinct_realtime(
         # bucket).
         out = out.localCheckpoint(eager=True)
         _note_read_sec("events_multires_distinct_realtime",
+                       _time.monotonic() - t_read)
+        return out
+
+
+@register(
+    "events_multires_quantile_realtime",
+    oracle=MULTIRES_QUANTILE_ORACLE,
+    tags=("streaming", "rollup", "hypertable", "sketch", "quantile",
+          "realtime", "north-star"),
+)
+def events_multires_quantile_realtime(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The REAL-TIME read for the QUANTILE rollup — completing the
+    third hypertable triple symmetrically (batch cascade
+    `events_multires_quantile_rollup`, incremental refresh
+    `events_multires_quantile_incremental`, and this): serving
+    per-bucket p50/p90/p99 that must include data NEWER than the last
+    refresh. The folded sample state answers for history; the unfolded
+    TAIL's (bucket, h, v, uh) rows are sampled and merged AT READ TIME
+    — :func:`multires_qtl_merge_batch` with a localCheckpoint
+    materializer IS the read-time union plan, exact by the bottom-K
+    multiset law, one pass over tail raw plus touched-bucket array
+    merges, nothing written. At 100 TB the tail is minutes of ingest
+    while the state covers years — the read costs
+    O(tail + touched buckets · K) on top of the state scan.
+
+    Harness: the first 3 of 4 ts-range slices are FOLDED into versioned
+    sample state (the incremental path), the 4th is left raw as the
+    tail. The oracle computes every tier's sample directly from ALL raw
+    in DuckDB (:data:`~imdb_mapreduce_spark.plans.events.MULTIRES_QUANTILE_ORACLE`)
+    — the hash match proves state ⊎ tail ≡ direct-sample, i.e. the
+    read-time union is exact, not eventually-consistent. The read leg's
+    seconds are tracked separately (``REALTIME_READ_SEC``) so the bench
+    row's state-IO fixture cost never masks the read plan (VERDICT r14
+    item 3's split, carried over)."""
+    import glob as _glob
+    import os
+
+    from imdb_mapreduce_spark.sources.star import load_table
+
+    events = load_table(spark, "events", sf_dir).select(
+        "ts", "event_id", "user_id", "value"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "src")
+        events.repartitionByRange(4, "ts").write.parquet(src)
+        parts = sorted(_glob.glob(os.path.join(src, "part-*.parquet")))
+        state_root = os.path.join(d, "state")
+        state = None
+        for i, p in enumerate(parts[:-1]):  # fold all but the tail
+            state = multires_fold_version(
+                spark, state_root, i, spark.read.parquet(p), state,
+                merge_fn=multires_qtl_merge_batch,
+            )
+        import time as _time
+
+        t_read = _time.monotonic()
+        tail = spark.read.parquet(parts[-1]) if parts else events.limit(0)
+        merged = multires_qtl_merge_batch(
+            tail, state,
+            materialize=lambda _n, df: df.localCheckpoint(eager=True),
+        )
+        out = (
+            qtl_bucket_stats(merged["minute"], "minute")
+            .unionByName(qtl_bucket_stats(merged["hour"], "hour"))
+            .unionByName(qtl_bucket_stats(merged["day"], "day"))
+        )
+        # Materialize before the tempdir vanishes (bounded: one row per
+        # bucket).
+        out = out.localCheckpoint(eager=True)
+        _note_read_sec("events_multires_quantile_realtime",
                        _time.monotonic() - t_read)
         return out

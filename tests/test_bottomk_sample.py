@@ -216,3 +216,71 @@ def test_qtl_exact_below_fill(spark):
     for p, col in ((50, "p50"), (90, "p90"), (99, "p99")):
         idx = math.floor((p * n + 99) / 100)  # == ceil(p·n/100), exact
         assert row[col] == sv[idx - 1], (p, row[col], sv[idx - 1])
+
+
+def test_sample_erasure_membership_trigger(spark):
+    """The quantile erasure repair's EXACT pruning claim: a minute's
+    sample is re-derived ONLY when a sampled row belongs to an erased
+    user — the reason `qtl_minute_pairs` carries ``uh`` inside every
+    element. Pins both directions on a bucket with > K rows: erasing
+    the user of the bucket's LARGEST-hash row (never sampled) must
+    leave every tier's sample byte-identical to the pre-erasure state
+    AND to the rebuild-without-them; erasing the user of the
+    SMALLEST-hash row (always sampled) must change the sample and land
+    exactly on the rebuild."""
+    import datetime
+    import hashlib
+
+    import pyspark.sql.functions as F
+
+    from imdb_mapreduce_spark.plans.events import (
+        bottomk_merge_up,
+        bottomk_sample,
+        qtl_minute_pairs,
+        sample_erasure_repair,
+    )
+
+    def h(x: int) -> int:
+        return int(hashlib.md5(str(x).encode()).hexdigest()[:15], 16)
+
+    n = QTL_K + 20  # > K rows in one bucket, one row per user
+    ts = datetime.datetime(2026, 9, 1, 10, 0, 30)
+    rows = [(eid, ts, 1000 + eid, float(eid % 50)) for eid in range(1, n + 1)]
+    e = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    prev_m = bottomk_sample(qtl_minute_pairs(e)).localCheckpoint(eager=True)
+
+    def snap(tiers):
+        return {
+            u: sorted(
+                (
+                    r["bucket"],
+                    tuple((x["h"], x["v"], x["uh"]) for x in r["sample"]),
+                )
+                for r in df.collect()
+            )
+            for u, df in tiers.items()
+        }
+
+    def rebuild(pred):
+        m = bottomk_sample(qtl_minute_pairs(e.filter(~pred)))
+        hh = bottomk_merge_up(m, "hour")
+        return {"minute": m, "hour": hh, "day": bottomk_merge_up(hh, "day")}
+
+    by_hash = sorted(rows, key=lambda r: h(r[0]))  # rank by event-id hash
+    sampled_user = by_hash[0][2]  # owns the smallest-hash row → in sample
+    unsampled_user = by_hash[-1][2]  # owns the largest-hash row → below cut
+
+    for uid, changes in ((unsampled_user, False), (sampled_user, True)):
+        pred = F.col("user_id") == uid
+        rep = snap(sample_erasure_repair(e, prev_m, pred))
+        assert rep == snap(rebuild(pred)), uid
+        prev_snap = sorted(
+            (
+                r["bucket"],
+                tuple((x["h"], x["v"], x["uh"]) for x in r["sample"]),
+            )
+            for r in prev_m.collect()
+        )
+        assert (rep["minute"] != prev_snap) == changes, uid
