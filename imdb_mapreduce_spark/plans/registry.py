@@ -85,6 +85,7 @@ _HEAD: tuple[str, ...] = (
     "events_multires_quantile_incremental",
     "events_quantile_erasure_incremental",
     "events_multires_quantile_realtime",
+    "events_quantile_erasure_asof",
     "embedding_random_projection",
     "text_feature_hashing",
     "ngram_containment_pairs",
@@ -117,9 +118,9 @@ _HEAD: tuple[str, ...] = (
     "supplier_unpivot",
     "early_not_recent_buyers",
     "brand_top2_parts",
-    "user_running_stats_salted",
 )
 _TAIL: tuple[str, ...] = (
+    "user_running_stats_salted",
     "inverted_index_postings",
     "doc_chunk_windows",
     "embedding_int8_quant",

@@ -40,6 +40,7 @@ from imdb_mapreduce_spark.plans.events import (
     MULTIRES_DISTINCT_ORACLE,
     MULTIRES_QUANTILE_ORACLE,
     MULTIRES_ROLLUP_ORACLE,
+    QTL_K,
     QUANTILE_ERASURE_ORACLE,
     ROLLUP_ERASURE_ORACLE,
     _erased_col,
@@ -1382,6 +1383,51 @@ def erase_versioned_history_sketch(
 
     Requires ``batches`` columns (ts, user_id) in the drain's order —
     one file per batch with strictly increasing mtimes at staging."""
+    return _erase_history_rederive(
+        spark, state_root, purged_root, batches, erased,
+        sketch_erasure_repair,
+    )
+
+
+def erase_versioned_history_sample(
+    spark: SparkSession,
+    state_root: str,
+    purged_root: str,
+    batches: "list[DataFrame]",
+    erased: "F.Column",
+) -> "list[int]":
+    """The QUANTILE family's history purge — same no-inverse geometry
+    as the sketch twin (each version's touched minutes re-derive from
+    the remaining raw of ITS OWN batch prefix), but the trigger is the
+    sample's exact USER membership via the in-element ``uh`` field
+    (`sample_erasure_repair`), tested against each version's stored
+    arrays. Per-version cost is prefix-shaped; versions before the
+    first erased row carry byte-equal; rewrite-to-new-root keeps
+    replay idempotent and crash-safe.
+
+    Requires ``batches`` columns (ts, event_id, user_id, value) in the
+    drain's order."""
+    return _erase_history_rederive(
+        spark, state_root, purged_root, batches, erased,
+        sample_erasure_repair,
+    )
+
+
+def _erase_history_rederive(
+    spark: SparkSession,
+    state_root: str,
+    purged_root: str,
+    batches: "list[DataFrame]",
+    erased: "F.Column",
+    repair: "Callable[..., dict[str, DataFrame]]",
+) -> "list[int]":
+    """Shared loop of the two NO-INVERSE history purges (sketch KMV,
+    quantile sample): accumulate the batch prefix, carry versions
+    byte-equal until the first erased row arrives, then per version run
+    ``repair(prefix, prev_minute, erased, prev_coarse=prev,
+    materialize=version-writer)`` — both repairs share that signature
+    by construction. Fresh ``_COMMIT`` markers land last, so a crashed
+    purge is an unservable root, never a torn one."""
     import os
     import shutil
 
@@ -1409,7 +1455,7 @@ def erase_versioned_history_sketch(
                 df.write.mode("overwrite").parquet(path)
                 return spark.read.parquet(path)
 
-            sketch_erasure_repair(
+            repair(
                 prefix, prev["minute"], erased,
                 prev_coarse=prev, materialize=mat,
             )
@@ -2274,6 +2320,128 @@ def events_rollup_erasure_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = multires_tiered_union(asof["minute"], asof["hour"], asof["day"])
         # Materialize before the tempdir vanishes (bounded: buckets×types
         # rows — time-horizon-, not corpus-, proportional).
+        return out.localCheckpoint(eager=True)
+
+
+@register(
+    "events_quantile_erasure_asof",
+    oracle=f"""
+    WITH sliced AS (
+      SELECT ts, value, user_id, event_id,
+             ('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM events),
+    seen AS (
+      SELECT ts, h, value AS v FROM sliced
+      WHERE h % 4 IN (0, 1) AND (user_id IS NULL OR user_id % 7 <> 3)
+        AND value IS NOT NULL AND event_id IS NOT NULL),
+    tp AS (
+      SELECT 'minute' AS tier, date_trunc('minute', ts) AS bucket, h, v FROM seen
+      UNION ALL
+      SELECT 'hour', date_trunc('hour', ts), h, v FROM seen
+      UNION ALL
+      SELECT 'day', date_trunc('day', ts), h, v FROM seen),
+    ks AS (
+      SELECT tier, bucket, v
+      FROM (SELECT tier, bucket, v,
+                   ROW_NUMBER() OVER (PARTITION BY tier, bucket
+                                      ORDER BY h, v) AS rn
+            FROM tp)
+      WHERE rn <= {QTL_K}),
+    rv AS (
+      SELECT tier, bucket, v,
+             ROW_NUMBER() OVER (PARTITION BY tier, bucket ORDER BY v) AS rv,
+             COUNT(*) OVER (PARTITION BY tier, bucket) AS m
+      FROM ks)
+    SELECT tier, bucket, CAST(MAX(m) AS BIGINT) AS m,
+           MAX(CASE WHEN rv = CAST(FLOOR((50 * m + 99) / 100.0) AS INTEGER)
+                    THEN v END) AS p50,
+           MAX(CASE WHEN rv = CAST(FLOOR((90 * m + 99) / 100.0) AS INTEGER)
+                    THEN v END) AS p90,
+           MAX(CASE WHEN rv = CAST(FLOOR((99 * m + 99) / 100.0) AS INTEGER)
+                    THEN v END) AS p99
+    FROM rv GROUP BY tier, bucket
+    """,
+    tags=("streaming", "rollup", "hypertable", "sketch", "quantile",
+          "time-travel", "erasure", "gdpr", "foreachBatch",
+          "exactly-once", "north-star"),
+)
+def events_quantile_erasure_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel × right-to-be-forgotten for the QUANTILE family,
+    under the HASH GATE: fold four md5-slice batches into versioned
+    bottom-K sample state, purge the erased users from EVERY committed
+    version (`erase_versioned_history_sample` — per-version prefix
+    re-derivation under the exact user-membership trigger, rewritten to
+    a new root), and serve ``VERSION AS OF v1`` off the purged lineage.
+    The oracle computes the sample cascade directly over the REMAINING
+    rows of batches 0-1 (slice membership = the SAME md5 value the
+    sample ranks by, mod 4 — one hash, two jobs), so a hash-green row
+    proves history(k) ≡ sample(remaining prefix ≤ k) for the
+    no-inverse family end to end in the driver's gate; the pytest
+    drill additionally pins every version and the byte-equal carry.
+
+    The reference has no streaming, versioning, deletion, quantile, or
+    time-travel surface; this family is the engine's [NORTH-STAR]
+    extension mandate."""
+    import glob as _glob
+    import os
+    import shutil
+
+    from imdb_mapreduce_spark.sources.star import load_table
+
+    events = load_table(spark, "events", sf_dir).select(
+        "ts", "event_id", "user_id", "value"
+    )
+    slc = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 15),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(4),
+    )
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "src")
+        os.makedirs(src)
+        staged = []
+        for i in range(4):
+            part = os.path.join(d, f"slice{i}")
+            # event_id STAYS in the batch (the sample ranks by its md5)
+            events.filter(slc == i).coalesce(1).write.parquet(part)
+            files = _glob.glob(os.path.join(part, "part-*"))
+            if not files:  # empty slice (degenerate corpus)
+                continue
+            dst = os.path.join(src, f"b{i}.parquet")
+            shutil.copy(files[0], dst)
+            os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+            staged.append(dst)
+        state_root = os.path.join(d, "state")
+        incremental_multires_drain(
+            spark, src, events.schema, state_root, os.path.join(d, "ckpt"),
+            merge_fn=multires_qtl_merge_batch,
+        )
+        empty = spark.createDataFrame(
+            [],
+            "tier string, bucket timestamp, m bigint,"
+            " p50 double, p90 double, p99 double",
+        )
+        if len(staged) < 2:  # degenerate: v1 never exists
+            return empty
+        purged_root = os.path.join(d, "purged")
+        erase_versioned_history_sample(
+            spark,
+            state_root,
+            purged_root,
+            [spark.read.parquet(p) for p in staged],
+            _erased_col(),
+        )
+        asof = state_as_of(spark, purged_root, 1)
+        out = (
+            qtl_bucket_stats(asof["minute"], "minute")
+            .unionByName(qtl_bucket_stats(asof["hour"], "hour"))
+            .unionByName(qtl_bucket_stats(asof["day"], "day"))
+        )
+        # Materialize before the tempdir vanishes (bounded: one row per
+        # bucket — time-horizon-, not corpus-, proportional).
         return out.localCheckpoint(eager=True)
 
 

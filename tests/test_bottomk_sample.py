@@ -284,3 +284,108 @@ def test_sample_erasure_membership_trigger(spark):
             for r in prev_m.collect()
         )
         assert (rep["minute"] != prev_snap) == changes, uid
+
+
+def test_erase_versioned_history_sample_purges_every_as_of_read(
+    spark, tmp_path
+):
+    """The quantile family's history purge: after
+    `erase_versioned_history_sample`, every as-of read under the purged
+    root must equal the DIRECT sample cascade over the remaining rows
+    of that version's batch prefix (no inverse — touched minutes
+    re-derive from prefix raw under the user-membership trigger);
+    versions before the first erased row carry byte-equal."""
+    import os
+
+    import pandas as pd
+
+    from imdb_mapreduce_spark.plans.events import (
+        _erased_col,
+        bottomk_merge_up,
+        bottomk_sample,
+        qtl_minute_pairs,
+    )
+    from imdb_mapreduce_spark.streaming.jobs import (
+        erase_versioned_history_sample,
+        incremental_multires_drain,
+        multires_qtl_merge_batch,
+        state_as_of,
+    )
+
+    t0 = pd.Timestamp("2026-03-01 00:00:00")
+    m = pd.Timedelta(minutes=1)
+    # batch 0 clean; users 3 and 10 erased (user % 7 == 3); user 10
+    # shares a minute with survivors so the membership trigger has both
+    # a hit and a carry to exercise
+    batches = {
+        0: [(t0 + 1 * m, 1, 1, 5.0), (t0 + 2 * m, 2, 2, 7.0)],
+        1: [
+            (t0 + 1 * m, 3, 3, 1.0),
+            (t0 + 61 * m, 4, 10, 9.0),
+            (t0 + 61 * m, 5, 4, 2.0),
+        ],
+        2: [(t0 + pd.Timedelta(days=1), 6, 10, 3.0), (t0 + 61 * m, 7, 1, 4.0)],
+        3: [(t0 + 62 * m, 8, 2, 6.0), (t0 + 2 * m, 9, 3, 8.0)],
+    }
+    cols = ["ts", "event_id", "user_id", "value"]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, rows in batches.items():
+        path = os.path.join(src, f"b{i}.parquet")
+        pd.DataFrame(rows, columns=cols).to_parquet(
+            path, coerce_timestamps="us", allow_truncated_timestamps=True
+        )
+        os.utime(path, (1_000_000 + i, 1_000_000 + i))
+    from pyspark.sql.types import _parse_datatype_string
+
+    st = _parse_datatype_string(
+        "ts timestamp, event_id bigint, user_id bigint, value double"
+    )
+    state_root = str(tmp_path / "state")
+    incremental_multires_drain(
+        spark, src, st, state_root, str(tmp_path / "ckpt"),
+        merge_fn=multires_qtl_merge_batch,
+    )
+    bdfs = [
+        spark.createDataFrame(pd.DataFrame(batches[i], columns=cols))
+        for i in range(4)
+    ]
+    purged_root = str(tmp_path / "purged")
+    assert erase_versioned_history_sample(
+        spark, state_root, purged_root, bdfs, _erased_col()
+    ) == [0, 1, 2, 3]
+
+    def snap(state):
+        return {
+            tier: sorted(
+                (
+                    r["bucket"],
+                    tuple((x["h"], x["v"], x["uh"]) for x in r["sample"]),
+                )
+                for r in state[tier].collect()
+            )
+            for tier in ("minute", "hour", "day")
+        }
+
+    for k in range(4):
+        prefix_rows = [r for i in range(k + 1) for r in batches[i]]
+        remaining = spark.createDataFrame(
+            pd.DataFrame(prefix_rows, columns=cols)
+        ).filter(~_erased_col())
+        dm = bottomk_sample(qtl_minute_pairs(remaining))
+        direct = {
+            "minute": dm,
+            "hour": (dh := bottomk_merge_up(dm, "hour")),
+            "day": bottomk_merge_up(dh, "day"),
+        }
+        assert snap(state_as_of(spark, purged_root, k)) == snap(direct), k
+    # v0 saw no erased rows → byte-equal carry
+    for tier in ("minute", "hour", "day"):
+        a = os.path.join(state_root, "v0", tier)
+        b = os.path.join(purged_root, "v0", tier)
+        for f in os.listdir(a):
+            if f.endswith(".parquet"):
+                assert (
+                    open(os.path.join(a, f), "rb").read()
+                    == open(os.path.join(b, f), "rb").read()
+                )

@@ -80,6 +80,7 @@ R15_HEAD = (
     "events_multires_quantile_incremental",
     "events_quantile_erasure_incremental",
     "events_multires_quantile_realtime",
+    "events_quantile_erasure_asof",
     "embedding_random_projection",
     "text_feature_hashing",
     "ngram_containment_pairs",
@@ -112,7 +113,6 @@ R15_HEAD = (
     "supplier_unpivot",
     "early_not_recent_buyers",
     "brand_top2_parts",
-    "user_running_stats_salted",
 )
 
 
