@@ -1272,6 +1272,99 @@ def vacuum_versions(state_root: str, keep_last: int) -> "list[int]":
     return dropped
 
 
+def compact_state_version(
+    spark: SparkSession,
+    state_root: str,
+    version: int,
+    target_bytes: int | None = None,
+) -> dict:
+    """OPTIMIZE for one committed version of the lineage — the layout
+    maintenance verb that completes the set (fold writes, `state_as_of`
+    time-travels, `vacuum_versions` bounds retention, the erasure/purge
+    family deletes): every micro-batch fold writes its tiers with the
+    session's parallelism, so a long lineage accumulates the classic
+    streaming-sink small-file debt — at 100 TB a scan of 1 MB files
+    spends its time opening footers, not reading pages. This rewrites
+    each tier of ``v{version}`` into ~target-size files WITHOUT
+    changing content (same rows, fewer files), under the family's
+    crash discipline, self-healing on re-run:
+
+    1. write every tier's compacted copy to ``{tier}__compact``
+       (the committed tier is untouched while the expensive work runs);
+    2. journal intent (``_COMPACTING``) and remove ``_COMMIT`` — the
+       version is now unservable (`state_as_of` and the drain's
+       committed-scan refuse it), never torn;
+    3. swap each tier (rm + rename — metadata-only);
+    4. rewrite ``_COMMIT``, remove the journal.
+
+    A crash anywhere leaves either a committed untouched version
+    (before step 2) or an unservable journaled one whose swap the next
+    call COMPLETES (the ``_COMPACTING`` sentinel distinguishes a
+    mid-swap crash — even one past the last rename — from a
+    never-committed version; renames are idempotent to resume), so
+    re-running is always safe and always converges to the compacted
+    committed state. Returns {tier: {"before": n_files, "after":
+    n_files}} (or {"recovered": [...]} when finishing a crashed swap)."""
+    import os
+    import shutil
+
+    from imdb_mapreduce_spark.sources.storage import (
+        TARGET_FILE_BYTES,
+        compaction_plan,
+    )
+
+    vdir = os.path.join(state_root, f"v{version}")
+    marker = os.path.join(vdir, "_COMMIT")
+    journal = os.path.join(vdir, "_COMPACTING")
+    tgt = target_bytes or TARGET_FILE_BYTES
+
+    def finish_swap() -> "list[str]":
+        done = []
+        for t in _MULTIRES_TIERS:
+            cdir = os.path.join(vdir, f"{t}__compact")
+            if not os.path.isdir(cdir):
+                continue  # this tier's rename already happened
+            tier_dir = os.path.join(vdir, t)
+            if os.path.isdir(tier_dir):
+                shutil.rmtree(tier_dir)
+            os.rename(cdir, tier_dir)
+            done.append(t)
+        with open(marker, "w") as f:
+            f.write("ok\n")
+        os.remove(journal)
+        return done
+
+    if not os.path.exists(marker):
+        if not os.path.exists(journal):
+            raise ValueError(
+                f"compact_state_version: version {version} was never"
+                f" committed under {state_root!r}"
+            )
+        # crashed between steps 2 and 4: finish the swap and commit
+        return {"recovered": finish_swap()}
+    stats: dict = {}
+    for t in _MULTIRES_TIERS:
+        tier_dir = os.path.join(vdir, t)
+        plan = compaction_plan(tier_dir, tgt)
+        cdir = os.path.join(vdir, f"{t}__compact")
+        if os.path.isdir(cdir):  # stale leftover from a step-1 crash
+            shutil.rmtree(cdir)
+        (
+            spark.read.parquet(tier_dir)
+            .repartition(plan["target_files"])
+            .write.parquet(cdir)
+        )
+        stats[t] = {
+            "before": plan["n_files"],
+            "after": compaction_plan(cdir, tgt)["n_files"],
+        }
+    with open(journal, "w") as f:
+        f.write("ok\n")
+    os.remove(marker)
+    finish_swap()
+    return stats
+
+
 def erase_versioned_history(
     spark: SparkSession,
     state_root: str,

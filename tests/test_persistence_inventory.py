@@ -126,6 +126,30 @@ INVENTORY: dict[tuple[str, str, str], tuple[int, str]] = {
     # three tiers, materialized before the tempdir lineage vanishes.
     ("streaming/jobs.py", "events_rollup_erasure_asof",
      "localCheckpoint"): (1, "bounded-relation"),
+    # r15 session 2, quantile family: the minute sample tier fans out
+    # three ways (own readout + hour + day via hour) — one ≤K-array row
+    # per minute bucket, time-horizon-proportional (same shape as the
+    # distinct cascade's pin).
+    ("plans/events.py", "events_multires_quantile_rollup",
+     "localCheckpoint"): (1, "bounded-relation"),
+    ("plans/events.py", "events_quantile_user_erasure",
+     "localCheckpoint"): (1, "bounded-relation"),
+    # the repaired minute tier under the default materializer (fan-out
+    # pin only; coarse tiers stay lazy — the sketch repair's shape).
+    ("plans/events.py", "sample_erasure_repair",
+     "localCheckpoint"): (1, "bounded-relation"),
+    # final readouts materialized before their tempdir state vanishes —
+    # one row per bucket across three tiers.
+    ("streaming/jobs.py", "events_multires_quantile_incremental",
+     "localCheckpoint"): (1, "bounded-relation"),
+    ("streaming/jobs.py", "events_quantile_erasure_incremental",
+     "localCheckpoint"): (1, "bounded-relation"),
+    ("streaming/jobs.py", "events_quantile_erasure_asof",
+     "localCheckpoint"): (1, "bounded-relation"),
+    # the quantile realtime read: read-time materializer + final
+    # readout, same two sites and bounds as its additive/sketch twins.
+    ("streaming/jobs.py", "events_multires_quantile_realtime",
+     "localCheckpoint"): (2, "bounded-relation"),
     # r15: the IVF delete-in-place writes OVER the very cell directories
     # its lineage reads — the checkpoint truncates that read-overwrite
     # cycle; the slice is erasure-footprint-proportional (touched cells'
