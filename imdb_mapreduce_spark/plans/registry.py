@@ -86,6 +86,7 @@ _HEAD: tuple[str, ...] = (
     "events_quantile_erasure_incremental",
     "events_multires_quantile_realtime",
     "events_quantile_erasure_asof",
+    "streaming_quantile_sample",
     "embedding_random_projection",
     "text_feature_hashing",
     "ngram_containment_pairs",
@@ -117,9 +118,9 @@ _HEAD: tuple[str, ...] = (
     "orders_by_month",
     "supplier_unpivot",
     "early_not_recent_buyers",
-    "brand_top2_parts",
 )
 _TAIL: tuple[str, ...] = (
+    "brand_top2_parts",
     "user_running_stats_salted",
     "inverted_index_postings",
     "doc_chunk_windows",

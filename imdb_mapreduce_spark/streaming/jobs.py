@@ -585,6 +585,74 @@ def streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_quantile_sample",
+    oracle=f"""
+    WITH pr AS (
+      SELECT event_type,
+             ('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS h,
+             value AS v
+      FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL),
+    ks AS (
+      SELECT event_type, v
+      FROM (SELECT event_type, v,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY h, v) AS rn
+            FROM pr)
+      WHERE rn <= {QTL_K}),
+    rv AS (
+      SELECT event_type, v,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rv,
+             COUNT(*) OVER (PARTITION BY event_type) AS m
+      FROM ks),
+    q AS (
+      SELECT event_type, CAST(MAX(m) AS BIGINT) AS m,
+             MAX(CASE WHEN rv = CAST(FLOOR((50 * m + 99) / 100.0) AS INTEGER)
+                      THEN v END) AS p50,
+             MAX(CASE WHEN rv = CAST(FLOOR((90 * m + 99) / 100.0) AS INTEGER)
+                      THEN v END) AS p90,
+             MAX(CASE WHEN rv = CAST(FLOOR((99 * m + 99) / 100.0) AS INTEGER)
+                      THEN v END) AS p99
+      FROM rv GROUP BY event_type),
+    n AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS rows_seen
+      FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL
+      GROUP BY event_type)
+    SELECT n.event_type, n.rows_seen, q.m, q.p50, q.p90, q.p99
+    FROM n JOIN q ON n.event_type IS NOT DISTINCT FROM q.event_type
+    """,
+    tags=("streaming", "north-star", "sketch", "quantile", "stateful"),
+)
+def streaming_quantile_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type value quantiles as CUSTOM STREAMING STATE
+    (``applyInPandasWithState``) — the quantile family's stateful tier,
+    completing the aggregate-class symmetry with `streaming_kmv_distinct`:
+    the bottom-K row sample's multiset merge law executes incrementally
+    in the state store (constant ≤K-triple state per event type), and
+    the drained final state must equal the BATCH bottom-K — so the
+    oracle is the direct batch sample SQL, and a hash-green row proves
+    stream/batch parity for order statistics. Exactly-once under replay
+    comes from the engine's transactional state commit (the sample
+    merge is NOT idempotent, unlike the KMV set union — the handler doc
+    states this honestly); the update-mode change-log's final row per
+    key is extracted by the same highest-``rows_seen`` window as the
+    KMV tiers. Same key-bounded SKEW WARNING; the salted sub-key move
+    transfers unchanged when needed (the multiset law re-merges
+    sub-samples exactly like keep-sets)."""
+    from pyspark.sql.window import Window
+
+    from imdb_mapreduce_spark.streaming.stateful import running_qtl_by_type
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    log = run_stream_to_memory(running_qtl_by_type(stream), "update")
+    w = Window.partitionBy("event_type").orderBy(F.col("rows_seen").desc())
+    return (
+        log.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("event_type", "rows_seen", "m", "p50", "p90", "p99")
+    )
+
+
+@register(
     "streaming_kmv_distinct_tws",
     oracle=_kmv_stream_oracle(),
     tags=("streaming", "north-star", "sketch", "stateful"),

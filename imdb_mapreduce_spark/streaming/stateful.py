@@ -761,6 +761,186 @@ def running_kmv_by_type(events: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Streaming bottom-K row sample — the quantile family's stateful tier
+# (r15 session 2): the third aggregate class as CUSTOM STREAMING STATE.
+# ---------------------------------------------------------------------------
+
+QTL_STATE_VERSION = 1
+
+_QTL_STATE = (
+    "v LONG, hashes ARRAY<LONG>, vals ARRAY<DOUBLE>, uhs ARRAY<LONG>,"
+    " rows_seen LONG"
+)
+
+QTL_STATE_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("rows_seen", LongType()),
+        StructField("m", LongType()),
+        StructField("p50", DoubleType()),
+        StructField("p90", DoubleType()),
+        StructField("p99", DoubleType()),
+    ]
+)
+
+
+class QtlStateVersionError(RuntimeError):
+    """A quantile-sample streaming checkpoint holds state from an
+    incompatible schema revision. Discard the checkpoint directory and
+    re-run from the source."""
+
+    def __init__(self, found: int) -> None:
+        super().__init__(
+            f"quantile-sample streaming state version {found} is "
+            f"incompatible with this revision (expects {QTL_STATE_VERSION});"
+            " discard the checkpoint and re-bootstrap the stream from the"
+            " source"
+        )
+
+
+def _merge_qtl_state(
+    state: GroupState, batches: Iterator["pd.DataFrame"]
+) -> tuple["Any", int]:
+    """The vectorized bottom-K ROW-SAMPLE state merge — the KMV merge's
+    multiset twin (`plans/events.bottomk_sample`'s law): concat
+    state ∪ batch (h, v, uh) triples with the monotone kth-hash
+    prefilter, ONE lexicographic sort (`np.lexsort`, keys h → v → uh),
+    trim to ``QTL_K``, commit. NO dedup — the sample is over rows and
+    must keep multiplicity (two events md5-colliding on (h, v) are two
+    sample rows; `np.unique` here would be the bug the bottom-K pytests
+    reject). Exactly-once under micro-batch replay comes from the
+    ENGINE's transactional state commit (state lands with the batch's
+    offsets), not from idempotence — unlike the KMV set union, a sample
+    merge applied twice would double rows, which is why this tier leans
+    on the checkpoint contract the restart matrix drills. NULL user
+    hashes ride as the −1 sentinel (every real md5 fragment is ≥ 0, so
+    the sort order equals the batch side's NULLS FIRST)."""
+    import numpy as np
+
+    from imdb_mapreduce_spark.plans.events import QTL_K
+
+    if state.exists:
+        t = state.get  # read ONCE (ADVICE r11)
+        ver = t[0]
+        if ver != QTL_STATE_VERSION:
+            raise QtlStateVersionError(ver)
+        hs = np.asarray(t[1], dtype=np.int64)
+        vs = np.asarray(t[2], dtype=np.float64)
+        us = np.asarray(t[3], dtype=np.int64)
+        rows_seen = t[4]
+    else:
+        hs = np.empty(0, dtype=np.int64)
+        vs = np.empty(0, dtype=np.float64)
+        us = np.empty(0, dtype=np.int64)
+        rows_seen = 0
+    ph, pv, pu = [hs], [vs], [us]
+    for pdf in batches:
+        rows_seen += len(pdf)
+        if not len(pdf):
+            continue
+        bh = pdf["h"].to_numpy(dtype=np.int64)
+        bv = pdf["v"].to_numpy(dtype=np.float64)
+        bu = pdf["uh"].to_numpy(dtype=np.int64)
+        if len(hs) >= QTL_K:
+            # monotone prefilter: with a full sample, only rows at or
+            # below the current kth HASH can enter the keep multiset
+            # (coarser than the full-triple cut — a few harmless extras)
+            mask = bh <= hs[-1]
+            bh, bv, bu = bh[mask], bv[mask], bu[mask]
+        ph.append(bh)
+        pv.append(bv)
+        pu.append(bu)
+    h = np.concatenate(ph)
+    v = np.concatenate(pv)
+    u = np.concatenate(pu)
+    order = np.lexsort((u, v, h))[:QTL_K]
+    keep = (h[order], v[order], u[order])
+    state.update(
+        (
+            QTL_STATE_VERSION,
+            keep[0].tolist(),
+            keep[1].tolist(),
+            keep[2].tolist(),
+            rows_seen,
+        )
+    )
+    return keep, rows_seen
+
+
+def _update_qtl(
+    key: tuple[Any, ...],
+    batches: Iterator["pd.DataFrame"],
+    state: GroupState,
+) -> Iterator["pd.DataFrame"]:
+    """Cross-batch bottom-K row sample per event type; emits
+    (rows_seen, m, p50/p90/p99) per batch — the quantile readout
+    computed from the kept sample with the SAME integer-exact index
+    rule as the batch tier and the oracle (`floor((p·m+99)/100)`)."""
+    import pandas as pd
+
+    keep, rows_seen = _merge_qtl_state(state, batches)
+    sv = sorted(keep[1])
+    m = len(sv)
+
+    def q(p: int) -> float:
+        return float(sv[(p * m + 99) // 100 - 1])
+
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "rows_seen": [rows_seen],
+            "m": [m],
+            "p50": [q(50)],
+            "p90": [q(90)],
+            "p99": [q(99)],
+        }
+    )
+
+
+def running_qtl_by_type(events: DataFrame) -> DataFrame:
+    """Streaming per-type value quantiles via bottom-K row-sample state
+    (update mode): constant ≤K-triple state per key, merged
+    incrementally by the multiset law — order statistics as custom
+    streaming state, completing the aggregate-class symmetry with the
+    KMV tier. Hashes are computed JVM-SIDE (the identical md5-fragment
+    expressions the batch cascade and the DuckDB oracle build), so the
+    Python handler only merges numeric arrays.
+
+    Same SKEW WARNING as `running_kmv_by_type`: parallelism is
+    key-bounded (one state task per event type); under key skew, salt
+    sub-keys the same way — the bottom-K multiset law re-merges
+    sub-samples exactly like KMV keep-sets."""
+    from pyspark.sql import functions as F
+
+    with_cols = events.filter(
+        F.col("value").isNotNull() & F.col("event_id").isNotNull()
+    ).select(
+        "event_type",
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10
+        )
+        .cast("bigint")
+        .alias("h"),
+        F.col("value").alias("v"),
+        F.coalesce(
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(-1),
+        ).alias("uh"),
+    )
+    return with_cols.groupBy("event_type").applyInPandasWithState(
+        _update_qtl,
+        outputStructType=QTL_STATE_SCHEMA,
+        stateStructType=_QTL_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Salted sub-key KMV — the hot-key tier (r10, VERDICT r09 item 2)
 # ---------------------------------------------------------------------------
 

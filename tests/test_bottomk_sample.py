@@ -389,3 +389,89 @@ def test_erase_versioned_history_sample_purges_every_as_of_read(
                     open(os.path.join(a, f), "rb").read()
                     == open(os.path.join(b, f), "rb").read()
                 )
+
+
+# ---------------------------------------------------------------------------
+# Streaming handler core (`_merge_qtl_state`) — the FakeState pattern of
+# test_kmv_merge_law, for the multiset merge: no Spark session needed.
+# ---------------------------------------------------------------------------
+
+
+class FakeState:
+    def __init__(self, tup=None):
+        self._t = tup
+
+    @property
+    def exists(self):
+        return self._t is not None
+
+    @property
+    def get(self):
+        return self._t
+
+    def update(self, t):
+        self._t = t
+
+
+def _drain_qtl(rows, n_batches):
+    import numpy as np
+    import pandas as pd
+
+    from imdb_mapreduce_spark.streaming.stateful import _merge_qtl_state
+
+    state = FakeState()
+    chunks = np.array_split(np.arange(len(rows)), n_batches)
+    keep = rows_seen = None
+    for idx in chunks:
+        batch = pd.DataFrame(
+            {
+                "h": np.array([rows[i][0] for i in idx], dtype=np.int64),
+                "v": np.array([rows[i][1] for i in idx], dtype=np.float64),
+                "uh": np.array([rows[i][2] for i in idx], dtype=np.int64),
+            }
+        )
+        keep, rows_seen = _merge_qtl_state(state, iter([batch]))
+    return keep, rows_seen, state
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 40),  # tiny hash space → heavy collisions
+            st.integers(0, 5).map(float),
+            st.integers(-1, 3),
+        ),
+        min_size=1,
+        max_size=300,
+    ),
+    n_batches=st.integers(1, 5),
+)
+def test_qtl_state_merge_equals_global_multiset(rows, n_batches):
+    """For ANY triple stream and ANY batch split, the drained state must
+    hold exactly sorted(all rows)[:K] — as a MULTISET (duplicates below
+    the cut kept), the property `np.unique` would break."""
+    keep, rows_seen, _ = _drain_qtl(rows, n_batches)
+    got = list(zip(keep[0].tolist(), keep[1].tolist(), keep[2].tolist()))
+    assert got == sorted(rows)[:QTL_K]
+    assert rows_seen == len(rows)
+
+
+def test_qtl_state_stale_version_raises_typed():
+    import pandas as pd
+
+    from imdb_mapreduce_spark.streaming.stateful import (
+        QtlStateVersionError,
+        _merge_qtl_state,
+    )
+
+    state = FakeState((99, [1], [1.0], [1], 1))
+    try:
+        _merge_qtl_state(
+            state,
+            iter([pd.DataFrame({"h": [2], "v": [2.0], "uh": [2]})]),
+        )
+    except QtlStateVersionError as e:
+        assert "99" in str(e) and "discard the checkpoint" in str(e)
+    else:
+        raise AssertionError("stale version must raise QtlStateVersionError")

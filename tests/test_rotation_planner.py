@@ -81,6 +81,7 @@ R15_HEAD = (
     "events_quantile_erasure_incremental",
     "events_multires_quantile_realtime",
     "events_quantile_erasure_asof",
+    "streaming_quantile_sample",
     "embedding_random_projection",
     "text_feature_hashing",
     "ngram_containment_pairs",
@@ -112,7 +113,6 @@ R15_HEAD = (
     "orders_by_month",
     "supplier_unpivot",
     "early_not_recent_buyers",
-    "brand_top2_parts",
 )
 
 
