@@ -908,7 +908,8 @@ def running_qtl_by_type(events: DataFrame) -> DataFrame:
 
     Same SKEW WARNING as `running_kmv_by_type`: parallelism is
     key-bounded (one state task per event type); under key skew, salt
-    sub-keys the same way — the bottom-K multiset law re-merges
+    sub-keys the same way as the salted KMV tier
+    (`running_kmv_by_type_salted`) — the bottom-K multiset law re-merges
     sub-samples exactly like KMV keep-sets."""
     from pyspark.sql import functions as F
 

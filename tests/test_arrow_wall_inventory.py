@@ -72,6 +72,13 @@ INVENTORY: dict[tuple[str, str, tuple[str, ...]], str] = {
     # high-cardinality keyed so no group can own the stream.
     ("streaming/stateful.py", "sessions_by_timeout_tws", ("user_id",)):
         "high-cardinality",
+    # Streaming quantile tier (r15): bottom-K row-sample state per event
+    # type — same low-cardinality key as the unsalted KMV, kept as its
+    # documented simple sibling (the bottom-K multiset merge law re-merges
+    # salted sub-samples exactly like KMV keep-sets, so the salted pattern
+    # applies unchanged under key skew; docstring carries the warning).
+    ("streaming/stateful.py", "running_qtl_by_type", ("event_type",)):
+        "key-bounded-waiver",
 }
 
 ALLOWED = {"high-cardinality", "salt-sized", "key-bounded-waiver"}
