@@ -1463,6 +1463,12 @@ def rollup_erasure_repair(
     (erasing a hash cannot resurrect the ones it evicted), so its
     touched minutes must re-derive from remaining RAW in those buckets
     — the mergeability asymmetry, measured in SCALING.md r14."""
+    # the touched .distinct() exchanges LOOK removable (the semi/anti
+    # probes are duplicate-tolerant) but are load-bearing for the
+    # single-final-action batch caller: the inner distinct is the
+    # ReusedExchange point all three tiers' broadcasts share — dropping
+    # it made each broadcast re-run the neg aggregation (r15 opt A/B:
+    # +0.3 s at sf0.1), so it stays
     touched = neg.select("bucket").distinct()
     t = F.broadcast(touched.select(F.col("bucket").alias("_tb")))
     hot = prev["minute"].join(
@@ -1585,6 +1591,11 @@ def events_rollup_user_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         (-F.col("n_events")).cast("long").alias("n_events"),
         (-F.col("s")).cast(_ERASURE_DEC).alias("s"),
+        # NOT pinned here: the coarse tiers evaluate inside ONE final
+        # action (the default materializer pins only minute), where
+        # ReuseExchange dedupes the neg agg subtree — an eager pin
+        # measured +0.3 s (r15 opt A/B); the multi-action incremental
+        # fold (rollup_erasure_fold_merge) pins instead
     )
     tiers = rollup_erasure_repair(
         prev,
@@ -1755,6 +1766,12 @@ def sketch_erasure_repair(
         .filter(F.array_contains(F.col("s.hashes"), F.col("p.h")))
         .select(F.col("p.bucket").alias("bucket"))
         .distinct()
+        # r15 opt: pinned — the touched set (bounded: one row per fired
+        # minute) otherwise re-runs its membership join (erased-rows
+        # scan ⋈ prev_m) under EVERY tier action's broadcast branch
+        # (minute, hour, day are separate actions whenever the caller
+        # materializes; broadcast subtrees defeat cross-action reuse)
+        .localCheckpoint(eager=True)
     )
     t = F.broadcast(touched.select(F.col("bucket").alias("_tb")))
     # re-derive touched minutes from REMAINING rows in those buckets
@@ -1791,9 +1808,11 @@ def sketch_erasure_repair(
             prev_coarse[unit] if prev_coarse is not None
             else kmv_merge_up(prev_c, unit)
         )
+        # coarsen without .distinct(): the pinned touched set is tiny,
+        # and the semi/anti probes are duplicate-tolerant (r15 opt)
         touched_c = touched_c.select(
             F.date_trunc(unit, F.col("bucket")).alias("bucket")
-        ).distinct()
+        )
         t = F.broadcast(touched_c.select(F.col("bucket").alias("_tb")))
         derived = kmv_merge_up(
             finer.join(
@@ -2192,6 +2211,10 @@ def sample_erasure_repair(
         )
         .select(F.col("p.bucket").alias("bucket"))
         .distinct()
+        # r15 opt: pinned for the same reason as the sketch twin — the
+        # bounded touched set otherwise re-runs its membership join
+        # under every tier action's broadcast branch
+        .localCheckpoint(eager=True)
     )
     t = F.broadcast(touched.select(F.col("bucket").alias("_tb")))
     # re-derive touched minutes from REMAINING rows in those buckets
@@ -2216,9 +2239,10 @@ def sample_erasure_repair(
             prev_coarse[unit] if prev_coarse is not None
             else bottomk_merge_up(prev_c, unit)
         )
+        # coarsen without .distinct() — see the sketch twin (r15 opt)
         touched_c = touched_c.select(
             F.date_trunc(unit, F.col("bucket")).alias("bucket")
-        ).distinct()
+        )
         t = F.broadcast(touched_c.select(F.col("bucket").alias("_tb")))
         derived = bottomk_merge_up(
             finer.join(

@@ -995,7 +995,14 @@ def multires_merge_batch(
         )
     )
     mb = mat("partials", _multires_sum_merge(mb, "minute"))
-    touched = mb.select("bucket").distinct()
+    # touched-set relations feed ONLY broadcast semi/anti joins (both
+    # duplicate-tolerant set-membership probes), and mb is already
+    # aggregated to one row per (bucket, type) — so no .distinct() and
+    # no exchange: the broadcast builds straight off the pinned partials
+    # (r15 opt, guide §2.4 — one fewer shuffle per tier action; dup
+    # factor is bounded by the type count, so the broadcast stays
+    # touched-bucket-proportional)
+    touched = mb.select("bucket")
 
     tiers: dict[str, DataFrame] = {}
     if prev is None:
@@ -1021,9 +1028,11 @@ def multires_merge_batch(
     tiers["minute"] = mat("minute", tiers["minute"])
     finer = tiers["minute"]
     for unit in ("hour", "day"):
+        # coarsen without .distinct(): dups stay bounded by the finer
+        # touched count and the semi/anti probes don't care (r15 opt)
         touched = touched.select(
             F.date_trunc(unit, F.col("bucket")).alias("bucket")
-        ).distinct()
+        )
         t = touched.select(F.col("bucket").alias("_tb"))
         derived = _multires_sum_merge(
             finer.join(
@@ -1075,7 +1084,9 @@ def multires_kmv_merge_batch(
     (bucket, ≤K-array) — time-horizon-, not corpus-, proportional."""
     mat = materialize or (lambda _name, df: df)
     mb = mat("partials", kmv_k_smallest(kmv_minute_pairs(batch_df)))
-    touched = mb.select("bucket").distinct()
+    # one row per bucket already; consumers are duplicate-tolerant
+    # broadcast semi/anti probes — no .distinct() exchange (r15 opt)
+    touched = mb.select("bucket")
 
     tiers: dict[str, DataFrame] = {}
     if prev is None:
@@ -1097,9 +1108,10 @@ def multires_kmv_merge_batch(
     tiers["minute"] = mat("minute", tiers["minute"])
     finer = tiers["minute"]
     for unit in ("hour", "day"):
+        # coarsen without .distinct() — see multires_merge_batch
         touched = touched.select(
             F.date_trunc(unit, F.col("bucket")).alias("bucket")
-        ).distinct()
+        )
         t = touched.select(F.col("bucket").alias("_tb"))
         derived = kmv_merge_up(
             finer.join(
@@ -1154,7 +1166,9 @@ def multires_qtl_merge_batch(
     proportional."""
     mat = materialize or (lambda _name, df: df)
     mb = mat("partials", bottomk_sample(qtl_minute_pairs(batch_df)))
-    touched = mb.select("bucket").distinct()
+    # one row per bucket already; consumers are duplicate-tolerant
+    # broadcast semi/anti probes — no .distinct() exchange (r15 opt)
+    touched = mb.select("bucket")
 
     def _explode(df: DataFrame) -> DataFrame:
         ex = df.select("bucket", F.explode("sample").alias("e"))
@@ -1182,9 +1196,10 @@ def multires_qtl_merge_batch(
     tiers["minute"] = mat("minute", tiers["minute"])
     finer = tiers["minute"]
     for unit in ("hour", "day"):
+        # coarsen without .distinct() — see multires_merge_batch
         touched = touched.select(
             F.date_trunc(unit, F.col("bucket")).alias("bucket")
-        ).distinct()
+        )
         t = touched.select(F.col("bucket").alias("_tb"))
         derived = bottomk_merge_up(
             finer.join(
@@ -1238,6 +1253,17 @@ def multires_fold_version(
     cur_dir = os.path.join(state_root, f"v{version}")
 
     def mat(name: str, df: DataFrame) -> DataFrame:
+        # "partials" is a pure within-fold materializer (the batch's
+        # pre-aggregated rows, consumed by the minute merge and the
+        # touched-set build) — no reader ever consults ``v*/partials``
+        # (``_MULTIRES_TIERS`` is minute/hour/day, and restart replay
+        # re-folds from the batch source), so a localCheckpoint pins it
+        # for exactly-one-computation WITHOUT the parquet commit +
+        # read-back round trip the durable tiers need (r15 opt:
+        # measured ~0.2-0.4 s per fold at sf0.1, and one fewer
+        # file-listing/commit per batch on a real drain).
+        if name == "partials":
+            return df.localCheckpoint(eager=True)
         path = os.path.join(cur_dir, name)
         df.write.mode("overwrite").parquet(path)
         return spark.read.parquet(path)
@@ -1901,7 +1927,13 @@ def rollup_erasure_fold_merge(
         raise ValueError(
             "erasure fold requires a committed predecessor version"
         )
-    return rollup_erasure_repair(prev, neg, materialize)
+    # r15 opt: pin the negated partials (bounded: one row per erased
+    # (bucket, type)) — otherwise their raw-scan aggregation re-runs
+    # under the minute merge and every coarse tier's touched broadcast
+    # across the fold's separate write actions
+    return rollup_erasure_repair(
+        prev, neg.localCheckpoint(eager=True), materialize
+    )
 
 
 def sketch_erasure_fold_merge(

@@ -80,14 +80,25 @@ INVENTORY: dict[tuple[str, str, str], tuple[int, str]] = {
      "localCheckpoint"): (2, "bounded-relation"),
     ("plans/events.py", "events_distinct_user_erasure",
      "localCheckpoint"): (1, "bounded-relation"),
+    # r15 opt adds the pinned touched set (second site): bounded at one
+    # row per fired minute, saves the membership join re-run under every
+    # tier action's broadcast branch.
     ("plans/events.py", "sketch_erasure_repair",
-     "localCheckpoint"): (1, "bounded-relation"),
+     "localCheckpoint"): (2, "bounded-relation"),
     ("pipeline/similarity.py", "semdedup_clusters", "localCheckpoint"):
         (1, "contract-documented"),
     ("pipeline/similarity.py", "semdedup_eval_metrics", "localCheckpoint"):
         (1, "bounded-relation"),
     ("streaming/jobs.py", "streaming_foreachbatch_upsert",
      "localCheckpoint"): (1, "bounded-relation"),
+    # r15 opt: multires_fold_version's materializer pins the batch's
+    # pre-aggregated minute partials (one row per touched (bucket[,
+    # type]) — batch-, not corpus-, proportional) via localCheckpoint
+    # instead of a parquet write+read: no reader ever consults
+    # ``v*/partials``, so the durable-commit round trip was pure
+    # overhead; the blocks are released when the fold chain's refs are
+    # GC'd at the end of the query/drain body.
+    ("streaming/jobs.py", "mat", "localCheckpoint"): (1, "bounded-relation"),
     ("streaming/jobs.py", "events_multires_rollup_incremental",
      "localCheckpoint"): (1, "bounded-relation"),
     # r14: the sketch incremental tier's readout — one row per bucket,
@@ -135,8 +146,15 @@ INVENTORY: dict[tuple[str, str, str], tuple[int, str]] = {
     ("plans/events.py", "events_quantile_user_erasure",
      "localCheckpoint"): (1, "bounded-relation"),
     # the repaired minute tier under the default materializer (fan-out
-    # pin only; coarse tiers stay lazy — the sketch repair's shape).
+    # pin only; coarse tiers stay lazy — the sketch repair's shape);
+    # r15 opt adds the pinned touched set (same bound/rationale as the
+    # sketch twin).
     ("plans/events.py", "sample_erasure_repair",
+     "localCheckpoint"): (2, "bounded-relation"),
+    # r15 opt: the incremental erasure fold pins the negated partials
+    # before handing them to the repair — one row per erased (bucket,
+    # type), same rationale as the batch query's pin.
+    ("streaming/jobs.py", "rollup_erasure_fold_merge",
      "localCheckpoint"): (1, "bounded-relation"),
     # final readouts materialized before their tempdir state vanishes —
     # one row per bucket across three tiers.
