@@ -1003,6 +1003,7 @@ def multires_merge_batch(
     # factor is bounded by the type count, so the broadcast stays
     # touched-bucket-proportional)
     touched = mb.select("bucket")
+    parallel_coarse = materialize is not None
 
     tiers: dict[str, DataFrame] = {}
     if prev is None:
@@ -1026,16 +1027,50 @@ def multires_merge_batch(
         )
 
     tiers["minute"] = mat("minute", tiers["minute"])
-    finer = tiers["minute"]
-    for unit in ("hour", "day"):
-        # coarsen without .distinct(): dups stay bounded by the finer
-        # touched count and the semi/anti probes don't care (r15 opt)
-        touched = touched.select(
-            F.date_trunc(unit, F.col("bucket")).alias("bucket")
+    return _coarse_tiers(
+        tiers, touched, prev, mat, _multires_sum_merge, parallel_coarse
+    )
+
+
+def _coarse_tiers(
+    tiers: dict[str, DataFrame],
+    touched: DataFrame,
+    prev: dict[str, DataFrame] | None,
+    mat: "Callable[[str, DataFrame], DataFrame]",
+    merge_up_fn: "Callable[[DataFrame, str], DataFrame]",
+    parallel: bool,
+) -> dict[str, DataFrame]:
+    """Derive + materialize the hour and day tiers off the materialized
+    minute tier, shared by the three fold merge fns.
+
+    r15 opt (guide §2.6 — overlap independent jobs): BOTH coarse tiers
+    derive from the MINUTE tier, not progressively hour→day. The merge
+    laws make the outputs identical (decimal sums, KMV k-smallest and
+    bottom-K multisets are associative: the day value over a touched
+    day's minute rows equals the value over that day's hour rows —
+    merge-law pytests), and the inputs stay batch-bounded either way
+    (≤1440·touched_days minute rows vs ≤24·touched_days hour rows,
+    both ⋘ the batch scan). What it buys: the two tier relations become
+    INDEPENDENT once minute is pinned, so when the caller materializes
+    (versioned fold write, realtime read-leg pin) their two actions run
+    CONCURRENTLY from a 2-thread pool — the fold's critical path drops
+    from partials→minute→hour→day (4 serial actions) to 3, and on a
+    real cluster the day write's tasks back-fill executors freed by the
+    hour write's tail. Lazy callers (materialize=None, single-action
+    consumers) keep the sequential build — threads buy nothing when
+    nothing is materialized.
+
+    ``touched`` arrives at minute grain; each tier coarsens it directly
+    (date_trunc is idempotent across grains, NULL-safe joins as before).
+    """
+    minute = tiers["minute"]
+
+    def build(unit: str) -> DataFrame:
+        t = touched.select(
+            F.date_trunc(unit, F.col("bucket")).alias("_tb")
         )
-        t = touched.select(F.col("bucket").alias("_tb"))
-        derived = _multires_sum_merge(
-            finer.join(
+        derived = merge_up_fn(
+            minute.join(
                 F.broadcast(t),
                 F.date_trunc(unit, F.col("bucket")).eqNullSafe(F.col("_tb")),
                 "left_semi",
@@ -1043,16 +1078,27 @@ def multires_merge_batch(
             unit,
         )
         if prev is None:
-            tiers[unit] = derived
+            out = derived
         else:
             carried = prev[unit].join(
                 F.broadcast(t),
                 F.col("bucket").eqNullSafe(F.col("_tb")),
                 "left_anti",
             )
-            tiers[unit] = carried.unionByName(derived)
-        tiers[unit] = mat(unit, tiers[unit])
-        finer = tiers[unit]
+            out = carried.unionByName(derived)
+        return mat(unit, out)
+
+    if parallel:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fh = pool.submit(build, "hour")
+            fd = pool.submit(build, "day")
+            tiers["hour"] = fh.result()
+            tiers["day"] = fd.result()
+    else:
+        tiers["hour"] = build("hour")
+        tiers["day"] = build("day")
     return tiers
 
 
@@ -1087,6 +1133,7 @@ def multires_kmv_merge_batch(
     # one row per bucket already; consumers are duplicate-tolerant
     # broadcast semi/anti probes — no .distinct() exchange (r15 opt)
     touched = mb.select("bucket")
+    parallel_coarse = materialize is not None
 
     tiers: dict[str, DataFrame] = {}
     if prev is None:
@@ -1106,33 +1153,9 @@ def multires_kmv_merge_batch(
         tiers["minute"] = cold.unionByName(merged)
 
     tiers["minute"] = mat("minute", tiers["minute"])
-    finer = tiers["minute"]
-    for unit in ("hour", "day"):
-        # coarsen without .distinct() — see multires_merge_batch
-        touched = touched.select(
-            F.date_trunc(unit, F.col("bucket")).alias("bucket")
-        )
-        t = touched.select(F.col("bucket").alias("_tb"))
-        derived = kmv_merge_up(
-            finer.join(
-                F.broadcast(t),
-                F.date_trunc(unit, F.col("bucket")).eqNullSafe(F.col("_tb")),
-                "left_semi",
-            ),
-            unit,
-        )
-        if prev is None:
-            tiers[unit] = derived
-        else:
-            carried = prev[unit].join(
-                F.broadcast(t),
-                F.col("bucket").eqNullSafe(F.col("_tb")),
-                "left_anti",
-            )
-            tiers[unit] = carried.unionByName(derived)
-        tiers[unit] = mat(unit, tiers[unit])
-        finer = tiers[unit]
-    return tiers
+    return _coarse_tiers(
+        tiers, touched, prev, mat, kmv_merge_up, parallel_coarse
+    )
 
 
 def multires_qtl_merge_batch(
@@ -1169,6 +1192,7 @@ def multires_qtl_merge_batch(
     # one row per bucket already; consumers are duplicate-tolerant
     # broadcast semi/anti probes — no .distinct() exchange (r15 opt)
     touched = mb.select("bucket")
+    parallel_coarse = materialize is not None
 
     def _explode(df: DataFrame) -> DataFrame:
         ex = df.select("bucket", F.explode("sample").alias("e"))
@@ -1194,33 +1218,9 @@ def multires_qtl_merge_batch(
         tiers["minute"] = cold.unionByName(merged)
 
     tiers["minute"] = mat("minute", tiers["minute"])
-    finer = tiers["minute"]
-    for unit in ("hour", "day"):
-        # coarsen without .distinct() — see multires_merge_batch
-        touched = touched.select(
-            F.date_trunc(unit, F.col("bucket")).alias("bucket")
-        )
-        t = touched.select(F.col("bucket").alias("_tb"))
-        derived = bottomk_merge_up(
-            finer.join(
-                F.broadcast(t),
-                F.date_trunc(unit, F.col("bucket")).eqNullSafe(F.col("_tb")),
-                "left_semi",
-            ),
-            unit,
-        )
-        if prev is None:
-            tiers[unit] = derived
-        else:
-            carried = prev[unit].join(
-                F.broadcast(t),
-                F.col("bucket").eqNullSafe(F.col("_tb")),
-                "left_anti",
-            )
-            tiers[unit] = carried.unionByName(derived)
-        tiers[unit] = mat(unit, tiers[unit])
-        finer = tiers[unit]
-    return tiers
+    return _coarse_tiers(
+        tiers, touched, prev, mat, bottomk_merge_up, parallel_coarse
+    )
 
 
 _MULTIRES_TIERS = ("minute", "hour", "day")

@@ -1098,10 +1098,16 @@ def test_multires_merge_recomputes_touched_buckets_only(spark):
     }
     assert minute[h1 + pd.Timedelta(minutes=1)] == (3, 15.0)  # additive
     assert minute[h2 + pd.Timedelta(minutes=5)] == (3, 30.0)  # carried
-    # day: 2026-01-01 is touched → re-derived from the new hour tier,
-    # which SUMS the poisoned row — carry is layer-local by design
+    # day: 2026-01-01 is touched → re-derived from the new MINUTE tier
+    # (r15 opt: both coarse tiers derive from minute so their
+    # materializer actions are independent — _coarse_tiers). The
+    # poisoned hour row therefore does NOT propagate: the re-derived
+    # day sums the day's minute rows (3 + 3 events). On CONSISTENT
+    # state the two derivations are identical by the associative merge
+    # law; this planted-inconsistency probe is what distinguishes them,
+    # pinning minute as the re-derivation source of truth.
     day = {r["bucket"]: r["n_events"] for r in new["day"].collect()}
-    assert day[pd.Timestamp("2026-01-01")] == 999 + 3
+    assert day[pd.Timestamp("2026-01-01")] == 3 + 3
 
 
 def test_multires_incremental_restart_drill(spark, tmp_path):
