@@ -56,11 +56,21 @@ def _md5_bucket(col: Column, mod: int = 100) -> Column:
     ) % mod
 
 
-def _word_ngrams(n: int) -> Column:
-    """Array of word n-grams of ``text`` (requires size >= n; filter first)."""
-    return F.expr(
-        f"transform(sequence(1, size(split(text, ' ')) - {n - 1}),"
-        f" i -> concat_ws(' ', slice(split(text, ' '), i, {n})))"
+def _word_ngrams(n: int, toks: str = "toks") -> Column:
+    """DISTINCT word n-grams of a PRE-SPLIT token array column.
+
+    r15 opt: tokens must be materialized as their own column first —
+    the old form referenced ``split(text)`` inside both the sequence
+    bound and the slice lambda, re-splitting the string once per index
+    (O(words²) per doc; the same trap ``word_shingles`` documents).
+    ``array_distinct`` dedups per doc IN the expression, so the caller
+    needs no post-explode ``.distinct()`` exchange: (doc_id, gram) rows
+    come out unique by construction."""
+    return F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, size({toks}) - {n - 1}),"
+            f" i -> concat_ws(' ', slice({toks}, i, {n})))"
+        )
     )
 
 
@@ -100,10 +110,16 @@ def benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     is shuffle-free fan-out either way.
     """
     docs = load_table(spark, "documents", sf_dir)
+    # r15 opt (guide §2.4): grams dedup per-doc inside the expression
+    # (array_distinct in _word_ngrams) instead of a corpus-wide
+    # .distinct() — (doc_id, g) is unique either way (a gram can only
+    # repeat WITHIN a doc), so the full exchange of every gram string
+    # bought nothing; consumers are countDistinct (duplicate-tolerant)
+    # and the join, which the per-doc dedup prunes identically.
     grams = (
-        docs.filter(F.size(F.split("text", " ")) >= DECONTAM_NGRAM)
+        docs.select("doc_id", F.split("text", " ").alias("toks"))
+        .filter(F.size("toks") >= DECONTAM_NGRAM)
         .select("doc_id", F.explode(_word_ngrams(DECONTAM_NGRAM)).alias("g"))
-        .distinct()
     )
     bench = grams.filter(F.col("doc_id") % BENCH_MOD == 0).select(
         F.col("doc_id").alias("bench_id"), "g"

@@ -49,6 +49,29 @@ def get_spark(
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # InferFiltersFromGenerate infers `size(arr) > 0 AND arr IS NOT
+        # NULL` below every explode and pushes it past the projection
+        # that computes the array — so an EXPENSIVE generator input (the
+        # word-shingle build: split + transform + array_join + distinct,
+        # and every other derived-array explode here) is evaluated TWICE
+        # per input row, once in the inferred filter over raw text and
+        # once in the projection. The filter is redundant for results —
+        # explode itself drops empty/NULL arrays — so excluding the rule
+        # changes no output anywhere, at any scale; it only removes the
+        # double evaluation. Measured r15 at sf0.1: exploded_shingles
+        # 2.16 → 0.66 s (noop-sink min-of-4), thresholded Jaccard pair
+        # join 2.6 → 1.2 s; plan diff: the interpreted
+        # `Filter size(array_distinct(transform(...))) > 0` over raw
+        # text disappears (plans/r15/exploded_shingles_*). Not a
+        # local-mode artifact: the rule doubles generator-input compute
+        # on any cluster; the early-pruning upside it theoretically buys
+        # only exists when exploded arrays are frequently empty, which
+        # the engine's derived arrays never are (>=1 element by
+        # construction).
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         # NOT enabled: spark.sql.optimizer.runtime.bloomFilter /
         # runtimeFilter.semiJoinReduction. Tried in r05 — the pair caused
         # intermittent first-job hangs on this local[32] build; on a real
