@@ -773,6 +773,16 @@ def kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         h.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= KMV_K)
         .select("event_type", "h")
+        # r15 opt: pin the sketch relation (bounded: ≤ k rows per event
+        # type) — it feeds FIVE downstream subtrees (theta, both pair
+        # sides of `common`, the union merge, and through them the final
+        # joins), and several sit under broadcast branches where
+        # ReuseExchange cannot dedupe, so the distinct+window sketch
+        # pass re-ran per reference: the plan carried 37 Exchanges / 30
+        # Sorts for a |types|·k-row intermediate. Pinned: 2.1-2.4 →
+        # ~1.3 s at sf0.1 and the plan the final action analyzes shrinks
+        # to the audit joins plus scans of the pinned rows.
+        .localCheckpoint(eager=True)
     )
     theta = sk.groupBy("event_type").agg(
         F.max("h").alias("kth"), F.count("*").cast("long").alias("m")

@@ -80,6 +80,12 @@ INVENTORY: dict[tuple[str, str, str], tuple[int, str]] = {
      "localCheckpoint"): (2, "bounded-relation"),
     ("plans/events.py", "events_distinct_user_erasure",
      "localCheckpoint"): (1, "bounded-relation"),
+    # r15 opt: the KMV sketch relation (≤ k rows per event type) feeds
+    # five downstream subtrees, several under broadcast branches where
+    # ReuseExchange cannot dedupe — unpinned, the distinct+window sketch
+    # pass re-ran per reference (37 Exchanges / 30 Sorts in the plan).
+    ("plans/quality.py", "kmv_set_ops",
+     "localCheckpoint"): (1, "bounded-relation"),
     # r15 opt adds the pinned touched set (second site): bounded at one
     # row per fired minute, saves the membership join re-run under every
     # tier action's broadcast branch.
