@@ -495,10 +495,26 @@ def media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     identity from chars — valid on this ASCII corpus). Real images would
     swap the histogram for a DCT/gradient phash inside the same batches;
     banding, verification, and scale shape are unchanged."""
+    from pyspark.sql.window import Window
+
     docs = load_table(spark, "documents", sf_dir)
     hist = with_media_column(docs).mapInPandas(_phash_hist_batches, HISTOGRAM_SCHEMA)
-    tot = hist.groupBy("doc_id").agg(F.sum("n_bytes").cast("long").alias("total"))
-    corpus = hist.groupBy("bucket").agg(F.sum("n_bytes").cast("long").alias("cn"))
+    # r15 opt (guide §2.4, §5): the Arrow histogram pass previously ran
+    # FOUR times in the one action — under the tot join's build side and
+    # under the corpus/grand broadcast subtrees (MapInPandas has no
+    # exchange for ReuseExchange to dedupe beneath a broadcast). Two
+    # fixes: (1) `corpus` is pinned (bounded: one row per byte-histogram
+    # bucket, ≤ 64) and `grand` derives from the PIN, so neither
+    # broadcast re-runs the kernel; (2) the per-doc total comes from a
+    # window sum over the SAME doc_id partitioning the final phash
+    # groupBy needs — one exchange, no hist⋈tot self-join, no second
+    # kernel run on the join's build side. Kernel runs: 4 → 2 (the main
+    # path and the pin). Integer sums either way — output identical.
+    corpus = (
+        hist.groupBy("bucket")
+        .agg(F.sum("n_bytes").cast("long").alias("cn"))
+        .localCheckpoint(eager=True)
+    )
     grand = corpus.agg(F.sum("cn").cast("long").alias("ct"))
     # bit i: doc's bucket share above the CORPUS share, compared by exact
     # integer cross-multiplication (n/total > cn/ct <=> n*ct > cn*total) —
@@ -506,7 +522,10 @@ def media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doc's nibble distribution is near-uniform, so all phashes collide
     # into the full quadratic pair set; measured before this fix)
     ph = (
-        hist.join(tot, "doc_id")
+        hist.withColumn(
+            "total",
+            F.sum("n_bytes").over(Window.partitionBy("doc_id")).cast("long"),
+        )
         .join(F.broadcast(corpus), "bucket")
         .crossJoin(F.broadcast(grand))
         .groupBy("doc_id")

@@ -86,6 +86,11 @@ INVENTORY: dict[tuple[str, str, str], tuple[int, str]] = {
     # pass re-ran per reference (37 Exchanges / 30 Sorts in the plan).
     ("plans/quality.py", "kmv_set_ops",
      "localCheckpoint"): (1, "bounded-relation"),
+    # r15 opt: the byte-histogram corpus totals (≤ 64 rows — one per
+    # bucket) pin so the corpus/grand broadcasts stop re-running the
+    # Arrow histogram kernel (4 → 2 kernel runs in the one action).
+    ("pipeline/multimodal.py", "media_phash_dedup",
+     "localCheckpoint"): (1, "bounded-relation"),
     # r15 opt adds the pinned touched set (second site): bounded at one
     # row per fired minute, saves the membership join re-run under every
     # tier action's broadcast branch.
