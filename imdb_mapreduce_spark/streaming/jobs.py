@@ -928,11 +928,35 @@ def _multires_sum_merge(df: DataFrame, unit: str) -> DataFrame:
     )
 
 
+def multires_batch_partials(
+    batch_df: DataFrame, coalesce_values: bool = False
+) -> DataFrame:
+    """The batch's minute-grain additive partials (LAZY plan) — the
+    single raw pass :func:`multires_merge_batch` pre-aggregates before
+    merging. Exposed so a pipelined caller can compute (and pin) batch
+    i+1's partials WHILE batch i's tier writes run (guide §2.6), then
+    hand the pinned relation back via the merge fn's ``partials``
+    parameter."""
+    sval = F.col("value").cast("decimal(12,2)").cast(_MULTIRES_DEC)
+    if coalesce_values:
+        sval = F.coalesce(sval, F.lit(0).cast(_MULTIRES_DEC))
+    return _multires_sum_merge(
+        batch_df.select(
+            F.date_trunc("minute", F.col("ts")).alias("bucket"),
+            "event_type",
+            F.lit(1).cast("long").alias("n_events"),
+            sval.alias("s"),
+        ),
+        "minute",
+    )
+
+
 def multires_merge_batch(
     batch_df: DataFrame,
     prev: dict[str, DataFrame] | None,
     materialize: "Callable[[str, DataFrame], DataFrame] | None" = None,
     coalesce_values: bool = False,
+    partials: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """One incremental-refresh step of the hypertable-style cascade
     (`plans/events.events_multires_rollup` is the batch rebuild whose
@@ -964,7 +988,12 @@ def multires_merge_batch(
     layout.
 
     ``prev`` is ``None`` for the first batch (empty state); returns the
-    new {tier: DataFrame} dict.
+    new {tier: DataFrame} dict. ``partials`` optionally supplies the
+    batch's minute partials ALREADY PINNED (a
+    :func:`multires_batch_partials` plan the caller localCheckpointed,
+    e.g. prefetched concurrently with the previous fold's tier writes);
+    when given, the batch pre-aggregation step is skipped — the caller
+    owns the pin, exactly as ``mat("partials", ...)`` would.
 
     ``materialize(name, df) -> df`` pins each computed relation (the
     batch partials, then each tier) before the next one builds on it —
@@ -978,23 +1007,16 @@ def multires_merge_batch(
     (tools/multires_refresh_probe.py, SCALING.md r13).
     """
     mat = materialize or (lambda _name, df: df)
-    sval = F.col("value").cast("decimal(12,2)").cast(_MULTIRES_DEC)
-    if coalesce_values:
-        # the COALESCED-total convention (a NULL value contributes 0, so
-        # totals form a GROUP — have additive inverses): required when
-        # this state will later be REPAIRED by `rollup_erasure_repair`
-        # (the r15 incremental-erasure fold); matches the erasure
-        # oracle's COALESCE(SUM(...), 0)
-        sval = F.coalesce(sval, F.lit(0).cast(_MULTIRES_DEC))
+    # coalesce_values = the COALESCED-total convention (a NULL value
+    # contributes 0, so totals form a GROUP — have additive inverses):
+    # required when this state will later be REPAIRED by
+    # `rollup_erasure_repair` (the r15 incremental-erasure fold);
+    # matches the erasure oracle's COALESCE(SUM(...), 0)
     mb = (
-        batch_df.select(
-            F.date_trunc("minute", F.col("ts")).alias("bucket"),
-            "event_type",
-            F.lit(1).cast("long").alias("n_events"),
-            sval.alias("s"),
-        )
+        partials
+        if partials is not None
+        else mat("partials", multires_batch_partials(batch_df, coalesce_values))
     )
-    mb = mat("partials", _multires_sum_merge(mb, "minute"))
     # touched-set relations feed ONLY broadcast semi/anti joins (both
     # duplicate-tolerant set-membership probes), and mb is already
     # aggregated to one row per (bucket, type) — so no .distinct() and
@@ -1005,9 +1027,8 @@ def multires_merge_batch(
     touched = mb.select("bucket")
     parallel_coarse = materialize is not None
 
-    tiers: dict[str, DataFrame] = {}
     if prev is None:
-        tiers["minute"] = mb
+        minute_plan = mb
     else:
         # every touched-set join is NULL-SAFE (<=>): date_trunc of a
         # NULL ts is a NULL bucket, which the oracle's GROUP BY keeps as
@@ -1022,55 +1043,62 @@ def multires_merge_batch(
         cold = prev["minute"].join(
             F.broadcast(t), F.col("bucket").eqNullSafe(F.col("_tb")), "left_anti"
         )
-        tiers["minute"] = cold.unionByName(
+        minute_plan = cold.unionByName(
             _multires_sum_merge(hot.unionByName(mb), "minute")
         )
 
-    tiers["minute"] = mat("minute", tiers["minute"])
     return _coarse_tiers(
-        tiers, touched, prev, mat, _multires_sum_merge, parallel_coarse
+        minute_plan, mb, touched, prev, mat, _multires_sum_merge,
+        parallel_coarse,
     )
 
 
 def _coarse_tiers(
-    tiers: dict[str, DataFrame],
+    minute_plan: DataFrame,
+    mb: DataFrame,
     touched: DataFrame,
     prev: dict[str, DataFrame] | None,
     mat: "Callable[[str, DataFrame], DataFrame]",
     merge_up_fn: "Callable[[DataFrame, str], DataFrame]",
     parallel: bool,
 ) -> dict[str, DataFrame]:
-    """Derive + materialize the hour and day tiers off the materialized
-    minute tier, shared by the three fold merge fns.
+    """Materialize the minute tier and derive + materialize the hour and
+    day tiers, shared by the three fold merge fns.
 
-    r15 opt (guide §2.6 — overlap independent jobs): BOTH coarse tiers
-    derive from the MINUTE tier, not progressively hour→day. The merge
-    laws make the outputs identical (decimal sums, KMV k-smallest and
-    bottom-K multisets are associative: the day value over a touched
-    day's minute rows equals the value over that day's hour rows —
-    merge-law pytests), and the inputs stay batch-bounded either way
-    (≤1440·touched_days minute rows vs ≤24·touched_days hour rows,
-    both ⋘ the batch scan). What it buys: the two tier relations become
-    INDEPENDENT once minute is pinned, so when the caller materializes
-    (versioned fold write, realtime read-leg pin) their two actions run
-    CONCURRENTLY from a 2-thread pool — the fold's critical path drops
-    from partials→minute→hour→day (4 serial actions) to 3, and on a
-    real cluster the day write's tasks back-fill executors freed by the
-    hour write's tail. Lazy callers (materialize=None, single-action
-    consumers) keep the sequential build — threads buy nothing when
-    nothing is materialized.
+    r15 opt round 2 (guide §2.6 — overlap independent jobs): on the
+    MATERIALIZED path the coarse tiers derive from ``prev_minute ∪ mb``
+    (the committed predecessor minute tier unioned with the pinned batch
+    partials) instead of from the NEW minute tier. The outputs are
+    identical by the associative merge laws the pytests prove: the new
+    minute tier over a touched coarse bucket IS merge(hot ∪ mb) plus the
+    carried cold rows, and every monoid here satisfies
+    merge_up(cold ∪ merge(hot ∪ mb)) == merge_up(cold ∪ hot ∪ mb)
+    (decimal sums are associative; any hash in a KMV union's global
+    top-K is top-K in its own child; a row in a bottom-K multiset
+    union's bottom-K ranks ≤ K in its own child — multiplicity kept).
+    What it buys: ALL THREE tier relations become independent once the
+    batch partials are pinned, so the minute write and both coarse
+    writes run CONCURRENTLY from a 3-thread pool — the fold's critical
+    path drops from partials→minute→(hour ∥ day) (3 serial action
+    walls, r15 opt 1) to partials→(minute ∥ hour ∥ day) (2), and on a
+    real cluster the three writes' tasks back-fill each other's tails.
+
+    Lazy callers (materialize=None, single-action consumers) keep the
+    r15-opt-1 shape — coarse tiers derive from the lazy MINUTE plan so
+    ReuseExchange dedupes the shared minute aggregate inside the one
+    action (threads buy nothing when nothing is materialized, and the
+    derive-from-minute plan is the reuse-friendly one there).
 
     ``touched`` arrives at minute grain; each tier coarsens it directly
     (date_trunc is idempotent across grains, NULL-safe joins as before).
     """
-    minute = tiers["minute"]
 
-    def build(unit: str) -> DataFrame:
+    def build(unit: str, src: DataFrame) -> DataFrame:
         t = touched.select(
             F.date_trunc(unit, F.col("bucket")).alias("_tb")
         )
         derived = merge_up_fn(
-            minute.join(
+            src.join(
                 F.broadcast(t),
                 F.date_trunc(unit, F.col("bucket")).eqNullSafe(F.col("_tb")),
                 "left_semi",
@@ -1088,24 +1116,41 @@ def _coarse_tiers(
             out = carried.unionByName(derived)
         return mat(unit, out)
 
+    tiers: dict[str, DataFrame] = {}
     if parallel:
+        # hot rows live in touched minutes, so their coarse buckets are
+        # touched too: prev ∪ mb restricted to touched coarse buckets is
+        # exactly cold ∪ hot ∪ mb — the merge-law twin of the new tier
+        src = mb if prev is None else prev["minute"].unionByName(mb)
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            fh = pool.submit(build, "hour")
-            fd = pool.submit(build, "day")
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            fm = pool.submit(mat, "minute", minute_plan)
+            fh = pool.submit(build, "hour", src)
+            fd = pool.submit(build, "day", src)
+            tiers["minute"] = fm.result()
             tiers["hour"] = fh.result()
             tiers["day"] = fd.result()
     else:
-        tiers["hour"] = build("hour")
-        tiers["day"] = build("day")
+        tiers["minute"] = mat("minute", minute_plan)
+        tiers["hour"] = build("hour", tiers["minute"])
+        tiers["day"] = build("day", tiers["minute"])
     return tiers
+
+
+def kmv_batch_partials(batch_df: DataFrame) -> DataFrame:
+    """The batch's per-minute KMV k-smallest arrays (LAZY plan) — the
+    raw pass :func:`multires_kmv_merge_batch` pre-aggregates; exposed
+    for pipelined prefetch exactly like
+    :func:`multires_batch_partials`."""
+    return kmv_k_smallest(kmv_minute_pairs(batch_df))
 
 
 def multires_kmv_merge_batch(
     batch_df: DataFrame,
     prev: dict[str, DataFrame] | None,
     materialize: "Callable[[str, DataFrame], DataFrame] | None" = None,
+    partials: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """One incremental-refresh step for the NON-ADDITIVE rollup — the
     sketch-valued twin of :func:`multires_merge_batch`, proving the
@@ -1129,15 +1174,18 @@ def multires_kmv_merge_batch(
     Per-batch COMPUTE is O(batch + touched buckets · K): state rows are
     (bucket, ≤K-array) — time-horizon-, not corpus-, proportional."""
     mat = materialize or (lambda _name, df: df)
-    mb = mat("partials", kmv_k_smallest(kmv_minute_pairs(batch_df)))
+    mb = (
+        partials
+        if partials is not None
+        else mat("partials", kmv_batch_partials(batch_df))
+    )
     # one row per bucket already; consumers are duplicate-tolerant
     # broadcast semi/anti probes — no .distinct() exchange (r15 opt)
     touched = mb.select("bucket")
     parallel_coarse = materialize is not None
 
-    tiers: dict[str, DataFrame] = {}
     if prev is None:
-        tiers["minute"] = mb
+        minute_plan = mb
     else:
         t = touched.select(F.col("bucket").alias("_tb"))
         hot = prev["minute"].join(
@@ -1150,18 +1198,26 @@ def multires_kmv_merge_batch(
             hot.select("bucket", F.explode("hashes").alias("h"))
             .unionByName(mb.select("bucket", F.explode("hashes").alias("h")))
         )
-        tiers["minute"] = cold.unionByName(merged)
+        minute_plan = cold.unionByName(merged)
 
-    tiers["minute"] = mat("minute", tiers["minute"])
     return _coarse_tiers(
-        tiers, touched, prev, mat, kmv_merge_up, parallel_coarse
+        minute_plan, mb, touched, prev, mat, kmv_merge_up, parallel_coarse
     )
+
+
+def qtl_batch_partials(batch_df: DataFrame) -> DataFrame:
+    """The batch's per-minute bottom-K sample arrays (LAZY plan) — the
+    raw pass :func:`multires_qtl_merge_batch` pre-aggregates; exposed
+    for pipelined prefetch exactly like
+    :func:`multires_batch_partials`."""
+    return bottomk_sample(qtl_minute_pairs(batch_df))
 
 
 def multires_qtl_merge_batch(
     batch_df: DataFrame,
     prev: dict[str, DataFrame] | None,
     materialize: "Callable[[str, DataFrame], DataFrame] | None" = None,
+    partials: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """One incremental-refresh step for the QUANTILE rollup — the
     bottom-K-sample twin of :func:`multires_kmv_merge_batch`, proving
@@ -1188,7 +1244,11 @@ def multires_qtl_merge_batch(
     are (bucket, ≤K struct array) — time-horizon-, not corpus-,
     proportional."""
     mat = materialize or (lambda _name, df: df)
-    mb = mat("partials", bottomk_sample(qtl_minute_pairs(batch_df)))
+    mb = (
+        partials
+        if partials is not None
+        else mat("partials", qtl_batch_partials(batch_df))
+    )
     # one row per bucket already; consumers are duplicate-tolerant
     # broadcast semi/anti probes — no .distinct() exchange (r15 opt)
     touched = mb.select("bucket")
@@ -1203,9 +1263,8 @@ def multires_qtl_merge_batch(
             F.col("e.uh").alias("uh"),
         )
 
-    tiers: dict[str, DataFrame] = {}
     if prev is None:
-        tiers["minute"] = mb
+        minute_plan = mb
     else:
         t = touched.select(F.col("bucket").alias("_tb"))
         hot = prev["minute"].join(
@@ -1215,11 +1274,11 @@ def multires_qtl_merge_batch(
             F.broadcast(t), F.col("bucket").eqNullSafe(F.col("_tb")), "left_anti"
         )
         merged = bottomk_sample(_explode(hot).unionByName(_explode(mb)))
-        tiers["minute"] = cold.unionByName(merged)
+        minute_plan = cold.unionByName(merged)
 
-    tiers["minute"] = mat("minute", tiers["minute"])
     return _coarse_tiers(
-        tiers, touched, prev, mat, bottomk_merge_up, parallel_coarse
+        minute_plan, mb, touched, prev, mat, bottomk_merge_up,
+        parallel_coarse,
     )
 
 
@@ -1233,6 +1292,7 @@ def multires_fold_version(
     batch_df: DataFrame,
     prev: dict[str, DataFrame] | None,
     merge_fn: "Callable[..., dict[str, DataFrame]] | None" = None,
+    partials: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Fold one batch into versioned state ``v{version}`` — the drain's
     per-batch body, shared with ``tools/multires_refresh_probe.py`` so
@@ -1268,10 +1328,62 @@ def multires_fold_version(
         df.write.mode("overwrite").parquet(path)
         return spark.read.parquet(path)
 
-    tiers = (merge_fn or multires_merge_batch)(batch_df, prev, materialize=mat)
+    kwargs: dict = {"materialize": mat}
+    if partials is not None:
+        # pipelined callers prefetch the batch's pinned partials while
+        # the PREVIOUS fold's tier writes run (guide §2.6); only the
+        # three standard merge fns accept the kwarg, so it is threaded
+        # conditionally to keep the merge_fn contract unchanged for the
+        # erasure folds
+        kwargs["partials"] = partials
+    tiers = (merge_fn or multires_merge_batch)(batch_df, prev, **kwargs)
     with open(os.path.join(cur_dir, "_COMMIT"), "w") as f:
         f.write("ok\n")
     return tiers
+
+
+def fold_slices_pipelined(
+    spark: SparkSession,
+    state_root: str,
+    paths: "list[str]",
+    partials_builder: "Callable[[DataFrame], DataFrame]",
+    merge_fn: "Callable[..., dict[str, DataFrame]] | None" = None,
+) -> dict[str, DataFrame] | None:
+    """Fold the ordered slice files into versioned state (v0..vN-1),
+    PREFETCHING each next slice's pinned partials concurrently with the
+    current fold's tier writes (guide §2.6 — overlap independent jobs):
+    batch i+1's partials depend only on slice i+1, never on fold i's
+    tiers, so a 1-worker pool computes + localCheckpoints them while
+    fold i's three tier writes run. Combined with the 3-wide tier
+    materialization in ``_coarse_tiers``, a 3-fold chain's critical
+    path drops from 9 serial action walls to 1 + 3 (first partials,
+    then one 3-wide tier wall per fold). Used by the realtime fixtures;
+    the streaming drain cannot prefetch (foreachBatch reveals batches
+    one at a time). Results are identical to the sequential loop — the
+    prefetched relation IS the partials the merge fn would have built,
+    pinned the same way (``mat("partials", ...)`` localCheckpoints
+    too)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def prep(path: str) -> DataFrame:
+        return partials_builder(
+            spark.read.parquet(path)
+        ).localCheckpoint(eager=True)
+
+    state: dict[str, DataFrame] | None = None
+    if not paths:
+        return state
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut = pool.submit(prep, paths[0])
+        for i, p in enumerate(paths):
+            mb = fut.result()
+            if i + 1 < len(paths):
+                fut = pool.submit(prep, paths[i + 1])
+            state = multires_fold_version(
+                spark, state_root, i, spark.read.parquet(p), state,
+                merge_fn=merge_fn, partials=mb,
+            )
+    return state
 
 
 def latest_committed_state(
@@ -2852,11 +2964,11 @@ def events_multires_rollup_realtime(
         events.repartitionByRange(4, "ts").write.parquet(src)
         parts = sorted(_glob.glob(os.path.join(src, "part-*.parquet")))
         state_root = os.path.join(d, "state")
-        state = None
-        for i, p in enumerate(parts[:-1]):  # fold all but the tail
-            state = multires_fold_version(
-                spark, state_root, i, spark.read.parquet(p), state
-            )
+        # fold all but the tail, prefetching each next slice's partials
+        # concurrently with the current fold's tier writes (guide §2.6)
+        state = fold_slices_pipelined(
+            spark, state_root, parts[:-1], multires_batch_partials
+        )
         import time as _time
 
         t_read = _time.monotonic()
@@ -2928,12 +3040,12 @@ def events_multires_distinct_realtime(
         events.repartitionByRange(4, "ts").write.parquet(src)
         parts = sorted(_glob.glob(os.path.join(src, "part-*.parquet")))
         state_root = os.path.join(d, "state")
-        state = None
-        for i, p in enumerate(parts[:-1]):  # fold all but the tail
-            state = multires_fold_version(
-                spark, state_root, i, spark.read.parquet(p), state,
-                merge_fn=multires_kmv_merge_batch,
-            )
+        # fold all but the tail, prefetching each next slice's partials
+        # concurrently with the current fold's tier writes (guide §2.6)
+        state = fold_slices_pipelined(
+            spark, state_root, parts[:-1], kmv_batch_partials,
+            merge_fn=multires_kmv_merge_batch,
+        )
         import time as _time
 
         t_read = _time.monotonic()
@@ -3000,12 +3112,12 @@ def events_multires_quantile_realtime(
         events.repartitionByRange(4, "ts").write.parquet(src)
         parts = sorted(_glob.glob(os.path.join(src, "part-*.parquet")))
         state_root = os.path.join(d, "state")
-        state = None
-        for i, p in enumerate(parts[:-1]):  # fold all but the tail
-            state = multires_fold_version(
-                spark, state_root, i, spark.read.parquet(p), state,
-                merge_fn=multires_qtl_merge_batch,
-            )
+        # fold all but the tail, prefetching each next slice's partials
+        # concurrently with the current fold's tier writes (guide §2.6)
+        state = fold_slices_pipelined(
+            spark, state_root, parts[:-1], qtl_batch_partials,
+            merge_fn=multires_qtl_merge_batch,
+        )
         import time as _time
 
         t_read = _time.monotonic()

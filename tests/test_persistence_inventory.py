@@ -110,6 +110,13 @@ INVENTORY: dict[tuple[str, str, str], tuple[int, str]] = {
     # overhead; the blocks are released when the fold chain's refs are
     # GC'd at the end of the query/drain body.
     ("streaming/jobs.py", "mat", "localCheckpoint"): (1, "bounded-relation"),
+    # r15 opt round 2: fold_slices_pipelined's prefetcher pins the NEXT
+    # slice's minute partials (same batch-bounded relation as the
+    # fold materializer's "partials" site above — one row per touched
+    # (bucket[, type])) while the current fold's tier writes run; the
+    # blocks are released with the fold chain's refs at the end of the
+    # query body, exactly like the materializer pin it replaces.
+    ("streaming/jobs.py", "prep", "localCheckpoint"): (1, "bounded-relation"),
     ("streaming/jobs.py", "events_multires_rollup_incremental",
      "localCheckpoint"): (1, "bounded-relation"),
     # r14: the sketch incremental tier's readout — one row per bucket,

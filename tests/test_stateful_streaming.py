@@ -1110,6 +1110,67 @@ def test_multires_merge_recomputes_touched_buckets_only(spark):
     assert day[pd.Timestamp("2026-01-01")] == 3 + 3
 
 
+def test_multires_materialized_fold_matches_lazy(spark):
+    """r15 opt round 2: on the MATERIALIZED path the coarse tiers derive
+    from prev_minute ∪ batch partials (so the three tier writes run
+    concurrently) instead of from the new minute tier; by the
+    associative merge law merge_up(cold ∪ merge(hot ∪ mb)) ==
+    merge_up(cold ∪ hot ∪ mb) the two derivations agree on ANY minute
+    state — including the planted-inconsistency geometry above, where
+    minute data and the poisoned hour row disagree. Pin it: the
+    materialized fold must match the lazy merge tier for tier, row for
+    row (and both must still derive coarse tiers from MINUTE data, i.e.
+    ignore the poisoned hour row)."""
+    from decimal import Decimal
+
+    import pandas as pd
+
+    from imdb_mapreduce_spark.streaming.jobs import multires_merge_batch
+
+    h1 = pd.Timestamp("2026-01-01 10:00:00")
+    h2 = pd.Timestamp("2026-01-01 11:00:00")
+    mk = lambda rows: spark.createDataFrame(
+        [(b.to_pydatetime(), *rest) for b, *rest in rows],
+        _multires_state_schema(),
+    )
+    prev = {
+        "minute": mk(
+            [
+                (h1 + pd.Timedelta(minutes=1), "click", 2, Decimal("10.00")),
+                (h2 + pd.Timedelta(minutes=5), "click", 3, Decimal("30.00")),
+            ]
+        ),
+        "hour": mk(
+            [
+                (h1, "click", 2, Decimal("10.00")),
+                (h2, "click", 999, Decimal("999.99")),  # poisoned
+            ]
+        ),
+        "day": mk(
+            [(pd.Timestamp("2026-01-01"), "click", 1001, Decimal("1009.99"))]
+        ),
+    }
+    batch = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "ts": [h1 + pd.Timedelta(minutes=1, seconds=30)],
+                "event_type": ["click"],
+                "value": [5.0],
+            }
+        )
+    )
+    lazy = multires_merge_batch(batch, prev)
+    mat = multires_merge_batch(
+        batch,
+        prev,
+        materialize=lambda _n, df: df.localCheckpoint(eager=True),
+    )
+    for tier in ("minute", "hour", "day"):
+        a = sorted(map(tuple, lazy[tier].collect()))
+        b = sorted(map(tuple, mat[tier].collect()))
+        assert a == b, tier
+
+
 def test_multires_incremental_restart_drill(spark, tmp_path):
     """Restart-matrix drill for the incremental rollup: drain two files,
     stop (availableNow exhausts the source), deliver two more files,
