@@ -1788,45 +1788,68 @@ def sketch_erasure_repair(
     # relation is computed by exactly one action (the fold's versioned
     # write is the materializer — the multires_fold_version contract;
     # without this the hour plan re-executed under the day write, r15
-    # review catch). Default: pin only the fan-out minute tier (its own
-    # readout + hour + day via hour), coarse tiers stay lazy — the
-    # one-action shape the batch query and probe always had.
+    # review catch). Default: pin only the fan-out minute tier, coarse
+    # tiers stay lazy — the one-action shape the batch query and probe
+    # always had.
+    parallel_coarse = materialize is not None
     if materialize is None:
         materialize = lambda name, df: (  # noqa: E731
             df.localCheckpoint(eager=True) if name == "minute" else df
         )
     m2 = materialize("minute", carried_m.unionByName(rederived))
-    # coarse tiers: carry untouched, merge touched up from repaired m2
+    # Coarse tiers: carry untouched, merge touched up from repaired m2 —
+    # BOTH direct from the minute tier (r15 opt session 3): deriving day
+    # from the HOUR tier chained the subtrees, so the hour merge-up was
+    # evaluated twice inside the single readout action (once for its own
+    # branch, once under day — the broadcast semi/anti probes between
+    # them defeat ReuseExchange), and the carried day side re-ran
+    # merge_up(merge_up(prev_m)). Output-invariant by the associative
+    # KMV merge law (any hash in a day's K-set is top-K in its own
+    # child, so day-from-minute ≡ day-from-hour — the same argument
+    # `_coarse_tiers` uses, A/B'd in tools/erasure_coarse_ab.py:
+    # interleaved min 2.21→2.06 s, med 2.64→2.36 s at sf0.1). The two
+    # builds are now independent, so a materializing caller (the
+    # incremental erasure fold) runs them 2-wide (guide §2.6).
     tiers = {"minute": m2}
-    prev_c, finer, touched_c = prev_m, m2, touched
-    for unit in ("hour", "day"):
+
+    def build_coarse(unit: str) -> DataFrame:
+        # coarsen the pinned minute-grain touched set directly — no
+        # .distinct(): it is tiny and the probes are duplicate-tolerant
+        tc = F.broadcast(
+            touched.select(F.date_trunc(unit, F.col("bucket")).alias("_tb"))
+        )
+        derived = kmv_merge_up(
+            m2.join(
+                tc,
+                F.date_trunc(unit, F.col("bucket")).eqNullSafe(F.col("_tb")),
+                "left_semi",
+            ),
+            unit,
+        )
         # the carried coarse tier: when the caller maintains versioned
         # coarse state (the r15 incremental fold), use it directly —
         # identical to re-merging prev_m up by the law the oracle
         # certifies, minus the recompute
         prev_c = (
             prev_coarse[unit] if prev_coarse is not None
-            else kmv_merge_up(prev_c, unit)
-        )
-        # coarsen without .distinct(): the pinned touched set is tiny,
-        # and the semi/anti probes are duplicate-tolerant (r15 opt)
-        touched_c = touched_c.select(
-            F.date_trunc(unit, F.col("bucket")).alias("bucket")
-        )
-        t = F.broadcast(touched_c.select(F.col("bucket").alias("_tb")))
-        derived = kmv_merge_up(
-            finer.join(
-                t,
-                F.date_trunc(unit, F.col("bucket")).eqNullSafe(F.col("_tb")),
-                "left_semi",
-            ),
-            unit,
+            else kmv_merge_up(prev_m, unit)
         )
         carried = prev_c.join(
-            t, F.col("bucket").eqNullSafe(F.col("_tb")), "left_anti"
+            tc, F.col("bucket").eqNullSafe(F.col("_tb")), "left_anti"
         )
-        tiers[unit] = materialize(unit, carried.unionByName(derived))
-        finer = tiers[unit]
+        return materialize(unit, carried.unionByName(derived))
+
+    if parallel_coarse:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fh = pool.submit(build_coarse, "hour")
+            fd = pool.submit(build_coarse, "day")
+            tiers["hour"] = fh.result()
+            tiers["day"] = fd.result()
+    else:
+        tiers["hour"] = build_coarse("hour")
+        tiers["day"] = build_coarse("day")
     return tiers
 
 
@@ -2227,34 +2250,52 @@ def sample_erasure_repair(
     carried_m = prev_m.join(
         t, F.col("bucket").eqNullSafe(F.col("_tb")), "left_anti"
     )
+    parallel_coarse = materialize is not None
     if materialize is None:
         materialize = lambda name, df: (  # noqa: E731
             df.localCheckpoint(eager=True) if name == "minute" else df
         )
     m2 = materialize("minute", carried_m.unionByName(rederived))
+    # Coarse tiers BOTH direct from the minute tier — the sketch twin's
+    # r15-session-3 shape (see `sketch_erasure_repair`): un-chains the
+    # hour subtree's double evaluation in the one-action readout,
+    # output-invariant by the bottom-K multiset merge law (a row in a
+    # day's bottom-K ranks ≤ K in its own child, multiplicity kept;
+    # A/B'd in tools/erasure_coarse_ab.py: interleaved min 2.58→2.30 s,
+    # med 3.01→2.56 s at sf0.1); materializing callers run the two
+    # independent builds 2-wide (guide §2.6).
     tiers = {"minute": m2}
-    prev_c, finer, touched_c = prev_m, m2, touched
-    for unit in ("hour", "day"):
-        prev_c = (
-            prev_coarse[unit] if prev_coarse is not None
-            else bottomk_merge_up(prev_c, unit)
+
+    def build_coarse(unit: str) -> DataFrame:
+        tc = F.broadcast(
+            touched.select(F.date_trunc(unit, F.col("bucket")).alias("_tb"))
         )
-        # coarsen without .distinct() — see the sketch twin (r15 opt)
-        touched_c = touched_c.select(
-            F.date_trunc(unit, F.col("bucket")).alias("bucket")
-        )
-        t = F.broadcast(touched_c.select(F.col("bucket").alias("_tb")))
         derived = bottomk_merge_up(
-            finer.join(
-                t,
+            m2.join(
+                tc,
                 F.date_trunc(unit, F.col("bucket")).eqNullSafe(F.col("_tb")),
                 "left_semi",
             ),
             unit,
         )
-        carried = prev_c.join(
-            t, F.col("bucket").eqNullSafe(F.col("_tb")), "left_anti"
+        prev_c = (
+            prev_coarse[unit] if prev_coarse is not None
+            else bottomk_merge_up(prev_m, unit)
         )
-        tiers[unit] = materialize(unit, carried.unionByName(derived))
-        finer = tiers[unit]
+        carried = prev_c.join(
+            tc, F.col("bucket").eqNullSafe(F.col("_tb")), "left_anti"
+        )
+        return materialize(unit, carried.unionByName(derived))
+
+    if parallel_coarse:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fh = pool.submit(build_coarse, "hour")
+            fd = pool.submit(build_coarse, "day")
+            tiers["hour"] = fh.result()
+            tiers["day"] = fd.result()
+    else:
+        tiers["hour"] = build_coarse("hour")
+        tiers["day"] = build_coarse("day")
     return tiers
