@@ -301,6 +301,22 @@ def main() -> None:
     except Exception:  # noqa: BLE001 — detail channel must not kill bench
         realtime_read_sec = {}
 
+    # Harness-vs-repair split for the erasure rows (r15 opt session 3,
+    # mirroring realtime_read_sec): each erasure query records the wall
+    # seconds of its in-query PRE-erasure state build (state that
+    # already exists in production), so the repair leg's cost =
+    # end-to-end minus this stays visible round over round.
+    try:
+        from imdb_mapreduce_spark.plans.events import ERASURE_STATE_SEC
+
+        erasure_state_sec = {
+            n: {"min": min(ps), "passes": ps}
+            for n, ps in ERASURE_STATE_SEC.items()
+            if ps
+        }
+    except Exception:  # noqa: BLE001 — detail channel must not kill bench
+        erasure_state_sec = {}
+
     # "value" is the steady-state total: sum of per-query min-of-3 wall
     # times, session startup excluded (reported separately) — directly
     # comparable round over round per query.
@@ -350,6 +366,7 @@ def main() -> None:
                 "drift_canaries": drift_each,
                 "drift_band": drift_band,
                 "realtime_read_sec": realtime_read_sec,
+                "erasure_state_sec": erasure_state_sec,
                 "errors": errors,
             }
         )

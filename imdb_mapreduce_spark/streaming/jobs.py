@@ -44,11 +44,13 @@ from imdb_mapreduce_spark.plans.events import (
     QUANTILE_ERASURE_ORACLE,
     ROLLUP_ERASURE_ORACLE,
     _erased_col,
+    bottomk_merge_arrays,
     bottomk_merge_up,
     bottomk_sample,
     erasure_minute_partials,
     kmv_bucket_stats,
     kmv_k_smallest,
+    kmv_merge_arrays,
     kmv_merge_up,
     kmv_minute_pairs,
     qtl_bucket_stats,
@@ -1194,9 +1196,13 @@ def multires_kmv_merge_batch(
         cold = prev["minute"].join(
             F.broadcast(t), F.col("bucket").eqNullSafe(F.col("_tb")), "left_anti"
         )
-        merged = kmv_k_smallest(
-            hot.select("bucket", F.explode("hashes").alias("h"))
-            .unionByName(mb.select("bucket", F.explode("hashes").alias("h")))
+        # array-level merge (r15 opt session 3): hot and the batch
+        # partials are both K-bounded arrays per bucket (≤ 2 per
+        # bucket), so the direct one-exchange flatten/sort/dedup/slice
+        # replaces the exploded salted rank — same output by the law
+        merged = kmv_merge_arrays(
+            hot.select("bucket", "hashes")
+            .unionByName(mb.select("bucket", "hashes"))
         )
         minute_plan = cold.unionByName(merged)
 
@@ -1254,15 +1260,6 @@ def multires_qtl_merge_batch(
     touched = mb.select("bucket")
     parallel_coarse = materialize is not None
 
-    def _explode(df: DataFrame) -> DataFrame:
-        ex = df.select("bucket", F.explode("sample").alias("e"))
-        return ex.select(
-            "bucket",
-            F.col("e.h").alias("h"),
-            F.col("e.v").alias("v"),
-            F.col("e.uh").alias("uh"),
-        )
-
     if prev is None:
         minute_plan = mb
     else:
@@ -1273,7 +1270,14 @@ def multires_qtl_merge_batch(
         cold = prev["minute"].join(
             F.broadcast(t), F.col("bucket").eqNullSafe(F.col("_tb")), "left_anti"
         )
-        merged = bottomk_sample(_explode(hot).unionByName(_explode(mb)))
+        # array-level merge (r15 opt session 3): both sides are
+        # K-bounded sample arrays per bucket, so the direct one-exchange
+        # flatten/sort/slice replaces the exploded salted rank — same
+        # output by the bottom-K multiset law
+        merged = bottomk_merge_arrays(
+            hot.select("bucket", "sample")
+            .unionByName(mb.select("bucket", "sample"))
+        )
         minute_plan = cold.unionByName(merged)
 
     return _coarse_tiers(
