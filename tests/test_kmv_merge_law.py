@@ -354,3 +354,56 @@ def test_sketch_erasure_membership_trigger(spark):
             (r["bucket"], tuple(r["hashes"])) for r in prev_m.collect()
         )
         assert (rep["minute"] != prev_snap) == changes, uid
+
+
+def test_kmv_merge_arrays_equals_direct_both_grains(spark):
+    """The r15-opt one-exchange array merge (`kmv_merge_arrays`, used by
+    `kmv_merge_up` and the fold/realtime minute merges) must equal the
+    direct salted `kmv_k_smallest` over the re-bucketed raw pairs — at
+    BOTH coarsening grains (hour←minute and day←minute, the grain the
+    un-chained erasure/fold derivations use) and with the same user
+    appearing in several minutes (the flatten path must DEDUPE those
+    cross-child duplicate hashes exactly like the salted sort's lag
+    filter) and > K distinct users per coarse bucket (the slice must
+    cut, not just sort)."""
+    import datetime
+    import random
+
+    from pyspark.sql import functions as F
+
+    from imdb_mapreduce_spark.plans.events import (
+        kmv_k_smallest,
+        kmv_merge_up,
+        kmv_minute_pairs,
+    )
+
+    rng = random.Random(23)
+    base = datetime.datetime(2026, 9, 1, 10, 0, 0)
+    rows = []
+    # 4 minutes spanning 2 hours of one day; ~K distinct users per
+    # minute, every third user repeated in the NEXT minute too
+    for minute in (0, 1, 59, 60):
+        users = rng.sample(range(1, 10_000), KMV_K + 7)
+        for u in users:
+            rows.append((base + datetime.timedelta(minutes=minute), u))
+            if u % 3 == 0:
+                rows.append(
+                    (base + datetime.timedelta(minutes=minute + 1), u)
+                )
+    e = spark.createDataFrame(rows, "ts timestamp, user_id long")
+    pairs = kmv_minute_pairs(e)
+    minute_tier = kmv_k_smallest(pairs).localCheckpoint(eager=True)
+
+    def snap(df):
+        return sorted(
+            (r["bucket"], tuple(r["hashes"])) for r in df.collect()
+        )
+
+    for unit in ("hour", "day"):
+        merged = kmv_merge_up(minute_tier, unit)
+        direct = kmv_k_smallest(
+            pairs.select(
+                F.date_trunc(unit, F.col("bucket")).alias("bucket"), "h"
+            )
+        )
+        assert snap(merged) == snap(direct), unit
