@@ -1524,30 +1524,53 @@ def rollup_erasure_repair(
     repaired = _erasure_sum_merge(hot.unionByName(neg), "minute").filter(
         F.col("n_events") > 0
     )
+    parallel_coarse = materialize is not None
     mat = materialize or (lambda _name, df: df)
-    # the repaired minute fans out (its own readout + hour + day via
-    # hour) — the broadcast-fan-out reuse gap again; callers pass a
-    # bounded materializer (one row per (bucket, type))
-    tiers = {"minute": mat("minute", cold.unionByName(repaired))}
-    finer, touched_c = tiers["minute"], touched
-    for unit in ("hour", "day"):
-        touched_c = touched_c.select(
-            F.date_trunc(unit, F.col("bucket")).alias("bucket")
-        ).distinct()
-        t = F.broadcast(touched_c.select(F.col("bucket").alias("_tb")))
+    # the repaired minute fans out (its own readout + hour + day) —
+    # the broadcast-fan-out reuse gap again; callers pass a bounded
+    # materializer (one row per (bucket, type))
+    m2 = mat("minute", cold.unionByName(repaired))
+    # Coarse tiers BOTH derive from the repaired minute tier (r15 opt
+    # session 3, the sketch twins' un-chaining applied to the additive
+    # family): deriving day from the lazy repaired HOUR tier evaluated
+    # the hour aggregates twice inside the single readout action.
+    # Output-invariant (decimal sums associative, counts additive);
+    # A/B'd in tools/rollup_erasure_chain_ab.py together with the
+    # caller's prev-day un-chaining: interleaved min 2.44 → 2.17 s,
+    # med 2.74 → 2.47 s at sf0.1. Materializing callers (the erasure
+    # fold, the history purge) run the two independent builds 2-wide.
+    tiers = {"minute": m2}
+
+    def build_coarse(unit: str) -> DataFrame:
+        tc = F.broadcast(
+            touched.select(
+                F.date_trunc(unit, F.col("bucket")).alias("_tb")
+            ).distinct()
+        )
         derived = _erasure_sum_merge(
-            finer.join(
-                t,
+            m2.join(
+                tc,
                 F.date_trunc(unit, F.col("bucket")).eqNullSafe(F.col("_tb")),
                 "left_semi",
             ),
             unit,
         )
         carried = prev[unit].join(
-            t, F.col("bucket").eqNullSafe(F.col("_tb")), "left_anti"
+            tc, F.col("bucket").eqNullSafe(F.col("_tb")), "left_anti"
         )
-        tiers[unit] = mat(unit, carried.unionByName(derived))
-        finer = tiers[unit]
+        return mat(unit, carried.unionByName(derived))
+
+    if parallel_coarse:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fh = pool.submit(build_coarse, "hour")
+            fd = pool.submit(build_coarse, "day")
+            tiers["hour"] = fh.result()
+            tiers["day"] = fd.result()
+    else:
+        tiers["hour"] = build_coarse("hour")
+        tiers["day"] = build_coarse("day")
     return tiers
 
 
@@ -1631,7 +1654,10 @@ def events_rollup_user_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     _note_state_sec("events_rollup_user_erasure", _time.monotonic() - _t0)
     prev = {"minute": m}
     prev["hour"] = _erasure_sum_merge(m, "hour")
-    prev["day"] = _erasure_sum_merge(prev["hour"], "day")
+    # day direct from the pinned minute state (not via the lazy hour
+    # state, whose aggregate would otherwise evaluate twice in the one
+    # readout action — r15 opt session 3, tools/rollup_erasure_chain_ab)
+    prev["day"] = _erasure_sum_merge(m, "day")
     # the erased rows' negated minute partials (second raw pass — the
     # pass a user-keyed index serves at scale), bounded output
     neg = _erasure_sum_merge(rows.filter(F.col("_erased")), "minute").select(
