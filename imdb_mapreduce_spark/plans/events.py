@@ -1387,19 +1387,29 @@ def kmv_merge_arrays(grouped: DataFrame) -> DataFrame:
     longs (hour←minute 60·K, day←minute 1440·K ≈ 0.7 MB — TIME-bounded,
     invariant of data scale). r15 opt session 3: drops one exchange +
     one Tungsten sort per merge (plan evidence
-    plans/r15/events_multires_distinct_rollup_after2.txt); the explode
+    plans/r15/events_multires_distinct_rollup_after.txt); the explode
     is gone too, so the one exchange moves fan-in ROWS per bucket, not
     fan-in·K."""
     from imdb_mapreduce_spark.plans.quality import KMV_K
 
-    return grouped.groupBy("bucket").agg(
-        F.slice(
-            F.array_distinct(
-                F.sort_array(F.flatten(F.collect_list("hashes")))
-            ),
-            1,
-            KMV_K,
-        ).alias("hashes")
+    # Defensive parity with the explode path (ADVICE r15): explode drops a
+    # bucket whose child arrays are all empty; flatten would keep it as an
+    # empty-array row (and kmv_bucket_stats would then emit a NULL
+    # kth_hash). Unreachable today — every producer emits non-empty
+    # collect_list arrays — but pinned here so the two paths stay
+    # output-identical by construction.
+    return (
+        grouped.groupBy("bucket")
+        .agg(
+            F.slice(
+                F.array_distinct(
+                    F.sort_array(F.flatten(F.collect_list("hashes")))
+                ),
+                1,
+                KMV_K,
+            ).alias("hashes")
+        )
+        .filter(F.size("hashes") > 0)
     )
 
 
@@ -2049,10 +2059,15 @@ def bottomk_merge_arrays(grouped: DataFrame) -> DataFrame:
     1440·K ≈ 4 MB — TIME-bounded). r15 opt session 3: one exchange +
     in-buffer sort instead of exchange + Tungsten window sort +
     second exchange."""
-    return grouped.groupBy("bucket").agg(
-        F.slice(
-            F.sort_array(F.flatten(F.collect_list("sample"))), 1, QTL_K
-        ).alias("sample")
+    # Same empty-array parity guard as kmv_merge_arrays (ADVICE r15).
+    return (
+        grouped.groupBy("bucket")
+        .agg(
+            F.slice(
+                F.sort_array(F.flatten(F.collect_list("sample"))), 1, QTL_K
+            ).alias("sample")
+        )
+        .filter(F.size("sample") > 0)
     )
 
 

@@ -1768,6 +1768,22 @@ def _erase_history_rederive(
     return purged
 
 
+# Auto-compaction cadence for the versioned-state drain (r16, VERDICT r15
+# item 3, guide §6 small files): every micro-batch fold writes each tier
+# with the session's write parallelism, so a long-running drain
+# accumulates files linearly in versions — the probe measured 3 files/tier
+# by fold 2, and a scan of 1 MB files at 100 TB spends its time opening
+# footers, not reading pages. The drain now triggers the existing
+# `compact_state_version` OPTIMIZE verb automatically on every Nth
+# committed version (content-identical rewrite under the family's crash
+# journal; a crash mid-compaction is self-healed by the next batch — see
+# the drain's prev-resolution). N=8 keeps the amortized cost at ~1/8 of a
+# version rewrite per batch while bounding any version's file debt to 8
+# folds' worth; short chains (the 4-batch bench fixtures) never trigger,
+# so bench timings and all declared query results are unchanged.
+STATE_COMPACT_EVERY = 8
+
+
 def incremental_multires_drain(
     spark: SparkSession,
     src: str,
@@ -1776,6 +1792,7 @@ def incremental_multires_drain(
     ckpt: str,
     merge_fn: "Callable[..., dict[str, DataFrame]] | None" = None,
     version_offset: int = 0,
+    compact_every: int | None = STATE_COMPACT_EVERY,
 ) -> dict[str, DataFrame] | None:
     """Drain every unprocessed file under ``src`` (one micro-batch per
     file, availableNow) through :func:`multires_merge_batch`, maintaining
@@ -1800,6 +1817,14 @@ def incremental_multires_drain(
         v = batch_id + version_offset
         prev_dir = os.path.join(state_root, f"v{v - 1}")
         prev = None
+        if not os.path.exists(
+            os.path.join(prev_dir, "_COMMIT")
+        ) and os.path.exists(os.path.join(prev_dir, "_COMPACTING")):
+            # the predecessor crashed mid-compaction (journaled, between
+            # the swap steps): finish the idempotent swap and re-commit —
+            # the drain self-heals instead of failing the out-of-sync
+            # check below (r16 auto-compaction)
+            compact_state_version(spark, state_root, v - 1)
         if os.path.exists(os.path.join(prev_dir, "_COMMIT")):
             prev = {
                 tier: spark.read.parquet(os.path.join(prev_dir, tier))
@@ -1821,6 +1846,12 @@ def incremental_multires_drain(
         multires_fold_version(
             spark, state_root, v, batch_df, prev, merge_fn=merge_fn
         )
+        if compact_every and v > 0 and v % compact_every == 0:
+            # content-identical layout rewrite of the just-committed
+            # version (guide §6): bounds per-version file counts on a
+            # long drain; the next batch re-reads the swapped tiers
+            # through fresh path handles, so no stale-listing risk
+            compact_state_version(spark, state_root, v)
 
     stream = (
         spark.readStream.schema(schema)

@@ -407,3 +407,62 @@ def test_kmv_merge_arrays_equals_direct_both_grains(spark):
             )
         )
         assert snap(merged) == snap(direct), unit
+
+
+def test_fold_merge_legs_stay_on_bounded_array_merge(spark):
+    """r16 (VERDICT r15 item 6): the drain's fold merge legs share
+    `_coarse_tiers`, whose K-capped inputs must route through the
+    ONE-exchange array merges (`kmv_merge_arrays` /
+    `bottomk_merge_arrays`), never the salted rank — the salted window
+    pass exists for UNBOUNDED raw only. Pins the plan shape of every
+    tier of both sketch-family folds (prev + batch, the incremental
+    path): zero Window nodes anywhere in the fold plan, so a future
+    refactor cannot silently reintroduce exchange + Tungsten window +
+    second exchange on bounded input. (The raw partials pass is
+    pre-aggregated before these plans — its salted rank lives in
+    kmv_k_smallest/bottomk_sample and is exercised on the batch side,
+    which `mb` here has already materialized away, exactly like the
+    drain's pinned partials.)"""
+    import datetime
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from imdb_mapreduce_spark.streaming.jobs import (
+        kmv_batch_partials,
+        multires_kmv_merge_batch,
+        multires_qtl_merge_batch,
+        qtl_batch_partials,
+    )
+
+    ts = datetime.datetime(2026, 9, 1, 10, 0, 30)
+    mk = lambda off: spark.createDataFrame(  # noqa: E731
+        [
+            (ts + datetime.timedelta(minutes=i), 100 + off + i, float(i))
+            for i in range(4)
+        ],
+        "ts timestamp, user_id bigint, value double",
+    ).withColumn("event_id", F.col("user_id") * 10)
+
+    def plan(df) -> str:
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    for merge_fn, partials_fn in (
+        (multires_kmv_merge_batch, kmv_batch_partials),
+        (multires_qtl_merge_batch, qtl_batch_partials),
+    ):
+        # prev state from batch 0 (pinned like the drain's committed
+        # tiers), then fold batch 1 against it — the drain's hot path
+        prev = {
+            t: df.localCheckpoint(eager=True)
+            for t, df in merge_fn(mk(0), None).items()
+        }
+        mb = partials_fn(mk(50)).localCheckpoint(eager=True)
+        tiers = merge_fn(mk(50), prev, partials=mb)
+        for unit in ("minute", "hour", "day"):
+            p = plan(tiers[unit])
+            assert "Window" not in p, (merge_fn.__name__, unit, p)

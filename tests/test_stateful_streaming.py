@@ -1247,6 +1247,104 @@ def test_multires_incremental_restart_drill(spark, tmp_path):
     assert snap(phase3) == got
 
 
+def test_multires_drain_auto_compaction_restart_drill(spark, tmp_path):
+    """Restart drill across an AUTO-COMPACTION boundary (r16, VERDICT r15
+    item 3): with ``compact_every=2`` the drain compacts v2 mid-run; the
+    drill then simulates a crash mid-compaction of v3 (journaled,
+    ``_COMMIT`` removed, ``{tier}__compact`` copies staged — the state a
+    kill between swap steps leaves) and restarts with two more files. The
+    next batch must SELF-HEAL the journaled predecessor (finish the swap,
+    re-commit) instead of failing the out-of-sync check, and the final
+    state must equal the direct single-pass derivation over ALL rows —
+    compaction is layout-only by construction, and this pins it across
+    the restart path."""
+    import os
+    import shutil
+
+    import pandas as pd
+
+    from imdb_mapreduce_spark.streaming.jobs import (
+        incremental_multires_drain,
+        multires_merge_batch,
+    )
+
+    t0 = pd.Timestamp("2026-03-01 00:00:00")
+    m = pd.Timedelta(minutes=1)
+    batches = {
+        0: [(t0 + 1 * m, "click", 1.25), (t0 + 2 * m, "view", 2.50)],
+        1: [(t0 + 61 * m, "click", 4.00), (t0 + 1 * m, "click", 0.75)],
+        2: [(t0 + pd.Timedelta(days=1), "view", 8.00)],
+        3: [(t0 + 62 * m, "click", 1.00), (t0 + 2 * m, "view", 0.25)],
+        4: [(t0 + 3 * m, "view", 5.00)],
+        5: [(t0 + 63 * m, "click", 2.00), (t0 + 1 * m, "view", 0.50)],
+    }
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def put_file(i: int) -> None:
+        pdf = pd.DataFrame(batches[i], columns=["ts", "event_type", "value"])
+        path = os.path.join(src, f"b{i}.parquet")
+        pdf.to_parquet(
+            path, coerce_timestamps="us", allow_truncated_timestamps=True
+        )
+        os.utime(path, (1_000_000 + i, 1_000_000 + i))
+
+    from pyspark.sql.types import _parse_datatype_string
+
+    st = _parse_datatype_string("ts timestamp, event_type string, value double")
+    state_root = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def snap(state):
+        return {
+            tier: sorted(
+                (r["bucket"], r["event_type"], r["n_events"], float(r["s"]))
+                for r in state[tier].collect()
+            )
+            for tier in ("minute", "hour", "day")
+        }
+
+    for i in range(4):
+        put_file(i)
+    phase1 = incremental_multires_drain(
+        spark, src, st, state_root, ckpt, compact_every=2
+    )
+    assert phase1 is not None
+    # v2 crossed the cadence: compacted in-run, still committed + servable
+    assert os.path.exists(os.path.join(state_root, "v2", "_COMMIT"))
+    assert not os.path.exists(os.path.join(state_root, "v2", "_COMPACTING"))
+    # simulate a crash between compaction swap steps on the LATEST version:
+    # journal written, _COMMIT gone, compacted copies staged beside the
+    # original tiers (exactly compact_state_version's step-2 state)
+    v3 = os.path.join(state_root, "v3")
+    for tier in ("minute", "hour", "day"):
+        shutil.copytree(
+            os.path.join(v3, tier), os.path.join(v3, f"{tier}__compact")
+        )
+    with open(os.path.join(v3, "_COMPACTING"), "w") as f:
+        f.write("ok\n")
+    os.remove(os.path.join(v3, "_COMMIT"))
+    put_file(4)
+    put_file(5)
+    phase2 = incremental_multires_drain(
+        spark, src, st, state_root, ckpt, compact_every=2
+    )
+    # the journaled predecessor was healed (swap finished, re-committed)
+    assert os.path.exists(os.path.join(v3, "_COMMIT"))
+    assert not os.path.exists(os.path.join(v3, "_COMPACTING"))
+    assert not os.path.exists(os.path.join(v3, "minute__compact"))
+    # batch 4 crossed the cadence again mid-phase-2 (v4 % 2 == 0)
+    assert os.path.exists(os.path.join(state_root, "v4", "_COMMIT"))
+    all_rows = [r for b in batches.values() for r in b]
+    direct = multires_merge_batch(
+        spark.createDataFrame(
+            pd.DataFrame(all_rows, columns=["ts", "event_type", "value"])
+        ),
+        None,
+    )
+    assert snap(phase2) == snap(direct)
+
+
 def test_erasure_fold_restart_drill(spark, tmp_path):
     """Restart-matrix drill for the r15 erase-then-resume boundary
     (VERDICT r14 item 3): drain two files into versioned additive state,
