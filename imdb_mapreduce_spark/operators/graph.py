@@ -124,7 +124,9 @@ def _bfs_rounds(
             .withColumn("level", F.lit(lvl))
         )
         if checkpoint:
-            children = children.localCheckpoint(eager=True)
+            # lazy: the count() below materializes the blocks in the same
+            # job — one action per round instead of two (r16, guide §2.6)
+            children = children.localCheckpoint(eager=False)
         frontier_rows = children.count()
         if frontier_rows == 0:
             break

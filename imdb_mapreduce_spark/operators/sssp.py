@@ -70,7 +70,11 @@ def bounded_sssp(
             .select("node", F.col("d").alias("dist"))
         )
         if checkpoint:
-            improved = improved.localCheckpoint()
+            # lazy: the count() below materializes the blocks in the same
+            # job — r16 drops the dedicated eager-checkpoint action per
+            # round (guide §2.6: per-action overhead was the measured
+            # cost center for the iterative family at local SFs)
+            improved = improved.localCheckpoint(eager=False)
         frontier_rows = improved.count()
         if frontier_rows == 0:
             break
@@ -82,5 +86,8 @@ def bounded_sssp(
             .agg(F.min("dist").alias("dist"))
         )
         if checkpoint:
-            dist = dist.localCheckpoint()
+            # lazy too: materialized by the NEXT round's count (the
+            # improvement check reads `dist`) or the caller's action —
+            # lineage is truncated either way, no dedicated job
+            dist = dist.localCheckpoint(eager=False)
     return dist

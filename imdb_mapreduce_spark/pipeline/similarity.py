@@ -729,7 +729,16 @@ def ann_lsh_topk(
     bit-equality of the two builders."""
     emb = load_table(spark, "embeddings", sf_dir)
     bucketed = random_hyperplane_buckets_arrow(emb, exact=True)
-    qside = bucketed.filter(F.col("vec_id") < N_QUERIES)
+    # r16 (guide §4: pass only the rows the kernel needs): a filter above
+    # mapInPandas cannot push through it, so `bucketed.filter(vec_id <
+    # N_QUERIES)` ran the full-corpus Arrow bucket kernel a SECOND time
+    # just to keep the handful of query rows for the broadcast build.
+    # Bucketing is per-row, so bucketing the pre-filtered relation is
+    # bit-identical — and the vec_id predicate now pushes into the
+    # parquet scan (PushedFilters) instead of running after the kernel.
+    qside = random_hyperplane_buckets_arrow(
+        emb.filter(F.col("vec_id") < N_QUERIES), exact=True
+    )
     if multiprobe:
         qside = multiprobe_query_buckets(qside, multiprobe)
     # r06: norms fold once per (vector, table) row here — bounded by
@@ -2164,8 +2173,15 @@ def hard_negative_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_labels = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
     )
+    # r16 (guide §4, same fix as ann_lsh_topk): bucket the pre-filtered
+    # query rows instead of filtering ABOVE the kernel — the predicate
+    # cannot push through mapInPandas, so the broadcast build was running
+    # the full-corpus bucket kernel to keep N_QUERIES rows. Per-row
+    # kernel, so bit-identical buckets; vec_id now pushes to the scan.
     q = (
-        bucketed.filter(F.col("vec_id") < N_QUERIES)
+        random_hyperplane_buckets_arrow(
+            emb.filter(F.col("vec_id") < N_QUERIES), exact=True
+        )
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qe"),

@@ -467,7 +467,16 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     item = e0.groupBy("p").agg(F.count(F.lit(1)).alias("s"))
-    n_orders = e0.select("o").distinct().count()  # bounded driver scalar
+    # r16 (guide §2.6): the basket count used to be a separate driver
+    # action (`e0.select("o").distinct().count()`) — a full lineitem
+    # distinct spent BEFORE the real query even started. It now rides the
+    # main plan as a 1-row aggregate broadcast-nested-loop-joined onto the
+    # rules (same double arithmetic: CAST of an exact integer count, same
+    # multiply/divide tree), so the query is ONE action and AQE overlaps
+    # the scalar's scan with the pair build instead of serializing them.
+    n_rel = e0.agg(
+        F.count_distinct(F.col("o")).cast("double").alias("_n_orders")
+    )
     rules = pairs.select(
         F.col("p1").alias("antecedent"),
         F.col("p2").alias("consequent"),
@@ -484,6 +493,7 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rules.join(i1, "antecedent")
         .join(i2, "consequent")
+        .crossJoin(F.broadcast(n_rel))
         .select(
             "antecedent",
             "consequent",
@@ -493,7 +503,7 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "confidence"
             ),
             (
-                (F.col("s12").cast("double") * F.lit(float(n_orders)))
+                (F.col("s12").cast("double") * F.col("_n_orders"))
                 / (F.col("ante_support").cast("double") * F.col("_s2").cast("double"))
             ).alias("lift"),
         )

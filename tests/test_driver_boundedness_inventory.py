@@ -60,6 +60,10 @@ INVENTORY: dict[tuple[str, str, str], tuple[int, str]] = {
         (3, "bounded-dims"),
     ("plans/events.py", "events_gapfill_zero", "crossJoin"):
         (1, "bounded-dims"),
+    # r16: the basket count rides the plan as a 1-row broadcast aggregate
+    # instead of a separate driver .count() action (one action, not two)
+    ("plans/graph_queries.py", "basket_association_rules", "crossJoin"):
+        (1, "one-row-attach"),
     ("plans/graph_queries.py", "copurchase_bfs_l3", "collect"):
         (1, "scalar-agg"),
     ("plans/graph_queries.py", "copurchase_sssp", "collect"):
