@@ -206,6 +206,9 @@ def test_global_plan_hygiene_sweep(spark, queries):
         "lang_id_confusion",
         # 1-row grand-total frame onto the per-bucket corpus shares
         "media_phash_dedup",
+        # 1-row basket-count denominator frame (r16: was a separate driver
+        # .count() action; now rides the plan as a broadcast aggregate)
+        "basket_association_rules",
     }
     for name, q in queries.items():
         if "streaming" in q.tags:
