@@ -1425,35 +1425,54 @@ def ann_ivf_erasure_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pivots = ivf_det_pivots(spark, sf_dir)
     with tempfile.TemporaryDirectory() as d:
         cells_dir = os.path.join(d, "cells")
-        # the one-time index WRITE (exists already in production)
-        _assigned_cells(emb, pivots).write.partitionBy("cell").parquet(
-            cells_dir
-        )
-        erased = emb.filter(F.expr(_ERASED_VEC_SQL)).select(
-            "vec_id", "embedding"
-        )
-        ivf_delete_in_place(spark, cells_dir, erased, pivots)
-        # the served READ off the repaired index
-        ranked = _ivf_det_ranked(pivots)
-        probes = (
-            emb.filter(
-                (F.col("vec_id") < N_QUERIES) & ~F.expr(_ERASED_VEC_SQL)
+
+        def _probe_leg():
+            # the QUERY side of the served read: quantize the queries and
+            # pin their probe lists. Reads only the embeddings table and
+            # the stateless quantizer — never the index directories — so
+            # it runs on a driver thread CONCURRENTLY with the index
+            # write + delete chain below (guide §2.6, the _coarse_tiers
+            # overlap pattern; r16 opt: interleaved A/B ×0.83–0.88 on
+            # every pair, tools/ivf_overlap_ab.py).
+            ranked = _ivf_det_ranked(pivots)
+            probes = (
+                emb.filter(
+                    (F.col("vec_id") < N_QUERIES) & ~F.expr(_ERASED_VEC_SQL)
+                )
+                .select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("qe"),
+                    norm("embedding").alias("qn"),
+                    F.explode(F.slice(ranked, 1, IVF_DET_NPROBE)).alias("pr"),
+                )
+                .select(
+                    "query_id", "qe", "qn", F.col("pr.cell").alias("cell")
+                )
+                # consumed twice (probe-cell collect + the broadcast
+                # join) — without this the embeddings scan + k distance
+                # folds run twice; bounded: ≤ N_QUERIES·nprobe rows
+                .localCheckpoint(eager=True)
             )
-            .select(
-                F.col("vec_id").alias("query_id"),
-                F.col("embedding").alias("qe"),
-                norm("embedding").alias("qn"),
-                F.explode(F.slice(ranked, 1, IVF_DET_NPROBE)).alias("pr"),
+            cells = sorted(
+                int(r["cell"])
+                for r in probes.select("cell").distinct().collect()
             )
-            .select("query_id", "qe", "qn", F.col("pr.cell").alias("cell"))
-            # consumed twice (probe-cell collect + the broadcast join) —
-            # without this the embeddings scan + k distance folds run
-            # twice; bounded: ≤ N_QUERIES·nprobe rows
-            .localCheckpoint(eager=True)
-        )
-        probe_cells = sorted(
-            int(r["cell"]) for r in probes.select("cell").distinct().collect()
-        )
+            return probes, cells
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            probe_fut = pool.submit(_probe_leg)
+            # the one-time index WRITE (exists already in production)
+            _assigned_cells(emb, pivots).write.partitionBy("cell").parquet(
+                cells_dir
+            )
+            erased = emb.filter(F.expr(_ERASED_VEC_SQL)).select(
+                "vec_id", "embedding"
+            )
+            ivf_delete_in_place(spark, cells_dir, erased, pivots)
+            # the served READ off the repaired index
+            probes, probe_cells = probe_fut.result()
         if not probe_cells:  # degenerate corpus: nothing left to query
             return spark.createDataFrame(
                 [], "query_id long, neighbor_id long, cosine double, rnk long"
