@@ -15,6 +15,8 @@ do NOT match (verified empirically) — the oracle avoids them.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -24,6 +26,20 @@ from imdb_mapreduce_spark.sources.star import load_table
 
 N_QUERIES = 10  # vec_id < 10 serve as the query set
 TOP_K = 5
+
+
+@lru_cache(maxsize=None)
+def _expr_memo(sql: str) -> Column:
+    """``F.expr`` memoized on the SQL text (r16 opt, guide §1.2 driver
+    work): the dot/norm/projection builders re-parse the same multi-KB
+    constant fold strings on EVERY query build — pure driver-side
+    construction cost, no data involved (a Column is an immutable
+    expression tree, reusable across plans; the codegen cache plays the
+    same role one layer down). Keyed by the exact SQL text, so two
+    different expressions can never collide. Per-process, like every
+    py4j handle — a Column survives SparkSession restarts because the
+    JVM gateway does."""
+    return F.expr(sql)
 
 # Sequential double fold — matches the oracle's list_reduce fold bit-exactly.
 _DOT = (
@@ -39,11 +55,11 @@ _SQL_DOT = (
 
 
 def dot(a: str, b: str) -> Column:
-    return F.expr(_DOT.format(a=a, b=b))
+    return _expr_memo(_DOT.format(a=a, b=b))
 
 
 def norm(a: str) -> Column:
-    return F.sqrt(F.expr(_DOT.format(a=a, b=a)))
+    return F.sqrt(_expr_memo(_DOT.format(a=a, b=a)))
 
 
 # LSH defaults, tuned at sf0.01 against ann_cosine_topk (see
@@ -79,14 +95,22 @@ def _dot_unrolled(a: str, b: str, dim: int = 64) -> Column:
     (norms); for per-pair scoring the fold is faster (ANSI bounds checks
     on 2×dim element_at calls outweigh the lambda overhead — measured),
     and unrolling many planes at once blows up Catalyst analysis (see
-    :func:`_bucket_col`)."""
-    acc: Column = F.lit(0.0)
-    for i in range(1, dim + 1):
-        acc = acc + (
-            F.element_at(F.col(a), i).cast("double")
-            * F.element_at(F.col(b), i).cast("double")
-        )
-    return acc
+    :func:`_bucket_col`).
+
+    Built as ONE parsed-and-memoized SQL string (r16 opt): the previous
+    Column-arithmetic loop issued ~4·dim py4j round trips per call —
+    0.76 s of the 1.0 s embedding_random_projection bench row was this
+    builder alone (cProfile). ``CAST(0 AS DOUBLE) + Σ (CAST(element_at(a,
+    i) AS DOUBLE) * CAST(element_at(b, i) AS DOUBLE))`` parses
+    left-associated to the identical Add/Mult/Cast/ElementAt tree the
+    loop produced, so every downstream double — and the oracle hash —
+    is unchanged (165/165 gate re-run)."""
+    terms = " + ".join(
+        f"(CAST(element_at({a}, {i}) AS DOUBLE)"
+        f" * CAST(element_at({b}, {i}) AS DOUBLE))"
+        for i in range(1, dim + 1)
+    )
+    return _expr_memo(f"CAST(0 AS DOUBLE) + {terms}")
 
 
 def _bucket_col(planes, col: str = "embedding") -> Column:
@@ -1528,16 +1552,20 @@ def _proj_planes():
 _PROJ_SCALE = "0.25"  # 1/sqrt(PROJ_DIM), exact in binary for PROJ_DIM=16
 
 
+@lru_cache(maxsize=None)
 def _proj_cols() -> "list[Column]":
     """The PROJ_DIM projection components of ``embedding`` as expression
     folds against literal rows of the seeded matrix, scaled by
     1/√PROJ_DIM (norm-preserving in expectation). Same literal-repr
-    round-trip and left-associated sums as the LSH bucket builder."""
+    round-trip and left-associated sums as the LSH bucket builder.
+    Memoized (r16 opt): the 16 multi-KB fold strings are constants —
+    re-parsing them on every build was pure driver overhead (callers
+    only read the returned Columns, never mutate the list)."""
     out = []
     for row in _proj_planes():
         arr = ", ".join(f"CAST({v!r} AS DOUBLE)" for v in row.tolist())
         out.append(
-            F.expr(_DOT.format(a="embedding", b=f"array({arr})"))
+            _expr_memo(_DOT.format(a="embedding", b=f"array({arr})"))
             * F.lit(float(_PROJ_SCALE))
         )
     return out
