@@ -1120,7 +1120,10 @@ def _d2_lit_fold(col: str, vec: "list[float]") -> Column:
     cell) is bit-identical cross-engine. Literal doubles round-trip via
     repr() exactly (same trick as :func:`_bucket_col`)."""
     arr = ", ".join(f"CAST({v!r} AS DOUBLE)" for v in vec)
-    return F.expr(
+    # memoized parse (r16 opt): k of these multi-KB folds build per
+    # quantizer call across the IVF/semdedup queries — same rationale
+    # as _expr_memo's docstring (code cache, not data)
+    return _expr_memo(
         f"aggregate(zip_with({col}, array({arr}),"
         " (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
         " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
