@@ -106,8 +106,11 @@ INVENTORY: dict[tuple[str, str, str], tuple[int, str]] = {
     ("pipeline/similarity.py", "ivf_delete_in_place", "collect"):
         (2, "bounded-rows"),
     # r15: the probe-list cell ids (≤ N_QUERIES·nprobe distinct) — the
-    # IN-list the pruned index read needs as plan literals.
-    ("pipeline/similarity.py", "ann_ivf_erasure_topk", "collect"):
+    # IN-list the pruned index read needs as plan literals. r16 moved
+    # the site into the _probe_leg closure so it can run on a driver
+    # thread concurrently with the index write + delete chain (same
+    # bounded rows, same consumer).
+    ("pipeline/similarity.py", "_probe_leg", "collect"):
         (1, "bounded-rows"),
 }
 

@@ -193,11 +193,14 @@ INVENTORY: dict[tuple[str, str, str], tuple[int, str]] = {
     ("pipeline/similarity.py", "ivf_delete_in_place",
      "localCheckpoint"): (1, "lineage-truncation"),
     # r15: the probes relation (≤ N_QUERIES·nprobe rows — consumed by
-    # the probe-cell collect AND the broadcast join) and the final top-k
-    # readout (≤ N_QUERIES·TOP_K rows) materialized before the tempdir
-    # holding the index vanishes.
+    # the probe-cell collect AND the broadcast join; r16 moved its pin
+    # into the _probe_leg closure for the concurrent probe build) and
+    # the final top-k readout (≤ N_QUERIES·TOP_K rows) materialized
+    # before the tempdir holding the index vanishes.
     ("pipeline/similarity.py", "ann_ivf_erasure_topk",
-     "localCheckpoint"): (2, "bounded-relation"),
+     "localCheckpoint"): (1, "bounded-relation"),
+    ("pipeline/similarity.py", "_probe_leg",
+     "localCheckpoint"): (1, "bounded-relation"),
 }
 
 ALLOWED = {
