@@ -608,3 +608,42 @@ def test_verify_pairs_jaccard_branch_plans(spark, monkeypatch):
     p_fallback = plan(dedup.verify_pairs_jaccard(cands, docs))
     assert "BroadcastHashJoin" not in p_fallback
     assert "ShuffledHashJoin" in p_fallback
+
+
+def test_dot_unrolled_parse_matches_column_loop(spark):
+    """Bit-parity pin for the r16 construction change: `_dot_unrolled`
+    now renders its left-associated sum as ONE parsed (and memoized)
+    SQL string instead of a ~4·dim py4j Column-arithmetic loop. The
+    executed arithmetic must be the identical IEEE sequence — this test
+    rebuilds the OLD loop inline and asserts bitwise-equal doubles on
+    real embeddings (exact ==, no tolerance), plus memo identity."""
+    from imdb_mapreduce_spark.pipeline.similarity import (
+        _dot_unrolled,
+        _expr_memo,
+    )
+    from imdb_mapreduce_spark.sources.star import load_table
+
+    emb = load_table(spark, "embeddings", SF).limit(50)
+
+    def old_loop(a: str, b: str, dim: int = 64):
+        acc = F.lit(0.0)
+        for i in range(1, dim + 1):
+            acc = acc + (
+                F.element_at(F.col(a), i).cast("double")
+                * F.element_at(F.col(b), i).cast("double")
+            )
+        return acc
+
+    rows = emb.select(
+        "vec_id",
+        _dot_unrolled("embedding", "embedding").alias("new"),
+        old_loop("embedding", "embedding").alias("old"),
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["new"] == r["old"], r["vec_id"]  # bitwise, not approx
+
+    # the memo returns the SAME Column object for the same SQL text
+    c1 = _expr_memo("CAST(0 AS DOUBLE) + 1.0")
+    c2 = _expr_memo("CAST(0 AS DOUBLE) + 1.0")
+    assert c1 is c2
